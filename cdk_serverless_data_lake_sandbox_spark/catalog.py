@@ -1,0 +1,92 @@
+"""Lake catalog: the Glue-Database / table-registry analog.
+
+The reference (``stacks/demo_stack.py:52-100``) creates raw/processed
+S3 zones plus two Glue databases whose tables are registered by
+crawlers. Here a :class:`Lake` maps zones to directories and registers
+tables as Spark temp views (``<zone>_<table>``) so the whole surface is
+queryable through ``spark.sql`` exactly like Athena over Glue.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's
+    TimestampType (microseconds) rejects outright. Read nanos as long
+    and truncate to micros — the same ns->us truncation DuckDB applies,
+    so oracle parity holds."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables as DataFrames keyed by name."""
+    out: dict[str, DataFrame] = {}
+    for t in names:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        out[t] = _read_events(spark, path) if t == "events" else spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (Athena-over-Glue analog)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(f"{prefix}{name}")
+
+
+class Lake:
+    """Zoned lake catalog: raw / processed / scripts zones as in the
+    reference's three buckets (``stacks/demo_stack.py:52-92``), with a
+    per-zone table registry (the two Glue databases,
+    ``stacks/demo_stack.py:94-100``).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.zones: dict[str, str] = {}
+        self.tables: dict[str, dict[str, str]] = {}
+
+    def add_zone(self, zone: str) -> str:
+        path = os.path.join(self.root, zone)
+        os.makedirs(path, exist_ok=True)
+        self.zones[zone] = path
+        self.tables.setdefault(zone, {})
+        return path
+
+    def register(self, zone: str, table: str, path: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(self._view_name(zone, table))
+        self.tables[zone][table] = path
+
+    def table(self, zone: str, table: str) -> DataFrame:
+        return self.spark.table(self._view_name(zone, table))
+
+    def list_tables(self, zone: str) -> list[str]:
+        return sorted(self.tables.get(zone, {}))
+
+    def drop(self, zone: str, table: str) -> None:
+        self.spark.catalog.dropTempView(self._view_name(zone, table))
+        self.tables[zone].pop(table, None)
+
+    def _view_name(self, zone: str, table: str) -> str:
+        return f"{zone}_{table}"

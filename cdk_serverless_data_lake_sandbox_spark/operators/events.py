@@ -1,0 +1,288 @@
+"""Event-stream batch analytics: time bucketing, pivot, JSON
+extraction, sessionization, as-of / range joins, CDC-style dedup,
+percentiles.
+
+These are the batch twins of the streaming jobs in
+``cdk_serverless_data_lake_sandbox_spark.streaming`` — identical semantics, so the streaming
+output can be validated against these plans.
+
+Scale notes: every window partitions by ``user_id`` (high cardinality,
+uniform), so state is evenly spread. The range join avoids the O(n^2)
+per-user blow-up by bucketing time into interval-width buckets and
+joining on (user, bucket) with a neighbor-bucket explode — each
+candidate pair is produced exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+# ---------------------------------------------------------------- B14
+_PCTL_ORACLE = """
+SELECT c_mktsegment,
+  MEDIAN(o_totalprice) AS median_price,
+  QUANTILE_CONT(o_totalprice, 0.95) AS p95_price,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("percentiles", oracle=_PCTL_ORACLE)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / p95 order price per market segment (exact,
+    interpolated — same linear-interpolation semantics in Spark's
+    ``percentile`` and DuckDB's ``quantile_cont``)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("median_price"),
+            F.percentile("o_totalprice", 0.95).alias("p95_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B15
+_PIVOT_ORACLE = """
+SELECT DATE_TRUNC('day', ts) AS day,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click_cnt,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error_cnt,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_cnt,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view_cnt
+FROM events GROUP BY 1
+"""
+
+
+@register("pivot_events", oracle=_PIVOT_ORACLE)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot daily event counts by type. Expressed as conditional
+    aggregation (one shuffle, map-side partials) rather than
+    ``groupBy().pivot()``'s two-pass value discovery — the value set
+    is the schema's, declared up front."""
+    ev = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
+    aggs = [
+        F.count(F.when(F.col("event_type") == et, 1)).alias(f"{et}_cnt")
+        for et in _EVENT_TYPES
+    ]
+    return ev.groupBy("day").agg(*aggs)
+
+
+# ---------------------------------------------------------------- B16
+_TIMEBUCKET_ORACLE = """
+SELECT DATE_TRUNC('day', ts) AS day, event_type,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("time_bucket_agg", oracle=_TIMEBUCKET_ORACLE)
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows via date_trunc — the batch twin of the
+    streaming windowed count job."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.sum(dec("value", 2))).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B17
+_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+@register("json_extract", oracle=_JSON_ORACLE)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column (JVM-side ``get_json_object``, no Python) and aggregate."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(dec("value", 2)).cast("double") / F.count("*")).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B18
+_SESSION_GAP_S = 1800
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR DATE_DIFF('second', LAG(ts) OVER w, ts) > {_SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize", oracle=_SESSION_ORACLE)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap): lag -> new-session
+    flag -> running sum -> group. One shuffle on user_id serves both
+    windows and the final aggregation."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    is_new = F.when(gap_s.isNull() | (gap_s > _SESSION_GAP_S), 1).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select("user_id", "ts", F.sum("is_new").over(wc).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B19
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+  (SELECT MAX(s.ts) FROM events s
+   WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+     AND s.ts <= p.ts) AS last_signup_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+@register("asof_join", oracle=_ASOF_ORACLE)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest signup at or
+    before it, per user. Implemented as a union + last(ignorenulls)
+    window — one sort per user partition, no per-row subquery, scales
+    linearly where a correlated lookup would be quadratic."""
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("signup", "purchase"))
+    # Signups sort before purchases at identical timestamps so that
+    # s.ts <= p.ts includes the tie, matching the oracle.
+    order_in_tie = F.when(F.col("event_type") == "signup", 0).otherwise(1)
+    w = Window.partitionBy("user_id").orderBy("ts", order_in_tie, "event_id")
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (
+        ev.withColumn("last_signup_ts", F.last(signup_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_signup_ts")
+    )
+
+
+# ---------------------------------------------------------------- B20
+_RANGE_WINDOW_S = 300
+
+_RANGE_ORACLE = f"""
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+  DATE_DIFF('second', a.ts, b.ts) AS delta_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE ABS(DATE_DIFF('second', a.ts, b.ts)) <= {_RANGE_WINDOW_S}
+"""
+
+
+@register("range_join", oracle=_RANGE_ORACLE)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs for the same user within 300 s.
+
+    Scale path: time is hashed into 300-s buckets; side B explodes to
+    its bucket±1, so the join is a pure equi-join on (user_id, bucket)
+    and each qualifying pair is emitted exactly once. Candidate count
+    is O(pairs-in-window), never O(n^2 per user)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", (F.col("ts").cast("long")).alias("sec")
+    )
+    bucket = (F.col("sec") / _RANGE_WINDOW_S).cast("long")
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("sec").alias("a_sec"),
+        bucket.alias("a_bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("sec").alias("b_sec"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("b_bucket"),
+    )
+    return (
+        a.join(b, (F.col("a_user") == F.col("b_user")) & (F.col("a_bucket") == F.col("b_bucket")))
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("b_sec") - F.col("a_sec")) <= _RANGE_WINDOW_S)
+        )
+        .select("a_id", "b_id", (F.col("b_sec") - F.col("a_sec")).alias("delta_s"))
+    )
+
+
+# ---------------------------------------------------------------- B21
+_DEDUP_EVENTS_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("dedup_events", oracle=_DEDUP_EVENTS_ORACLE)
+def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style dedup: latest event per (user, type). Window + rank
+    filter — AQE prunes the rank early, no full materialization."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-aware defaults.
+
+Single place where engine tuning lives so tests, bench, and the driver
+entry all run the same config. Defaults are sized for local[N] but the
+knobs are the ones that matter on a 1000-executor cluster: AQE (runtime
+coalesce + skew-join), shuffle partition count, broadcast threshold,
+Arrow for any pandas-UDF edge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cdk-serverless-data-lake-sandbox-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Deterministic timestamps regardless of host TZ (oracle parity).
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching. At 100 TB this is what keeps
+        # a skewed groupBy/join from stalling on one straggler task.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))),
+        )
+        # Dims under this size are broadcast — no shuffle for the
+        # region/nation/supplier/part side of star joins.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Arrow batches for the pandas-UDF edges (MinHash, multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

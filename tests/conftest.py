@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import ALL_TABLES
+from cdk_serverless_data_lake_sandbox_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the driver's view registration."""
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck_small():
+    con = make_duck(SF_SMALL)
+    yield con
+    con.close()

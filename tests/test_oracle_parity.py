@@ -1,0 +1,35 @@
+"""Local mirror of the driver's correctness gate: every registered
+query with an oracle runs on Spark AND DuckDB at sf0.01; row counts,
+column names, and order-insensitive values must match exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.compare import assert_frames_match
+from tests.conftest import SF_MEDIUM, make_duck
+
+from cdk_serverless_data_lake_sandbox_spark.registry import all_oracles, all_queries
+
+_ORACLES = all_oracles()
+_QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def duck_medium():
+    con = make_duck(SF_MEDIUM)
+    yield con
+    con.close()
+
+
+def test_every_oracle_has_query():
+    missing = set(_ORACLES) - set(_QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_parity(spark, duck_medium, name):
+    spark_pdf = _QUERIES[name](spark, SF_MEDIUM).toPandas()
+    oracle_pdf = duck_medium.execute(_ORACLES[name]).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
