@@ -1,1 +1,215 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication operators over the ``documents`` table: exact,
+exact n-gram Jaccard (inverted index), MinHash+LSH, SimHash.
+
+Scale design: nothing here is O(n^2). Exact dedup is a hash-groupBy.
+Jaccard runs on an inverted shingle index (pairs are generated only
+for documents sharing a shingle). MinHash/SimHash candidate
+generation goes through LSH band buckets, so comparisons happen only
+inside buckets. All hashing/signature math is JVM-side expressions
+(xxhash64 + higher-order array functions) — no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+# 3-word shingles as the similarity unit.
+_SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+)
+
+_JACCARD_TAU = 0.5
+
+# MinHash parameters: 32 permutations in 16 bands of 2 rows.
+# P(candidate | jaccard j) = 1-(1-j^2)^16: ~0.99 at j=0.5, ~0.15 at
+# j=0.1 — high recall at the tau=0.5 working point.
+_N_PERM = 32
+_BAND_ROWS = 2
+_MERSENNE = (1 << 61) - 1
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+# ---------------------------------------------------------------- C1
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the lowest doc_id
+    per content hash. One shuffle on the hash; map-side partial
+    aggregation keeps the exchange tiny even with heavy duplication."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------- C4
+_NGRAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) AS jaccard
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= {_JACCARD_TAU}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (tau=0.5) via an inverted
+    shingle index: explode distinct shingles, self-join on shingle to
+    count co-occurrences, then compute Jaccard only for pairs that
+    share at least one shingle. Cost is O(sum of bucket^2 per
+    shingle), never O(n_docs^2). The DuckDB oracle computes the same
+    thing the quadratic way — exact agreement is the test that the
+    indexed plan loses nothing."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh"))
+    sized = docs.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    inv = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"), "shingle"
+    )
+    b = inv.select(
+        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"), "shingle"
+    )
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_n", "b_n")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    )
+    return (
+        common.select("a_id", "b_id", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+    )
+
+
+# ---------------------------------------------------------------- C2
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + array<long> MinHash signature, entirely JVM-side: one
+    independently-seeded xxhash64 per permutation (seeded by passing
+    the permutation index as a second hash input — no modular
+    arithmetic, no ANSI overflow)."""
+    perms = [
+        f"array_min(transform(sh, s -> xxhash64(s, {i})))" for i in range(_N_PERM)
+    ]
+    sig = "array(" + ", ".join(perms) + ")"
+    return docs.select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh")).select(
+        "doc_id", F.expr(sig).alias("sig")
+    )
+
+
+@register("dedup_minhash_lsh")  # probabilistic -> rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 32-perm signatures banded into
+    8 buckets of 4; documents sharing any band bucket become a
+    candidate pair, scored by signature agreement (estimated Jaccard).
+
+    Scale path: the only shuffles are the band-bucket groupBy and the
+    signature re-join; bucket sizes are bounded by collision rate, so
+    candidate generation is near-linear in corpus size."""
+    docs = _docs(spark, sf_dir)
+    sigs = _minhash_signatures(docs)
+
+    n_bands = _N_PERM // _BAND_ROWS
+    band_arrays = ", ".join(
+        f"named_struct('band', {i}, 'key', xxhash64(concat_ws(',', slice(sig, {i * _BAND_ROWS + 1}, {_BAND_ROWS}))))"
+        for i in range(n_bands)
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({band_arrays})")).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    # Pairs within a bucket, deduped across bands.
+    left = banded.select("band", "key", F.col("doc_id").alias("a_id"))
+    right = banded.select("band", "key", F.col("doc_id").alias("b_id"))
+    pairs = (
+        left.join(right, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    est = (
+        F.expr(
+            f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), eq -> eq))"
+        ).cast("double")
+        / _N_PERM
+    )
+    return (
+        pairs.join(sa, "a_id").join(sb, "b_id").select("a_id", "b_id", est.alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- C3
+@register("dedup_simhash")  # custom bit math -> rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature from word-level
+    xxhash64 (per-bit +/-1 vote, sign -> bit), candidates generated by
+    matching any of four 16-bit chunks (finds all pairs with hamming
+    distance <= 3 plus lucky further ones), scored by exact hamming
+    distance via bit_count(xor).
+
+    The per-bit votes are 64 conditional sums in one groupBy — single
+    shuffle on doc_id, no Python, no x64 row explosion."""
+    docs = _docs(spark, sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    per_doc = tokens.groupBy("doc_id").agg(*votes)
+    sim_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)" for j in range(64)
+    )
+    sigs = per_doc.select("doc_id", F.expr(sim_expr).alias("simhash"))
+
+    chunks = ", ".join(
+        f"named_struct('chunk', {c}, 'key', shiftright(simhash, {c * 16}) & 65535)"
+        for c in range(4)
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(F.expr(f"array({chunks})")).alias("b")
+    ).select("doc_id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
+    left = banded.select("chunk", "key", F.col("doc_id").alias("a_id"), F.col("simhash").alias("sim_a"))
+    right = banded.select("chunk", "key", F.col("doc_id").alias("b_id"), F.col("simhash").alias("sim_b"))
+    return (
+        left.join(right, ["chunk", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.expr("sim_a ^ sim_b")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 16)
+    )

@@ -1,1 +1,234 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis operators over the ``documents`` table: quality
+scoring, token counting, language ID, fingerprinting, stopword
+density.
+
+All expressions are JVM-side (split / regexp / array functions inside
+whole-stage codegen) — no Python in the hot path, so these scan at
+parquet speed and scale linearly. Each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# Tiny per-language stopword lists (top function words).
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "y", "que", "es", "en"),
+    "fr": ("le", "la", "de", "et", "un", "est", "en"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "in"),
+    "zh": ("de", "shi", "bu", "le", "wo", "you", "he"),
+}
+_ALL_STOP = tuple(sorted({w for ws in _STOPWORDS.values() for w in ws}))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_array(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# ---------------------------------------------------------------- C8
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+    LENGTH(text) AS n_chars_calc,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_words,
+    LEN(list_distinct(string_split_regex(TRIM(text), '\\s+'))) AS n_distinct_words
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_words,
+  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / n_words AS avg_word_len,
+  CAST(LENGTH(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+    / LENGTH(text) AS punct_ratio,
+  CAST(n_distinct_words AS DOUBLE) / n_words AS distinct_ratio,
+  CASE WHEN n_words BETWEEN 5 AND 10000 THEN
+    CAST(n_distinct_words AS DOUBLE) / n_words ELSE 0.0 END AS quality_score
+FROM t
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: length, word stats, punctuation
+    density, lexical diversity, and a composite score (the
+    length-gate x diversity heuristic used for corpus filtering)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    distinct_ratio = n_distinct.cast("double") / n_words
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words).alias(
+            "avg_word_len"
+        ),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[a-z0-9\s]", "")).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.when(n_words.between(5, 10000), distinct_ratio).otherwise(F.lit(0.0)).alias(
+            "quality_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- C9
+_TOKEN_ORACLE = f"""
+SELECT doc_id,
+  LEN(string_split_regex(TRIM(text), '\\s+')) AS ws_tokens,
+  LEN(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_tokens
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKEN_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document (the
+    regex splits runs of letters, digits, and single symbols — a cheap
+    proxy for subword tokenizer counts)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0))).alias(
+            "re_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- C10
+def _lang_hits_sql(lang: str) -> str:
+    return (
+        f"LEN(list_intersect(string_split(text, ' '), {_sql_list(_STOPWORDS[lang])}))"
+        f" AS hits_{lang}"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    {", ".join(_lang_hits_sql(code) for code in _STOPWORDS)}
+  FROM documents
+), p AS (
+  SELECT lang,
+    CASE
+      WHEN hits_en >= hits_es AND hits_en >= hits_fr
+       AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+      WHEN hits_es >= hits_fr AND hits_es >= hits_de
+       AND hits_es >= hits_zh THEN 'es'
+      WHEN hits_fr >= hits_de AND hits_fr >= hits_zh THEN 'fr'
+      WHEN hits_de >= hits_zh THEN 'de'
+      ELSE 'zh'
+    END AS predicted_lang
+  FROM h
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM p GROUP BY lang, predicted_lang
+"""
+
+
+@register("lang_id", oracle=_LANG_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: count distinct stopword types per
+    language list, argmax with a fixed priority tiebreak; output the
+    (actual, predicted) confusion counts."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    hits = {
+        code: F.size(
+            F.array_intersect(words, F.expr(_spark_array(_STOPWORDS[code])))
+        ).alias(f"hits_{code}")
+        for code in _STOPWORDS
+    }
+    h = docs.select("doc_id", "lang", *hits.values())
+    predicted = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") >= F.col("hits_fr"))
+            & (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_zh")),
+            "en",
+        )
+        .when(
+            (F.col("hits_es") >= F.col("hits_fr"))
+            & (F.col("hits_es") >= F.col("hits_de"))
+            & (F.col("hits_es") >= F.col("hits_zh")),
+            "es",
+        )
+        .when(
+            (F.col("hits_fr") >= F.col("hits_de")) & (F.col("hits_fr") >= F.col("hits_zh")),
+            "fr",
+        )
+        .when(F.col("hits_de") >= F.col("hits_zh"), "de")
+        .otherwise("zh")
+    )
+    return (
+        h.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------- C11
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+  md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS norm_fingerprint,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS bag_fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two content fingerprints per document: md5 of the
+    whitespace-normalized text (exact-dup key) and md5 of the sorted
+    distinct word bag (order-insensitive near-dup key)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+            "norm_fingerprint"
+        ),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+        ).alias("bag_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------- C12
+_STOPRATIO_ORACLE = f"""
+SELECT doc_id,
+  LEN(list_filter(string_split(text, ' '),
+      w -> list_contains({_sql_list(_ALL_STOP)}, w))) AS n_stopwords,
+  CAST(LEN(list_filter(string_split(text, ' '),
+      w -> list_contains({_sql_list(_ALL_STOP)}, w))) AS DOUBLE)
+    / LEN(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+@register("stopword_ratio", oracle=_STOPRATIO_ORACLE)
+def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword token density per document (token occurrences, not
+    distinct types) — a standard corpus-quality signal."""
+    arr = _spark_array(_ALL_STOP)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> array_contains({arr}, w)))")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(F.split(F.col("text"), " "))).alias("stopword_ratio"),
+    )

@@ -1,0 +1,54 @@
+"""Recall/sanity tests for the probabilistic (rows-only) operators,
+measured against their exact counterparts."""
+
+from __future__ import annotations
+
+from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+from tests.conftest import SF_MEDIUM
+
+_Q = all_queries()
+
+
+def _pairs(df, a="a_id", b="b_id"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    exact = _Q["dedup_ngram_jaccard"](spark, SF_MEDIUM).collect()
+    true_pairs = {(r.a_id, r.b_id) for r in exact}
+    assert true_pairs, "expected some true near-dup pairs at sf0.01"
+    cand = _pairs(_Q["dedup_minhash_lsh"](spark, SF_MEDIUM))
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(true_pairs)} pairs"
+
+
+def test_simhash_pairs_sane(spark):
+    rows = _Q["dedup_simhash"](spark, SF_MEDIUM).collect()
+    assert rows, "simhash should surface candidate pairs"
+    assert all(0 <= r.hamming <= 16 and r.a_id < r.b_id for r in rows)
+    # near-dups by exact jaccard should mostly be low-hamming candidates
+    exact = _Q["dedup_ngram_jaccard"](spark, SF_MEDIUM).collect()
+    strong = {(r.a_id, r.b_id) for r in exact if r.jaccard >= 0.9}
+    if strong:
+        found = {(r.a_id, r.b_id) for r in rows}
+        recall = len(strong & found) / len(strong)
+        assert recall >= 0.5, f"simhash recall on strong pairs {recall:.2f}"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = _Q["ann_topk_bruteforce"](spark, SF_MEDIUM).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    approx = _Q["ann_lsh_bucketed"](spark, SF_MEDIUM).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # LSH on 64-dim data with 8-bit buckets x4 tables: imperfect by
+    # design; the scale win is the candidate reduction.
+    assert recall >= 0.3, f"ann lsh recall@5 {recall:.2f}"
+    assert all(r.rank <= 5 for r in approx)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    rows = _Q["dedup_exact"](spark, SF_MEDIUM).collect()
+    assert sum(r.n_copies for r in rows) == 500  # all docs accounted for
+    assert all(r.n_copies >= 1 for r in rows)
