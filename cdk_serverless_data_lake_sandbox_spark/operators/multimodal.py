@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed in Arrow-batched Pandas UDFs.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container — see ``_decode_bytes``): payloads are deterministic fake
+media synthesized from the documents table, and "decoding" parses the
+fake header. Everything around the stub is real and tested: the
+schema contract (binary + metadata struct), ``mapInPandas`` batch
+iteration, partition-preserving feature extraction, and JVM-side
+frame slicing for video-style payloads.
+
+To use real codecs, replace ``_decode_bytes`` with PIL/ffmpeg calls —
+the Spark-side plan does not change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+_FRAME_BYTES = 16  # fake video frame size
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a multimodal table from documents: a binary payload
+    (md5 of the text, repeated — deterministic) plus typed metadata,
+    the schema a real ingest would produce."""
+    payload = F.expr("repeat(unhex(md5(text)), 1 + pmod(doc_id, 4))")
+    return docs.select(
+        "doc_id",
+        payload.cast("binary").alias("media"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (16 + F.pmod(F.col("doc_id"), F.lit(16)).cast("int")).alias("width"),
+            (16 + F.pmod(F.col("doc_id") * 7, F.lit(16)).cast("int")).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _decode_bytes(data: bytes) -> tuple[int, float]:
+    """STUB decode: a real implementation would hand ``data`` to
+    PIL/torchaudio/ffmpeg. Here it returns (n_bytes, mean_byte) —
+    deterministic so the plumbing is testable without codecs."""
+    if not data:
+        raise NotImplementedError("empty media payload; real decoder not available")
+    return len(data), float(sum(data)) / len(data)
+
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_and_featurize(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode + feature extraction over the binary
+    column. One ``mapInPandas`` pass: batches arrive as pandas frames
+    (no per-row Python dispatch), features are a 8-bin byte histogram
+    (stand-in for an embedding model forward pass)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, mean_byte, feats = [], [], []
+            for data in pdf["media"]:
+                b = bytes(data)
+                n, m = _decode_bytes(b)
+                n_bytes.append(n)
+                mean_byte.append(m)
+                hist = [0.0] * 8
+                for byte in b:
+                    hist[byte >> 5] += 1.0
+                feats.append([h / n for h in hist])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["meta"].map(lambda s: s["width"]),
+                    "height": pdf["meta"].map(lambda s: s["height"]),
+                    "n_bytes": n_bytes,
+                    "mean_byte": mean_byte,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(process, _DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video-style frame sampling without Python: treat the payload as
+    fixed-size frames, generate frame indices with ``sequence`` and
+    slice bytes JVM-side. At scale this is pure codegen — the binary
+    never crosses into Python."""
+    n_frames = (F.length("media") / _FRAME_BYTES).cast("int")
+    idx = F.explode(
+        F.expr(f"filter(sequence(0, int(length(media)/{_FRAME_BYTES}) - 1),"
+               f" i -> i % {every_n} = 0)")
+    )
+    return (
+        media.select("doc_id", "media", n_frames.alias("n_frames"), idx.alias("frame_idx"))
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.expr(f"substring(media, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES})").alias(
+                "frame"
+            ),
+        )
+    )
+
+
+@register("multimodal_features")  # binary plumbing -> rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pass: synthesize media from documents,
+    decode + featurize in Arrow batches, return per-doc metadata and
+    an aggregate over the feature vector."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    decoded = decode_and_featurize(attach_fake_media(docs))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.round(F.expr("aggregate(features, 0.0d, (a, x) -> a + x)"), 6).alias("feat_sum"),
+    )

@@ -45,6 +45,8 @@ def _load_modules() -> None:
         dedup,
         etl,
         events,
+        multimodal,
         similarity,
         text,
     )
+    from cdk_serverless_data_lake_sandbox_spark.sources import kv  # noqa: F401

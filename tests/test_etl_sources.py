@@ -1,0 +1,182 @@
+"""Tests for the reference-derived ETL surface: crawler inference
+(A3), the TSV->parquet job (A5), KV store (A6), Lake catalog (A7),
+and the storage/scale ops (D1-D6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import Lake, load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+    IncrementalIngest,
+    apply_mapping,
+    compact,
+    tsv_to_parquet_job,
+)
+from cdk_serverless_data_lake_sandbox_spark.plans import partition_filters, pushed_filters
+from cdk_serverless_data_lake_sandbox_spark.sources.crawler import CsvClassifier, crawl_delimited
+from cdk_serverless_data_lake_sandbox_spark.sources.kv import KVStore
+
+from tests.conftest import SF_SMALL
+
+_NAME_BASICS_TSV = (
+    "nconst\tprimaryName\tbirthYear\tdeathYear\tprimaryProfession\tknownForTitles\n"
+    "nm0000001\tFred Astaire\t1899\t1987\tactor,miscellaneous\ttt0072308\n"
+    "nm0000002\tLauren Bacall\t1924\t2014\tactress,soundtrack\ttt0037382\n"
+    "nm0000003\tBrigitte Bardot\t1934\t\\N\tactress,music_department\ttt0057345\n"
+)
+
+_ALL_STRING_TSV = (
+    "nconst\tprimaryName\tprofession\n"
+    "nm0000001\tFred Astaire\tactor\n"
+    "nm0000002\tLauren Bacall\tactress\n"
+)
+
+
+@pytest.fixture()
+def name_basics(tmp_path):
+    p = tmp_path / "name.basics.tsv"
+    p.write_text(_NAME_BASICS_TSV)
+    return str(p)
+
+
+# ---------------------------------------------------------------- A3
+def test_crawler_infers_types_with_header(spark, name_basics):
+    df = crawl_delimited(spark, name_basics, classifier=CsvClassifier())
+    assert df.columns == [
+        "nconst", "primaryName", "birthYear", "deathYear",
+        "primaryProfession", "knownForTitles",
+    ]
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert types["birthYear"] == "int"  # the 'choice' column, resolved
+    assert df.where(F.col("deathYear").isNull()).count() == 1  # \N null
+
+
+def test_crawler_all_string_no_classifier_misses_header(spark, tmp_path):
+    """The failure mode the reference README documents: all-string
+    data without the classifier -> header row not detected."""
+    p = tmp_path / "allstr.tsv"
+    p.write_text(_ALL_STRING_TSV)
+    df = crawl_delimited(spark, str(p))
+    assert df.columns == ["col_0", "col_1", "col_2"]
+    assert df.count() == 3  # header row read as data
+    with_cls = crawl_delimited(spark, str(p), classifier=CsvClassifier())
+    assert with_cls.columns == ["nconst", "primaryName", "profession"]
+    assert with_cls.count() == 2
+
+
+# ---------------------------------------------------------------- A4
+def test_apply_mapping_choice_resolution(spark):
+    df = spark.createDataFrame([("1", "2.5"), ("3", "x")], ["a", "b"])
+    out = apply_mapping(
+        df,
+        [("a", "choice", "a_num", "bigint"), ("b", "choice", "b_num", "double")],
+    )
+    rows = {r.a_num: r.b_num for r in out.collect()}
+    assert rows == {1: 2.5, 3: None}  # unparseable 'choice' -> null, no job crash
+
+
+# ---------------------------------------------------------------- A5/D1
+def test_tsv_to_parquet_job_partitioned_and_pruned(spark, name_basics, tmp_path):
+    out = tsv_to_parquet_job(
+        spark,
+        name_basics,
+        str(tmp_path / "processed"),
+        "name.basics",
+        mappings=[
+            ("nconst", "string", "nconst", "string"),
+            ("primaryName", "string", "primaryName", "string"),
+            ("birthYear", "choice", "birthYear", "bigint"),
+            ("deathYear", "choice", "deathYear", "bigint"),
+        ],
+        partition_keys=["birthYear"],
+    )
+    assert any(e.startswith("birthYear=") for e in os.listdir(out["partitioned"]))
+    back = spark.read.parquet(out["partitioned"])
+    assert back.count() == 3
+    pruned = back.where(F.col("birthYear") == 1899)
+    assert any("birthYear" in f for f in partition_filters(pruned))
+    assert pruned.count() == 1
+    flat = spark.read.parquet(out["unpartitioned"])
+    assert flat.count() == 3
+
+
+# ---------------------------------------------------------------- A6
+def test_kv_store_roundtrip(spark):
+    store = KVStore()
+    store.put_item({"id": "k1", "v": "one"})
+    store.put_item({"id": "k2", "v": "two"})
+    assert store.get_item("k1")["v"] == "one"
+    assert [i["id"] for i in store.scan()] == ["k1", "k2"]
+    df = store.to_df(spark)
+    assert df.count() == 2 and set(df.columns) == {"id", "v"}
+    with pytest.raises(ValueError):
+        store.put_item({"v": "no key"})
+
+
+# ---------------------------------------------------------------- A7
+def test_lake_catalog_zones(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path))
+    lake.add_zone("raw")
+    lake.add_zone("processed")
+    nation = load_tables(spark, SF_SMALL, ("nation",))["nation"]
+    lake.register("raw", "nation", f"{SF_SMALL}/nation.parquet", nation)
+    assert lake.list_tables("raw") == ["nation"]
+    assert lake.table("raw", "nation").count() == 25
+    assert spark.sql("SELECT COUNT(*) FROM raw_nation").collect()[0][0] == 25
+    lake.drop("raw", "nation")
+    assert lake.list_tables("raw") == []
+
+
+# ---------------------------------------------------------------- D3
+def test_compaction(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    nation = load_tables(spark, SF_SMALL, ("nation",))["nation"]
+    nation.repartition(10).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 10
+    out = compact(spark, src, target_file_mb=128)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after == 1  # tiny data -> single target-size file
+    assert spark.read.parquet(out).count() == 25
+
+
+# ---------------------------------------------------------------- D4
+def test_incremental_ingest_watermark(spark, tmp_path):
+    target = str(tmp_path / "tgt")
+    state = str(tmp_path / "wm.json")
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    first = ev.where(F.col("event_id") < 500)
+    rest = ev  # overlaps: watermark must drop the first 500
+    ing = IncrementalIngest(state, "ts")
+    n1 = ing.ingest(first, target)
+    assert n1 == 500
+    n2 = ing.ingest(rest, target)
+    assert 0 < n2 <= 500
+    total = spark.read.parquet(target).count()
+    assert total == n1 + n2
+    assert spark.read.parquet(target).select("event_id").distinct().count() == total
+
+
+# ---------------------------------------------------------------- D5
+def test_schema_evolution_merge(spark, tmp_path):
+    p = str(tmp_path / "evolve")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(p + "/b1")
+    spark.range(3).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(p + "/b2")
+    merged = spark.read.option("mergeSchema", True).parquet(p + "/b1", p + "/b2")
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    assert merged.where(F.col("v2").isNull()).count() == 3
+
+
+# ---------------------------------------------------------------- D6 (pushdown sanity on crawled output)
+def test_crawled_parquet_pushdown(spark, name_basics, tmp_path):
+    df = crawl_delimited(spark, name_basics, classifier=CsvClassifier())
+    p = str(tmp_path / "nb.parquet")
+    df.write.parquet(p)
+    q = spark.read.parquet(p).where(F.col("birthYear") > 1900).select("primaryName")
+    assert any("birthYear" in f for f in pushed_filters(q))

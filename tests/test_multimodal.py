@@ -1,0 +1,62 @@
+"""Multimodal plumbing tests (C13): schema contract, Arrow batch
+shape, deterministic stub decode, JVM-side frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+    _decode_bytes,
+    attach_fake_media,
+    decode_and_featurize,
+    sample_frames,
+)
+from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+from tests.conftest import SF_SMALL
+
+
+def _media(spark):
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    return attach_fake_media(docs)
+
+
+def test_media_schema(spark):
+    m = _media(spark)
+    types = {f.name: f.dataType.simpleString() for f in m.schema.fields}
+    assert types["media"] == "binary"
+    assert types["meta"].startswith("struct<format:string,width:int,height:int")
+
+
+def test_decode_stub_contract():
+    n, mean = _decode_bytes(b"\x00\xff")
+    assert (n, mean) == (2, 127.5)
+    with pytest.raises(NotImplementedError):
+        _decode_bytes(b"")
+
+
+def test_decode_and_featurize(spark):
+    out = decode_and_featurize(_media(spark))
+    rows = out.orderBy("doc_id").limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_bytes % 16 == 0  # md5 payload multiples
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-9  # normalized histogram
+    # determinism: same plan twice -> same values
+    again = decode_and_featurize(_media(spark)).orderBy("doc_id").limit(5).collect()
+    assert [r.mean_byte for r in rows] == [r.mean_byte for r in again]
+
+
+def test_sample_frames_jvm_side(spark):
+    frames = sample_frames(_media(spark), every_n=2)
+    r = frames.where(F.col("doc_id") == 3).collect()  # doc 3: 4x16 bytes
+    assert [x.frame_idx for x in r] == [0, 2]
+    assert all(len(bytes(x.frame)) == 16 for x in r)
+
+
+def test_registered_query_rows(spark):
+    df = all_queries()["multimodal_features"](spark, SF_SMALL)
+    assert df.count() == 500
