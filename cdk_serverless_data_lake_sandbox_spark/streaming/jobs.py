@@ -1,0 +1,94 @@
+"""Structured Streaming jobs over the events stream: windowed counts
+with watermark, exactly-once-style dedup, session windows.
+
+Each job is a pure transformation ``stream_df -> stream_df`` so the
+same code runs against any source (file, Kafka, rate); tests feed a
+file source and validate against the batch twins in
+``operators/events.py`` — same semantics, two execution modes, which
+is exactly how Spark unifies batch and streaming.
+
+Scale notes: state stores partition by the grouping key (window x
+type, event_id range, user). Watermarks bound state: late data past
+the watermark is dropped rather than growing state forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source over event parquet drops — the
+    local stand-in for a Kafka/queue source. maxFilesPerTrigger keeps
+    micro-batches bounded."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------- E1
+def windowed_counts(stream: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts per event type. The watermark lets the
+    state store finalize and evict windows once event time passes
+    window_end + watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- E2
+def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-style dedup on event_id within the watermark
+    horizon — the streaming mirror of batch dropDuplicates. State
+    holds one entry per id and is evicted at the watermark, so state
+    size is bounded by the horizon, not the stream length."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# ---------------------------------------------------------------- E3
+def stream_sessionize(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessionization with native session windows
+    (merging-window state), per user."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,93 @@
+"""Streaming jobs validated against their batch twins: the same
+aggregation run as a micro-batched stream and as a batch query must
+agree (Spark's unified semantics, used here as the oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+    read_event_stream,
+    stream_dedup,
+    stream_sessionize,
+    windowed_counts,
+)
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def event_drop_dir(tmp_path_factory):
+    """Events written as several files to exercise multi-batch
+    triggers."""
+    spark_dir = tmp_path_factory.mktemp("events_stream")
+    return str(spark_dir)
+
+
+def _prepare(spark, path, dup=False):
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    src = ev.unionAll(ev) if dup else ev
+    src.repartition(8).write.mode("overwrite").parquet(path)
+    return ev
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, event_drop_dir):
+    ev = _prepare(spark, event_drop_dir + "/w")
+    stream = read_event_stream(spark, event_drop_dir + "/w")
+    _run_to_memory(windowed_counts(stream), "win_counts", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in spark.table("win_counts").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in (
+            ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "total_value")
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_stream_dedup_drops_exact_copies(spark, event_drop_dir):
+    ev = _prepare(spark, event_drop_dir + "/d", dup=True)
+    stream = read_event_stream(spark, event_drop_dir + "/d")
+    _run_to_memory(stream_dedup(stream), "dedup_out", "append")
+    out = spark.table("dedup_out")
+    assert out.count() == ev.count()  # each duplicated id kept once
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_sessionize_matches_batch_session_window(spark, event_drop_dir):
+    ev = _prepare(spark, event_drop_dir + "/s")
+    stream = read_event_stream(spark, event_drop_dir + "/s")
+    _run_to_memory(stream_sessionize(stream), "sessions_out", "complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions_out").collect()
+    }
+    expected = {
+        (r.user_id, r["sw"].start, r["sw"].end, r.n_events)
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .collect()
+        )
+    }
+    assert got == expected
