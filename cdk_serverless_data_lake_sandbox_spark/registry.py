@@ -48,5 +48,6 @@ def _load_modules() -> None:
         multimodal,
         similarity,
         text,
+        tpch_extra,
     )
     from cdk_serverless_data_lake_sandbox_spark.sources import kv  # noqa: F401
