@@ -19,14 +19,22 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
     "q18_large_volume",
+    "q21_waiting_supplier",
     "top_k_per_group",
     "join_two_tables",
     "sessionize",
     "range_join",
     "asof_join",
     "json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "text_quality",
 ]
 
 

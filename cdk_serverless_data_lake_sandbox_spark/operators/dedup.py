@@ -34,7 +34,14 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
+    """documents, spread across the session's shuffle parallelism.
+    The driver tables arrive as one parquet file, which would pin the
+    shingle explode and pair generation to a single task; at real
+    scale you get many input splits for free, here we repartition by
+    the stable key."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(n, "doc_id")
 
 
 # ---------------------------------------------------------------- C1
@@ -85,7 +92,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed plan loses nothing."""
     docs = _docs(spark, sf_dir).select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh"))
     sized = docs.select("doc_id", "sh", F.size("sh").alias("n_sh"))
-    inv = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # Join on the 64-bit shingle hash, not the string — an 8-byte
+    # shuffle key instead of a ~20-byte string (collisions are 2^-64
+    # per pair; the oracle parity test would catch one).
+    inv = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle_s")).select(
+        "doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle")
+    )
     a = inv.select(
         F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"), "shingle"
     )
@@ -109,16 +121,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C2
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + array<long> MinHash signature, entirely JVM-side: one
-    independently-seeded xxhash64 per permutation (seeded by passing
-    the permutation index as a second hash input — no modular
-    arithmetic, no ANSI overflow)."""
-    perms = [
-        f"array_min(transform(sh, s -> xxhash64(s, {i})))" for i in range(_N_PERM)
-    ]
-    sig = "array(" + ", ".join(perms) + ")"
-    return docs.select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh")).select(
-        "doc_id", F.expr(sig).alias("sig")
+    """doc_id + array<long> MinHash signature, entirely JVM-side.
+    Shingles are hashed to longs once; each permutation is a columnar
+    ``min(xxhash64(h, i))`` aggregate over the exploded hashes — 32
+    codegen'd min-aggs with map-side partials (one narrow shuffle on
+    doc_id) rather than per-row nested array transforms."""
+    hashes = (
+        docs.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+    )
+    mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(_N_PERM)]
+    per_doc = hashes.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(_N_PERM)]).alias("sig")
     )
 
 
@@ -139,30 +154,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('band', {i}, 'key', xxhash64(concat_ws(',', slice(sig, {i * _BAND_ROWS + 1}, {_BAND_ROWS}))))"
         for i in range(n_bands)
     )
+    # The signature rides along through the band explode, so the
+    # bucket self-join scores pairs directly — signatures are computed
+    # exactly once, traded for ~256 bytes per banded row of shuffle.
     banded = sigs.select(
-        "doc_id", F.explode(F.expr(f"array({band_arrays})")).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        "doc_id", "sig", F.explode(F.expr(f"array({band_arrays})")).alias("b")
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
-    # Pairs within a bucket, deduped across bands.
-    left = banded.select("band", "key", F.col("doc_id").alias("a_id"))
-    right = banded.select("band", "key", F.col("doc_id").alias("b_id"))
-    pairs = (
-        left.join(right, ["band", "key"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-
-    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    left = banded.select("band", "key", F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
     est = (
         F.expr(
-            f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), eq -> eq))"
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), eq -> eq))"
         ).cast("double")
         / _N_PERM
     )
     return (
-        pairs.join(sa, "a_id").join(sb, "b_id").select("a_id", "b_id", est.alias("est_jaccard"))
+        left.join(right, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", est.alias("est_jaccard"))
+        .distinct()
     )
 
 

@@ -144,6 +144,30 @@ def test_compaction(spark, tmp_path):
     assert spark.read.parquet(out).count() == 25
 
 
+# ---------------------------------------------------------------- D2
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import write_bucketed
+    from cdk_serverless_data_lake_sandbox_spark.plans import formatted_plan
+
+    orders = load_tables(spark, SF_SMALL, ("orders",))["orders"]
+    li = load_tables(spark, SF_SMALL, ("lineitem",))["lineitem"]
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert joined.count() == 6000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 # ---------------------------------------------------------------- D4
 def test_incremental_ingest_watermark(spark, tmp_path):
     target = str(tmp_path / "tgt")
