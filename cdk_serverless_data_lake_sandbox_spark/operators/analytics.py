@@ -1,0 +1,225 @@
+"""Analytics wave 3: time-series windows, explode analytics,
+histograms, fuzzy matching, approximate aggregates.
+
+Everything except the HLL sketch is oracle-checked; the sketch has an
+error-bound test instead (approximation is the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+
+# ---------------------------------------------------------------- B35
+_MOVAVG_ORACLE = """
+WITH daily AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, day_value,
+  AVG(day_value) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+FROM daily
+"""
+
+
+@register("moving_average", oracle=_MOVAVG_ORACLE)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of per-user daily value: aggregate to one
+    row per (user, day) first so the window frame is tiny and the
+    sort key is unique — no tie-dependent results."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(dec("value", 2)).cast("double").alias("day_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "user_id", "day", "day_value", F.avg("day_value").over(w).alias("ma7")
+    )
+
+
+# ---------------------------------------------------------------- B36
+_CUMREV_ORACLE = """
+WITH monthly AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS month,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS month_revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, month_revenue,
+  CAST(ROUND(CAST(SUM(month_revenue) OVER (ORDER BY month
+      ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)), 2) AS DOUBLE) AS running_revenue
+FROM monthly
+"""
+
+
+@register("cumulative_revenue", oracle=_CUMREV_ORACLE)
+def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with a running total. The global window runs
+    over ~tens of monthly rows post-aggregation — a single-partition
+    window over pre-aggregated data is fine at any scale; the
+    aggregation below it is what distributes."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(money(F.sum(dec("o_totalprice", 2))).alias("month_revenue"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "month_revenue",
+        money(F.sum("month_revenue").over(w).cast("decimal(18,2)")).alias("running_revenue"),
+    )
+
+
+# ---------------------------------------------------------------- B37
+_WORDFREQ_ORACLE = """
+SELECT w AS word, COUNT(*) AS n
+FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+@register("word_frequencies", oracle=_WORDFREQ_ORACLE)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies, top 20 — explode + count with
+    map-side partial aggregation (the shuffle carries one row per
+    distinct word per partition, not one per token)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- B38
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS bucket_revenue
+FROM orders GROUP BY 1
+"""
+
+
+@register("value_histogram", oracle=_HISTOGRAM_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice", 2))).alias("bucket_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B39
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT DISTINCT p_name,
+    string_split(p_name, ' ')[1] AS w1,
+    string_split(p_name, ' ')[2] AS w2
+  FROM part
+)
+SELECT a.p_name AS a_name, b.p_name AS b_name,
+  levenshtein(a.w1, b.w1) AS edit_dist
+FROM names a JOIN names b
+  ON a.w2 = b.w2 AND a.p_name < b.p_name
+WHERE levenshtein(a.w1, b.w1) <= 2
+"""
+
+
+@register("fuzzy_name_match", oracle=_FUZZY_ORACLE)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: part names in the same category (second word)
+    whose qualifiers are within edit distance 2. The category equi-join
+    is the blocking key — levenshtein runs only inside blocks, which
+    is what makes edit-distance joins feasible at scale."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    names = (
+        p.select("p_name").distinct().select(
+            "p_name",
+            F.split(F.col("p_name"), " ").getItem(0).alias("w1"),
+            F.split(F.col("p_name"), " ").getItem(1).alias("w2"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("a_name"), F.col("w1").alias("a_w1"), F.col("w2").alias("w2")
+    )
+    b = names.select(
+        F.col("p_name").alias("b_name"), F.col("w1").alias("b_w1"), F.col("w2").alias("w2")
+    )
+    return (
+        a.join(b, "w2")
+        .where(F.col("a_name") < F.col("b_name"))
+        .select("a_name", "b_name", F.levenshtein("a_w1", "b_w1").alias("edit_dist"))
+        .where(F.col("edit_dist") <= 2)
+    )
+
+
+# ---------------------------------------------------------------- B40
+_DISTINCT_ORACLE = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("distinct_users", oracle=_DISTINCT_ORACLE)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (the two-phase
+    distinct-then-count expansion Spark plans automatically)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("approx_distinct_users")  # sketch -> rows-only check
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd=2%). At 100 TB
+    this is the difference between a fixed-size sketch merge and a
+    full shuffle of every distinct key. tests assert <5% error vs the
+    exact counts."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------- B41
+# DuckDB DAYOFWEEK is 0-based (Sun=0), Spark's is 1-based (Sun=1).
+_CUBE_ORACLE = """
+SELECT event_type, CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+  COUNT(*) AS n_events
+FROM events GROUP BY CUBE(event_type, CAST(DAYOFWEEK(ts) + 1 AS INTEGER))
+"""
+
+
+@register("cube_agg", oracle=_CUBE_ORACLE)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets in
+    one pass."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.cube("event_type", F.dayofweek("ts").cast("int").alias("dow"))
+        .agg(F.count("*").alias("n_events"))
+    )

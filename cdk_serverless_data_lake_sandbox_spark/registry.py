@@ -41,6 +41,7 @@ def all_oracles() -> dict[str, str]:
 def _load_modules() -> None:
     # Import for registration side effects.
     from cdk_serverless_data_lake_sandbox_spark.operators import (  # noqa: F401
+        analytics,
         core,
         dedup,
         etl,

@@ -48,6 +48,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert all(r.rank <= 5 for r in approx)
 
 
+def test_approx_distinct_error_bound(spark):
+    exact = {
+        r.event_type: r.n_users
+        for r in _Q["distinct_users"](spark, SF_MEDIUM).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in _Q["approx_distinct_users"](spark, SF_MEDIUM).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.05, (et, n, approx[et])
+
+
 def test_exact_dedup_keeps_min_id(spark):
     rows = _Q["dedup_exact"](spark, SF_MEDIUM).collect()
     assert sum(r.n_copies for r in rows) == 500  # all docs accounted for

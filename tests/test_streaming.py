@@ -74,6 +74,33 @@ def test_stream_dedup_drops_exact_copies(spark, event_drop_dir):
     assert out.select("event_id").distinct().count() == ev.count()
 
 
+def test_stateful_running_totals_match_batch(spark, event_drop_dir):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import running_user_totals
+
+    ev = _prepare(spark, event_drop_dir + "/st")
+    stream = read_event_stream(spark, event_drop_dir + "/st", max_files_per_trigger=2)
+    _run_to_memory(running_user_totals(stream), "running_totals", "update")
+    # update mode emits one row per touched key per batch; the final
+    # state is the row with the max n_events per user
+    out = (
+        spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out}
+    expected = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0]
+        assert abs(got[u][1] - expected[u][1]) < 1e-6
+
+
 def test_stream_sessionize_matches_batch_session_window(spark, event_drop_dir):
     ev = _prepare(spark, event_drop_dir + "/s")
     stream = read_event_stream(spark, event_drop_dir + "/s")
