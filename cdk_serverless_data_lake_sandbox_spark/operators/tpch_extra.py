@@ -476,20 +476,21 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- B33 (Q21 adapted)
 _Q21_ORACLE = """
 SELECT s.s_name, COUNT(*) AS numwait
-FROM supplier s
-JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-JOIN orders o ON o.o_orderkey = l1.l_orderkey
-WHERE o.o_orderstatus = 'F'
-  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-  AND EXISTS (
-    SELECT 1 FROM lineitem l2
-    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-  )
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem l3
-    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-  )
+FROM supplier s JOIN (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+    )
+) waiting ON waiting.l_suppkey = s.s_suppkey
 GROUP BY s.s_name
 """
 
@@ -497,9 +498,10 @@ GROUP BY s.s_name
 @register("q21_waiting_supplier", oracle=_Q21_ORACLE)
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: the sole supplier who shipped late on a
-    multi-supplier order (EXISTS + NOT EXISTS over the same fact —
-    both become one pre-aggregated per-order profile joined once,
-    instead of two correlated rescans)."""
+    multi-supplier order. The EXISTS + NOT-EXISTS pair becomes one
+    pre-aggregated per-(order, supplier) profile: a single lineitem
+    scan, one shuffle on orderkey feeding both the per-supplier flag
+    and the per-order counts — instead of three correlated rescans."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     f_orders = t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
@@ -509,7 +511,6 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("is_late", (F.col("l_shipdate") > late_cut).cast("int"))
     )
-    # per (order, supplier): any-late flag; per order: supplier count + late-supplier count
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("is_late").alias("supp_late"))
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supps"), F.sum("supp_late").alias("n_late_supps")
@@ -519,10 +520,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_order, "l_orderkey")
         .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     )
-    late_lines = li.where(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
     return (
-        late_lines.join(culprit.select("l_orderkey", "l_suppkey"), ["l_orderkey", "l_suppkey"], "left_semi")
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        culprit.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
