@@ -179,6 +179,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- C14
+_REMOVAL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM documents
+), near_drops AS (
+  SELECT DISTINCT b.doc_id AS drop_id
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= {_JACCARD_TAU}
+), exact_keeps AS (
+  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id IN (SELECT keep_id FROM exact_keeps)
+  AND d.doc_id NOT IN (SELECT drop_id FROM near_drops)
+"""
+
+
+@register("near_dup_removal", oracle=_REMOVAL_ORACLE)
+def near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline end-to-end: keep the lowest doc_id per exact
+    content hash, then greedily drop the higher id of every near-dup
+    pair (exact 3-gram Jaccard >= tau). Two semi/anti joins over the
+    already-indexed pair plan — the shape of a production corpus
+    dedup pass."""
+    docs = _docs(spark, sf_dir)
+    exact_keeps = (
+        docs.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("keep_id"))
+    )
+    near_drops = (
+        dedup_ngram_jaccard(spark, sf_dir).select(F.col("b_id").alias("drop_id")).distinct()
+    )
+    return (
+        docs.join(exact_keeps, docs.doc_id == exact_keeps.keep_id, "left_semi")
+        .join(near_drops, docs.doc_id == near_drops.drop_id, "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------- C15
+_CORPUS_FILTER_ORACLE = """
+WITH m AS (
+  SELECT doc_id, lang,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_words,
+    CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\\s+'))) AS DOUBLE)
+      / LEN(string_split_regex(TRIM(text), '\\s+')) AS distinct_ratio
+  FROM documents
+)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  COUNT(*) FILTER (WHERE n_words BETWEEN 20 AND 5000
+                     AND distinct_ratio >= 0.2) AS n_kept
+FROM m GROUP BY lang
+"""
+
+
+@register("corpus_filter", oracle=_CORPUS_FILTER_ORACLE)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate pass rates per language: the length + lexical
+    diversity filter a pretraining corpus pipeline applies before
+    dedup. One scan, conditional aggregation."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    return (
+        docs.select("lang", n_words.alias("n_words"), distinct_ratio.alias("dr"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_words").between(20, 5000) & (F.col("dr") >= 0.2), 1)).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------- C3
 @register("dedup_simhash")  # custom bit math -> rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

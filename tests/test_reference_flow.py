@@ -1,0 +1,101 @@
+"""End-to-end reproduction of the reference's actual IMDB flow:
+
+raw TSV assets -> crawler (with header classifier) -> Lake raw zone ->
+ETL job (ApplyMapping, TSV->parquet, partitioned write) -> processed
+zone -> the Athena named queries (``stacks/demo_stack.py:267-293``):
+per-dataset previews and the title_ratings ⋈ title_basics join —
+executed verbatim through spark.sql over the Lake's registered views.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+from cdk_serverless_data_lake_sandbox_spark.operators.etl import tsv_to_parquet_job
+from cdk_serverless_data_lake_sandbox_spark.sources.crawler import CsvClassifier, crawl_delimited
+
+_TITLE_BASICS = (
+    "tconst\ttitleType\tprimaryTitle\tstartYear\truntimeMinutes\n"
+    "tt0000001\tshort\tCarmencita\t1894\t1\n"
+    "tt0000002\tshort\tLe clown et ses chiens\t1892\t5\n"
+    "tt0000003\tmovie\tPauvre Pierrot\t1892\t45\n"
+)
+_TITLE_RATINGS = (
+    "tconst\taverageRating\tnumVotes\n"
+    "tt0000001\t5.7\t2024\n"
+    "tt0000003\t6.5\t1931\n"
+)
+_NAME_BASICS = (
+    "nconst\tprimaryName\tbirthYear\tdeathYear\n"
+    "nm0000001\tFred Astaire\t1899\t1987\n"
+    "nm0000002\tLauren Bacall\t1924\t2014\n"
+)
+
+
+@pytest.fixture()
+def assets(tmp_path):
+    for name, content in [
+        ("title.basics", _TITLE_BASICS),
+        ("title.ratings", _TITLE_RATINGS),
+        ("name.basics", _NAME_BASICS),
+    ]:
+        d = tmp_path / "assets" / name
+        d.mkdir(parents=True)
+        (d / f"{name}.tsv").write_text(content)
+    return tmp_path
+
+
+def test_reference_imdb_flow(spark, assets):
+    lake = Lake(spark, str(assets / "lake"))
+    lake.add_zone("raw")
+    lake.add_zone("processed")
+
+    # crawler pass over every asset folder (demo_stack.py:130-145)
+    for ds in ["title.basics", "title.ratings", "name.basics"]:
+        df = crawl_delimited(
+            spark,
+            str(assets / "assets" / ds / f"{ds}.tsv"),
+            classifier=CsvClassifier(delimiter="\t"),
+        )
+        lake.register("raw", f"with_classifier_{ds.replace('.', '_')}", ds, df)
+
+    # the Athena preview named queries (demo_stack.py:267-280)
+    for ds in ["title_basics", "title_ratings", "name_basics"]:
+        prev = spark.sql(f'SELECT * FROM raw_with_classifier_{ds} LIMIT 10')
+        assert prev.count() > 0
+
+    # the Athena join named query, verbatim shape (demo_stack.py:288)
+    joined = spark.sql(
+        "SELECT raw_with_classifier_title_basics.primaryTitle, "
+        "raw_with_classifier_title_ratings.averageRating\n"
+        "FROM raw_with_classifier_title_ratings\n"
+        "INNER JOIN raw_with_classifier_title_basics "
+        "ON raw_with_classifier_title_ratings.tconst = raw_with_classifier_title_basics.tconst"
+    ).collect()
+    assert {(r.primaryTitle, r.averageRating) for r in joined} == {
+        ("Carmencita", 5.7),
+        ("Pauvre Pierrot", 6.5),
+    }
+
+    # the Glue ETL job on name.basics (withGlueJobForNameBasics)
+    out = tsv_to_parquet_job(
+        spark,
+        str(assets / "assets" / "name.basics" / "name.basics.tsv"),
+        str(assets / "lake" / "processed"),
+        "name.basics",
+        mappings=[
+            ("nconst", "string", "nconst", "string"),
+            ("primaryName", "string", "primaryName", "string"),
+            ("birthYear", "choice", "birthYear", "bigint"),
+            ("deathYear", "choice", "deathYear", "bigint"),
+        ],
+        partition_keys=["birthYear"],
+    )
+    lake.register(
+        "processed", "name_basics", out["partitioned"], spark.read.parquet(out["partitioned"])
+    )
+    res = spark.sql(
+        "SELECT primaryName FROM processed_name_basics WHERE birthYear = 1899"
+    ).collect()
+    assert [r.primaryName for r in res] == ["Fred Astaire"]
