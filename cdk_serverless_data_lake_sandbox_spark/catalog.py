@@ -90,3 +90,31 @@ class Lake:
 
     def _view_name(self, zone: str, table: str) -> str:
         return f"{zone}_{table}"
+
+    # -------------------------------------------------- versioned tables
+    def write_version(self, zone: str, table: str, df: DataFrame) -> int:
+        """Append-only snapshot versioning: each write lands in
+        ``<zone>/<table>/v=N`` and the registered view always points at
+        the newest snapshot. Old versions stay readable
+        (:meth:`read_version`) — poor-man's time travel on plain
+        parquet."""
+        base = os.path.join(self.zones[zone], table)
+        version = self._latest_version(base) + 1
+        path = os.path.join(base, f"v={version}")
+        df.write.mode("errorifexists").parquet(path)
+        self.register(zone, table, path, self.spark.read.parquet(path))
+        return version
+
+    def read_version(self, zone: str, table: str, version: int) -> DataFrame:
+        path = os.path.join(self.zones[zone], table, f"v={version}")
+        return self.spark.read.parquet(path)
+
+    def _latest_version(self, base: str) -> int:
+        if not os.path.isdir(base):
+            return -1
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        ]
+        return max(versions, default=-1)

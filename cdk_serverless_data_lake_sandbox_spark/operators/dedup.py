@@ -32,7 +32,6 @@ _JACCARD_TAU = 0.5
 # candidate pairs than 2-row bands.
 _N_PERM = 32
 _BAND_ROWS = 4
-_MERSENNE = (1 << 61) - 1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,6 +77,41 @@ def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+# ---------------------------------------------------------------- E5
+def upsert_sink(stream: DataFrame, target_path: str, key_col: str = "event_id"):
+    """CDC-style upsert sink via foreachBatch: each micro-batch is
+    merged into the parquet target keeping the latest row per key
+    (newest wins, the apply step of a change-data-capture pipeline).
+
+    Parquet has no transactional merge, so the batch rewrite pattern
+    is: read current + union batch -> window keep-latest -> overwrite.
+    On a real lakehouse table format this maps 1:1 onto MERGE INTO.
+    Returns the StreamingQuery handle (caller awaits)."""
+    from pyspark.sql.window import Window
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(target_path)
+            merged = current.unionByName(batch)
+        except Exception:  # first batch: target doesn't exist yet
+            merged = batch
+        w = Window.partitionBy(key_col).orderBy(F.desc("ts"))
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # checkpointed rewrite: land in a staging dir, swap atomically
+        latest.write.mode("overwrite").parquet(target_path + "_staged")
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        shutil.move(target_path + "_staged", target_path)
+
+    return stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+
+
 # ---------------------------------------------------------------- E3
 def stream_sessionize(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Gap-based sessionization with native session windows

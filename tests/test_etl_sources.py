@@ -131,6 +131,25 @@ def test_lake_catalog_zones(spark, tmp_path):
     assert lake.list_tables("raw") == []
 
 
+# ---------------------------------------------------------------- A7 (versioned)
+def test_lake_versioned_tables(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    lake = Lake(spark, str(tmp_path))
+    lake.add_zone("processed")
+    nation = load_tables(spark, SF_SMALL, ("nation",))["nation"]
+    v0 = lake.write_version("processed", "nation", nation)
+    v1 = lake.write_version(
+        "processed", "nation", nation.withColumn("n_name", F2.lower("n_name"))
+    )
+    assert (v0, v1) == (0, 1)
+    assert lake.table("processed", "nation").where(
+        F2.col("n_name") == F2.lower(F2.col("n_name"))
+    ).count() == 25  # view tracks newest snapshot
+    old = lake.read_version("processed", "nation", 0)
+    assert old.where(F2.col("n_name") != F2.lower(F2.col("n_name"))).count() > 0
+
+
 # ---------------------------------------------------------------- D3
 def test_compaction(spark, tmp_path):
     src = str(tmp_path / "frag")

@@ -1,0 +1,66 @@
+"""Physical-plan regression guards: the scale properties we designed
+for must survive refactors — filters reach the parquet scan, dims are
+broadcast, pruned reads stay pruned. These assert on explain output,
+not timings, so they're stable in CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdk_serverless_data_lake_sandbox_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+from tests.conftest import SF_MEDIUM
+
+_Q = all_queries()
+
+# Queries whose star-join must broadcast the dim side (no fact-fact
+# shuffle for dimension lookups).
+_BROADCAST_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "join_two_tables",
+    "federated_kv_lookup",
+]
+
+
+@pytest.mark.parametrize("name", _BROADCAST_QUERIES)
+def test_dim_joins_broadcast(spark, name):
+    assert has_broadcast_join(_Q[name](spark, SF_MEDIUM)), name
+
+
+def test_q6_filters_reach_scan(spark):
+    df = _Q["q6_forecast_revenue"](spark, SF_MEDIUM)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # projection pruned to the 4 referenced columns
+    schema = read_schemas(df)[0]
+    assert schema.count(":") == 4, schema
+
+
+def test_q1_prunes_columns(spark):
+    df = _Q["q1_pricing_summary"](spark, SF_MEDIUM)
+    schema = read_schemas(df)[0]
+    # 7 of 11 lineitem columns referenced
+    assert schema.count(":") == 7, schema
+
+
+def test_no_cartesian_products(spark):
+    """Nothing in the registry may plan an unconstrained cartesian
+    product (scalar-subquery broadcasts are single-row and fine)."""
+    offenders = []
+    for name, fn in _Q.items():
+        plan = formatted_plan(fn(spark, SF_MEDIUM))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders

@@ -101,6 +101,24 @@ def test_stateful_running_totals_match_batch(spark, event_drop_dir):
         assert abs(got[u][1] - expected[u][1]) < 1e-6
 
 
+def test_upsert_sink_keeps_latest_per_key(spark, event_drop_dir, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import upsert_sink
+
+    ev = _prepare(spark, event_drop_dir + "/up")
+    # duplicate stream: same ids arrive twice across micro-batches
+    dup_dir = event_drop_dir + "/updup"
+    ev.unionAll(ev.withColumn("value", F.col("value") + 1)).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(dup_dir)
+    stream = read_event_stream(spark, dup_dir, max_files_per_trigger=2)
+    target = str(tmp_path / "cdc_target")
+    q = upsert_sink(stream, target)
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == ev.count()  # one row per key survives
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
 def test_stream_sessionize_matches_batch_session_window(spark, event_drop_dir):
     ev = _prepare(spark, event_drop_dir + "/s")
     stream = read_event_stream(spark, event_drop_dir + "/s")
