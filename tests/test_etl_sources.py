@@ -216,6 +216,18 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert merged.where(F.col("v2").isNull()).count() == 3
 
 
+# ---------------------------------------------------------------- D6 (JSON reader)
+def test_crawl_json(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import crawl_json
+
+    p = tmp_path / "data.json"
+    p.write_text('{"id": 1, "name": "a", "score": 1.5}\n{"id": 2, "name": "b", "score": 2.5}\n')
+    df = crawl_json(spark, str(p))
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"id": "bigint", "name": "string", "score": "double"}
+    assert df.count() == 2
+
+
 # ---------------------------------------------------------------- D6 (pushdown sanity on crawled output)
 def test_crawled_parquet_pushdown(spark, name_basics, tmp_path):
     df = crawl_delimited(spark, name_basics, classifier=CsvClassifier())
