@@ -1,0 +1,219 @@
+"""Analytics wave 4: quantile bucketing, sequential deltas,
+statistical aggregates, ordered string aggregation, argmin/argmax,
+grouping sets, and corpus IDF.
+
+All oracle-checked. Floating-point statistics (corr, stddev) are
+rounded to 4 decimals before hashing — both engines compute them with
+one-pass co-moment updates whose results agree well past 4 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+
+# ---------------------------------------------------------------- B43
+_NTILE_ORACLE = """
+WITH ranked AS (
+  SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT quartile, COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM ranked GROUP BY quartile
+"""
+
+
+@register("ntile_quartiles", oracle=_NTILE_ORACLE)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles via NTILE(4). The tiebreak on
+    c_custkey makes the assignment total-order deterministic. A global
+    NTILE needs a single-partition sort — at 100 TB the same result
+    comes from approx_percentile boundaries + a bucket join; this
+    entry exercises the exact window form the reference's SQL layer
+    offers."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum(dec("c_acctbal", 2))).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B44
+_DELTA_ORACLE = """
+WITH deltas AS (
+  SELECT user_id,
+    CAST(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS DECIMAL(18,4)) AS delta
+  FROM events
+)
+SELECT user_id, COUNT(delta) AS n_deltas,
+  CAST(ROUND(SUM(delta), 2) AS DOUBLE) AS net_change
+FROM deltas WHERE delta IS NOT NULL GROUP BY user_id
+"""
+
+
+@register("lead_lag_delta", oracle=_DELTA_ORACLE)
+def lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-to-event value deltas (LAG) aggregated to a net
+    change. The window partitions by user_id, so the sort is local to
+    each user's rows — no global ordering anywhere."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        "user_id",
+        dec(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    return deltas.groupBy("user_id").agg(
+        F.count("delta").alias("n_deltas"),
+        money(F.sum("delta")).alias("net_change"),
+    )
+
+
+# ---------------------------------------------------------------- B45
+_CORR_ORACLE = """
+SELECT l_returnflag,
+  CAST(ROUND(CORR(l_quantity, l_extendedprice), 4) AS DOUBLE) AS qty_price_corr,
+  CAST(ROUND(STDDEV_SAMP(l_discount), 4) AS DOUBLE) AS discount_sd,
+  CAST(ROUND(VAR_SAMP(l_tax), 4) AS DOUBLE) AS tax_var
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("corr_stats", oracle=_CORR_ORACLE)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / stddev / variance per return flag — all one-pass
+    co-moment aggregates that merge associatively across partitions
+    (no second scan, no driver math)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("discount_sd"),
+        F.round(F.var_samp("l_tax"), 4).alias("tax_var"),
+    )
+
+
+# ---------------------------------------------------------------- B46
+_STRAGG_ORACLE = """
+SELECT o_orderpriority,
+  STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("ordered_string_agg", oracle=_STRAGG_ORACLE)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation (LISTAGG analog):
+    collect_set -> array_sort -> array_join keeps the merge
+    associative and the final order deterministic."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------- B47
+_FIRSTLAST_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT f.user_id, f.event_type AS first_type, l.event_type AS last_type
+FROM (SELECT user_id, event_type FROM ordered WHERE rn_a = 1) f
+JOIN (SELECT user_id, event_type FROM ordered WHERE rn_d = 1) l USING (user_id)
+"""
+
+
+@register("first_last_event", oracle=_FIRSTLAST_ORACLE)
+def first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last event type per user. Spark side uses
+    min_by/max_by over a (ts, event_id) struct — a single hash
+    aggregate, no window sort at all; the oracle spells out the
+    equivalent ROW_NUMBER form."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", order_key).alias("first_type"),
+        F.max_by("event_type", order_key).alias("last_type"),
+    )
+
+
+# ---------------------------------------------------------------- B48
+_GSETS_ORACLE = """
+SELECT event_type, CAST(HOUR(ts) AS INTEGER) AS hour, COUNT(*) AS n_events
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(HOUR(ts) AS INTEGER)), ())
+"""
+
+
+@register("grouping_sets_agg", oracle=_GSETS_ORACLE)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (marginals by type, by hour, and the
+    grand total) — one scan produces all three groupings, vs three
+    scans for a UNION ALL of plain GROUP BYs."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(HOUR(ts) AS INT) AS hour, COUNT(*) AS n_events
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(HOUR(ts) AS INT)), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------- C16
+_IDF_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), n_docs AS (SELECT COUNT(*) AS n FROM documents)
+SELECT word, COUNT(*) AS df,
+  CAST(ROUND(LN(CAST(n.n AS DOUBLE) / COUNT(*)), 4) AS DOUBLE) AS idf
+FROM words, n_docs n
+GROUP BY word, n.n
+ORDER BY df DESC, word
+LIMIT 30
+"""
+
+
+@register("idf_top_terms", oracle=_IDF_ORACLE)
+def idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency + IDF for the 30 most common terms.
+    The per-doc DISTINCT collapses token repeats map-side before the
+    word shuffle; the corpus size joins in as a broadcast scalar."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    words = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "df",
+            F.round(F.log(F.col("_n").cast("double") / F.col("df")), 4).alias("idf"),
+        )
+        .orderBy(F.desc("df"), "word")
+        .limit(30)
+    )

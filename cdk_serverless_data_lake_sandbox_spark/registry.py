@@ -48,6 +48,7 @@ def _load_modules() -> None:
         events,
         multimodal,
         similarity,
+        stats,
         text,
         tpch_extra,
     )
