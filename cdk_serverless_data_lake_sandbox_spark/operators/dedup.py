@@ -17,11 +17,22 @@ from pyspark.sql import functions as F
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
-# 3-word shingles as the similarity unit.
-_SHINGLE_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-    " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+# 3-word shingles as the similarity unit. The word array is projected
+# once (`_w`) before the transform — inlining split(text) into the
+# lambda would re-split the text for every shingle index (O(words^2)
+# splits per document; Catalyst's common-subexpression elimination
+# does not reach inside lambda bodies).
+_SHINGLE_FROM_WORDS = (
+    "array_distinct(transform(sequence(1, greatest(size(_w) - 2, 1)),"
+    " i -> concat_ws(' ', slice(_w, i, 3))))"
 )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-word shingle array."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).select("doc_id", F.expr(_SHINGLE_FROM_WORDS).alias("sh"))
 
 _JACCARD_TAU = 0.5
 
@@ -91,23 +102,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle), never O(n_docs^2). The DuckDB oracle computes the same
     thing the quadratic way — exact agreement is the test that the
     indexed plan loses nothing."""
-    docs = _docs(spark, sf_dir).select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh"))
-    sized = docs.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    sized = _shingled(_docs(spark, sf_dir)).select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
+    )
     # Join on the 64-bit shingle hash, not the string — an 8-byte
     # shuffle key instead of a ~20-byte string (collisions are 2^-64
     # per pair; the oracle parity test would catch one).
     inv = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle_s")).select(
         "doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle")
     )
-    a = inv.select(
-        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"), "shingle"
+    # Posting-list pair generation: one shuffle on the shingle hash,
+    # pairs emitted inside each posting (a self-join on the index
+    # would re-run the shingle explode for both sides — this scans it
+    # once). Postings are sorted so pairs come out with a_id < b_id.
+    postings = (
+        inv.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ms"))
+        .where(F.size("ms") > 1)
     )
-    b = inv.select(
-        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"), "shingle"
-    )
+    # Length prefilter inside the posting: jaccard(A,B) <= min/max of
+    # the sizes, so pairs with size ratio < tau can never qualify —
+    # they are dropped before the pair ever reaches the shuffle.
+    pair_expr = f"""
+    flatten(transform(ms, (x, i) ->
+      transform(
+        filter(slice(ms, i + 2, size(ms)),
+               y -> y.n_sh >= x.n_sh * {_JACCARD_TAU}D
+                AND x.n_sh >= y.n_sh * {_JACCARD_TAU}D),
+        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id,
+                    x.n_sh AS a_n, y.n_sh AS b_n))))
+    """
     common = (
-        a.join(b, "shingle")
-        .where(F.col("a_id") < F.col("b_id"))
+        postings.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
         .groupBy("a_id", "b_id", "a_n", "b_n")
         .agg(F.count("*").alias("n_common"))
     )
@@ -128,7 +155,7 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     codegen'd min-aggs with map-side partials (one narrow shuffle on
     doc_id) rather than per-row nested array transforms."""
     hashes = (
-        docs.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+        _shingled(docs).select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", F.xxhash64("s").alias("h"))
     )
     mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(_N_PERM)]
@@ -155,25 +182,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('band', {i}, 'key', xxhash64(concat_ws(',', slice(sig, {i * _BAND_ROWS + 1}, {_BAND_ROWS}))))"
         for i in range(n_bands)
     )
-    # The signature rides along through the band explode, so the
-    # bucket self-join scores pairs directly — signatures are computed
-    # exactly once, traded for ~256 bytes per banded row of shuffle.
+    # The signature rides along through the band explode and pairs are
+    # generated inside each bucket (groupBy + collect_list) rather
+    # than by a bucket self-join: a self-join would recompute the
+    # whole signature pipeline for both sides, doubling the dominant
+    # cost. One scan, one shuffle on (band, key). Bucket membership
+    # lists are bounded by the band collision rate; a pathological
+    # cluster of k identical docs costs k^2 pairs — inherent in the
+    # pair output itself, not this plan.
     banded = sigs.select(
         "doc_id", "sig", F.explode(F.expr(f"array({band_arrays})")).alias("b")
     ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
-    left = banded.select("band", "key", F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
-    right = banded.select("band", "key", F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
-    est = (
-        F.expr(
-            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), eq -> eq))"
-        ).cast("double")
-        / _N_PERM
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .where(F.size("ms") > 1)
     )
+    pair_expr = f"""
+    flatten(transform(ms, (x, i) ->
+      transform(slice(ms, i + 2, size(ms)), y ->
+        struct(x.doc_id AS a_id, y.doc_id AS b_id,
+          CAST(size(filter(zip_with(x.sig, y.sig, (u, v) -> u = v), e -> e))
+               AS DOUBLE) / {_N_PERM} AS est_jaccard))))
+    """
     return (
-        left.join(right, ["band", "key"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", est.alias("est_jaccard"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
         .distinct()
     )
 
@@ -293,16 +328,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "doc_id", "simhash", F.explode(F.expr(f"array({chunks})")).alias("b")
     ).select("doc_id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
-    left = banded.select("chunk", "key", F.col("doc_id").alias("a_id"), F.col("simhash").alias("sim_a"))
-    right = banded.select("chunk", "key", F.col("doc_id").alias("b_id"), F.col("simhash").alias("sim_b"))
+    # Same single-pass bucket pairing as MinHash: the 64-vote
+    # signature aggregation runs once, not once per join side.
+    buckets = (
+        banded.groupBy("chunk", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_expr = """
+    flatten(transform(ms, (x, i) ->
+      transform(slice(ms, i + 2, size(ms)), y ->
+        struct(x.doc_id AS a_id, y.doc_id AS b_id,
+               bit_count(x.simhash ^ y.simhash) AS hamming))))
+    """
     return (
-        left.join(right, ["chunk", "key"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.bit_count(F.expr("sim_a ^ sim_b")).alias("hamming"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
         .distinct()
         .where(F.col("hamming") <= 16)
     )

@@ -191,3 +191,67 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOP_K)
     )
+
+
+# ---------------------------------------------------------------- C19
+_N_CENTROIDS = 16
+_N_PROBE = 4
+
+
+@register("ann_ivf")  # approximate -> rows-only check
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is coarsely partitioned
+    into _N_CENTROIDS cells around deterministic seed vectors (the
+    lowest vec_ids — a fixed, reproducible quantizer; a trained
+    k-means would drop in the same way), each vector assigned to its
+    nearest centroid with one broadcast join + max_by. Queries probe
+    their _N_PROBE closest cells and exact-score only those members —
+    the scan per query is ~ n * probe / cells instead of n, and the
+    cell assignment is a write-once ETL artifact at real scale.
+    tests measure recall@k against the brute-force baseline."""
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    cos_c = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+    scored_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", cos_c.alias("c_cos"))
+    )
+    # nearest cell per vector (ties -> lowest cent_id)
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("nid"))).alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    probes = (
+        assign.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "eq", "cent_id",
+            (_dot("eq", "ce") / (_norm("eq") * _norm("ce"))).alias("c_cos"),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "cent_id")
+            ),
+        )
+        .where(F.col("probe_rank") <= _N_PROBE)
+        .select("query_id", "eq", F.col("cent_id").alias("cell"))
+    )
+    members = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"), "cell"
+    )
+    cosine = _dot("eq", "ec") / (_norm("eq") * _norm("ec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        F.broadcast(probes)
+        .join(members, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+    )

@@ -217,3 +217,133 @@ def idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "word")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------- B49
+_REGR_ORACLE = """
+SELECT event_type,
+  CAST(ROUND(REGR_SLOPE(value, CAST(HOUR(ts) AS DOUBLE)), 4) AS DOUBLE) AS hourly_slope,
+  CAST(ROUND(REGR_INTERCEPT(value, CAST(HOUR(ts) AS DOUBLE)), 4) AS DOUBLE) AS intercept,
+  REGR_COUNT(value, CAST(HOUR(ts) AS DOUBLE)) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("regression_per_type", oracle=_REGR_ORACLE)
+def regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear regression of event value on hour-of-day, per type —
+    Spark's built-in REGR_* one-pass aggregates (no mllib, no UDF,
+    merges associatively across partitions like any co-moment agg)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    x = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 4).alias("hourly_slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.regr_count(F.col("value"), x).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- B50
+_TWA_ORACLE = """
+WITH spans AS (
+  SELECT user_id, value,
+    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(dt_us AS DECIMAL(18,0))) AS DOUBLE)
+    / CAST(SUM(dt_us) AS DOUBLE), 6) AS DOUBLE) AS twa_value,
+  COUNT(dt_us) AS n_spans
+FROM spans WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id
+"""
+
+
+@register("time_weighted_avg", oracle=_TWA_ORACLE)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user: each reading is
+    held until the next one (LEAD), weighted by the span length in
+    exact integer microseconds. The weighted sum is decimal-exact so
+    partial-aggregation order can't change the hash; the final ratio
+    is rounded to 6 decimals because the engines truncate parquet
+    nanosecond timestamps to microseconds slightly differently."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    weighted = dec("value", 4) * F.col("dt_us").cast("decimal(18,0)")
+    return spans.groupBy("user_id").agg(
+        F.round(
+            F.sum(weighted).cast("double") / F.sum("dt_us").cast("double"), 6
+        ).alias("twa_value"),
+        F.count("dt_us").alias("n_spans"),
+    )
+
+
+# ---------------------------------------------------------------- C18
+# Per-language keep rates for the deterministic sample, expressed as
+# 3-hex-digit thresholds (granularity 1/4096) over the md5 of the key.
+_STRATA = {"en": 0.20, "de": 0.10, "fr": 0.10}
+_DEFAULT_RATE = 0.05
+_SEED = 42
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(int(rate * 4096), "03x")
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN '{_hex_threshold(v)}'" for k, v in _STRATA.items()
+    )
+    return f"CASE {arms} ELSE '{_hex_threshold(_DEFAULT_RATE)}' END"
+
+
+_SAMPLE_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_sampled
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || '_{_SEED}'), 1, 3)
+      < {_strata_case_sql()}
+GROUP BY lang
+"""
+
+
+@register("stratified_sample", oracle=_SAMPLE_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the md5 of
+    (doc_id, seed) falls under the stratum's hex threshold. Unlike
+    RNG-based sample(), the selection is a pure function of the key —
+    reproducible across runs, partitionings, and engines, which is
+    what a training-data pipeline needs for auditable subsets. md5 is
+    the hash because Spark and DuckDB produce identical digests, so
+    the oracle checks the exact selection, not just rates."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    threshold = F.lit(_hex_threshold(_DEFAULT_RATE))
+    for k, v in _STRATA.items():
+        threshold = F.when(F.col("lang") == k, _hex_threshold(v)).otherwise(threshold)
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_SEED}"))), 1, 3
+    )
+    return (
+        docs.where(bucket < threshold)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+# ---------------------------------------------------------------- C17
+@register("approx_quantiles")  # sketch -> rows-only check
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of order totals per priority via
+    percentile_approx (a mergeable quantile sketch). At 100 TB this
+    replaces a full sort/exact-percentile shuffle with fixed-size
+    sketch merges; tests bound the error against the exact answer."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.count("*").alias("n_orders"),
+    )

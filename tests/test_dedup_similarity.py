@@ -66,3 +66,35 @@ def test_exact_dedup_keeps_min_id(spark):
     rows = _Q["dedup_exact"](spark, SF_MEDIUM).collect()
     assert sum(r.n_copies for r in rows) == 500  # all docs accounted for
     assert all(r.n_copies >= 1 for r in rows)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    exact = _Q["ann_topk_bruteforce"](spark, SF_MEDIUM).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    approx = _Q["ann_ivf"](spark, SF_MEDIUM).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # 4-of-16 cells probed: a true neighbor is only missed when it
+    # lands outside all probed cells.
+    assert recall >= 0.5, f"ann ivf recall@5 {recall:.2f}"
+    assert all(r.rank <= 5 for r in approx)
+
+
+def test_approx_quantiles_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.o_orderpriority: r.pcts
+        for r in _Q["approx_quantiles"](spark, SF_MEDIUM)
+        .sparkSession.read.parquet(f"{SF_MEDIUM}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", F.lit([0.5, 0.95, 0.99])).alias("pcts"))
+        .collect()
+    }
+    approx = {
+        r.o_orderpriority: r.pcts for r in _Q["approx_quantiles"](spark, SF_MEDIUM).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, av in approx.items():
+        for a, e in zip(av, exact[k]):
+            assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (k, a, e)
