@@ -127,3 +127,54 @@ def stream_sessionize(stream: DataFrame, gap: str = "30 minutes", watermark: str
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------- E6
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (re-read per batch, so updatable) static dimension with no
+    streaming state at all — the canonical fact-stream x dim-table
+    pattern. The dim side is broadcast; the stream never shuffles."""
+    return stream.join(
+        F.broadcast(dim), stream["user_id"] == dim[dim_key], "left"
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        dim["c_mktsegment"].alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------- E7
+def stream_stream_conversions(
+    stream: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's clicks at most `horizon` earlier. Both sides are
+    watermarked and the join condition bounds event-time distance, so
+    each side's state store evicts rows once the other side's
+    watermark passes ts + horizon — bounded state, the requirement
+    for an unbounded stream-stream join."""
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "amount")

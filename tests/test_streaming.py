@@ -136,3 +136,44 @@ def test_stream_sessionize_matches_batch_session_window(spark, event_drop_dir):
         )
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------- E6
+def test_stream_static_enrich_matches_batch(spark, event_drop_dir):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import stream_static_enrich
+
+    ev = _prepare(spark, event_drop_dir + "/enrich")
+    dim = load_tables(spark, SF_SMALL, ("customer",))["customer"]
+    stream = read_event_stream(spark, event_drop_dir + "/enrich")
+    _run_to_memory(stream_static_enrich(stream, dim), "enriched", "append")
+    got = {
+        (r.event_id, r.segment) for r in spark.table("enriched").collect()
+    }
+    expected = {
+        (r.event_id, r.segment)
+        for r in stream_static_enrich(ev, dim).collect()
+    }
+    assert got == expected and len(got) == ev.count()
+
+
+# ---------------------------------------------------------------- E7
+def test_stream_stream_conversions_match_batch(spark, event_drop_dir):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_stream_conversions,
+    )
+
+    ev = _prepare(spark, event_drop_dir + "/ss")
+    stream = read_event_stream(spark, event_drop_dir + "/ss")
+    _run_to_memory(stream_stream_conversions(stream), "conversions", "append")
+    got = {
+        (r.purchase_id, r.click_id) for r in spark.table("conversions").collect()
+    }
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in stream_stream_conversions(ev).collect()
+    }
+    # append-mode emission requires watermark passage; availableNow
+    # drains the source fully so all joinable pairs inside the horizon
+    # must appear, and nothing else.
+    assert got == expected
+    assert got, "expected some click->purchase conversions"
