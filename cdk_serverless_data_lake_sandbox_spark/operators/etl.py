@@ -171,3 +171,43 @@ def apply_mapping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return mapped
+
+
+# ---------------------------------------------------------------- D7
+def zorder_write(
+    df: DataFrame,
+    target_path: str,
+    key_a: str,
+    key_b: str,
+    bits: int = 16,
+    files: int = 8,
+) -> None:
+    """Multi-dimensional clustering write (z-order analog): rank each
+    key to a bounded integer, interleave the bit patterns into one
+    Morton code, and range-repartition + sort the write by it. Rows
+    close in BOTH key dimensions land in the same parquet row groups,
+    so min/max stats prune scans filtered on either key — the layout
+    trick behind Delta/Iceberg OPTIMIZE ZORDER, done with plain
+    DataFrame ops. Ranks come from percent_rank windows; at 100 TB
+    swap in approx-quantile bucketing for the same layout without the
+    global sort (the write itself already range-partitions)."""
+    from pyspark.sql.window import Window
+
+    scale = (1 << bits) - 1
+    ra = (F.percent_rank().over(Window.orderBy(key_a)) * scale).cast("long")
+    rb = (F.percent_rank().over(Window.orderBy(key_b)) * scale).cast("long")
+    interleave = " + ".join(
+        f"(shiftleft(shiftright(_ra, {i}) & 1, {2 * i + 1}) + "
+        f"shiftleft(shiftright(_rb, {i}) & 1, {2 * i}))"
+        for i in range(bits)
+    )
+    (
+        df.withColumn("_ra", ra)
+        .withColumn("_rb", rb)
+        .withColumn("_z", F.expr(interleave))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_ra", "_rb", "_z")
+        .write.mode("overwrite")
+        .parquet(target_path)
+    )

@@ -286,3 +286,103 @@ def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
+
+
+# ---------------------------------------------------------------- B51
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 1 AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT 2, COUNT(*) FROM s2
+  UNION ALL SELECT 3, COUNT(*) FROM s3
+)
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> click -> purchase: each stage keeps
+    users whose stage event happens at-or-after their previous stage's
+    first event. Three filtered aggregates chained by semi-join-style
+    equi-joins on user_id — every join key is the same, so at scale
+    one user_id-partitioned exchange feeds all three stages."""
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count("*").alias("n_users")).select(F.lit(1).alias("stage"), "n_users"),
+        s2.agg(F.count("*").alias("n_users")).select(F.lit(2).alias("stage"), "n_users"),
+        s3.agg(F.count("*").alias("n_users")).select(F.lit(3).alias("stage"), "n_users"),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# ---------------------------------------------------------------- B52
+_RETENTION_ORACLE = """
+WITH first_week AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+)
+SELECT f.cohort, DATE_DIFF('day', f.cohort, a.wk) / 7 AS week_offset,
+  COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN first_week f ON f.user_id = a.user_id
+GROUP BY f.cohort, week_offset
+"""
+
+
+@register("cohort_retention", oracle=_RETENTION_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in each later week they return. The distinct-activity
+    projection collapses the event volume to user x week before any
+    join — the shuffle carries at most |users| * |weeks| rows."""
+    ev = _events(spark, sf_dir)
+    first_week = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

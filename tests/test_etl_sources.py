@@ -235,3 +235,43 @@ def test_crawled_parquet_pushdown(spark, name_basics, tmp_path):
     df.write.parquet(p)
     q = spark.read.parquet(p).where(F.col("birthYear") > 1900).select("primaryName")
     assert any("birthYear" in f for f in pushed_filters(q))
+
+
+# ---------------------------------------------------------------- D7 (z-order clustering)
+def test_zorder_write_clusters_both_keys(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import zorder_write
+
+    src = load_tables(spark, SF_SMALL, ("lineitem",))["lineitem"]
+
+    def rowgroup_span(root, col):
+        """Mean fraction of the global value range covered per row group."""
+        spans, lo_g, hi_g = [], None, None
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo, hi = c.statistics.min, c.statistics.max
+                        spans.append((lo, hi))
+                        lo_g = lo if lo_g is None else min(lo_g, lo)
+                        hi_g = hi if hi_g is None else max(hi_g, hi)
+        width = hi_g - lo_g
+        return sum((hi - lo) / width for lo, hi in spans) / len(spans)
+
+    plain = str(tmp_path / "plain")
+    src.repartition(8).write.parquet(plain)
+    zordered = str(tmp_path / "zordered")
+    zorder_write(src, zordered, "l_partkey", "l_suppkey")
+
+    # Unclustered row groups each cover ~the whole range of both keys;
+    # z-ordered groups cover a narrow band of each -> stats pruning
+    # works for filters on either key.
+    for col in ("l_partkey", "l_suppkey"):
+        assert rowgroup_span(zordered, col) < 0.7 * rowgroup_span(plain, col), col
+
+    back = spark.read.parquet(zordered)
+    assert back.count() == src.count()
