@@ -93,18 +93,11 @@ WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (tau=0.5) via an inverted
-    shingle index: explode distinct shingles, self-join on shingle to
-    count co-occurrences, then compute Jaccard only for pairs that
-    share at least one shingle. Cost is O(sum of bucket^2 per
-    shingle), never O(n_docs^2). The DuckDB oracle computes the same
-    thing the quadratic way — exact agreement is the test that the
-    indexed plan loses nothing."""
-    sized = _shingled(_docs(spark, sf_dir)).select(
-        "doc_id", "sh", F.size("sh").alias("n_sh")
-    )
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (jaccard >= tau) over any
+    documents-shaped frame — the reusable core of dedup_ngram_jaccard
+    and the corpus pipeline."""
+    sized = _shingled(docs).select("doc_id", "sh", F.size("sh").alias("n_sh"))
     # Join on the 64-bit shingle hash, not the string — an 8-byte
     # shuffle key instead of a ~20-byte string (collisions are 2^-64
     # per pair; the oracle parity test would catch one).
@@ -127,8 +120,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     flatten(transform(ms, (x, i) ->
       transform(
         filter(slice(ms, i + 2, size(ms)),
-               y -> y.n_sh >= x.n_sh * {_JACCARD_TAU}D
-                AND x.n_sh >= y.n_sh * {_JACCARD_TAU}D),
+               y -> y.n_sh >= x.n_sh * {tau}D
+                AND x.n_sh >= y.n_sh * {tau}D),
         y -> struct(x.doc_id AS a_id, y.doc_id AS b_id,
                     x.n_sh AS a_n, y.n_sh AS b_n))))
     """
@@ -143,8 +136,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         common.select("a_id", "b_id", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .where(F.col("jaccard") >= tau)
     )
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (tau=0.5) via an inverted
+    shingle index: pairs are generated only inside shingle postings,
+    so cost is O(sum of posting^2), never O(n_docs^2). The DuckDB
+    oracle computes the same thing the quadratic way — exact
+    agreement is the test that the indexed plan loses nothing."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- C2

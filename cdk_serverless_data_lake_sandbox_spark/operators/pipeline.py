@@ -1,0 +1,101 @@
+"""The corpus pipeline end-to-end: quality gate -> exact dedup ->
+near-dup removal -> deterministic stratified sample -> corpus stats.
+
+This is the composition a pretraining-data pipeline actually runs,
+ordered so the cheapest filter discards the most data first: the
+quality gate is a pure scan filter, exact dedup is one hash-groupBy,
+and only the survivors pay for shingle-based near-dup detection. The
+whole thing is one declarative plan — Catalyst pipelines the gate
+into the parquet scan and every stage stays distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+    _JACCARD_TAU,
+    _docs,
+    ngram_jaccard_pairs,
+)
+from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+    _SEED,
+    _strata_case_sql,
+    sample_threshold_col,
+)
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+_MIN_WORDS, _MAX_WORDS = 20, 5000
+_MIN_DISTINCT_RATIO = 0.2
+
+# ---------------------------------------------------------------- C20
+_PIPELINE_ORACLE = f"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE LEN(string_split_regex(TRIM(text), '\\s+')) BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+    AND CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\\s+'))) AS DOUBLE)
+        / LEN(string_split_regex(TRIM(text), '\\s+')) >= {_MIN_DISTINCT_RATIO}
+), keeps AS (
+  SELECT MIN(doc_id) AS keep_id FROM gated GROUP BY md5(text)
+), survivors AS (
+  SELECT g.* FROM gated g JOIN keeps k ON g.doc_id = k.keep_id
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM survivors
+), drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= {_JACCARD_TAU}
+), sampled AS (
+  SELECT * FROM survivors
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    AND substring(md5(CAST(doc_id AS VARCHAR) || '_{_SEED}'), 1, 3)
+        < {_strata_case_sql()}
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled GROUP BY lang, source
+"""
+
+
+@register("corpus_pipeline", oracle=_PIPELINE_ORACLE)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate -> exact-dedup -> near-dup-drop -> sample -> stats, as one
+    plan. Stage order is the scale optimization: each stage runs on
+    the previous stage's survivors only, so the expensive shingle
+    pair-generation sees the smallest possible corpus."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    gated = docs.where(
+        n_words.between(_MIN_WORDS, _MAX_WORDS)
+        & (distinct_ratio >= _MIN_DISTINCT_RATIO)
+    )
+    keeps = gated.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    survivors = gated.join(
+        keeps, gated.doc_id == keeps.keep_id, "left_semi"
+    )
+    drops = (
+        ngram_jaccard_pairs(survivors)
+        .select(F.col("b_id").alias("drop_id"))
+        .distinct()
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_SEED}"))), 1, 3
+    )
+    sampled = (
+        survivors.join(drops, survivors.doc_id == drops.drop_id, "left_anti")
+        .where(bucket < sample_threshold_col())
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

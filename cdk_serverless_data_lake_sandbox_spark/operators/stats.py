@@ -303,6 +303,15 @@ def _strata_case_sql() -> str:
     return f"CASE {arms} ELSE '{_hex_threshold(_DEFAULT_RATE)}' END"
 
 
+def sample_threshold_col() -> F.Column:
+    """Per-row hex threshold column for the stratified sample (CASE
+    over lang) — shared with the corpus pipeline."""
+    threshold = F.lit(_hex_threshold(_DEFAULT_RATE))
+    for k, v in _STRATA.items():
+        threshold = F.when(F.col("lang") == k, _hex_threshold(v)).otherwise(threshold)
+    return threshold
+
+
 _SAMPLE_ORACLE = f"""
 SELECT lang, COUNT(*) AS n_sampled
 FROM documents
@@ -322,9 +331,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash because Spark and DuckDB produce identical digests, so
     the oracle checks the exact selection, not just rates."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    threshold = F.lit(_hex_threshold(_DEFAULT_RATE))
-    for k, v in _STRATA.items():
-        threshold = F.when(F.col("lang") == k, _hex_threshold(v)).otherwise(threshold)
+    threshold = sample_threshold_col()
     bucket = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_SEED}"))), 1, 3
     )

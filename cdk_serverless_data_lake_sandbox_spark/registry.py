@@ -47,6 +47,7 @@ def _load_modules() -> None:
         etl,
         events,
         multimodal,
+        pipeline,
         similarity,
         stats,
         text,

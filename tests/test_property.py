@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis): randomized inputs against
+pure-Python reference implementations. These cover the paths where a
+subtle indexing bug would silently lose pairs — the posting-list pair
+generation and the Glue choice-cast semantics."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdk_serverless_data_lake_sandbox_spark.operators.dedup import ngram_jaccard_pairs
+from cdk_serverless_data_lake_sandbox_spark.operators.etl import apply_mapping
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon"]
+_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _shingles(t: str) -> set[str]:
+    w = t.split(" ")
+    n = max(len(w) - 2, 1)
+    return {" ".join(w[i : i + 3]) for i in range(n)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_ngram_pairs_match_bruteforce(spark, texts):
+    """The indexed posting-list plan must agree exactly with the
+    quadratic definition of Jaccard >= tau on arbitrary corpora —
+    including duplicate texts, sub-3-word docs, and empty overlap."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r.a_id, r.b_id): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    sh = [_shingles(t) for t in texts]
+    expected = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.5:
+                expected[(a, b)] = inter / union
+    assert got == expected
+
+
+_INTS = st.integers(-(10**12), 10**12).map(str)
+_JUNK = st.text(alphabet="xy z", min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.one_of(_INTS, _JUNK), min_size=1, max_size=8))
+def test_apply_mapping_choice_resolution(spark, vals):
+    """A 'choice' column cast to bigint keeps exactly the values that
+    parse as integers and nulls the rest (Glue choice semantics via
+    try_cast) — row count and order preserved."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, raw string")
+    out = apply_mapping(df, [("i", "bigint", "i", "bigint"), ("raw", "choice", "val", "bigint")])
+    rows = {r.i: r.val for r in out.collect()}
+    assert len(rows) == len(vals)
+    for i, v in enumerate(vals):
+        try:
+            expected = int(v)
+        except ValueError:
+            expected = None
+        assert rows[i] == expected, (v, rows[i], expected)
