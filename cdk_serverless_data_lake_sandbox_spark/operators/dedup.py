@@ -96,46 +96,76 @@ WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
 def ngram_jaccard_pairs(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (jaccard >= tau) over any
     documents-shaped frame — the reusable core of dedup_ngram_jaccard
-    and the corpus pipeline."""
-    sized = _shingled(docs).select("doc_id", "sh", F.size("sh").alias("n_sh"))
-    # Join on the 64-bit shingle hash, not the string — an 8-byte
-    # shuffle key instead of a ~20-byte string (collisions are 2^-64
-    # per pair; the oracle parity test would catch one).
-    inv = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle_s")).select(
-        "doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle")
+    and the corpus pipeline.
+
+    AllPairs-style prefix filtering (Bayardo et al., WWW'07): shingle
+    hashes are sorted into a global order and only a document's first
+    ``n - ceil(tau*n) + 1`` shingles (its *prefix*) may open a
+    candidate pair. Lossless proof: if none of x's prefix shingles
+    occurs in y, the overlap fits inside x's suffix, so
+    ``o <= ceil(tau*|x|) - 1 < tau*|x|``; with the length filter
+    ``|y| >= tau*|x|`` the required overlap is
+    ``ceil(tau/(1+tau)*(|x|+|y|)) >= tau*|x| > o`` — contradiction.
+    Pairs sharing only non-prefix shingles on BOTH sides are pruned
+    before the shuffle; survivors are verified exactly by
+    intersecting full shingle-hash arrays (so the prefix trick can
+    only prune, never change a jaccard value). At real scale the
+    hashed-shingle frame would be a materialized intermediate; here
+    it is recomputed per join branch (two cheap scans)."""
+    # Hash shingles to 8-byte keys (collisions are 2^-64 per pair;
+    # the oracle parity test would catch one) and sort for the global
+    # prefix order.
+    hashed = _shingled(docs).select(
+        "doc_id",
+        F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias("hs"),
+    ).select("doc_id", "hs", F.size("hs").alias("n_sh"))
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * tau) + 1
+    # posexplode_outer, not posexplode: the non-outer Generate lets the
+    # optimizer infer a size(hs) > 0 filter and push it below the
+    # projection, where it re-inlines — and re-computes — the whole
+    # shingle expression per row. The outer variant infers nothing;
+    # the null rows are dropped after the explode for free.
+    inv = (
+        hashed.select(
+            "doc_id", "n_sh", F.posexplode_outer("hs").alias("pos", "shingle"), prefix_len.alias("pl")
+        )
+        .where(F.col("shingle").isNotNull())
+        .select("doc_id", "n_sh", "shingle", (F.col("pos") < F.col("pl")).alias("pref"))
     )
     # Posting-list pair generation: one shuffle on the shingle hash,
-    # pairs emitted inside each posting (a self-join on the index
-    # would re-run the shingle explode for both sides — this scans it
-    # once). Postings are sorted so pairs come out with a_id < b_id.
+    # pairs emitted inside each posting. Postings are sorted so pairs
+    # come out with a_id < b_id; the length filter and the
+    # prefix condition prune inside the posting, before the pair ever
+    # reaches a shuffle.
     postings = (
         inv.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ms"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh", "pref"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
-    # Length prefilter inside the posting: jaccard(A,B) <= min/max of
-    # the sizes, so pairs with size ratio < tau can never qualify —
-    # they are dropped before the pair ever reaches the shuffle.
     pair_expr = f"""
     flatten(transform(ms, (x, i) ->
       transform(
         filter(slice(ms, i + 2, size(ms)),
-               y -> y.n_sh >= x.n_sh * {tau}D
+               y -> (x.pref OR y.pref)
+                AND y.n_sh >= x.n_sh * {tau}D
                 AND x.n_sh >= y.n_sh * {tau}D),
-        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id,
-                    x.n_sh AS a_n, y.n_sh AS b_n))))
+        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id))))
     """
-    common = (
+    candidates = (
         postings.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.*")
-        .groupBy("a_id", "b_id", "a_n", "b_n")
-        .agg(F.count("*").alias("n_common"))
+        .distinct()
     )
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    a = hashed.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
+    b = hashed.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jaccard = n_common.cast("double") / (
+        F.size("hs_a") + F.size("hs_b") - n_common
     )
     return (
-        common.select("a_id", "b_id", jaccard.alias("jaccard"))
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= tau)
     )
 
@@ -157,8 +187,12 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     ``min(xxhash64(h, i))`` aggregate over the exploded hashes — 32
     codegen'd min-aggs with map-side partials (one narrow shuffle on
     doc_id) rather than per-row nested array transforms."""
+    # explode_outer: see ngram_jaccard_pairs — the non-outer explode
+    # triggers a pushed-down size(sh) > 0 filter that duplicates the
+    # shingle computation.
     hashes = (
-        _shingled(docs).select("doc_id", F.explode("sh").alias("s"))
+        _shingled(docs).select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
         .select("doc_id", F.xxhash64("s").alias("h"))
     )
     mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(_N_PERM)]

@@ -64,3 +64,39 @@ def test_no_cartesian_products(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_q12_date_filters_reach_scan(spark):
+    df = _Q["q12_shipmode_priority"](spark, SF_MEDIUM)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_funnel_stage_filters_reach_scan(spark):
+    """Each funnel stage's event_type equality must be pushed into its
+    own parquet scan — at 100 TB this is the difference between three
+    filtered scans and three full scans."""
+    df = _Q["funnel_conversion"](spark, SF_MEDIUM)
+    pushed = " ".join(pushed_filters(df))
+    for t in ("signup", "click", "purchase"):
+        assert t in pushed, f"{t} not pushed: {pushed}"
+
+
+def test_corpus_pipeline_prunes_columns(spark):
+    """The pipeline touches text/lang/source/n_chars/doc_id only —
+    the scan must not read more."""
+    df = _Q["corpus_pipeline"](spark, SF_MEDIUM)
+    for schema in read_schemas(df):
+        assert "text" in schema or "doc_id" in schema
+        cols = schema.count(":")
+        assert cols <= 5, schema
+
+
+def test_stats_ops_broadcast_scalars(spark):
+    """Scalar thresholds (corpus size, max revenue, avg balance) join
+    back as broadcasts, never as shuffles."""
+    for name in ("idf_top_terms", "q15_top_supplier", "q22_global_sales"):
+        plan = formatted_plan(_Q[name](spark, SF_MEDIUM))
+        # single-row scalar joins may plan as BroadcastNestedLoopJoin,
+        # which is equally shuffle-free
+        assert "Broadcast" in plan, name
