@@ -354,3 +354,53 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
         F.count("*").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------- B53
+_RANKDIST_ORACLE = """
+SELECT c_custkey,
+  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pr,
+  CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("rank_distribution", oracle=_RANKDIST_ORACLE)
+def rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each customer's balance within its
+    nation — rank-statistic windows partitioned by nation, so the
+    sort is per-nation, never global."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------- B54
+_UNPIVOT_ORACLE = """
+SELECT measure, CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total FROM (
+  SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(18,4)) AS v FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+  UNION ALL
+  SELECT 'discount', CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+) GROUP BY measure
+"""
+
+
+@register("unpivot_measures", oracle=_UNPIVOT_ORACLE)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of three lineitem measures followed
+    by a per-measure total — one scan; the unpivot is a projection,
+    not a join or union of rescans."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    long = li.select(
+        dec("l_quantity", 4).alias("quantity"),
+        dec("l_extendedprice", 4).alias("extendedprice"),
+        dec("l_discount", 4).alias("discount"),
+    ).unpivot([], ["quantity", "extendedprice", "discount"], "measure", "v")
+    return long.groupBy("measure").agg(money(F.sum("v")).alias("total"))
