@@ -99,3 +99,78 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------- C21
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= {_JACCARD_TAU}
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node
+)
+SELECT CAST(MIN(label) AS BIGINT) AS component, COUNT(*) AS n_docs
+FROM (SELECT node, MIN(label) AS label FROM walk GROUP BY node)
+GROUP BY label
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (jaccard >= tau):
+    iterative min-label propagation — each round every node adopts the
+    smallest label among itself and its neighbors, converging in
+    O(component diameter) rounds. The canonical iterative-join Spark
+    workload: per round one shuffle join against the (persisted, tiny)
+    edge list and a convergence count; the corpus itself is never
+    rescanned inside the loop. Output is one row per component with
+    its canonical (min) doc_id and size, which is what a cluster-level
+    dedup keep-one policy consumes. The DuckDB oracle computes the
+    same fixpoint with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(32):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(F.count("*").alias("n_docs")).select(
+        F.col("label").alias("component"), "n_docs"
+    )
