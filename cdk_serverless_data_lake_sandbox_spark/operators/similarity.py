@@ -255,3 +255,64 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOP_K)
     )
+
+
+# ---------------------------------------------------------------- C22
+@register("ann_topk_vectorized")  # execution-strategy twin -> rows-only
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k again, but scored in an Arrow-batched pandas
+    UDF: the query matrix ships to every task as a broadcast numpy
+    array, each batch scores corpus vectors with one float64 matmul
+    and keeps only its local top-k per query, and a final window
+    merges the per-partition candidates. This is the shape a real
+    embedding-model scorer takes (normalize once, BLAS matmul,
+    partial top-k before any shuffle) — the shuffle carries
+    k * partitions rows, not the corpus. Results match the JVM-fold
+    baseline (tests assert recall == 1 up to float-associativity
+    ties)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    e = _emb(spark, sf_dir)
+    q_rows = (
+        e.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # _N_QUERIES rows — the broadcast query set
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qm))
+    k = _TOP_K
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, queries = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ queries.T  # (batch, n_queries)
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(ids):
+                col = sims[:, qi]
+                mask = nids != qid
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                out_q.extend([qid] * len(top))
+                out_n.extend(nids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partial = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

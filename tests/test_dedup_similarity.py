@@ -98,3 +98,15 @@ def test_approx_quantiles_error_bound(spark):
     for k, av in approx.items():
         for a, e in zip(av, exact[k]):
             assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (k, a, e)
+
+
+def test_ann_vectorized_matches_bruteforce(spark):
+    exact = _Q["ann_topk_bruteforce"](spark, SF_MEDIUM).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    vec = _Q["ann_topk_vectorized"](spark, SF_MEDIUM).collect()
+    got = {(r.query_id, r.neighbor_id) for r in vec}
+    # identical algorithm, different float summation order: allow a
+    # tie swap but nothing more
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.98, f"vectorized recall {recall:.3f}"
+    assert all(r.rank <= 5 for r in vec)
