@@ -404,3 +404,34 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("l_discount", 4).alias("discount"),
     ).unpivot([], ["quantity", "extendedprice", "discount"], "measure", "v")
     return long.groupBy("measure").agg(money(F.sum("v")).alias("total"))
+
+
+# ---------------------------------------------------------------- B55
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+    PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_24h
+FROM events
+"""
+
+
+@register("rolling_time_window", oracle=_ROLLING_ORACLE)
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h value sum per event (RANGE frame over event-time
+    seconds, not row counts — frames follow the clock even with
+    uneven event density). Partitioned by user, so each frame scan is
+    local; the decimal sum keeps the window arithmetic exact. Both
+    engines order by whole seconds (Spark's unix_timestamp truncates;
+    the oracle FLOORs epoch) so frame boundaries agree."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        money(F.sum(dec("value", 4)).over(w)).alias("trailing_24h"),
+    )
