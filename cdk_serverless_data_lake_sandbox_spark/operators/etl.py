@@ -211,3 +211,38 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(target_path)
     )
+
+
+# ---------------------------------------------------------------- D8
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_col: str,
+    order_col: str,
+) -> None:
+    """Batch MERGE INTO analog on plain parquet: union the current
+    table with the update set, keep the newest row per key
+    (row_number over ``order_col`` desc), and atomically swap the
+    rewritten table in via a staging directory. On a transactional
+    table format this is a single MERGE statement; the
+    keep-newest-per-key shuffle shape is identical. The streaming
+    twin is ``streaming.jobs.upsert_sink``."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    try:
+        current = spark.read.parquet(target_path)
+        merged = current.unionByName(updates)
+    except Exception:  # first load: target doesn't exist yet
+        merged = updates
+    w = Window.partitionBy(key_col).orderBy(F.desc(order_col))
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    latest.write.mode("overwrite").parquet(target_path + "_staged")
+    shutil.rmtree(target_path, ignore_errors=True)
+    shutil.move(target_path + "_staged", target_path)

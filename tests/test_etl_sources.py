@@ -275,3 +275,23 @@ def test_zorder_write_clusters_both_keys(spark, tmp_path):
 
     back = spark.read.parquet(zordered)
     assert back.count() == src.count()
+
+
+# ---------------------------------------------------------------- D8 (batch upsert)
+def test_merge_upsert_keeps_newest(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import merge_upsert
+
+    target = str(tmp_path / "upsert_target")
+    v1 = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)], "id long, v double, version long"
+    )
+    merge_upsert(spark, target, v1, "id", "version")
+    v2 = spark.createDataFrame(
+        [(2, 21.0, 2), (4, 40.0, 2)], "id long, v double, version long"
+    )
+    merge_upsert(spark, target, v2, "id", "version")
+    got = {r.id: (r.v, r.version) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (10.0, 1), 2: (21.0, 2), 3: (30.0, 1), 4: (40.0, 2)}
+    # idempotent re-apply
+    merge_upsert(spark, target, v2, "id", "version")
+    assert spark.read.parquet(target).count() == 4
