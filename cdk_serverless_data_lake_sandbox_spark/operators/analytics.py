@@ -223,3 +223,23 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.cube("event_type", F.dayofweek("ts").cast("int").alias("dow"))
         .agg(F.count("*").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------- B56
+@register("frequent_items_sketch")  # approximate -> rows-only check
+def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per column via freq_items (a lossy-counting
+    sketch): single pass, fixed memory, mergeable — the shape of
+    "which tokens/hosts/keys dominate" at 100 TB where an exact
+    groupBy-count of every key would shuffle the world. The support
+    threshold guarantees every item with frequency > 1/support is
+    present (false positives possible, false negatives not — tests
+    assert containment of the exact top items)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sketch = ev.select("event_type", "user_id").freqItems(
+        ["event_type", "user_id"], support=0.05
+    )
+    return sketch.select(
+        F.array_sort("event_type_freqItems").alias("frequent_types"),
+        F.size("user_id_freqItems").alias("n_frequent_users"),
+    )

@@ -110,3 +110,20 @@ def test_ann_vectorized_matches_bruteforce(spark):
     recall = len(truth & got) / len(truth)
     assert recall >= 0.98, f"vectorized recall {recall:.3f}"
     assert all(r.rank <= 5 for r in vec)
+
+
+def test_frequent_items_contains_exact_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+
+    row = _Q["frequent_items_sketch"](spark, SF_MEDIUM).collect()[0]
+    ev = _Q["distinct_users"](spark, SF_MEDIUM)  # any events-derived frame
+    exact = (
+        ev.sparkSession.read.parquet(f"{SF_MEDIUM}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in exact)
+    heavy = {r.event_type for r in exact if r["count"] / total > 0.05}
+    assert heavy <= set(row.frequent_types), (heavy, row.frequent_types)
+    assert row.n_frequent_users >= 0
