@@ -435,3 +435,76 @@ def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         money(F.sum(dec("value", 4)).over(w)).alias("trailing_24h"),
     )
+
+
+# ---------------------------------------------------------------- C23
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bigrams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE w[i] <> '' AND w[i + 1] <> ''
+), uni AS (
+  SELECT w1 AS word, COUNT(*) AS c FROM (
+    SELECT w1 FROM bigrams UNION ALL SELECT w2 FROM bigrams
+  ) GROUP BY 1
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM bigrams)
+SELECT b.w1, b.w2, b.c12,
+  CAST(ROUND(LN((CAST(b.c12 AS DOUBLE) * 2.0 * n.total)
+      / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS DOUBLE) AS pmi
+FROM big b JOIN uni u1 ON u1.word = b.w1
+           JOIN uni u2 ON u2.word = b.w2, n
+WHERE b.c12 >= 5
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 25
+"""
+
+
+@register("bigram_collocations", oracle=_PMI_ORACLE)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs (min count 5, top 25). One token-pair explode feeds
+    both the bigram and the (doubled) unigram counts; the corpus
+    total joins back as a broadcast scalar. PMI's log runs on exact
+    integer counts, so both engines agree to the rounded digit."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(F.split(F.col("text"), " ").alias("w"))
+    pairs_expr = """
+    filter(transform(sequence(1, greatest(size(w) - 1, 1)),
+                     i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)),
+           p -> p.w1 <> '' AND p.w2 IS NOT NULL AND p.w2 <> '')
+    """
+    bigrams = toks.select(F.explode_outer(F.expr(pairs_expr)).alias("p")).where(
+        F.col("p").isNotNull()
+    ).select("p.w1", "p.w2")
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = (
+        bigrams.select(F.col("w1").alias("word"))
+        .unionAll(bigrams.select(F.col("w2").alias("word")))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    n = bigrams.agg(F.count("*").cast("double").alias("total"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.where(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * 2.0 * F.col("total"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )

@@ -295,3 +295,32 @@ def test_merge_upsert_keeps_newest(spark, tmp_path):
     # idempotent re-apply
     merge_upsert(spark, target, v2, "id", "version")
     assert spark.read.parquet(target).count() == 4
+
+
+# ---------------------------------------------------------------- D9 (dynamic partition overwrite)
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Overwrite in dynamic mode must replace only the partitions the
+    incoming batch touches — the lake-refresh semantics that avoid
+    rewriting the whole table for a single-day backfill."""
+    target = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0), ("2024-01-03", 3, 30.0)],
+        "day string, id long, v double",
+    )
+    base.write.partitionBy("day").parquet(target)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.createDataFrame(
+            [("2024-01-02", 20, 21.0)], "day string, id long, v double"
+        )
+        patch.write.mode("overwrite").partitionBy("day").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    # partition values read back type-inferred (string day -> date)
+    got = {(str(r.day), r.id, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-02", 20, 21.0),  # replaced
+        ("2024-01-03", 3, 30.0),  # untouched
+    }
