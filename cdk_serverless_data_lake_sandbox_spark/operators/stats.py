@@ -508,3 +508,32 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------- B57
+_SALTED_ORACLE = """
+SELECT event_type,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("salted_agg", oracle=_SALTED_ORACLE)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 aggregates on
+    (key, salt) — 16 partial rows per hot key spread across the
+    cluster — phase 2 merges the partials per key. For a skewed key
+    this turns one straggler reducer into 16 parallel ones; the
+    decimal sums make the two-phase result bit-identical to the plain
+    GROUP BY, which is exactly what the oracle checks."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("_salt")
+    phase1 = (
+        ev.groupBy("event_type", salt)
+        .agg(F.sum(dec("value", 4)).alias("_pv"), F.count("*").alias("_pn"))
+    )
+    return phase1.groupBy("event_type").agg(
+        money(F.sum("_pv")).alias("total_value"),
+        F.sum("_pn").alias("n_events"),
+    )
