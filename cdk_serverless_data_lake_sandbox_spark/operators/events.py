@@ -386,3 +386,31 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------- B58
+_HEATMAP_ORACLE = """
+SELECT CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+  CAST(HOUR(ts) AS INTEGER) AS hour,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("activity_heatmap", oracle=_HEATMAP_ORACLE)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity grid (the ops-dashboard
+    heat map): one scan, one aggregation on the 7x24 composite key.
+    DuckDB's DAYOFWEEK is 0-based while Spark's is 1-based; the
+    oracle shifts to match."""
+    ev = _events(spark, sf_dir)
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        money(F.sum(dec("value", 4))).alias("total_value"),
+    )

@@ -143,3 +143,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_byte", 6).alias("mean_byte"),
         F.round(F.expr("aggregate(features, 0.0d, (a, x) -> a + x)"), 6).alias("feat_sum"),
     )
+
+
+def resample_frames(media: DataFrame, target_n: int = 4) -> DataFrame:
+    """Uniform temporal resampling: pick ``target_n`` evenly spaced
+    frames regardless of clip length (the fixed-budget sampling a
+    video training pipeline applies before the expensive decode).
+    Frame selection is pure JVM arithmetic — sequence over the target
+    positions mapped onto source frame indices; clips shorter than
+    the budget yield all their frames once."""
+    n_frames = F.expr(f"int(length(media) / {_FRAME_BYTES})")
+    idx_expr = f"""
+    array_distinct(transform(
+      sequence(0, {target_n} - 1),
+      k -> int(k * int(length(media) / {_FRAME_BYTES}) / {target_n})))
+    """
+    return (
+        media.select("doc_id", "media", n_frames.alias("n_frames"))
+        .where(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            "media",
+            "n_frames",
+            F.explode(F.expr(idx_expr)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.expr(f"substring(media, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES})").alias(
+                "frame"
+            ),
+        )
+    )

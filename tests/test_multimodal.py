@@ -60,3 +60,27 @@ def test_sample_frames_jvm_side(spark):
 def test_registered_query_rows(spark):
     df = all_queries()["multimodal_features"](spark, SF_SMALL)
     assert df.count() == 500
+
+
+def test_resample_frames_even_budget(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        attach_fake_media,
+        resample_frames,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].limit(50)
+    media = attach_fake_media(docs)
+    out = resample_frames(media, target_n=4).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        n_frames = rows[0].n_frames
+        # at most the budget, every index in range, frames are full-size
+        assert len(rows) <= 4
+        assert all(0 <= r.frame_idx < n_frames for r in rows)
+        assert all(len(r.frame) == 16 for r in rows)
+        # short clips keep all frames
+        if n_frames <= 4:
+            assert len(rows) == min(n_frames, 4)
