@@ -537,3 +537,59 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.sum("_pv")).alias("total_value"),
         F.sum("_pn").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------- C24
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, w AS word, COUNT(*) AS tf
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+  GROUP BY doc_id, w
+), df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+    CAST(ROUND(tf.tf * LN(n.total / df.df), 4) AS DOUBLE) AS score
+  FROM tf JOIN df USING (word), n
+)
+SELECT doc_id, word AS top_term, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, word) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("tfidf_doc_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's most characteristic term by TF-IDF. One token
+    explode feeds the per-doc term frequencies; document frequencies
+    aggregate from the tf frame (no second corpus scan); the corpus
+    size joins as a broadcast scalar; a per-doc window picks the
+    winner with the same (score desc, word) tiebreak as the oracle.
+    Exact integer tf/df keep the rounded score engine-identical."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = (
+        docs.select("doc_id", F.explode_outer(F.split("text", " ")).alias("word"))
+        .where(F.col("word").isNotNull() & (F.col("word") != ""))
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("total"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("total") / F.col("df")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "score")
+    )

@@ -324,3 +324,24 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         ("2024-01-02", 20, 21.0),  # replaced
         ("2024-01-03", 3, 30.0),  # untouched
     }
+
+
+# ---------------------------------------------------------------- A3 (partitioned crawl)
+def test_crawl_partitioned_layout(spark, tmp_path):
+    """Glue crawlers register Hive-style day=X directories as a
+    partition column; the delimited crawler must surface the same
+    layout with the partition value typed and filterable (and the
+    filter must prune to the one directory)."""
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import CsvClassifier, crawl_delimited
+
+    root = tmp_path / "raw"
+    for day, rows in [("2024-01-01", [(1, "a")]), ("2024-01-02", [(2, "b"), (3, "c")])]:
+        d = root / f"day={day}"
+        d.mkdir(parents=True)
+        (d / "part.tsv").write_text("id\tname\n" + "\n".join(f"{i}\t{n}" for i, n in rows) + "\n")
+    df = crawl_delimited(spark, str(root), classifier=CsvClassifier())
+    assert "day" in df.columns
+    assert df.count() == 3
+    one_day = df.where(F.col("day") == "2024-01-02")
+    assert one_day.count() == 2
+    assert {r.id for r in one_day.collect()} == {2, 3}
