@@ -177,3 +177,42 @@ def test_stream_stream_conversions_match_batch(spark, event_drop_dir):
     # must appear, and nothing else.
     assert got == expected
     assert got, "expected some click->purchase conversions"
+
+
+# ---------------------------------------------------------------- E8 (checkpoint recovery)
+def test_checkpointed_source_exactly_once_across_restarts(spark, tmp_path):
+    """Restarting a checkpointed stream must resume from the recorded
+    source offsets: files already ingested before the stop are not
+    reprocessed, new files are — the exactly-once ingestion guarantee
+    a lake pipeline depends on."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    batch_a = ev.where(F.col("event_id") % 2 == 0)
+    batch_b = ev.where(F.col("event_id") % 2 == 1)
+    batch_a.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_a = spark.read.parquet(sink).count()
+    assert n_a == batch_a.count()
+    # restart with no new data: nothing reprocessed
+    run_once()
+    assert spark.read.parquet(sink).count() == n_a
+    # drop batch B alongside (append mode on the directory)
+    batch_b.write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
