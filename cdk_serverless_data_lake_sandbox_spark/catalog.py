@@ -109,6 +109,25 @@ class Lake:
         path = os.path.join(self.zones[zone], table, f"v={version}")
         return self.spark.read.parquet(path)
 
+    def vacuum(self, zone: str, table: str, keep_last: int = 2) -> list[int]:
+        """Retention for versioned tables: drop all but the newest
+        ``keep_last`` snapshots (time-travel window vs storage cost —
+        the OPTIMIZE/VACUUM knob every lake needs). Returns the
+        versions removed."""
+        import shutil
+
+        base = os.path.join(self.zones[zone], table)
+        latest = self._latest_version(base)
+        removed = []
+        for d in sorted(os.listdir(base)) if os.path.isdir(base) else []:
+            if not d.startswith("v="):
+                continue
+            v = int(d.split("=", 1)[1])
+            if v <= latest - keep_last:
+                shutil.rmtree(os.path.join(base, d))
+                removed.append(v)
+        return sorted(removed)
+
     def _latest_version(self, base: str) -> int:
         if not os.path.isdir(base):
             return -1

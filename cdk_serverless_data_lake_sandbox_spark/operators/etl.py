@@ -246,3 +246,31 @@ def merge_upsert(
     latest.write.mode("overwrite").parquet(target_path + "_staged")
     shutil.rmtree(target_path, ignore_errors=True)
     shutil.move(target_path + "_staged", target_path)
+
+
+# ---------------------------------------------------------------- D10
+def delete_keys(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_col: str,
+) -> int:
+    """Hard-delete rows by key (the GDPR/right-to-erasure primitive):
+    anti-join the key set against the table and atomically swap the
+    rewritten result in. Returns rows deleted. At lakehouse scale the
+    same anti-join shape backs DELETE WHERE on a table format; on
+    plain parquet the rewrite is the price of immutable files —
+    partition your tables so the rewrite touches few partitions."""
+    import shutil
+
+    current = spark.read.parquet(target_path)
+    before = current.count()
+    kept = current.join(
+        keys.select(F.col(keys.columns[0]).alias(key_col)).distinct(),
+        key_col,
+        "left_anti",
+    )
+    kept.write.mode("overwrite").parquet(target_path + "_staged")
+    shutil.rmtree(target_path, ignore_errors=True)
+    shutil.move(target_path + "_staged", target_path)
+    return before - spark.read.parquet(target_path).count()

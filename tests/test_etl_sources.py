@@ -345,3 +345,36 @@ def test_crawl_partitioned_layout(spark, tmp_path):
     one_day = df.where(F.col("day") == "2024-01-02")
     assert one_day.count() == 2
     assert {r.id for r in one_day.collect()} == {2, 3}
+
+
+# ---------------------------------------------------------------- D10 (delete)
+def test_delete_keys_removes_only_matches(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import delete_keys
+
+    target = str(tmp_path / "del_target")
+    nation = load_tables(spark, SF_SMALL, ("nation",))["nation"]
+    nation.write.parquet(target)
+    doomed = spark.createDataFrame([(1,), (3,), (999,)], "n_nationkey long")
+    n = delete_keys(spark, target, doomed, "n_nationkey")
+    assert n == 2  # 999 didn't exist
+    back = spark.read.parquet(target)
+    assert back.count() == 23
+    assert back.where(F.col("n_nationkey").isin(1, 3)).count() == 0
+
+
+# ---------------------------------------------------------------- A7 (vacuum)
+def test_lake_vacuum_retention(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path))
+    lake.add_zone("processed")
+    nation = load_tables(spark, SF_SMALL, ("nation",))["nation"]
+    for i in range(4):
+        lake.write_version("processed", "nation", nation.limit(25 - i))
+    removed = lake.vacuum("processed", "nation", keep_last=2)
+    assert removed == [0, 1]
+    # newest two still readable, view still on latest
+    assert lake.read_version("processed", "nation", 3).count() == 22
+    assert lake.read_version("processed", "nation", 2).count() == 23
+    assert lake.table("processed", "nation").count() == 22
+    import pytest as _pt
+    with _pt.raises(Exception):
+        lake.read_version("processed", "nation", 0).count()
