@@ -316,3 +316,81 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------- C25
+_NORM_STATS_ORACLE = f"""
+SELECT label, COUNT(*) AS n_vectors,
+  CAST(ROUND(MIN({_SQL_NORM.format(a="embedding")}), 4) AS DOUBLE) AS min_norm,
+  CAST(ROUND(MAX({_SQL_NORM.format(a="embedding")}), 4) AS DOUBLE) AS max_norm
+FROM embeddings GROUP BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_STATS_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm range — the sanity profile run before any
+    similarity work (catches unnormalized or degenerate vectors).
+    min/max aggregates of the deterministic norm fold are
+    order-independent, so no decimal games needed."""
+    e = _emb(spark, sf_dir)
+    norm = _norm("embedding")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------- C26
+_CENTROID_ORACLE = """
+WITH pos_vals AS (
+  SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(pos)
+), centroids AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+  FROM pos_vals GROUP BY label, pos
+), cent_arrays AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM centroids GROUP BY label
+)
+SELECT e.vec_id, e.label,
+  CAST(ROUND(sqrt(list_sum(list_transform(list_zip(e.embedding, c.centroid),
+    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))), 4) AS DOUBLE)
+    AS dist_to_centroid
+FROM embeddings e JOIN cent_arrays c USING (label)
+"""
+
+
+@register("label_centroid_distance", oracle=_CENTROID_ORACLE)
+def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector's L2 distance to its label centroid (the
+    cluster-compactness signal). Centroids come from a posexplode +
+    (label, dim) aggregation — decimal sums so the mean is
+    order-independent — reassembled into an array and broadcast back
+    onto the vectors; the distance is the same deterministic fold the
+    cosine ops use."""
+    e = _emb(spark, sf_dir)
+    pos_vals = e.select(
+        "label", F.posexplode_outer("embedding").alias("pos", "val")
+    ).where(F.col("val").isNotNull())
+    centroids = pos_vals.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("c")
+    )
+    cent_arrays = centroids.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(
+            "centroid"
+        )
+    )
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(embedding, centroid,"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " 0.0d, (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        e.join(F.broadcast(cent_arrays), "label")
+        .select("vec_id", "label", F.round(dist, 4).alias("dist_to_centroid"))
+    )
