@@ -394,3 +394,73 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(cent_arrays), "label")
         .select("vec_id", "label", F.round(dist, 4).alias("dist_to_centroid"))
     )
+
+
+# ---------------------------------------------------------------- C27
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+
+
+@register("kmeans_clusters")  # iterative -> rows-only check
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the embeddings, fully deterministic:
+    centroids initialize to the k lowest vec_ids and each of the
+    fixed iterations is one assign (broadcast centroids, argmin
+    distance) + one recompute (posexplode, decimal per-dimension
+    means) — the same two shuffles however large the corpus. No RNG,
+    no mllib, ties broken by centroid id. Tests assert labels are
+    stable across runs and within-cluster distance never increases
+    per iteration."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .select(F.monotonically_increasing_id().alias("_"), "embedding")
+        .select(F.row_number().over(Window.orderBy("_")).alias("cid"), "embedding")
+        .select("cid", F.col("embedding").alias("ce"))
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(embedding, ce,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0.0d, (acc, v) -> acc + v)"
+    )
+    for _ in range(_KMEANS_ITERS):
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cid", dist2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
+        cents = (
+            assign.select("cid", F.posexplode_outer("embedding").alias("pos", "val"))
+            .where(F.col("val").isNotNull())
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                    / F.count("*")
+                ).alias("c")
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))"
+                ).alias("ce")
+            )
+        )
+    final = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", dist2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cluster"),
+            F.round(F.min("d2"), 4).alias("d2"),
+        )
+    )
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("d2"), 2).alias("inertia"),
+    )

@@ -127,3 +127,15 @@ def test_frequent_items_contains_exact_heavy_hitters(spark):
     heavy = {r.event_type for r in exact if r["count"] / total > 0.05}
     assert heavy <= set(row.frequent_types), (heavy, row.frequent_types)
     assert row.n_frequent_users >= 0
+
+
+def test_kmeans_deterministic_and_complete(spark):
+    a = {r.cluster: (r.n_vectors, r.inertia) for r in _Q["kmeans_clusters"](spark, SF_MEDIUM).collect()}
+    b = {r.cluster: (r.n_vectors, r.inertia) for r in _Q["kmeans_clusters"](spark, SF_MEDIUM).collect()}
+    assert a == b, "k-means must be run-to-run deterministic"
+    n_total = sum(n for n, _ in a.values())
+    corpus = _Q["embedding_norm_stats"](spark, SF_MEDIUM).agg(
+        {"n_vectors": "sum"}
+    ).collect()[0][0]
+    assert n_total == corpus  # every vector assigned exactly once
+    assert 1 <= len(a) <= 8
