@@ -593,3 +593,72 @@ def tfidf_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("word").alias("top_term"), "score")
     )
+
+
+# ---------------------------------------------------------------- B59
+_OUTLIER_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+    CAST(ROUND(AVG(value) + 3 * STDDEV_SAMP(value), 6) AS DOUBLE) AS cut
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_outliers,
+  CAST(ROUND(MAX(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_value
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE e.value > s.cut
+GROUP BY e.event_type
+"""
+
+
+@register("value_outliers", oracle=_OUTLIER_ORACLE)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-sigma outliers per event type: the per-group cut comes
+    from one stats pass and joins back as a broadcast — two scans
+    total, no window. The cut is rounded to 6 decimals on both
+    engines so the strict comparison agrees bit-for-bit."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value") + 3 * F.stddev_samp("value"), 6).alias("cut")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("value") > F.col("cut"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            money(F.max(dec("value", 4))).alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B60
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS month,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  CAST(ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+      / LAG(revenue) OVER (ORDER BY month), 4) AS DOUBLE) AS mom_pct
+FROM monthly
+"""
+
+
+@register("mom_growth", oracle=_MOM_ORACLE)
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the global LAG window runs
+    over a few dozen pre-aggregated monthly rows — the distributed
+    work is the aggregation beneath it. Revenue is decimal-exact
+    before the IEEE ratio, so the percentages match the oracle."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        money(F.sum(dec("o_totalprice", 2))).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )
