@@ -30,3 +30,39 @@ def test_salted_join_spreads_hot_key(spark):
     assert out.count() == 10000
     # deterministic: same result on recompute
     assert out.count() == 10000
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE must detect the hot key at runtime and split its partition
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed in the executed
+    plan) — the mechanism we rely on instead of manual salting for
+    unknown skew at 100 TB. Thresholds are lowered so local data
+    exhibits 'skew'; the mechanics are identical at scale."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 20000)
+            .select((F.col("id") % 500).alias("k"), F.rand(7).alias("v"))
+            .union(
+                spark.range(0, 100000).select(F.lit(0).alias("k"), F.rand(8).alias("v"))
+            )
+        )
+        right = spark.range(0, 500).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0][0] == 120000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)

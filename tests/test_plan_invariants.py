@@ -100,3 +100,32 @@ def test_stats_ops_broadcast_scalars(spark):
         # single-row scalar joins may plan as BroadcastNestedLoopJoin,
         # which is equally shuffle-free
         assert "Broadcast" in plan, name
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """With a selective dimension filter, Spark should inject a
+    runtime bloom filter on the fact side's join key — at 100 TB this
+    prunes fact rows before the shuffle instead of after the join.
+    Thresholds lowered so sandbox-sized input qualifies."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, SF_MEDIUM, ("lineitem", "orders"))
+        o = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
