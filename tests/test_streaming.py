@@ -216,3 +216,52 @@ def test_checkpointed_source_exactly_once_across_restarts(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+# ---------------------------------------------------------------- E1 (late data)
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """The watermark persisted in the checkpoint must carry across
+    restarts: a second batch containing an event far older than the
+    advanced watermark may not resurrect its window in append mode."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "late_ckpt")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    recent = [
+        (i, base + dt.timedelta(days=5, hours=i), 1, "click", 1.0, "{}") for i in range(4)
+    ]
+    mk(recent).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            windowed_counts(read_event_stream(spark, src), window="1 day", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # a whole-day-late straggler: watermark is now ~day 5, event at day 1
+    late = [(99, base, 1, "click", 100.0, "{}")]
+    mk(late).write.mode("append").parquet(src)
+    run_once()
+    # force one more advance so closed windows flush
+    mk([(100, base + dt.timedelta(days=9), 1, "click", 1.0, "{}")]).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    got = spark.read.parquet(sink)
+    late_day = dt.datetime(2024, 6, 1)
+    assert got.where(F.col("window_start") == late_day).count() == 0, (
+        "late event must not reopen its window"
+    )
+    assert got.where(F.col("n_events") >= 1).count() >= 1
