@@ -662,3 +662,32 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
     )
+
+
+# ---------------------------------------------------------------- B61
+@register("quartiles_scalable")  # sketch-bucketed -> rows-only check
+def quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ntile_quartiles: quartile boundaries come
+    from an approx_percentile sketch (no global sort, no single
+    reducer) and rows bucket themselves with a broadcast comparison.
+    Same output shape as the exact NTILE; tests bound the per-bucket
+    population drift against it."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    cuts = c.agg(
+        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10000).alias("cut")
+    )
+    quartile = (
+        F.when(F.col("c_acctbal") <= F.col("cut")[0], 1)
+        .when(F.col("c_acctbal") <= F.col("cut")[1], 2)
+        .when(F.col("c_acctbal") <= F.col("cut")[2], 3)
+        .otherwise(4)
+    )
+    return (
+        c.crossJoin(F.broadcast(cuts))
+        .select(quartile.alias("quartile"), "c_acctbal")
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum(dec("c_acctbal", 2))).alias("total_bal"),
+        )
+    )

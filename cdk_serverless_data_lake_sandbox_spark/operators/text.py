@@ -232,3 +232,39 @@ def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         (n_stop.cast("double") / F.size(F.split(F.col("text"), " "))).alias("stopword_ratio"),
     )
+
+
+# ---------------------------------------------------------------- C28
+_READING_ORACLE = """
+SELECT doc_id,
+  LEN(string_split_regex(TRIM(text), '\\s+')) AS n_words,
+  LEN(string_split_regex(text, '[.!?]+')) - 1 AS n_sentences,
+  CAST(ROUND(CAST(LEN(REPLACE(REPLACE(text, ' ', ''), '.', '')) AS DOUBLE)
+      / LEN(string_split_regex(TRIM(text), '\\s+')), 4) AS DOUBLE) AS chars_per_word,
+  CAST(ROUND(CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE)
+      / GREATEST(LEN(string_split_regex(text, '[.!?]+')) - 1, 1), 4) AS DOUBLE)
+    AS words_per_sentence
+FROM documents
+"""
+
+
+@register("reading_level", oracle=_READING_ORACLE)
+def reading_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability raw features per document: word/sentence counts,
+    mean word length, mean sentence length — the inputs every
+    Flesch-style formula consumes, as pure codegen expressions (one
+    scan, no shuffle at all)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    n_sentences = F.size(F.split(F.col("text"), r"[.!?]+")) - 1
+    stripped = F.length(F.regexp_replace(F.col("text"), r"[ .]", ""))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        F.round(stripped.cast("double") / n_words, 4).alias("chars_per_word"),
+        F.round(
+            n_words.cast("double") / F.greatest(n_sentences, F.lit(1)), 4
+        ).alias("words_per_sentence"),
+    )

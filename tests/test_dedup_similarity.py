@@ -139,3 +139,19 @@ def test_kmeans_deterministic_and_complete(spark):
     ).collect()[0][0]
     assert n_total == corpus  # every vector assigned exactly once
     assert 1 <= len(a) <= 8
+
+
+def test_scalable_quartiles_approximate_exact_ntile(spark):
+    exact = {
+        r.quartile: r.n_customers
+        for r in _Q["ntile_quartiles"](spark, SF_MEDIUM).collect()
+    }
+    approx = {
+        r.quartile: r.n_customers
+        for r in _Q["quartiles_scalable"](spark, SF_MEDIUM).collect()
+    }
+    assert set(approx) == {1, 2, 3, 4}
+    total = sum(exact.values())
+    for q in exact:
+        # sketch-boundary drift stays under 2% of the population
+        assert abs(approx.get(q, 0) - exact[q]) <= max(0.02 * total, 2), (q, approx, exact)
