@@ -414,3 +414,32 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         money(F.sum(dec("value", 4))).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------- B62
+_SESSION_STATS_ORACLE = f"""
+WITH sessions AS ({_SESSION_ORACLE})
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(ROUND(AVG(DATE_DIFF('second', session_start, session_end)), 4) AS DOUBLE)
+    AS avg_session_s,
+  CAST(MAX(DATE_DIFF('second', session_start, session_end)) AS BIGINT)
+    AS max_session_s,
+  CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM sessions GROUP BY user_id
+"""
+
+
+@register("session_stats", oracle=_SESSION_STATS_ORACLE)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session summary layered on the sessionize plan (the
+    composability test: operators are DataFrames, so stacking another
+    aggregation is free and Catalyst fuses the pipeline). Durations
+    compare whole-second truncations on both engines."""
+    sessions = sessionize(spark, sf_dir)
+    dur = F.col("session_end").cast("long") - F.col("session_start").cast("long")
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg(dur), 4).alias("avg_session_s"),
+        F.max(dur).cast("bigint").alias("max_session_s"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )

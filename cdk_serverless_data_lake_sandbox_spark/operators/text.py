@@ -268,3 +268,49 @@ def reading_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_words.cast("double") / F.greatest(n_sentences, F.lit(1)), 4
         ).alias("words_per_sentence"),
     )
+
+
+# ---------------------------------------------------------------- C29
+_TRIGRAM_ORACLE = """
+WITH grams AS (
+  SELECT lang, substring(lower(text), t.i, 3) AS g
+  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)
+  WHERE len(text) >= 3
+), counted AS (
+  SELECT lang, g, COUNT(*) AS n FROM grams
+  WHERE g NOT LIKE '% %' GROUP BY lang, g
+)
+SELECT lang, g AS trigram, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rn
+  FROM counted
+) WHERE rn <= 10
+"""
+
+
+@register("char_trigram_profile", oracle=_TRIGRAM_ORACLE)
+def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the classic n-gram
+    language-model profile (what a trained lang-ID ships instead of
+    stopword lists). Trigrams come from one sequence-transform over
+    the lowercased text; space-crossing grams are dropped; map-side
+    partial counts keep the shuffle at distinct-gram size."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams_expr = """
+    transform(sequence(1, greatest(length(_lt) - 2, 1)),
+              i -> substring(_lt, i, 3))
+    """
+    grams = (
+        docs.where(F.length("text") >= 3)
+        .select("lang", F.lower(F.col("text")).alias("_lt"))
+        .select("lang", F.explode_outer(F.expr(grams_expr)).alias("g"))
+        .where(F.col("g").isNotNull() & (F.length("g") == 3) & ~F.col("g").contains(" "))
+    )
+    counted = grams.groupBy("lang", "g").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("lang").orderBy(F.desc("n"), "g")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", F.col("g").alias("trigram"), "n")
+    )
