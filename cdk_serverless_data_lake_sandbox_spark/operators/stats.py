@@ -691,3 +691,77 @@ def quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(dec("c_acctbal", 2))).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------- B63
+_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+    COUNT(*) OVER () AS total_users
+  FROM per_user
+)
+SELECT CAST(ROUND(
+  SUM((2.0 * i - total_users - 1) * n)
+    / (MAX(total_users) * SUM(CAST(n AS DOUBLE))),
+  6) AS DOUBLE) AS gini,
+  CAST(MAX(total_users) AS BIGINT) AS n_users
+FROM ranked
+"""
+
+
+@register("activity_gini", oracle=_GINI_ORACLE)
+def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event volume across users — the
+    concentration metric a pipeline watches for hot-user skew. The
+    rank runs over the (tiny) per-user aggregate, not the events; the
+    weighted sum is over exact integers so both engines agree."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy("n", "user_id")
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("total_users"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("total_users") - 1) * F.col("n"))
+            / (F.max("total_users") * F.sum(F.col("n").cast("double"))),
+            6,
+        ).alias("gini"),
+        F.max("total_users").cast("bigint").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------- B64
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority,
+    LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) AS prev_priority
+  FROM orders
+)
+SELECT prev_priority, o_orderpriority AS next_priority, COUNT(*) AS n
+FROM ordered WHERE prev_priority IS NOT NULL
+GROUP BY prev_priority, next_priority
+"""
+
+
+@register("priority_transitions", oracle=_TRANSITION_ORACLE)
+def priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive order priorities
+    per customer (LAG over each customer's order history) — the
+    sequence-mining shape behind churn/state models."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.lag("o_orderpriority").over(w).alias("prev_priority"),
+        )
+        .where(F.col("prev_priority").isNotNull())
+        .groupBy("prev_priority", F.col("o_orderpriority").alias("next_priority"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -314,3 +314,30 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("lang", F.col("g").alias("trigram"), "n")
     )
+
+
+# ---------------------------------------------------------------- C30
+_DUPRATE_ORACLE = """
+SELECT source, COUNT(*) AS n_docs,
+  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
+  CAST(ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+      / COUNT(*), 6) AS DOUBLE) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+@register("dup_rate_by_source", oracle=_DUPRATE_ORACLE)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per ingest source — the triage metric
+    that decides which feed needs dedup attention first. One pass:
+    count vs distinct content-hash count per source."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_exact_dups"),
+        F.round(
+            (F.count("*") - F.count_distinct(F.md5("text"))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
