@@ -274,3 +274,32 @@ def delete_keys(
     shutil.rmtree(target_path, ignore_errors=True)
     shutil.move(target_path + "_staged", target_path)
     return before - spark.read.parquet(target_path).count()
+
+
+# ---------------------------------------------------------------- D11
+def partition_stats(spark: SparkSession, table_path: str) -> DataFrame:
+    """Table-maintenance observability: one row per Hive-style
+    partition directory with file count, total bytes, and parquet
+    row counts read from footers (no data scan). This is what a
+    compaction scheduler consumes to find small-file partitions and
+    what an ops dashboard plots; returned as a DataFrame so it
+    composes with the rest of the engine."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for root, _dirs, files in os.walk(table_path):
+        parqs = [f for f in files if f.endswith(".parquet")]
+        if not parqs:
+            continue
+        rel = os.path.relpath(root, table_path)
+        partition = "" if rel == "." else rel
+        n_rows = 0
+        n_bytes = 0
+        for f in parqs:
+            fp = os.path.join(root, f)
+            n_rows += pq.ParquetFile(fp).metadata.num_rows
+            n_bytes += os.path.getsize(fp)
+        rows.append((partition, len(parqs), n_rows, n_bytes))
+    return spark.createDataFrame(
+        rows, "partition string, n_files int, n_rows long, n_bytes long"
+    )

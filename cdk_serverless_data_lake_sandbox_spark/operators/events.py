@@ -443,3 +443,57 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dur).cast("bigint").alias("max_session_s"),
         F.sum("n_events").cast("bigint").alias("total_events"),
     )
+
+
+# ---------------------------------------------------------------- B65
+_SCD2_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), segments AS (
+  SELECT user_id, event_type, ts,
+    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+  FROM changes
+), ranges AS (
+  SELECT user_id, seg, event_type AS state,
+    MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM segments GROUP BY user_id, seg, event_type
+)
+SELECT user_id, seg, state, valid_from,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+  n_events
+FROM ranges
+"""
+
+
+@register("scd2_ranges", oracle=_SCD2_ORACLE)
+def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's
+    consecutive same-state events into validity ranges
+    (valid_from/valid_to, open-ended current row) — change flag ->
+    running segment id -> per-segment window, all on one user_id
+    shuffle. The history-table shape every warehouse merge feeds."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segments = ev.select(
+        "user_id", "event_type", "ts", F.sum(chg).over(wc).alias("seg")
+    )
+    ranges = segments.groupBy("user_id", "seg", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    wl = Window.partitionBy("user_id").orderBy("seg")
+    return ranges.select(
+        "user_id", "seg", "state", "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
+    )

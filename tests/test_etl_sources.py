@@ -378,3 +378,17 @@ def test_lake_vacuum_retention(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         lake.read_version("processed", "nation", 0).count()
+
+
+# ---------------------------------------------------------------- D11 (partition stats)
+def test_partition_stats_counts_files_and_rows(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import partition_stats
+
+    target = str(tmp_path / "ptable")
+    orders = load_tables(spark, SF_SMALL, ("orders",))["orders"]
+    orders.withColumn("pr", F.col("o_orderpriority")).write.partitionBy("pr").parquet(target)
+    stats = partition_stats(spark, target)
+    rows = {r.partition: r for r in stats.collect()}
+    assert all(p.startswith("pr=") for p in rows)
+    assert sum(r.n_rows for r in rows.values()) == orders.count()
+    assert all(r.n_files >= 1 and r.n_bytes > 0 for r in rows.values())
