@@ -178,3 +178,24 @@ def stream_stream_conversions(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "amount")
+
+
+# ---------------------------------------------------------------- E9
+def stream_to_lake_versions(stream: DataFrame, lake, zone: str, table: str):
+    """Streaming -> versioned lake: every micro-batch of windowed
+    aggregates lands as a new immutable snapshot via foreachBatch, so
+    downstream consumers read a consistent version while the next one
+    builds — the continuous-refresh pattern for serving tables, with
+    time travel for free. Returns the query handle (caller awaits)."""
+
+    def write_version(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        lake.write_version(zone, table, batch)
+
+    return (
+        stream.writeStream.foreachBatch(write_version)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

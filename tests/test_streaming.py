@@ -265,3 +265,29 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
         "late event must not reopen its window"
     )
     assert got.where(F.col("n_events") >= 1).count() >= 1
+
+
+# ---------------------------------------------------------------- E9
+def test_stream_to_lake_versions(spark, event_drop_dir, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_to_lake_versions,
+        windowed_counts,
+    )
+
+    ev = _prepare(spark, event_drop_dir + "/lake")
+    lake = Lake(spark, str(tmp_path / "lake_root"))
+    lake.add_zone("serving")
+    stream = read_event_stream(spark, event_drop_dir + "/lake", max_files_per_trigger=4)
+    q = stream_to_lake_versions(
+        windowed_counts(stream), lake, "serving", "win_counts"
+    )
+    q.awaitTermination(120)
+    # at least one snapshot; the registered view serves the newest
+    latest = lake.table("serving", "win_counts")
+    expected = (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type").count().count()
+    )
+    assert latest.count() == expected
+    # older snapshots remain readable (time travel)
+    assert lake.read_version("serving", "win_counts", 0).count() > 0
