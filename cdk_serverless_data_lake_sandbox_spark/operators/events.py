@@ -497,3 +497,47 @@ def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wl).alias("valid_to"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------- B66
+_FFILL_ORACLE = """
+WITH sparse AS (
+  SELECT event_id, user_id, ts,
+    NULLIF(value * CASE WHEN event_type = 'error' THEN 0 ELSE 1 END, 0) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(ROUND(CAST(LAST_VALUE(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,4)), 2) AS DOUBLE) AS filled_value
+FROM sparse
+"""
+
+
+@register("forward_fill", oracle=_FFILL_ORACLE)
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): error events
+    are treated as missing readings and repaired with the user's most
+    recent valid value — LAST_VALUE IGNORE NULLS over an unbounded
+    preceding frame, the standard sensor-gap repair. Rows before any
+    valid reading stay null."""
+    ev = _events(spark, sf_dir)
+    sparse = ev.select(
+        "event_id", "user_id", "ts",
+        F.nullif(
+            F.col("value")
+            * F.when(F.col("event_type") == "error", 0).otherwise(1),
+            F.lit(0),
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_id", "user_id",
+        F.round(
+            F.last("v", ignorenulls=True).over(w).cast("decimal(18,4)"), 2
+        ).cast("double").alias("filled_value"),
+    )
