@@ -765,3 +765,52 @@ def priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_priority", F.col("o_orderpriority").alias("next_priority"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------- B67
+_AFFINITY_ORACLE = """
+WITH order_brands AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_orders
+FROM order_brands a JOIN order_brands b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY brand_a, brand_b
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+@register("brand_affinity", oracle=_AFFINITY_ORACLE)
+def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand pairs co-occurring in the same
+    order (association-rule support counts). Same in-bucket pair
+    pattern as the dedup postings — distinct brands collapse per
+    order first, pairs are generated inside each order's (tiny)
+    brand list, and only pair counts shuffle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    order_brands = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = order_brands.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("p_brand")).alias("brands")
+    ).where(F.size("brands") > 1)
+    pair_expr = """
+    flatten(transform(brands, (x, i) ->
+      transform(slice(brands, i + 2, size(brands)),
+                y -> struct(x AS brand_a, y AS brand_b))))
+    """
+    return (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )
