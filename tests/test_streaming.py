@@ -291,3 +291,45 @@ def test_stream_to_lake_versions(spark, event_drop_dir, tmp_path):
     assert latest.count() == expected
     # older snapshots remain readable (time travel)
     assert lake.read_version("serving", "win_counts", 0).count() > 0
+
+
+# ---------------------------------------------------------------- E10
+def test_timeout_closed_sessions_emit_once(spark, tmp_path):
+    """Event-time timeouts: a user's session row appears only after
+    the watermark passes last_event + gap, exactly once."""
+    import datetime as dt
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import (
+        timeout_closed_sessions,
+    )
+
+    src = str(tmp_path / "to_src")
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        # user 1: two events, then silence -> closes
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 1, "click", 2.0, "{}"),
+        # user 2: a late event keeps the session open past user 1's
+        (3, base, 2, "click", 5.0, "{}"),
+        # watermark driver: far-future event from user 3
+        (4, base + dt.timedelta(days=2), 3, "click", 0.5, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).repartition(1).write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        timeout_closed_sessions(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.total_value) for r in spark.table("closed_sessions").collect()}
+    # users 1 and 2 closed when the day-2 event advanced the watermark;
+    # user 3's own session has nothing after it, so it stays open
+    assert got.get(1) == (2, 3.0), got
+    assert got.get(2) == (1, 5.0), got
+    assert 3 not in got
