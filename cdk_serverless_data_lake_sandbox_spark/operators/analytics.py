@@ -96,7 +96,8 @@ def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct word per partition, not one per token)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        docs.select(F.explode_outer(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "word")

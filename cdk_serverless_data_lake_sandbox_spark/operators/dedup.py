@@ -344,8 +344,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id, no Python, no x64 row explosion."""
     docs = _docs(spark, sf_dir)
     tokens = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).select("doc_id", F.xxhash64("w").alias("h"))
+        "doc_id", F.explode_outer(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w").isNotNull()).select("doc_id", F.xxhash64("w").alias("h"))
     votes = [
         F.sum(
             F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)

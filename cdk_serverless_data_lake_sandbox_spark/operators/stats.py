@@ -201,7 +201,7 @@ def idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_docs = docs.agg(F.count("*").alias("_n"))
     words = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        docs.select("doc_id", F.explode_outer(F.split(F.col("text"), " ")).alias("word"))
         .where(F.col("word") != "")
         .distinct()
     )
