@@ -66,3 +66,42 @@ def test_apply_mapping_choice_resolution(spark, vals):
         except ValueError:
             expected = None
         assert rows[i] == expected, (v, rows[i], expected)
+
+
+def test_ngram_pairs_degenerate_inputs(spark):
+    """Empty corpus, single doc, empty/one-word texts: no crashes, no
+    spurious pairs."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert ngram_jaccard_pairs(empty).count() == 0
+    single = spark.createDataFrame([(1, "hello world this is a doc")], schema)
+    assert ngram_jaccard_pairs(single).count() == 0
+    degenerate = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one"), (4, "two words")], schema
+    )
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in ngram_jaccard_pairs(degenerate).collect()}
+    # the two identical one-word docs are an exact pair; nothing else
+    assert pairs == {(2, 3): 1.0} or ((2, 3) in pairs and all(
+        k == (2, 3) or v < 0.5 for k, v in pairs.items()
+    )), pairs
+
+
+def test_minhash_degenerate_inputs(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _minhash_signatures,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert _minhash_signatures(empty).count() == 0
+    docs = spark.createDataFrame([(1, ""), (2, "a b c d e")], schema)
+    sigs = {r.doc_id: r.sig for r in _minhash_signatures(docs).collect()}
+    assert len(sigs[2]) == 32
