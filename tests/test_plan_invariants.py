@@ -129,3 +129,18 @@ def test_runtime_bloom_filter_injected(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_topn_queries_fuse_limit_and_sort(spark):
+    """Global ordered-LIMIT queries must plan as TakeOrderedAndProject
+    (per-partition top-N merged on the driver) — never a full global
+    sort followed by a limit, which is the classic scale killer."""
+    for name in (
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "word_frequencies",
+        "idf_top_terms",
+        "brand_affinity",
+    ):
+        plan = formatted_plan(_Q[name](spark, SF_MEDIUM))
+        assert "TakeOrderedAndProject" in plan, name
