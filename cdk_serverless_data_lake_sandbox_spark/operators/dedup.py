@@ -384,3 +384,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= 16)
     )
+
+
+# ---------------------------------------------------------------- C31
+def dedup_incremental(
+    new_docs: DataFrame, corpus: DataFrame, tau: float = _JACCARD_TAU
+) -> DataFrame:
+    """Incremental ingest dedup: drop new documents that exactly match
+    or near-duplicate (jaccard >= tau) anything in the existing
+    corpus. Asymmetric by construction — the corpus side contributes
+    only its content hashes and shingle postings, never pairs within
+    itself, so a daily batch pays for |batch| x (posting overlap)
+    work, not a corpus self-join. The same length/prefix filters as
+    the self-join variant apply."""
+    # exact: content-hash anti join
+    corpus_hashes = corpus.select(F.md5("text").alias("_h")).distinct()
+    fresh = new_docs.join(
+        corpus_hashes, F.md5(new_docs["text"]) == corpus_hashes["_h"], "left_anti"
+    )
+    # near: hashed shingles for both sides, pairs only across sides
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return _shingled(df).select(
+            F.col("doc_id").alias(f"{side}_id"),
+            F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias(f"hs_{side}"),
+        )
+
+    new_h = hashed(fresh, "new")
+    old_h = hashed(corpus, "old")
+    new_inv = new_h.select(
+        "new_id", F.size("hs_new").alias("n_new"), F.explode_outer("hs_new").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
+    old_inv = old_h.select(
+        "old_id", F.size("hs_old").alias("n_old"), F.explode_outer("hs_old").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
+    candidates = (
+        new_inv.join(old_inv, "shingle")
+        .where(
+            (F.col("n_old") >= F.col("n_new") * tau)
+            & (F.col("n_new") >= F.col("n_old") * tau)
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    n_common = F.size(F.array_intersect("hs_new", "hs_old"))
+    jaccard = n_common.cast("double") / (
+        F.size("hs_new") + F.size("hs_old") - n_common
+    )
+    near_dups = (
+        candidates.join(new_h, "new_id")
+        .join(old_h, "old_id")
+        .where(jaccard >= tau)
+        .select("new_id")
+        .distinct()
+    )
+    return fresh.join(near_dups, fresh["doc_id"] == near_dups["new_id"], "left_anti")

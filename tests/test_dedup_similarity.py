@@ -155,3 +155,33 @@ def test_scalable_quartiles_approximate_exact_ntile(spark):
     for q in exact:
         # sketch-boundary drift stays under 2% of the population
         assert abs(approx.get(q, 0) - exact[q]) <= max(0.02 * total, 2), (q, approx, exact)
+
+
+def test_dedup_incremental_against_corpus(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import dedup_incremental
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different document about spark pipelines"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+            (11, "the quick brown fox jumps over the lazy dog yesterday"),  # near dup
+            (12, "completely novel content with no overlap at all here"),  # fresh
+        ],
+        schema,
+    )
+    kept = {r.doc_id for r in dedup_incremental(new, corpus).collect()}
+    assert kept == {12}, kept
+    # idempotent: a fresh batch against an empty corpus keeps everything
+    empty = spark.createDataFrame([], schema)
+    assert {r.doc_id for r in dedup_incremental(new, empty).collect()} == {10, 11, 12}
