@@ -464,3 +464,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.round(F.sum("d2"), 2).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------- C33
+_PURITY_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+    c.vec_id AS neighbor_id, c.label AS n_label,
+    {_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+      / ({_SQL_NORM.format(a="q.embedding")} * {_SQL_NORM.format(a="c.embedding")}) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_TOP_K}
+)
+SELECT query_id,
+  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+  CAST(ROUND(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+      / COUNT(*), 4) AS DOUBLE) AS purity
+FROM topk GROUP BY query_id
+"""
+
+
+@register("ann_label_purity", oracle=_PURITY_ORACLE)
+def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metric: the fraction of each query's exact
+    top-k neighbors sharing the query's label (the standard sanity
+    check that an embedding space clusters its classes). Built on the
+    same broadcast-scan top-k plan as the ANN baseline, plus one
+    conditional aggregation."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        F.col("label").alias("n_label"),
+    )
+    cosine = _dot("eq", "ec") / (_norm("eq") * _norm("ec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    topk = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_label", "n_label", cosine.alias("cosine"), "neighbor_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+    )
+    same = F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+    return topk.groupBy("query_id").agg(
+        same.cast("bigint").alias("n_same_label"),
+        F.round(same.cast("double") / F.count("*"), 4).alias("purity"),
+    )

@@ -341,3 +341,50 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------- C32
+_ZIPF_ORACLE = """
+WITH counts AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> '' GROUP BY w
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+  FROM counts
+)
+SELECT CAST(ROUND(REGR_SLOPE(LN(CAST(n AS DOUBLE)), LN(CAST(rank AS DOUBLE))), 4)
+    AS DOUBLE) AS zipf_slope,
+  CAST(ROUND(REGR_R2(LN(CAST(n AS DOUBLE)), LN(CAST(rank AS DOUBLE))), 4)
+    AS DOUBLE) AS r2,
+  COUNT(*) AS n_types
+FROM ranked WHERE rank <= 1000
+"""
+
+
+@register("zipf_fit", oracle=_ZIPF_ORACLE)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word distribution: log-frequency
+    regressed on log-rank over the top 1000 types (a natural corpus
+    should slope near -1; synthetic or templated text deviates —
+    a cheap corpus-health check). The rank window runs over the
+    word-count aggregate, not the tokens."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark.sql.window import Window as _W
+
+    counts = (
+        docs.select(F.explode_outer(F.split("text", " ")).alias("word"))
+        .where(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counts.select(
+        "n", F.row_number().over(_W.orderBy(F.desc("n"), "word")).alias("rank")
+    ).where(F.col("rank") <= 1000)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 4).alias("r2"),
+        F.count("*").alias("n_types"),
+    )
