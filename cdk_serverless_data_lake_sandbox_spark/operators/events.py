@@ -541,3 +541,59 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).cast("decimal(18,4)"), 2
         ).cast("double").alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------- B68
+_REPEAT_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, ts,
+    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id)) AS gap_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, COUNT(gap_us) AS n_repeats,
+  CAST(ROUND(AVG(CAST(gap_us AS DOUBLE)) / 3600e6, 4) AS DOUBLE) AS avg_gap_hours
+FROM purchases WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("repeat_purchase_interval", oracle=_REPEAT_ORACLE)
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average time between consecutive purchases per user (the
+    repeat-purchase cadence metric): LAG over each user's purchase
+    history in exact integer microseconds, averaged and surfaced in
+    hours. The event-type filter pushes into the scan."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return purchases.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_repeats"),
+        F.round(F.avg(F.col("gap_us").cast("double")) / 3.6e9, 4).alias("avg_gap_hours"),
+    )
+
+
+# ---------------------------------------------------------------- B69
+_ORDERSIZE_ORACLE = """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, COUNT(*) AS n_orders
+FROM sizes GROUP BY n_lines
+"""
+
+
+@register("order_size_distribution", oracle=_ORDERSIZE_ORACLE)
+def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order histogram: two-level aggregation where the
+    second groupBy runs over the already-tiny per-order counts."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"))
+    )
