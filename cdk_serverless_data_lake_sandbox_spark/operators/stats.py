@@ -814,3 +814,50 @@ def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------- B70
+_HHI_ORACLE = """
+WITH cust_rev AS (
+  SELECT c.c_nationkey, o.o_custkey,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+), nation_tot AS (
+  SELECT c_nationkey, SUM(rev) AS tot, COUNT(*) AS n_customers
+  FROM cust_rev GROUP BY c_nationkey
+)
+SELECT r.c_nationkey AS nationkey, MAX(t.n_customers) AS n_customers,
+  CAST(ROUND(SUM((r.rev / t.tot) * (r.rev / t.tot)), 6) AS DOUBLE) AS hhi
+FROM cust_rev r JOIN nation_tot t ON t.c_nationkey = r.c_nationkey
+GROUP BY r.c_nationkey
+"""
+
+
+@register("revenue_concentration_hhi", oracle=_HHI_ORACLE)
+def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl index of revenue concentration across customers per
+    nation (1/n = perfectly even, 1 = single-customer nation — the
+    skew early-warning for per-key partitioning). Per-customer
+    revenue is decimal-exact; shares and their squares are IEEE
+    doubles rounded to 6."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    cust_rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(dec("o_totalprice", 2)).cast("double").alias("rev"))
+    )
+    nation_tot = cust_rev.groupBy("c_nationkey").agg(
+        F.sum("rev").alias("tot"), F.count("*").alias("n_customers")
+    )
+    share = F.col("rev") / F.col("tot")
+    return (
+        cust_rev.join(nation_tot, "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
