@@ -861,3 +861,65 @@ def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+# ---------------------------------------------------------------- B71
+_SEGMENT_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+  COUNT(DISTINCT c.c_custkey) AS n_customers,
+  COUNT(o.o_orderkey) AS n_orders,
+  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+  CAST(ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      / COUNT(DISTINCT c.c_custkey), 4) AS DOUBLE) AS revenue_per_customer
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("segment_summary", oracle=_SEGMENT_ORACLE)
+def segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment BI rollup: customers, orders, revenue, and
+    revenue per customer in one left-join aggregation (customers with
+    no orders still count in the denominator)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    rev = F.sum(dec("o_totalprice", 2))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            money(rev).alias("revenue"),
+            F.round(rev.cast("double") / F.count_distinct("c_custkey"), 4).alias(
+                "revenue_per_customer"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B72
+_DAU_ORACLE = """
+WITH dau AS (
+  SELECT DATE_TRUNC('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT day, n_users,
+  CAST(ROUND(AVG(n_users) OVER (ORDER BY day
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS dau_ma7
+FROM dau
+"""
+
+
+@register("daily_active_users", oracle=_DAU_ORACLE)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU with a 7-day trailing average: the distinct-count shuffle
+    collapses to one row per day before the (tiny) global window."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    dau = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return dau.select(
+        "day", "n_users", F.round(F.avg("n_users").over(w), 4).alias("dau_ma7")
+    )
