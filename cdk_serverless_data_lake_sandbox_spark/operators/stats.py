@@ -923,3 +923,50 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.select(
         "day", "n_users", F.round(F.avg("n_users").over(w), 4).alias("dau_ma7")
     )
+
+
+# ---------------------------------------------------------------- B73
+_PARETO_ORACLE = """
+WITH cust_rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev,
+    SUM(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum_rev,
+    SUM(rev) OVER () AS total_rev,
+    COUNT(*) OVER () AS n_customers
+  FROM cust_rev
+)
+SELECT CAST(SUM(CASE WHEN cum_rev / total_rev <= 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+    AS n_top_customers,
+  CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+  CAST(ROUND(CAST(SUM(CASE WHEN cum_rev / total_rev <= 0.8 THEN 1 ELSE 0 END) + 1
+      AS DOUBLE) / MAX(n_customers), 4) AS DOUBLE) AS top_share
+FROM ranked
+"""
+
+
+@register("pareto_revenue", oracle=_PARETO_ORACLE)
+def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto check: how many top customers cover 80% of revenue. The
+    cumulative window runs over pre-aggregated per-customer revenue
+    in a deterministic (rev desc, custkey) order, so both engines
+    accumulate identical doubles in identical order."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cust_rev = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 2)).cast("double").alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = cust_rev.select(
+        (F.sum("rev").over(w) / F.sum("rev").over(wall)).alias("cum_share"),
+        F.count("*").over(wall).alias("n_customers"),
+    )
+    n_top = F.sum(F.when(F.col("cum_share") <= 0.8, 1).otherwise(0)) + 1
+    return ranked.agg(
+        n_top.cast("bigint").alias("n_top_customers"),
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.round(n_top.cast("double") / F.max("n_customers"), 4).alias("top_share"),
+    )

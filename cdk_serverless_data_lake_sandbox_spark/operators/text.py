@@ -388,3 +388,34 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(ln_n, ln_r), 4).alias("r2"),
         F.count("*").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------- C34
+_NULLPROFILE_ORACLE = """
+SELECT
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS blank_text,
+  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+  CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars <> LEN(text) THEN 1 ELSE 0 END)
+    AS BIGINT) AS bad_n_chars
+FROM documents
+"""
+
+
+@register("null_profile", oracle=_NULLPROFILE_ORACLE)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: blank text, missing language tags, and
+    n_chars values that contradict the text length — the ingest
+    validation a pipeline runs before anything downstream trusts the
+    columns. One scan of conditional sums."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        flag(F.col("text").isNull() | (F.trim("text") == "")).alias("blank_text"),
+        flag(F.col("lang").isNull()).alias("null_lang"),
+        flag(
+            F.col("n_chars").isNull() | (F.col("n_chars") != F.length("text"))
+        ).alias("bad_n_chars"),
+    )
