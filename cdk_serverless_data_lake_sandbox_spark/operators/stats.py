@@ -970,3 +970,37 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_customers").cast("bigint").alias("n_customers"),
         F.round(n_top.cast("double") / F.max("n_customers"), 4).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------- B74
+_REGION_ROLLUP_ORACLE = """
+SELECT r.r_name AS region, n.n_name AS nation,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@register("region_rollup", oracle=_REGION_ROLLUP_ORACLE)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over the geography dimension
+    (region -> nation -> grand total): the dims broadcast, one fact
+    shuffle produces all three aggregation levels."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    joined = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice", 2))).alias("revenue"),
+        )
+    )
