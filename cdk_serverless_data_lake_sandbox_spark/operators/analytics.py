@@ -241,6 +241,8 @@ def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "user_id"], support=0.05
     )
     return sketch.select(
-        F.array_sort("event_type_freqItems").alias("frequent_types"),
+        F.concat_ws(",", F.array_sort("event_type_freqItems")).alias(
+            "frequent_types"
+        ),
         F.size("user_id_freqItems").alias("n_frequent_users"),
     )

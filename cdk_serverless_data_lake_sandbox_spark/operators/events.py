@@ -356,7 +356,8 @@ WITH first_week AS (
 ), activity AS (
   SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
 )
-SELECT f.cohort, DATE_DIFF('day', f.cohort, a.wk) / 7 AS week_offset,
+SELECT f.cohort,
+  CAST(DATE_DIFF('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
   COUNT(DISTINCT a.user_id) AS n_active
 FROM activity a JOIN first_week f ON f.user_id = a.user_id
 GROUP BY f.cohort, week_offset

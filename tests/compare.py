@@ -27,6 +27,20 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     )
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for c in a.columns:
+        # The driver's value hash is dtype-sensitive: an int64 Spark column
+        # vs a float64 oracle column hash-mismatches even when every value
+        # compares equal (1 == 1.0). Mirror that strictness for numeric
+        # kinds so a dtype divergence can't pass locally and fail the gate.
+        a_num = pd.api.types.is_numeric_dtype(a[c])
+        b_num = pd.api.types.is_numeric_dtype(b[c])
+        if a_num and b_num:
+            a_kind = "f" if pd.api.types.is_float_dtype(a[c]) else "i"
+            b_kind = "f" if pd.api.types.is_float_dtype(b[c]) else "i"
+            assert a_kind == b_kind, (
+                f"{name}: col {c!r} dtype kind mismatch: spark "
+                f"{a[c].dtype} vs oracle {b[c].dtype} (driver hash would fail)"
+            )
+    for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]):
             both_nan = pd.isna(av) & pd.isna(bv)

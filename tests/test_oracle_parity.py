@@ -33,3 +33,16 @@ def test_parity(spark, duck_medium, name):
     spark_pdf = _QUERIES[name](spark, SF_MEDIUM).toPandas()
     oracle_pdf = duck_medium.execute(_ORACLES[name]).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_compare_rejects_int_float_dtype_divergence():
+    """The driver's value hash is dtype-sensitive: int64 vs float64 with
+    equal values (1 == 1.0) hash-mismatches. The local mirror must fail
+    that case too — this is the exact divergence that made the old
+    cohort_retention oracle (float `/ 7`) pass locally but fail the gate."""
+    import pandas as pd
+
+    ints = pd.DataFrame({"k": ["a", "b"], "v": pd.array([1, 2], dtype="int64")})
+    floats = pd.DataFrame({"k": ["a", "b"], "v": pd.array([1.0, 2.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype kind mismatch"):
+        assert_frames_match(ints, floats, "dtype_guard")
