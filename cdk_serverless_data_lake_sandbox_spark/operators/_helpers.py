@@ -31,3 +31,54 @@ def dmean(sum_col: Column, count_col: Column, name: str) -> Column:
 # SQL-side equivalents for oracle strings (DuckDB dialect == ANSI here).
 def sql_dec(expr: str, scale: int = 4) -> str:
     return f"CAST({expr} AS DECIMAL(18,{scale}))"
+
+
+# ---------------------------------------------------------------- scratch
+# Materialized intermediates. Spark has no common-subplan reuse: a frame
+# referenced in k branches of one plan is recomputed k times. For cheap
+# upstreams that is fine; for an expensive derivation (tokenize + hash a
+# 100 TB corpus) the scale-safe form is a written intermediate that every
+# branch scans. On a cluster this would be a parquet table in a scratch
+# zone; locally it is a per-application directory under the repo.
+import atexit as _atexit
+import os as _os
+import shutil as _shutil
+import uuid as _uuid
+
+_SCRATCH_ROOT = _os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))), ".scratch"),
+)
+_MATERIALIZED: dict[tuple[str, str], str] = {}
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def materialize(df, key: str | None = None):
+    """Write ``df`` to a scratch parquet path once and return a frame
+    that scans it, truncating lineage so downstream multi-branch plans
+    pay for the derivation exactly once.
+
+    ``key`` enables reuse across queries in one application (e.g. the
+    hashed-shingle frame for a given sf_dir, shared by the jaccard /
+    removal / components queries); keyless calls always write fresh.
+    The read applies the writer's schema explicitly so an empty frame
+    round-trips."""
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    if key is not None and (app, key) in _MATERIALIZED:
+        path = _MATERIALIZED[(app, key)]
+        return spark.read.schema(df.schema).parquet(path)
+    app_dir = _os.path.join(_SCRATCH_ROOT, app)
+    if app not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(app)
+        _atexit.register(_shutil.rmtree, app_dir, ignore_errors=True)
+    safe = (key or uuid_hex()).replace("/", "_").replace(":", "_")
+    path = _os.path.join(app_dir, safe)
+    df.write.mode("overwrite").parquet(path)
+    if key is not None:
+        _MATERIALIZED[(app, key)] = path
+    return spark.read.schema(df.schema).parquet(path)
+
+
+def uuid_hex() -> str:
+    return _uuid.uuid4().hex

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 # 3-word shingles as the similarity unit. The word array is projected
@@ -53,6 +54,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stable key."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Only pay the redistribution shuffle when the scan is actually
+    # under-parallel (one small parquet file -> one task). At real
+    # scale the corpus arrives as thousands of splits and an
+    # unconditional repartition would be a full extra shuffle of the
+    # corpus for nothing.
+    if docs.rdd.getNumPartitions() >= max(n // 2, 2):
+        return docs
     return docs.repartition(n, "doc_id")
 
 
@@ -93,7 +101,9 @@ WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
-def ngram_jaccard_pairs(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, tau: float = _JACCARD_TAU, scratch_key: str | None = None
+) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (jaccard >= tau) over any
     documents-shaped frame — the reusable core of dedup_ngram_jaccard
     and the corpus pipeline.
@@ -109,16 +119,26 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame
     Pairs sharing only non-prefix shingles on BOTH sides are pruned
     before the shuffle; survivors are verified exactly by
     intersecting full shingle-hash arrays (so the prefix trick can
-    only prune, never change a jaccard value). At real scale the
-    hashed-shingle frame would be a materialized intermediate; here
-    it is recomputed per join branch (two cheap scans)."""
+    only prune, never change a jaccard value).
+
+    The hashed-shingle frame feeds three plan branches (postings and
+    both sides of the verify join); Spark would tokenize + hash the
+    corpus three times, so it is materialized once (a written scratch
+    intermediate, not an in-memory cache — at 100 TB the corpus does
+    not fit executor memory) and every branch scans the parquet.
+    ``scratch_key`` additionally shares the intermediate across
+    queries deriving from the same input (jaccard / removal /
+    components over one sf_dir)."""
     # Hash shingles to 8-byte keys (collisions are 2^-64 per pair;
     # the oracle parity test would catch one) and sort for the global
     # prefix order.
-    hashed = _shingled(docs).select(
-        "doc_id",
-        F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias("hs"),
-    ).select("doc_id", "hs", F.size("hs").alias("n_sh"))
+    hashed = materialize(
+        _shingled(docs).select(
+            "doc_id",
+            F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias("hs"),
+        ).select("doc_id", "hs", F.size("hs").alias("n_sh")),
+        key=scratch_key,
+    )
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * tau) + 1
     # posexplode_outer, not posexplode: the non-outer Generate lets the
     # optimizer infer a size(hs) > 0 filter and push it below the
@@ -177,7 +197,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cost is O(sum of posting^2), never O(n_docs^2). The DuckDB
     oracle computes the same thing the quadratic way — exact
     agreement is the test that the indexed plan loses nothing."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), scratch_key=f"ngram-hashed:{sf_dir}"
+    )
 
 
 # ---------------------------------------------------------------- C2

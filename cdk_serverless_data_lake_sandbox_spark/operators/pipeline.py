@@ -84,7 +84,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keeps, gated.doc_id == keeps.keep_id, "left_semi"
     )
     drops = (
-        ngram_jaccard_pairs(survivors)
+        ngram_jaccard_pairs(survivors, scratch_key=f"ngram-hashed-gated:{sf_dir}")
         .select(F.col("b_id").alias("drop_id"))
         .distinct()
     )
@@ -141,7 +141,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup keep-one policy consumes. The DuckDB oracle computes the
     same fixpoint with a recursive CTE."""
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs).select("a_id", "b_id")
+    pairs = ngram_jaccard_pairs(
+        docs, scratch_key=f"ngram-hashed:{sf_dir}"
+    ).select("a_id", "b_id")
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))

@@ -125,7 +125,8 @@ def test_frequent_items_contains_exact_heavy_hitters(spark):
     )
     total = sum(r["count"] for r in exact)
     heavy = {r.event_type for r in exact if r["count"] / total > 0.05}
-    assert heavy <= set(row.frequent_types), (heavy, row.frequent_types)
+    got = set(row.frequent_types.split(",")) if row.frequent_types else set()
+    assert heavy <= got, (heavy, got)
     assert row.n_frequent_users >= 0
 
 

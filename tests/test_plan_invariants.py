@@ -144,3 +144,15 @@ def test_topn_queries_fuse_limit_and_sort(spark):
     ):
         plan = formatted_plan(_Q[name](spark, SF_MEDIUM))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_ngram_jaccard_single_tokenize_pass(spark):
+    """The hashed-shingle frame feeds three plan branches (postings +
+    both verify sides). It must be a materialized intermediate, not
+    recomputed per branch: the final plan may contain NO tokenize
+    expressions (split/sequence/xxhash-of-shingle) — only scans of the
+    scratch parquet."""
+    plan = formatted_plan(_Q["dedup_ngram_jaccard"](spark, SF_MEDIUM))
+    assert "split(" not in plan, "tokenize leaked into the pair plan"
+    assert "sequence(" not in plan, "shingle windowing leaked into the pair plan"
+    assert plan.count(".scratch") >= 3, plan
