@@ -13,9 +13,78 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from decimal import Decimal
+
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, materialize, money
 from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+
+def total_order_index(
+    df: DataFrame,
+    key,
+    tiebreaks: list,
+    descending: bool = False,
+    cum=None,
+    cum_dtype: str = "decimal(38,2)",
+    accuracy: int = 10000,
+):
+    """Exact global row numbers — and optionally an exact running sum —
+    in the total order (key, *tiebreaks), WITHOUT a single-reducer sort.
+
+    ``Window.orderBy(...)`` with no partition spec plans every row
+    through one task: the classic scale killer. Instead: (1) sketch
+    ~evenly populated key ranges with percentile_approx (boundaries
+    need not be exact — any monotone bucketing of the key preserves
+    the order between ranges); (2) assign each row its range id with a
+    deterministic expression on the key value, so ties can never
+    straddle ranges; (3) aggregate per-range counts (and decimal sums)
+    — a <= shuffle-partitions-sized frame collected to the driver,
+    where running offsets are accumulated exactly; (4) rank/cumsum
+    WITHIN each range in parallel (one hash shuffle on the range id)
+    and add the range's offset. Two extra cheap passes buy full
+    parallelism at any scale.
+
+    Returns (frame + `_i` [+ `_cum`] columns, total_count, total_cum);
+    the totals come free from the offset pass — no extra scalar
+    subquery needed downstream.
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dkey = key.cast("double")
+    qs = [i / n_part for i in range(1, n_part)]
+    raw = df.agg(F.percentile_approx(dkey, qs, accuracy).alias("c")).first()["c"]
+    cuts = sorted(set(raw or []), reverse=descending)
+    pid = F.lit(0)
+    for c in cuts:
+        past_cut = (dkey < F.lit(c)) if descending else (dkey > F.lit(c))
+        pid = pid + F.when(past_cut, 1).otherwise(0)
+    parted = df.withColumn("_pid", pid.cast("int"))
+    aggs = [F.count("*").alias("_cnt")]
+    if cum is not None:
+        aggs.append(F.sum(cum.cast(cum_dtype)).alias("_s"))
+    stats = {r["_pid"]: r for r in parted.groupBy("_pid").agg(*aggs).collect()}
+    rows, run_n, run_s = [], 0, Decimal(0)
+    for p in sorted(stats):
+        rows.append((p, run_n, str(run_s)))
+        run_n += stats[p]["_cnt"]
+        if cum is not None:
+            run_s += stats[p]["_s"]
+    off = spark.createDataFrame(
+        rows, "`_pid` int, `_off` long, `_soff` string"
+    ).select("_pid", "_off", F.col("_soff").cast(cum_dtype).alias("_soff"))
+    order = [key.desc() if descending else key.asc(), *tiebreaks]
+    w = Window.partitionBy("_pid").orderBy(*order)
+    out = parted.join(F.broadcast(off), "_pid").withColumn(
+        "_i", F.row_number().over(w) + F.col("_off")
+    )
+    if cum is not None:
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            "_cum",
+            (F.sum(cum.cast(cum_dtype)).over(frame) + F.col("_soff")).cast(cum_dtype),
+        )
+    return out.drop("_pid", "_off", "_soff"), run_n, run_s
 
 
 # ---------------------------------------------------------------- B43
@@ -32,16 +101,27 @@ FROM ranked GROUP BY quartile
 
 @register("ntile_quartiles", oracle=_NTILE_ORACLE)
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance quartiles via NTILE(4). The tiebreak on
-    c_custkey makes the assignment total-order deterministic. A global
-    NTILE needs a single-partition sort — at 100 TB the same result
-    comes from approx_percentile boundaries + a bucket join; this
-    entry exercises the exact window form the reference's SQL layer
-    offers."""
+    """Account-balance quartiles with exact NTILE(4) semantics but no
+    single-partition sort: global row numbers come from
+    total_order_index (range-bucketed parallel ranking), and the
+    NTILE bucket is computed from the rank with the standard
+    first-(n mod k)-buckets-get-the-extra-row rule. Hash-identical to
+    the oracle's NTILE because the total order (c_acctbal, c_custkey)
+    is the same."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked, n, _ = total_order_index(
+        c.select("c_acctbal", "c_custkey"), F.col("c_acctbal"), [F.col("c_custkey")]
+    )
+    s, m = divmod(n, 4)
+    head = m * (s + 1)  # ranks covered by the size-(s+1) buckets
+    i = F.col("_i")
+    quartile = (
+        F.when(i <= head, F.floor((i - 1) / (s + 1)) + 1)
+        .otherwise(m + F.floor((i - 1 - head) / max(s, 1)) + 1)
+        .cast("bigint")
+    )
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        ranked.select("c_acctbal", quartile.alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -703,8 +783,8 @@ WITH per_user AS (
   FROM per_user
 )
 SELECT CAST(ROUND(
-  SUM((2.0 * i - total_users - 1) * n)
-    / (MAX(total_users) * SUM(CAST(n AS DOUBLE))),
+  CAST(SUM(CAST((2 * i - total_users - 1) * n AS DECIMAL(38,0))) AS DOUBLE)
+    / (MAX(total_users) * CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE)),
   6) AS DOUBLE) AS gini,
   CAST(MAX(total_users) AS BIGINT) AS n_users
 FROM ranked
@@ -714,24 +794,26 @@ FROM ranked
 @register("activity_gini", oracle=_GINI_ORACLE)
 def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of event volume across users — the
-    concentration metric a pipeline watches for hot-user skew. The
-    rank runs over the (tiny) per-user aggregate, not the events; the
-    weighted sum is over exact integers so both engines agree."""
+    concentration metric a pipeline watches for hot-user skew. Ranks
+    over the per-user aggregate come from total_order_index (parallel
+    range-bucketed ranking, no single-reducer window), and the
+    weighted sum runs in DECIMAL so it is exact and
+    accumulation-order independent in both engines at any scale."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    w = Window.orderBy("n", "user_id")
-    ranked = per_user.select(
-        "n",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("total_users"),
+    per_user = materialize(
+        ev.groupBy("user_id").agg(F.count("*").alias("n"))
     )
+    ranked, n_users, _ = total_order_index(
+        per_user, F.col("n"), [F.col("user_id")]
+    )
+    term = ((2 * F.col("_i") - n_users - 1) * F.col("n")).cast("decimal(38,0)")
     return ranked.agg(
         F.round(
-            F.sum((2.0 * F.col("i") - F.col("total_users") - 1) * F.col("n"))
-            / (F.max("total_users") * F.sum(F.col("n").cast("double"))),
+            F.sum(term).cast("double")
+            / (n_users * F.sum(F.col("n").cast("decimal(38,0)")).cast("double")),
             6,
         ).alias("gini"),
-        F.max("total_users").cast("bigint").alias("n_users"),
+        F.lit(n_users).cast("bigint").alias("n_users"),
     )
 
 
@@ -928,7 +1010,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- B73
 _PARETO_ORACLE = """
 WITH cust_rev AS (
-  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY o_custkey
 ), ranked AS (
   SELECT rev,
@@ -937,38 +1019,41 @@ WITH cust_rev AS (
     COUNT(*) OVER () AS n_customers
   FROM cust_rev
 )
-SELECT CAST(SUM(CASE WHEN cum_rev / total_rev <= 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT)
-    AS n_top_customers,
+SELECT CAST(SUM(CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8
+      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_top_customers,
   CAST(MAX(n_customers) AS BIGINT) AS n_customers,
-  CAST(ROUND(CAST(SUM(CASE WHEN cum_rev / total_rev <= 0.8 THEN 1 ELSE 0 END) + 1
-      AS DOUBLE) / MAX(n_customers), 4) AS DOUBLE) AS top_share
+  CAST(ROUND(CAST(SUM(CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8
+      THEN 1 ELSE 0 END) + 1 AS DOUBLE) / MAX(n_customers), 4) AS DOUBLE) AS top_share
 FROM ranked
 """
 
 
 @register("pareto_revenue", oracle=_PARETO_ORACLE)
 def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto check: how many top customers cover 80% of revenue. The
-    cumulative window runs over pre-aggregated per-customer revenue
-    in a deterministic (rev desc, custkey) order, so both engines
-    accumulate identical doubles in identical order."""
+    """Pareto check: how many top customers cover 80% of revenue.
+    The running revenue total comes from total_order_index (parallel
+    range-bucketed cumulative sum over the per-customer aggregate —
+    no single-reducer window), carried in DECIMAL so partial sums are
+    exact and both engines agree bit-for-bit regardless of
+    accumulation grouping."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    cust_rev = o.groupBy("o_custkey").agg(
-        F.sum(dec("o_totalprice", 2)).cast("double").alias("rev")
+    cust_rev = materialize(
+        o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice", 2)).alias("rev"))
     )
-    w = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked, n_customers, total_rev = total_order_index(
+        cust_rev,
+        F.col("rev"),
+        [F.col("o_custkey")],
+        descending=True,
+        cum=F.col("rev"),
+        cum_dtype="decimal(38,2)",
     )
-    wall = Window.partitionBy()
-    ranked = cust_rev.select(
-        (F.sum("rev").over(w) / F.sum("rev").over(wall)).alias("cum_share"),
-        F.count("*").over(wall).alias("n_customers"),
-    )
-    n_top = F.sum(F.when(F.col("cum_share") <= 0.8, 1).otherwise(0)) + 1
+    cum_share = F.col("_cum").cast("double") / float(total_rev)
+    n_top = F.sum(F.when(cum_share <= 0.8, 1).otherwise(0)) + 1
     return ranked.agg(
         n_top.cast("bigint").alias("n_top_customers"),
-        F.max("n_customers").cast("bigint").alias("n_customers"),
-        F.round(n_top.cast("double") / F.max("n_customers"), 4).alias("top_share"),
+        F.lit(n_customers).cast("bigint").alias("n_customers"),
+        F.round(n_top.cast("double") / n_customers, 4).alias("top_share"),
     )
 
 

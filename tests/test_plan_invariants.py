@@ -156,3 +156,28 @@ def test_ngram_jaccard_single_tokenize_pass(spark):
     assert "split(" not in plan, "tokenize leaked into the pair plan"
     assert "sequence(" not in plan, "shingle windowing leaked into the pair plan"
     assert plan.count(".scratch") >= 3, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ntile_quartiles", "activity_gini", "pareto_revenue"]
+)
+def test_no_single_reducer_window(spark, name):
+    """Global ranks/cumsums must come from range-bucketed parallel
+    ranking (total_order_index), never an unpartitioned Window: a
+    Window fed by Exchange SinglePartition pushes every row through
+    one task. The tree check walks each Window node's subtree down to
+    the next plan fan-out and asserts no single-partition exchange
+    feeds it."""
+    plan = formatted_plan(_Q[name](spark, SF_MEDIUM))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        for nxt in lines[i + 1 : i + 6]:
+            nxt_depth = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nxt.strip() and nxt_depth <= depth:
+                break
+            assert "Exchange SinglePartition" not in nxt, (
+                f"{name}: single-reducer window\n{plan}"
+            )
