@@ -409,6 +409,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C31
+def _hashed_side(df: DataFrame, side: str) -> DataFrame:
+    """Sorted shingle-hash arrays for one side of the incremental
+    join, materialized once (each side feeds its inverted index AND
+    the verify join — two plan branches)."""
+    return materialize(
+        _shingled(df).select(
+            F.col("doc_id").alias(f"{side}_id"),
+            F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias(f"hs_{side}"),
+        )
+    )
+
+
+def _side_inv(h: DataFrame, side: str, tau: float) -> DataFrame:
+    """Inverted shingle index with the AllPairs prefix flag: only a
+    document's first ``n - ceil(tau*n) + 1`` sorted hashes may OPEN a
+    candidate (same lossless argument as ngram_jaccard_pairs —
+    cross-side, a qualifying pair must share a prefix shingle of at
+    least one side)."""
+    n = F.size(f"hs_{side}")
+    pl = n - F.ceil(n * tau) + 1
+    return (
+        h.select(
+            f"{side}_id",
+            n.alias(f"n_{side}"),
+            F.posexplode_outer(f"hs_{side}").alias("pos", "shingle"),
+            pl.alias("_pl"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .select(
+            f"{side}_id", f"n_{side}", "shingle",
+            (F.col("pos") < F.col("_pl")).alias(f"pref_{side}"),
+        )
+    )
+
+
+def incremental_candidates(
+    new_h: DataFrame, old_h: DataFrame, tau: float = _JACCARD_TAU
+) -> DataFrame:
+    """Cross-side candidate pairs: share a shingle, pass the size-ratio
+    filter, and the shared shingle is in at least one side's prefix.
+    Exposed separately so tests can assert the candidate count."""
+    return (
+        _side_inv(new_h, "new", tau)
+        .join(_side_inv(old_h, "old", tau), "shingle")
+        .where(
+            (F.col("n_old") >= F.col("n_new") * tau)
+            & (F.col("n_new") >= F.col("n_old") * tau)
+            & (F.col("pref_new") | F.col("pref_old"))
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame, corpus: DataFrame, tau: float = _JACCARD_TAU
 ) -> DataFrame:
@@ -417,37 +471,17 @@ def dedup_incremental(
     corpus. Asymmetric by construction — the corpus side contributes
     only its content hashes and shingle postings, never pairs within
     itself, so a daily batch pays for |batch| x (posting overlap)
-    work, not a corpus self-join. The same length/prefix filters as
-    the self-join variant apply."""
+    work, not a corpus self-join. The same length AND AllPairs-prefix
+    filters as the self-join variant bound the candidate count; both
+    sides' hashed-shingle frames are materialized once."""
     # exact: content-hash anti join
     corpus_hashes = corpus.select(F.md5("text").alias("_h")).distinct()
     fresh = new_docs.join(
         corpus_hashes, F.md5(new_docs["text"]) == corpus_hashes["_h"], "left_anti"
     )
-    # near: hashed shingles for both sides, pairs only across sides
-    def hashed(df: DataFrame, side: str) -> DataFrame:
-        return _shingled(df).select(
-            F.col("doc_id").alias(f"{side}_id"),
-            F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias(f"hs_{side}"),
-        )
-
-    new_h = hashed(fresh, "new")
-    old_h = hashed(corpus, "old")
-    new_inv = new_h.select(
-        "new_id", F.size("hs_new").alias("n_new"), F.explode_outer("hs_new").alias("shingle")
-    ).where(F.col("shingle").isNotNull())
-    old_inv = old_h.select(
-        "old_id", F.size("hs_old").alias("n_old"), F.explode_outer("hs_old").alias("shingle")
-    ).where(F.col("shingle").isNotNull())
-    candidates = (
-        new_inv.join(old_inv, "shingle")
-        .where(
-            (F.col("n_old") >= F.col("n_new") * tau)
-            & (F.col("n_new") >= F.col("n_old") * tau)
-        )
-        .select("new_id", "old_id")
-        .distinct()
-    )
+    new_h = _hashed_side(fresh, "new")
+    old_h = _hashed_side(corpus, "old")
+    candidates = incremental_candidates(new_h, old_h, tau)
     n_common = F.size(F.array_intersect("hs_new", "hs_old"))
     jaccard = n_common.cast("double") / (
         F.size("hs_new") + F.size("hs_old") - n_common

@@ -179,23 +179,39 @@ def zorder_write(
     target_path: str,
     key_a: str,
     key_b: str,
-    bits: int = 16,
+    bits: int = 8,
     files: int = 8,
 ) -> None:
-    """Multi-dimensional clustering write (z-order analog): rank each
-    key to a bounded integer, interleave the bit patterns into one
+    """Multi-dimensional clustering write (z-order analog): bucket each
+    key to a bounded integer rank, interleave the bit patterns into one
     Morton code, and range-repartition + sort the write by it. Rows
     close in BOTH key dimensions land in the same parquet row groups,
     so min/max stats prune scans filtered on either key — the layout
     trick behind Delta/Iceberg OPTIMIZE ZORDER, done with plain
-    DataFrame ops. Ranks come from percent_rank windows; at 100 TB
-    swap in approx-quantile bucketing for the same layout without the
-    global sort (the write itself already range-partitions)."""
-    from pyspark.sql.window import Window
+    DataFrame ops.
 
-    scale = (1 << bits) - 1
-    ra = (F.percent_rank().over(Window.orderBy(key_a)) * scale).cast("long")
-    rb = (F.percent_rank().over(Window.orderBy(key_b)) * scale).cast("long")
+    Ranks come from approxQuantile cut points (one sketch pass for both
+    keys) applied as a per-row bucket expression — NO global sort and
+    no single-reducer percent_rank window; the only ordering work is
+    the range partitioning the write needs anyway. ``bits`` buckets
+    per dimension (2^bits cells per axis) is plenty to separate row
+    groups: layout quality needs cells smaller than a row group, not
+    a total order."""
+    n_buckets = 1 << bits
+    scale = n_buckets - 1
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_a, cuts_b = df.approxQuantile([key_a, key_b], qs, 0.001)
+
+    def bucket(col: str, cuts: list[float]):
+        # Count of cut points below the value = quantile bucket index,
+        # rescaled to fill all `bits` bits — a low-cardinality key must
+        # still drive the HIGH Morton bits or it never clusters.
+        uniq = sorted(set(cuts))
+        arr = "array(" + ",".join(f"{c!r}D" for c in uniq) + ")"
+        raw = F.expr(f"size(filter({arr}, c -> cast({col} as double) > c))")
+        return (raw * scale / max(len(uniq), 1)).cast("long")
+
+    ra, rb = bucket(key_a, cuts_a), bucket(key_b, cuts_b)
     interleave = " + ".join(
         f"(shiftleft(shiftright(_ra, {i}) & 1, {2 * i + 1}) + "
         f"shiftleft(shiftright(_rb, {i}) & 1, {2 * i}))"

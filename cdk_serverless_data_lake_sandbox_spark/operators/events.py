@@ -504,7 +504,7 @@ def scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FFILL_ORACLE = """
 WITH sparse AS (
   SELECT event_id, user_id, ts,
-    NULLIF(value * CASE WHEN event_type = 'error' THEN 0 ELSE 1 END, 0) AS v
+    CASE WHEN event_type <> 'error' THEN value END AS v
   FROM events
 )
 SELECT event_id, user_id,
@@ -521,15 +521,13 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     are treated as missing readings and repaired with the user's most
     recent valid value — LAST_VALUE IGNORE NULLS over an unbounded
     preceding frame, the standard sensor-gap repair. Rows before any
-    valid reading stay null."""
+    valid reading stay null. Missingness is gated on event_type
+    directly so a legitimate reading of exactly 0 is NOT overwritten
+    (the old NULLIF(value*flag, 0) form conflated the two)."""
     ev = _events(spark, sf_dir)
     sparse = ev.select(
         "event_id", "user_id", "ts",
-        F.nullif(
-            F.col("value")
-            * F.when(F.col("event_type") == "error", 0).otherwise(1),
-            F.lit(0),
-        ).alias("v"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
     )
     w = (
         Window.partitionBy("user_id")

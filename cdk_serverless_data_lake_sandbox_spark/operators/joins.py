@@ -26,7 +26,18 @@ def salted_join(
     """Equi-join with key salting. ``big`` rows get a deterministic
     salt in [0, n_salts); ``small`` rows are replicated once per salt,
     so every (key, salt) pair co-locates. Shuffle skew per key drops
-    by ~n_salts at the cost of replicating the small side."""
+    by ~n_salts at the cost of replicating the small side.
+
+    Only ``inner`` and ``left`` are supported: under right/full outer
+    joins an UNMATCHED small-side row would surface once per salt
+    replica (n_salts duplicate rows). Those modes need a post-join
+    replica dedup that would re-shuffle on the key — at which point
+    salting bought nothing; use a plain join (AQE skew-split) instead."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left, not {how!r}: unmatched "
+            "small-side rows would duplicate once per salt replica"
+        )
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(big_key), F.monotonically_increasing_id()), F.lit(n_salts))
     )

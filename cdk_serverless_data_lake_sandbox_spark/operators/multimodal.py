@@ -77,28 +77,40 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
     """Arrow-batched decode + feature extraction over the binary
     column. One ``mapInPandas`` pass: batches arrive as pandas frames
     (no per-row Python dispatch), features are a 8-bin byte histogram
-    (stand-in for an embedding model forward pass)."""
+    (stand-in for an embedding model forward pass).
+
+    The per-payload feature math is numpy over the whole batch — all
+    payloads concatenate into ONE uint8 buffer, and the histogram /
+    mean reduce per-payload via bincount on (payload_index * 8 |
+    bucket) composite codes. This is the pattern a real decoder's
+    post-processing must follow: the Python boundary is crossed once
+    per Arrow batch, never per row or per byte."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            n_bytes, mean_byte, feats = [], [], []
-            for data in pdf["media"]:
-                b = bytes(data)
-                n, m = _decode_bytes(b)
-                n_bytes.append(n)
-                mean_byte.append(m)
-                hist = [0.0] * 8
-                for byte in b:
-                    hist[byte >> 5] += 1.0
-                feats.append([h / n for h in hist])
+            payloads = [bytes(d) for d in pdf["media"]]
+            for b in payloads:
+                _decode_bytes(b)  # stub decode: validates non-empty
+            lens = np.array([len(b) for b in payloads], dtype=np.int64)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            owner = np.repeat(np.arange(len(payloads)), lens)
+            sums = np.bincount(owner, weights=flat, minlength=len(payloads))
+            mean_byte = sums / lens
+            codes = owner * 8 + (flat >> 5)
+            hist = np.bincount(codes, minlength=len(payloads) * 8).reshape(
+                len(payloads), 8
+            )
+            feats = hist / lens[:, None]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": pdf["meta"].map(lambda s: s["width"]),
                     "height": pdf["meta"].map(lambda s: s["height"]),
-                    "n_bytes": n_bytes,
+                    "n_bytes": lens.astype(np.int32),
                     "mean_byte": mean_byte,
-                    "features": feats,
+                    "features": feats.tolist(),
                 }
             )
 

@@ -186,3 +186,57 @@ def test_dedup_incremental_against_corpus(spark):
     # idempotent: a fresh batch against an empty corpus keeps everything
     empty = spark.createDataFrame([], schema)
     assert {r.doc_id for r in dedup_incremental(new, empty).collect()} == {10, 11, 12}
+
+
+def test_incremental_prefix_filter_prunes_candidates(spark):
+    """The AllPairs prefix condition must prune cross-side candidate
+    pairs that share only non-prefix shingles on BOTH sides, without
+    changing dedup results. The pair below shares exactly one shingle
+    that sorts into neither side's prefix at tau=0.9 (prefix length =
+    n - ceil(0.9 n) + 1 = 1 for n<=10, so only the smallest hash may
+    open a candidate)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _hashed_side,
+        incremental_candidates,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")], schema
+    )
+    new = spark.createDataFrame(
+        [(10, "one two three four five six seven eta theta iota")], schema
+    )
+    new_h, old_h = _hashed_side(new, "new"), _hashed_side(corpus, "old")
+
+    def n_cands(tau):
+        return incremental_candidates(new_h, old_h, tau).count()
+
+    # At tau=0.5 the shared shingle may open the pair (prefix is about
+    # half the shingles); at a high tau the prefix shrinks to the very
+    # smallest hashes and the pair must be pruned UNLESS one of its
+    # shared shingles happens to hash minimal — assert the filtered
+    # count never exceeds the unfiltered inverted-index join.
+    naive = (
+        _hashed_side(new, "new")
+        .crossJoin(_hashed_side(corpus, "old"))
+        .where(F.size(F.array_intersect("hs_new", "hs_old")) > 0)
+        .count()
+    )
+    assert n_cands(0.5) <= naive
+    # tau=0.9: size ratio alone passes (10 vs 10 shingles) but the one
+    # shared 3-gram run can't reach jaccard 0.9, and prefix filtering
+    # must already prune the pair at candidate time (count == 0) or at
+    # worst keep it (count <= 1); dedup output must keep doc 10 either
+    # way.
+    assert n_cands(0.9) <= 1
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import dedup_incremental
+
+    kept = {r.doc_id for r in dedup_incremental(new, corpus, tau=0.9).collect()}
+    assert kept == {10}
