@@ -137,3 +137,52 @@ class Lake:
             if d.startswith("v=") and d.split("=", 1)[1].isdigit()
         ]
         return max(versions, default=-1)
+
+
+class ResultsZone:
+    """Query-results location — the Athena workgroup analog.
+
+    The reference pins every named query's output to a dedicated
+    results bucket/prefix via the workgroup result configuration
+    (``stacks/demo_stack.py:250-266``). Same contract here: every run
+    of a named query persists its result set as parquet under
+    ``<root>/<name>/run=N`` and stays re-readable afterwards — results
+    are data, not a driver-side display artifact."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def run(self, name: str, df: DataFrame) -> int:
+        """Execute ``df`` and persist the result set; returns the run
+        number. Runs are append-only (Athena keeps every query's
+        output object)."""
+        base = os.path.join(self.root, name)
+        run = self._latest_run(base) + 1
+        df.write.mode("errorifexists").parquet(os.path.join(base, f"run={run}"))
+        return run
+
+    def read(self, name: str, run: int | None = None) -> DataFrame:
+        run = self._latest_run(os.path.join(self.root, name)) if run is None else run
+        return self.spark.read.parquet(os.path.join(self.root, name, f"run={run}"))
+
+    def list_runs(self, name: str) -> list[int]:
+        base = os.path.join(self.root, name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("run=") and d.split("=", 1)[1].isdigit()
+        )
+
+    def _latest_run(self, base: str) -> int:
+        if not os.path.isdir(base):
+            return -1
+        runs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("run=") and d.split("=", 1)[1].isdigit()
+        ]
+        return max(runs, default=-1)

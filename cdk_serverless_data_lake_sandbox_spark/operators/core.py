@@ -27,22 +27,74 @@ from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 # ---------------------------------------------------------------- A1
-@register(
-    "preview_nation",
-    oracle="SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
-)
-def preview_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("nation",))
-    return t["nation"].orderBy("n_nationkey").limit(10)
+# Preview factory: the reference loops its dataset folders and emits a
+# named `SELECT * ... LIMIT 10` preview per asset
+# (stacks/demo_stack.py:267-282). Same shape here: one preview per
+# catalog table, made deterministic with ORDER BY on the primary key.
+# TakeOrderedAndProject fuses the sort+limit, so a preview never sorts
+# the table globally. The embeddings preview projects typed metadata
+# (dim, L2 norm) instead of the raw vector — an array column can't be
+# canonicalized by the correctness gate, and metadata IS the preview a
+# human wants for a vector table.
+_PREVIEW_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+}
+
+
+def _make_preview(table: str, keys: tuple[str, ...]):
+    def preview(spark: SparkSession, sf_dir: str, _t=table, _k=keys) -> DataFrame:
+        return load_tables(spark, sf_dir, (_t,))[_t].orderBy(*_k).limit(10)
+
+    preview.__name__ = f"preview_{table}"
+    preview.__doc__ = (
+        f"Named preview query for `{table}` "
+        "(reference: stacks/demo_stack.py:267-282)."
+    )
+    return preview
+
+
+for _t, _k in _PREVIEW_KEYS.items():
+    register(
+        f"preview_{_t}",
+        oracle=f"SELECT * FROM {_t} ORDER BY {', '.join(_k)} LIMIT 10",
+    )(_make_preview(_t, _k))
 
 
 @register(
-    "preview_orders",
-    oracle="SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
+    "preview_embeddings",
+    oracle="""
+    SELECT vec_id, label, len(embedding) AS dim,
+      CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DOUBLE) AS l2_norm
+    FROM embeddings ORDER BY vec_id LIMIT 10
+    """,
 )
-def preview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("orders",))
-    return t["orders"].orderBy("o_orderkey").limit(10)
+def preview_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0.0d, (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(norm, 4).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+        .limit(10)
+    )
 
 
 # ---------------------------------------------------------------- A2

@@ -28,14 +28,102 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Queries the driver's (possibly truncated) verification pass must see
+# first: rows whose implementation or oracle changed this round, new
+# surface, then queries that have never received a driver verdict.
+# Everything else follows in registration order — nothing is dropped,
+# only reordered.
+_VERIFY_FIRST = [
+    # changed this round
+    "cohort_retention",
+    "frequent_items_sketch",
+    "forward_fill",
+    "ntile_quartiles",
+    "activity_gini",
+    "pareto_revenue",
+    "dedup_ngram_jaccard",
+    "near_dup_removal",
+    "corpus_pipeline",
+    "dedup_components",
+    "multimodal_features",
+    # new surface
+    "federated_jdbc_lookup",
+    "preview_region",
+    "preview_customer",
+    "preview_supplier",
+    "preview_part",
+    "preview_lineitem",
+    "preview_events",
+    "preview_documents",
+    "preview_embeddings",
+    # never driver-graded (r1 gate stopped at 50 entries)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "lead_lag_delta",
+    "corr_stats",
+    "ordered_string_agg",
+    "first_last_event",
+    "grouping_sets_agg",
+    "regression_per_type",
+    "time_weighted_avg",
+    "rank_distribution",
+    "unpivot_measures",
+    "rolling_time_window",
+    "salted_agg",
+    "value_outliers",
+    "mom_growth",
+    "brand_affinity",
+    "revenue_concentration_hhi",
+    "segment_summary",
+    "daily_active_users",
+    "region_rollup",
+    "text_quality",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "stopword_ratio",
+    "reading_level",
+    "char_trigram_profile",
+    "dup_rate_by_source",
+    "zipf_fit",
+    "null_profile",
+    "near_dup_embedding",
+    "embedding_norm_stats",
+    "label_centroid_distance",
+    "ann_label_purity",
+    "idf_top_terms",
+    "stratified_sample",
+    "bigram_collocations",
+    "tfidf_doc_top_terms",
+    "federated_kv_lookup",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_modules()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 def _load_modules() -> None:
@@ -53,4 +141,4 @@ def _load_modules() -> None:
         text,
         tpch_extra,
     )
-    from cdk_serverless_data_lake_sandbox_spark.sources import kv  # noqa: F401
+    from cdk_serverless_data_lake_sandbox_spark.sources import jdbc, kv  # noqa: F401

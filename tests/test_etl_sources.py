@@ -392,3 +392,54 @@ def test_partition_stats_counts_files_and_rows(spark, tmp_path):
     assert all(p.startswith("pr=") for p in rows)
     assert sum(r.n_rows for r in rows.values()) == orders.count()
     assert all(r.n_files >= 1 and r.n_bytes > 0 for r in rows.values())
+
+
+# ------------------------------------------------- federated JDBC source
+def test_jdbc_partitioned_read_contract(spark, tmp_path):
+    """The partitioned read must honor Spark's JDBC contract: one
+    stride query per partition, the first stride unbounded below (and
+    NULL-catching), the last unbounded above, no row lost or
+    duplicated, and predicates/columns pushed into the remote SQL."""
+    import pandas as pd
+
+    from cdk_serverless_data_lake_sandbox_spark.sources.jdbc import (
+        RelationalStore,
+        partitioned_read,
+    )
+
+    store = RelationalStore(str(tmp_path / "remote.duckdb"))
+    store.load_table(
+        "t", pd.DataFrame({"k": list(range(100)) + [None], "v": range(101)})
+    )
+    df = partitioned_read(
+        spark, store, "t", partition_column="k",
+        lower_bound=20, upper_bound=80, num_partitions=4,
+    )
+    assert len(store.last_queries) == 4
+    assert "IS NULL" in store.last_queries[0]          # null-catching first stride
+    assert "AND k <" not in store.last_queries[-1]      # last stride unbounded above
+    assert df.count() == 101                            # bounds never drop rows
+    assert df.select("k").distinct().count() == 101
+    assert df.rdd.getNumPartitions() == 4
+
+    pushed = partitioned_read(
+        spark, store, "t", columns=["k"], predicate="k >= 90"
+    )
+    assert all("k >= 90" in q for q in store.last_queries)
+    assert pushed.columns == ["k"] and pushed.count() == 10
+
+
+# ------------------------------------------------- query results zone
+def test_results_zone_persists_runs(spark, tmp_path):
+    """Athena-workgroup analog: each named-query run persists its
+    result parquet under <zone>/<name>/run=N and stays re-readable."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import ResultsZone
+
+    zone = ResultsZone(spark, str(tmp_path / "results"))
+    nation = load_tables(spark, SF_SMALL, ("nation",))["nation"]
+    r0 = zone.run("preview_nation", nation.orderBy("n_nationkey").limit(10))
+    r1 = zone.run("preview_nation", nation.orderBy("n_nationkey").limit(5))
+    assert (r0, r1) == (0, 1)
+    assert zone.list_runs("preview_nation") == [0, 1]
+    assert zone.read("preview_nation", run=0).count() == 10
+    assert zone.read("preview_nation").count() == 5  # latest by default
