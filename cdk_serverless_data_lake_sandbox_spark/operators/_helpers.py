@@ -66,18 +66,33 @@ def materialize(df, key: str | None = None):
     spark = df.sparkSession
     app = spark.sparkContext.applicationId
     if key is not None and (app, key) in _MATERIALIZED:
-        path = _MATERIALIZED[(app, key)]
-        return spark.read.schema(df.schema).parquet(path)
+        return _scratch_read(spark, df.schema, _MATERIALIZED[(app, key)])
     app_dir = _os.path.join(_SCRATCH_ROOT, app)
     if app not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(app)
         _atexit.register(_shutil.rmtree, app_dir, ignore_errors=True)
     safe = (key or uuid_hex()).replace("/", "_").replace(":", "_")
     path = _os.path.join(app_dir, safe)
-    df.write.mode("overwrite").parquet(path)
+    # Snappy, not the session's zstd: scratch intermediates are
+    # write-once read-few and deleted at exit — cheap encode beats
+    # compression ratio here.
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
     if key is not None:
         _MATERIALIZED[(app, key)] = path
-    return spark.read.schema(df.schema).parquet(path)
+    return _scratch_read(spark, df.schema, path)
+
+
+def _scratch_read(spark, schema, path):
+    """Scan a scratch intermediate, restoring parallelism when the
+    files are tiny: Spark bin-packs small files into one split, which
+    would serialize every downstream stage that consumes the
+    materialized frame. At real scale the files exceed
+    maxPartitionBytes and the gate never fires."""
+    out = spark.read.schema(schema).parquet(path)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if out.rdd.getNumPartitions() < max(n // 2, 2):
+        out = out.repartition(n)
+    return out
 
 
 def uuid_hex() -> str:

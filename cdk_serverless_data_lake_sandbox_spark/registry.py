@@ -47,6 +47,10 @@ _VERIFY_FIRST = [
     "dedup_components",
     "multimodal_features",
     # new surface
+    "pii_scan",
+    "doc_repetition",
+    "contamination_check",
+    "domain_mix_weights",
     "federated_jdbc_lookup",
     "preview_region",
     "preview_customer",
@@ -131,6 +135,7 @@ def _load_modules() -> None:
     from cdk_serverless_data_lake_sandbox_spark.operators import (  # noqa: F401
         analytics,
         core,
+        curation,
         dedup,
         etl,
         events,

@@ -105,3 +105,35 @@ def test_minhash_degenerate_inputs(spark):
     docs = spark.createDataFrame([(1, ""), (2, "a b c d e")], schema)
     sigs = {r.doc_id: r.sig for r in _minhash_signatures(docs).collect()}
     assert len(sigs[2]) == 32
+
+
+def test_pii_patterns_fire_on_crafted_text(spark):
+    """The synthetic corpus contains no PII (the registered query's
+    zeros are real) — prove the patterns themselves detect planted
+    emails / phones / IPs and that clean text stays clean."""
+    from pyspark.sql import Row
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _EMAIL_RE,
+        _IPV4_RE,
+        _PHONE_RE,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            Row(source="dirty", text="mail me at jo.doe+x@site.org or 555-123-4567 from 10.0.0.1"),
+            Row(source="clean", text="no personal data here just words and 123 numbers"),
+        ]
+    )
+    got = {
+        r["source"]: (r["e"], r["p"], r["i"])
+        for r in df.select(
+            "source",
+            F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("e"),
+            F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias("p"),
+            F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), F.lit(0))).alias("i"),
+        ).collect()
+    }
+    assert got["dirty"] == (1, 1, 1), got
+    assert got["clean"] == (0, 0, 0), got
