@@ -199,3 +199,68 @@ def stream_to_lake_versions(stream: DataFrame, lake, zone: str, table: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E11
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def curate_document_stream(
+    stream: DataFrame,
+    min_words: int = 20,
+    max_words: int = 5000,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Streaming corpus curation: the quality gate + PII redaction a
+    training-data pipeline applies AT INGEST, before anything lands in
+    the raw zone (redacting later means the PII already persisted).
+
+    Stateless, so it runs identically in batch and streaming (the test
+    pins that), appends safely at any parallelism, and adds zero state
+    store footprint: length + lexical-diversity gate, then
+    email/phone/IPv4 masking with the same patterns `pii_scan`
+    profiles. Redaction counts ride along per document so downstream
+    audits don't rescan the text."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _EMAIL_RE,
+        _IPV4_RE,
+        _PHONE_RE,
+    )
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    gated = stream.where(
+        n_words.between(min_words, max_words) & (distinct_ratio >= min_distinct_ratio)
+    )
+    n_pii = sum(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+        for p in (_EMAIL_RE, _PHONE_RE, _IPV4_RE)
+    )
+    redacted = (
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE,
+                "[PHONE]",
+            ),
+            _IPV4_RE,
+            "[IP]",
+        )
+    )
+    return gated.select(
+        "doc_id",
+        redacted.alias("text"),
+        "lang",
+        "source",
+        F.length(redacted).cast("bigint").alias("n_chars"),
+        n_pii.alias("n_redactions"),
+    )

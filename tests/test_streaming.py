@@ -333,3 +333,55 @@ def test_timeout_closed_sessions_emit_once(spark, tmp_path):
     assert got.get(1) == (2, 3.0), got
     assert got.get(2) == (1, 5.0), got
     assert 3 not in got
+
+
+# ---------------------------------------------------------------- E11
+def test_streaming_curation_matches_batch_and_redacts(spark, tmp_path):
+    """curate_document_stream is stateless, so the streamed result must
+    equal the batch application of the same transform — and planted PII
+    must come out masked with its redaction count."""
+    from pyspark.sql import Row
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        curate_document_stream,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    dirty = spark.createDataFrame(
+        [
+            Row(
+                doc_id=900001,
+                text="contact me at a.b@site.org or 555-123-4567 soon "
+                + "with unique tokens " + " ".join(f"w{i}" for i in range(30)),
+                lang="en",
+                source="dirty",
+                n_chars=0,
+            )
+        ],
+        DOCS_STREAM_SCHEMA,
+    )
+    drop = str(tmp_path / "docs_drop")
+    docs.select(*DOCS_STREAM_SCHEMA.fieldNames()).unionAll(dirty).repartition(
+        6
+    ).write.parquet(drop)
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drop)
+    )
+    q = _run_to_memory(curate_document_stream(stream), "curated_docs", "append")
+    got = spark.table("curated_docs").toPandas()
+    want = curate_document_stream(spark.read.parquet(drop)).toPandas()
+    from tests.compare import assert_frames_match
+
+    assert_frames_match(got, want, "streaming_curation")
+    q.stop()
+
+    planted = got[got.doc_id == 900001]
+    assert len(planted) == 1
+    row = planted.iloc[0]
+    assert "[EMAIL]" in row.text and "[PHONE]" in row.text
+    assert "a.b@site.org" not in row.text and "555-123-4567" not in row.text
+    assert row.n_redactions == 2
