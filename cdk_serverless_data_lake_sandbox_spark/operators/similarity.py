@@ -75,9 +75,19 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking trick that turns O(n^2) into O(sum of block^2). The join
     shuffles both sides on label; AQE splits skewed labels."""
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
-    cosine = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    # Norms are hoisted to per-ROW scalars: computed per pair they are
+    # 2 of the 3 O(d) array folds on the quadratic path. Same
+    # expression tree as the oracle (dot / (norm_a * norm_b)), so the
+    # doubles stay bit-identical.
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("la"),
+        F.col("embedding").alias("ea"), _norm("embedding").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"), _norm("embedding").alias("nb"),
+    )
+    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id", cosine.alias("cosine"))
@@ -111,10 +121,15 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against."""
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        _norm("embedding").alias("nq"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
-    cosine = _dot("eq", "ec") / (_norm("eq") * _norm("ec"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"),
+        _norm("embedding").alias("nc"),
+    )
+    # per-row norm scalars: one O(d) fold per pair instead of three
+    cosine = _dot("eq", "ec") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         F.broadcast(q)
@@ -171,7 +186,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"), "tbl", "bucket"
     )
-    cosine = _dot("eq", "ec") / (_norm("eq") * _norm("ec"))
+    cosine = _dot("eq", "ec") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         F.broadcast(q)
@@ -180,11 +195,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
         .join(
-            _emb(spark, sf_dir).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")),
+            _emb(spark, sf_dir).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+                _norm("embedding").alias("nq"),
+            ),
             "query_id",
         )
         .join(
-            _emb(spark, sf_dir).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")),
+            _emb(spark, sf_dir).select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"),
+                _norm("embedding").alias("nc"),
+            ),
             "neighbor_id",
         )
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
@@ -240,12 +261,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("probe_rank") <= _N_PROBE)
-        .select("query_id", "eq", F.col("cent_id").alias("cell"))
+        .select(
+            "query_id", "eq", _norm("eq").alias("nq"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     members = assign.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"), "cell"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"),
+        _norm("embedding").alias("nc"), "cell",
     )
-    cosine = _dot("eq", "ec") / (_norm("eq") * _norm("ec"))
+    cosine = _dot("eq", "ec") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         F.broadcast(probes)
@@ -502,13 +527,15 @@ def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("eq"),
         F.col("label").alias("q_label"),
+        _norm("embedding").alias("nq"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ec"),
         F.col("label").alias("n_label"),
+        _norm("embedding").alias("nc"),
     )
-    cosine = _dot("eq", "ec") / (_norm("eq") * _norm("ec"))
+    cosine = _dot("eq", "ec") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     topk = (
         F.broadcast(q)
