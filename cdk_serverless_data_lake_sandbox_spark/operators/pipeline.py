@@ -128,22 +128,14 @@ GROUP BY label
 """
 
 
-@register("dedup_components", oracle=_COMPONENTS_ORACLE)
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup graph (jaccard >= tau):
+def min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """doc_id -> component label (the component's min doc_id) via
     iterative min-label propagation — each round every node adopts the
     smallest label among itself and its neighbors, converging in
     O(component diameter) rounds. The canonical iterative-join Spark
     workload: per round one shuffle join against the (persisted, tiny)
     edge list and a convergence count; the corpus itself is never
-    rescanned inside the loop. Output is one row per component with
-    its canonical (min) doc_id and size, which is what a cluster-level
-    dedup keep-one policy consumes. The DuckDB oracle computes the
-    same fixpoint with a recursive CTE."""
-    docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
-        docs, scratch_key=f"ngram-hashed:{sf_dir}"
-    ).select("a_id", "b_id")
+    rescanned inside the loop."""
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
@@ -173,6 +165,99 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (jaccard >= tau)
+    via min-label propagation (``min_label_components``). Output is
+    one row per component with its canonical (min) doc_id and size,
+    which is what a cluster-level dedup keep-one policy consumes. The
+    DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, scratch_key=f"ngram-hashed:{sf_dir}"
+    ).select("a_id", "b_id")
+    labels = min_label_components(docs, pairs)
     return labels.groupBy("label").agg(F.count("*").alias("n_docs")).select(
         F.col("label").alias("component"), "n_docs"
+    )
+
+
+# ---------------------------------------------------------------- C39
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= {_JACCARD_TAU}
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node
+), comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+), scored AS (
+  SELECT c.component, d.doc_id,
+    LEN(list_distinct(string_split_regex(TRIM(text), '\\s+'))) AS q
+  FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       doc_id AS keep_id,
+       CAST(q AS BIGINT) AS keep_quality
+FROM (
+  SELECT component, doc_id, q,
+    ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY component) AS n_docs
+  FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("near_dup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention: instead of keeping the
+    lowest doc_id per near-dup cluster (``near_dup_removal``), keep
+    the member with the best quality score — here vocabulary size
+    (distinct words), ties broken by lowest doc_id. This is the
+    retention policy real curation pipelines use: when k crawls of
+    the same page survive near-dup detection, you keep the richest
+    capture, not an arbitrary one.
+
+    Plan shape: near-dup components via min-label propagation, then
+    ONE hash-aggregation picks the winner per component — the argmax
+    is a ``max(struct(q, -doc_id))``, a map-side-combinable aggregate,
+    not a row_number window, so no per-component sort and no skew
+    sensitivity to giant clusters. The oracle expresses the same
+    argmax with a window over the recursive-CTE fixpoint."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, scratch_key=f"ngram-hashed:{sf_dir}"
+    ).select("a_id", "b_id")
+    labels = min_label_components(docs, pairs)
+    q = F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    scored = docs.select("doc_id", q.alias("q")).join(labels, "doc_id")
+    return (
+        scored.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))).alias("best"),
+        )
+        .select(
+            "component",
+            "n_docs",
+            (-F.col("best.nid")).alias("keep_id"),
+            F.col("best.q").alias("keep_quality"),
+        )
     )
