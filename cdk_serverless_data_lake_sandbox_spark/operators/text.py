@@ -419,3 +419,94 @@ def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").isNull() | (F.col("n_chars") != F.length("text"))
         ).alias("bad_n_chars"),
     )
+
+
+# ---------------------------------------------------------------- C40
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+  FROM documents
+), pw AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM t GROUP BY doc_id, word
+), pd AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS nw,
+    CAST(MAX(cnt) AS BIGINT) AS topc,
+    CAST(SUM(cnt * LENGTH(word)) AS BIGINT) AS wchars,
+    CAST(SUM(CASE WHEN regexp_matches(word, '[a-z]') THEN cnt ELSE 0 END) AS BIGINT) AS alpha_w,
+    CAST(COUNT(*) AS BIGINT) AS ndw
+  FROM pw GROUP BY doc_id
+)
+SELECT doc_id, nw AS n_words,
+  CAST(wchars AS DOUBLE) / nw AS mean_word_len,
+  CAST(topc AS DOUBLE) / nw AS top_word_share,
+  CAST(ndw AS DOUBLE) / nw AS distinct_ratio,
+  CAST(nw BETWEEN 25 AND 5000 AS INTEGER) AS pass_length,
+  CAST(CAST(wchars AS DOUBLE) / nw BETWEEN 3 AND 10 AS INTEGER) AS pass_word_len,
+  CAST(CAST(alpha_w AS DOUBLE) / nw >= 0.8 AS INTEGER) AS pass_alpha,
+  CAST(CAST(topc AS DOUBLE) / nw <= 0.15 AS INTEGER) AS pass_dominance,
+  CAST(CAST(ndw AS DOUBLE) / nw >= 0.35 AS INTEGER) AS pass_diversity,
+  CAST(nw BETWEEN 25 AND 5000
+    AND CAST(wchars AS DOUBLE) / nw BETWEEN 3 AND 10
+    AND CAST(alpha_w AS DOUBLE) / nw >= 0.8
+    AND CAST(topc AS DOUBLE) / nw <= 0.15
+    AND CAST(ndw AS DOUBLE) / nw >= 0.35 AS INTEGER) AS keep
+FROM pd
+"""
+
+
+@register("gopher_quality_filter", oracle=_GOPHER_ORACLE)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, the
+    public corpus-filter recipe): per-document word-count bounds, mean
+    word length bounds, alphabetic-word ratio, single-word dominance,
+    and lexical diversity, each as a 0/1 rule flag plus the composite
+    keep decision.
+
+    Plan shape: ONE explode of the word array, then two chained
+    hash-aggregations (doc_id+word, then doc_id) — both map-side
+    combinable, so the exploded frame never materializes a skewed
+    shuffle. Every ratio derives from exact integer counts, so the
+    doubles are a single IEEE division on both engines and the flags
+    are reproducible. Word-level stats (dominance, diversity) come
+    from the same pass as the length stats — the corpus is scanned
+    once."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    per_word = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode_outer(words).alias("word"))
+        .where(F.col("word").isNotNull())
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pd_ = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("nw"),
+        F.max("cnt").cast("bigint").alias("topc"),
+        F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("wchars"),
+        F.sum(F.when(F.col("word").rlike("[a-z]"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("alpha_w"),
+        F.count("*").cast("bigint").alias("ndw"),
+    )
+    mean_wl = F.col("wchars").cast("double") / F.col("nw")
+    top_share = F.col("topc").cast("double") / F.col("nw")
+    dist_ratio = F.col("ndw").cast("double") / F.col("nw")
+    alpha_ratio = F.col("alpha_w").cast("double") / F.col("nw")
+    p_len = F.col("nw").between(25, 5000)
+    p_wl = mean_wl.between(3, 10)
+    p_alpha = alpha_ratio >= 0.8
+    p_dom = top_share <= 0.15
+    p_div = dist_ratio >= 0.35
+    return pd_.select(
+        "doc_id",
+        F.col("nw").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        top_share.alias("top_word_share"),
+        dist_ratio.alias("distinct_ratio"),
+        p_len.cast("int").alias("pass_length"),
+        p_wl.cast("int").alias("pass_word_len"),
+        p_alpha.cast("int").alias("pass_alpha"),
+        p_dom.cast("int").alias("pass_dominance"),
+        p_div.cast("int").alias("pass_diversity"),
+        (p_len & p_wl & p_alpha & p_dom & p_div).cast("int").alias("keep"),
+    )
