@@ -510,3 +510,85 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_div.cast("int").alias("pass_diversity"),
         (p_len & p_wl & p_alpha & p_dom & p_div).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- C41
+_OVERLAP_ORACLE = """
+WITH sh AS (
+  SELECT source,
+    UNNEST(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS shingle
+  FROM documents
+), ss AS (
+  SELECT DISTINCT source, shingle FROM sh
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+  a.n AS n_a, b.n AS n_b,
+  COALESCE(i.i, 0) AS inter,
+  CAST(COALESCE(i.i, 0) AS DOUBLE) / (a.n + b.n - COALESCE(i.i, 0)) AS jaccard
+FROM sizes a JOIN sizes b ON a.source < b.source
+LEFT JOIN inter i ON i.src_a = a.source AND i.src_b = b.source
+"""
+
+
+@register("source_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap matrix: 3-gram shingle Jaccard between every
+    pair of sources — the diagnostic that tells a data-mixing run
+    which crawls/feeds are near-copies of each other before it
+    assigns mixture weights.
+
+    Scale story: the corpus is scanned once into distinct (source,
+    shingle) pairs; source pairs are then generated INSIDE per-shingle
+    postings (bounded by the source count, not the corpus size), the
+    same inverted-index trick the document-level dedup uses — never a
+    shingle-level self-join of the corpus against itself. The final
+    matrix assembly joins frames that are |sources|^2 rows, broadcast
+    territory at any scale."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _SHINGLE_FROM_WORDS,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ss = (
+        docs.select("source", F.split(F.col("text"), " ").alias("_w"))
+        .select("source", F.explode_outer(F.expr(_SHINGLE_FROM_WORDS)).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    pair_expr = """
+    flatten(transform(ss_list, (x, i) ->
+      transform(slice(ss_list, i + 2, size(ss_list)),
+                y -> struct(x AS src_a, y AS src_b))))
+    """
+    inter = (
+        ss.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss_list"))
+        .where(F.size("ss_list") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    a = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    b = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    inter_n = F.coalesce(F.col("i"), F.lit(0)).cast("bigint")
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b", "n_a", "n_b",
+            inter_n.alias("inter"),
+            (
+                inter_n.cast("double")
+                / (F.col("n_a") + F.col("n_b") - inter_n)
+            ).alias("jaccard"),
+        )
+    )
