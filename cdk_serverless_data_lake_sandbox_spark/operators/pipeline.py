@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
 from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
     _JACCARD_TAU,
     _docs,
@@ -141,27 +142,32 @@ def min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Each round's plan references the previous round's labels TWICE
+    # (the propagation join and the convergence check), so composing
+    # lazily doubles the logical plan per round — after ~20 rounds the
+    # tree alone OOMs the driver. persist() caches data but not the
+    # plan; materialize() (written scratch, fresh scan) truncates it,
+    # keeping every round's plan constant-size. The labels frame is
+    # two longs per doc — the cheapest frame in the pipeline to spill.
+    labels = materialize(docs.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(32):  # diameter bound; near-dup clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = materialize(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .persist()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -426,20 +426,17 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 4
 
 
-@register("kmeans_clusters")  # iterative -> rows-only check
-def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means on the embeddings, fully deterministic:
-    centroids initialize to the k lowest vec_ids and each of the
-    fixed iterations is one assign (broadcast centroids, argmin
-    distance) + one recompute (posexplode, decimal per-dimension
-    means) — the same two shuffles however large the corpus. No RNG,
-    no mllib, ties broken by centroid id. Tests assert labels are
-    stable across runs and within-cluster distance never increases
-    per iteration."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+def kmeans_assign(e: DataFrame, k: int, iters: int) -> DataFrame:
+    """Deterministic Lloyd's k-means assignment: vec_id, embedding,
+    cluster, d2 (squared distance to the final centroid). Centroids
+    initialize to the k lowest vec_ids; each iteration is one assign
+    (broadcast centroids, argmin distance) + one recompute
+    (posexplode, decimal per-dimension means) — the same two shuffles
+    however large the corpus. No RNG, no mllib, ties broken by
+    centroid id."""
     cents = (
         e.orderBy("vec_id")
-        .limit(_KMEANS_K)
+        .limit(k)
         .select(F.monotonically_increasing_id().alias("_"), "embedding")
         .select(F.row_number().over(Window.orderBy("_")).alias("cid"), "embedding")
         .select("cid", F.col("embedding").alias("ce"))
@@ -449,7 +446,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
         " 0.0d, (acc, v) -> acc + v)"
     )
-    for _ in range(_KMEANS_ITERS):
+    for _ in range(iters):
         assign = (
             e.crossJoin(F.broadcast(cents))
             .select("vec_id", "embedding", "cid", dist2.alias("d2"))
@@ -476,18 +473,98 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("ce")
             )
         )
-    final = (
+    return (
         e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", dist2.alias("d2"))
+        .select("vec_id", "embedding", "cid", dist2.alias("d2"))
         .groupBy("vec_id")
         .agg(
             F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cluster"),
             F.round(F.min("d2"), 4).alias("d2"),
+            F.first("embedding").alias("embedding"),
         )
     )
+
+
+@register("kmeans_clusters")  # iterative -> rows-only check
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the embeddings via ``kmeans_assign`` (fully
+    deterministic — no RNG, no mllib). Tests assert labels are stable
+    across runs and within-cluster distance never increases per
+    iteration."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    final = kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS)
     return final.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.sum("d2"), 2).alias("inertia"),
+    )
+
+
+# ---------------------------------------------------------------- C42
+@register("semantic_dedup")  # kmeans-based -> rows-only check
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partitions the embedding space, then
+    near-duplicate pairs (cosine >= tau) are searched ONLY within each
+    cluster — the published trick that turns the all-pairs O(n^2)
+    semantic-dup scan into k disjoint O((n/k)^2) problems that
+    parallelize perfectly. Pairs are grouped into semantic-dup
+    clusters by min-label propagation; output is one row per dup
+    group (its canonical min vec_id, the k-means cell it lives in,
+    and its size) — the drop-list a curation run consumes.
+
+    Scale: cluster count grows with the corpus (k ~ sqrt(n) keeps the
+    per-cell quadratic bounded); the intra-cell join shuffles on the
+    cluster id, and AQE splits any hot cell. The assignment is
+    materialized (written scratch, lineage truncated) before the
+    pairwise phase — without it the 4-iteration k-means plan is
+    embedded in BOTH sides of the pair join and again in every label-
+    propagation round, and the composed plan tree grows without
+    bound. Tests pin determinism, exactness of emitted pairs, and
+    recall against the unblocked brute-force pair set."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    assign = materialize(
+        kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS).select(
+            "vec_id", "embedding", "cluster", _norm("embedding").alias("nrm")
+        ),
+        key=f"kmeans-assign:{sf_dir}",
+    )
+    a = assign.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["cluster"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= _COSINE_TAU)
+        .select("a_id", "b_id")
+    )
+    from cdk_serverless_data_lake_sandbox_spark.operators.pipeline import (
+        min_label_components,
+    )
+
+    labels = min_label_components(
+        assign.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    groups = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > 1)
+    )
+    return (
+        groups.join(assign, groups.label == assign.vec_id)
+        .select(
+            F.col("label").alias("group_id"),
+            "cluster",
+            "n_members",
+        )
     )
 
 

@@ -240,3 +240,66 @@ def test_incremental_prefix_filter_prunes_candidates(spark):
 
     kept = {r.doc_id for r in dedup_incremental(new, corpus, tau=0.9).collect()}
     assert kept == {10}
+
+
+def test_semantic_dedup_deterministic_and_exact(spark):
+    """semantic_dedup (SemDeDup-style) must be run-to-run stable, and
+    every emitted dup group must be reachable through genuine
+    cosine>=tau pairs — verified against the unblocked brute-force
+    pair graph's connected components."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _COSINE_TAU, _dot, _norm,
+    )
+
+    a = {tuple(r) for r in _Q["semantic_dedup"](spark, SF_MEDIUM).collect()}
+    b = {tuple(r) for r in _Q["semantic_dedup"](spark, SF_MEDIUM).collect()}
+    assert a == b, "semantic_dedup must be deterministic"
+    assert len(a) > 0, "synthetic corpus has semantic dup groups"
+
+    # Brute-force ground truth: every pair with cosine >= tau.
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.pipeline import (
+        min_label_components,
+    )
+
+    e = load_tables(spark, SF_MEDIUM, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    qa = e.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    qb = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    bf_pairs = (
+        qa.join(qb, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("c"))
+        .where(F.col("c") >= _COSINE_TAU)
+        .select("a_id", "b_id")
+    )
+    bf_labels = min_label_components(e.select(F.col("vec_id").alias("doc_id")), bf_pairs)
+    bf_groups = {
+        (r["label"], r["n"])
+        for r in bf_labels.groupBy("label").agg(F.count("*").alias("n")).where(F.col("n") > 1).collect()
+    }
+    got_groups = {(g, n) for (g, _cl, n) in a}
+    # Exactness: k-means blocking can only SPLIT brute-force groups,
+    # never merge unrelated vectors — so every emitted group's
+    # canonical member must belong to a brute-force component at
+    # least as large.
+    vec_to_bf = {r["doc_id"]: r["label"] for r in bf_labels.collect()}
+    bf_sizes = dict(bf_groups)
+    for g, n in got_groups:
+        bf_label = vec_to_bf[g]
+        assert n <= bf_sizes.get(bf_label, 1), (g, n, bf_label)
+    # Recall: the blocked scan must recover most of the brute-force
+    # dup mass (near-dups co-locate in embedding space, so they land
+    # in the same k-means cell).
+    bf_mass = sum(n for _, n in bf_groups)
+    got_mass = sum(n for _, n in got_groups)
+    assert got_mass >= 0.6 * bf_mass, (got_mass, bf_mass)
