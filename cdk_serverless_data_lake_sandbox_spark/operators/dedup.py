@@ -409,15 +409,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C31
-def _hashed_side(df: DataFrame, side: str) -> DataFrame:
+def _hashed_side(df: DataFrame, side: str, key: str | None = None) -> DataFrame:
     """Sorted shingle-hash arrays for one side of the incremental
     join, materialized once (each side feeds its inverted index AND
-    the verify join — two plan branches)."""
+    the verify join — two plan branches). ``key`` additionally shares
+    the scratch across calls — the static-corpus side of a streaming
+    gate is hashed once, not once per micro-batch."""
     return materialize(
         _shingled(df).select(
             F.col("doc_id").alias(f"{side}_id"),
             F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias(f"hs_{side}"),
-        )
+        ),
+        key=key,
     )
 
 
@@ -464,7 +467,10 @@ def incremental_candidates(
 
 
 def dedup_incremental(
-    new_docs: DataFrame, corpus: DataFrame, tau: float = _JACCARD_TAU
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    tau: float = _JACCARD_TAU,
+    corpus_key: str | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: drop new documents that exactly match
     or near-duplicate (jaccard >= tau) anything in the existing
@@ -473,14 +479,23 @@ def dedup_incremental(
     itself, so a daily batch pays for |batch| x (posting overlap)
     work, not a corpus self-join. The same length AND AllPairs-prefix
     filters as the self-join variant bound the candidate count; both
-    sides' hashed-shingle frames are materialized once."""
+    sides' hashed-shingle frames are materialized once.
+
+    ``corpus_key`` keys the corpus-side intermediates (content-hash
+    set + hashed shingles) so repeated calls against the same corpus
+    — a streaming gate's micro-batches — hash the corpus once and
+    re-scan the scratch."""
     # exact: content-hash anti join
     corpus_hashes = corpus.select(F.md5("text").alias("_h")).distinct()
+    if corpus_key is not None:
+        corpus_hashes = materialize(corpus_hashes, key=f"{corpus_key}:md5")
     fresh = new_docs.join(
         corpus_hashes, F.md5(new_docs["text"]) == corpus_hashes["_h"], "left_anti"
     )
     new_h = _hashed_side(fresh, "new")
-    old_h = _hashed_side(corpus, "old")
+    old_h = _hashed_side(
+        corpus, "old", key=f"{corpus_key}:hs" if corpus_key is not None else None
+    )
     candidates = incremental_candidates(new_h, old_h, tau)
     n_common = F.size(F.array_intersect("hs_new", "hs_old"))
     jaccard = n_common.cast("double") / (

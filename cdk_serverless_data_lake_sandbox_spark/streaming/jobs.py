@@ -264,3 +264,36 @@ def curate_document_stream(
         F.length(redacted).cast("bigint").alias("n_chars"),
         n_pii.alias("n_redactions"),
     )
+
+
+# ---------------------------------------------------------------- E12
+def stream_dedup_gate(
+    stream: DataFrame,
+    corpus: DataFrame,
+    target_path: str,
+    corpus_key: str = "stream-dedup-corpus",
+):
+    """Streaming near-dup gate: each micro-batch of incoming documents
+    is checked against a static reference corpus — exact content-hash
+    match AND 3-gram Jaccard near-duplication — and only genuinely
+    novel documents land in the target. This is ingest-time corpus
+    hygiene: the alternative (land everything, dedup later) means the
+    duplicates already cost storage and every downstream scan.
+
+    foreachBatch applies the exact batch operator (`dedup_incremental`)
+    to each micro-batch, so stream and batch semantics are identical
+    by construction (the test pins it). The corpus-side intermediates
+    (content-hash set, hashed shingle postings) are KEYED scratch
+    tables: hashed on the first micro-batch, re-scanned by every
+    later one — the static side never pays per-batch recompute. Each
+    micro-batch pays |batch| x (posting overlap), never a corpus
+    self-join. Returns the StreamingQuery handle (caller awaits)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        survivors = dedup_incremental(batch, corpus, corpus_key=corpus_key)
+        survivors.write.mode("append").parquet(target_path)
+
+    return stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()

@@ -385,3 +385,53 @@ def test_streaming_curation_matches_batch_and_redacts(spark, tmp_path):
     assert "[EMAIL]" in row.text and "[PHONE]" in row.text
     assert "a.b@site.org" not in row.text and "555-123-4567" not in row.text
     assert row.n_redactions == 2
+
+
+def test_stream_dedup_gate_matches_batch_incremental(spark, tmp_path):
+    """E12: the streaming near-dup gate must admit exactly the
+    documents the batch incremental dedup admits — exact copies and
+    near-dups of the static corpus are rejected, novel docs land."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        stream_dedup_gate,
+    )
+
+    corpus = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    base = corpus.orderBy("doc_id").limit(2).collect()
+    novel_text = " ".join(f"novel{i} tok{i % 7}" for i in range(40))
+    near_dup_text = base[1].text + " extra tail"
+    incoming = spark.createDataFrame(
+        [
+            # exact copy of a corpus doc -> rejected by the hash gate
+            (800001, base[0].text, "en", "feed", len(base[0].text)),
+            # near-dup (tiny suffix added) -> rejected by jaccard
+            (800002, near_dup_text, "en", "feed", len(near_dup_text)),
+            # genuinely novel -> admitted
+            (800003, novel_text, "en", "feed", len(novel_text)),
+        ],
+        DOCS_STREAM_SCHEMA,
+    )
+    drop = str(tmp_path / "incoming")
+    incoming.repartition(3).write.parquet(drop)
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    target = str(tmp_path / "admitted")
+    q = stream_dedup_gate(
+        stream, corpus, target, corpus_key=f"test-gate:{tmp_path}"
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(target).collect())
+    want = sorted(
+        r.doc_id
+        for r in dedup_incremental(spark.read.parquet(drop), corpus).collect()
+    )
+    assert got == want, (got, want)
+    assert got == [800003], got
