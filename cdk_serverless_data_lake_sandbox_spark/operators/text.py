@@ -592,3 +592,147 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------- C43
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(-LOG2(CAST(v.cnt AS DOUBLE) / (SELECT n FROM total))), 4)
+    AS bits_per_token
+FROM tok t JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+
+@register("unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality proxy (Wenzek et al. 2020
+    use a KenLM; the unigram cross-entropy is its cheapest honest
+    sibling): per-document bits-per-token under the corpus's own
+    unigram distribution. Low = formulaic/repetitive text, high =
+    rare-token soup — both tails are what a curation run inspects.
+
+    Two scans of the token stream (vocabulary build, then doc
+    scoring), one shuffle each, joined on the word key. The word join
+    is Zipf-skewed by construction — exactly the case AQE skew-join
+    splitting handles; at 100 TB the vocabulary still shuffles (it is
+    corpus-sized in the tail), so no broadcast is attempted. The
+    rounding (4 dp) pins the float-sum partial-aggregation order
+    difference between engines."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .where(F.col("word").isNotNull())
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n"))
+    bits = -F.log2(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(bits), 4).alias("bits_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C44
+_DSIR_TARGET = "src1"
+_DSIR_BUCKETS = 256
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substring(md5(UNNEST(string_split_regex(TRIM(text), '\\s+'))), 1, 4))
+      AS INTEGER) % {_DSIR_BUCKETS} AS b
+  FROM documents
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY b
+), tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM tok WHERE source = '{_DSIR_TARGET}' GROUP BY b
+), totals AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS nr,
+    (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) FROM tgt) AS nt
+  FROM raw
+), w AS (
+  SELECT raw.b,
+    LN((COALESCE(tgt.t, 0) + 1.0) / (totals.nt + {_DSIR_BUCKETS}))
+      - LN((raw.r + 1.0) / (totals.nr + {_DSIR_BUCKETS})) AS lw
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals
+)
+SELECT tok.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(SUM(w.lw), 4) AS dsir_logweight
+FROM tok JOIN w ON tok.b = w.b
+GROUP BY tok.doc_id
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every
+    document by how much more likely its hashed-unigram features are
+    under a target domain than under the raw corpus — documents with
+    high log-weight are resampled into the training mix to shift it
+    toward the target. Here the target is the 'src1' source; features
+    are md5-derived 256-bucket hashed unigrams with add-one smoothing,
+    exactly the paper's hashed-ngram recipe (md5, not xxhash, because
+    the bucket assignment must reproduce across engines).
+
+    One token scan builds both bucket distributions (the target is a
+    filtered re-aggregation, not a second scan); the per-bucket
+    log-ratio table is 256 rows — broadcast — so scoring is a
+    map-side join over the token stream followed by one per-doc
+    aggregation. At 100 TB nothing here shuffles more than the token
+    stream's doc_id grouping."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "source",
+            F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .where(F.col("word").isNotNull())
+        .select("doc_id", "source", bucket.alias("b"))
+    )
+    raw = tok.groupBy("b").agg(F.count("*").cast("bigint").alias("r"))
+    tgt = (
+        tok.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    totals = raw.agg(F.sum("r").cast("bigint").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("nt"))
+    )
+    t_s = F.coalesce(F.col("t"), F.lit(0))
+    lw = F.log((t_s + 1.0) / (F.col("nt") + float(_DSIR_BUCKETS))) - F.log(
+        (F.col("r") + 1.0) / (F.col("nr") + float(_DSIR_BUCKETS))
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", lw.alias("lw"))
+    )
+    return (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lw"), 4).alias("dsir_logweight"),
+        )
+    )
