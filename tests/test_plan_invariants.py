@@ -181,3 +181,43 @@ def test_no_single_reducer_window(spark, name):
             assert "Exchange SinglePartition" not in nxt, (
                 f"{name}: single-reducer window\n{plan}"
             )
+
+
+def test_gopher_filter_two_stage_agg_no_window(spark):
+    """gopher_quality_filter's word-level stats (dominance, diversity)
+    must come from chained hash aggregations — never a per-doc Window
+    over the exploded token stream, and never a second scan of the
+    corpus (one Generate = one explode = one pass)."""
+    plan = formatted_plan(_Q["gopher_quality_filter"](spark, SF_MEDIUM))
+    assert "Window" not in plan, plan
+    # one Generate node in the tree ("+- Generate (n)"); the detail
+    # section repeats the name, so count tree entries only
+    assert plan.count("- Generate") == 1, plan
+
+
+def test_keep_best_argmax_is_aggregate_not_window(spark):
+    """near_dup_keep_best's per-component winner must be the
+    map-side-combinable max(struct(q, -doc_id)) aggregate, not a
+    row_number window (a giant near-dup cluster would serialize
+    through one task's sort)."""
+    plan = formatted_plan(_Q["near_dup_keep_best"](spark, SF_MEDIUM))
+    assert "Window" not in plan, plan
+
+
+def test_source_overlap_no_cartesian_and_broadcast_assembly(spark):
+    """source_overlap_matrix generates source pairs inside shingle
+    postings; the only joins in the plan are the |sources|^2 matrix
+    assembly, which must broadcast (never shuffle the corpus for a
+    20-row frame)."""
+    df = _Q["source_overlap_matrix"](spark, SF_MEDIUM)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_dsir_scoring_join_broadcasts_bucket_table(spark):
+    """dsir_importance_weights scores the token stream against the
+    256-row bucket log-ratio table — that join must be broadcast, so
+    the token stream's only shuffle is the final per-doc grouping."""
+    df = _Q["dsir_importance_weights"](spark, SF_MEDIUM)
+    assert has_broadcast_join(df), formatted_plan(df)
