@@ -47,6 +47,12 @@ _VERIFY_FIRST = [
     "dedup_components",
     "multimodal_features",
     # new surface
+    "near_dup_keep_best",
+    "gopher_quality_filter",
+    "source_overlap_matrix",
+    "semantic_dedup",
+    "unigram_logprob",
+    "dsir_importance_weights",
     "pii_scan",
     "doc_repetition",
     "contamination_check",
