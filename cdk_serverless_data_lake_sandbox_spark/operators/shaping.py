@@ -1,0 +1,353 @@
+"""Dataset-shaping operators: the steps that turn a cleaned corpus
+into model-ready training batches — sequence packing, overlapping
+chunking, duplicated-span detection (suffix-array-style dedup at
+n-gram granularity), token-budget epoch allocation, and embedding
+quantization error profiling.
+
+Everything is JVM-side DataFrame expressions (split / slice /
+sequence / zip_with inside whole-stage codegen); the span-dedup op
+reuses the inverted-index shape of the dedup family (shuffle on the
+span hash, never O(n^2)). Each operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# ---------------------------------------------------------------- C45
+_N_SHARDS = 8
+_SEQ_BUDGET = 256
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT shard, CAST(FLOOR(cum / {_SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+  CAST(ROUND(SUM(n_tokens) / {_SEQ_BUDGET}.0, 6) AS DOUBLE) AS fill_ratio
+FROM c GROUP BY shard, CAST(FLOOR(cum / {_SEQ_BUDGET}.0) AS BIGINT)
+"""
+
+
+@register("sequence_packing", oracle=_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are streamed in
+    doc_id order within a deterministic shard, token counts are
+    prefix-summed, and each document lands in the training sequence
+    where its first token falls (seq_id = floor(prefix/budget)) —
+    the classic concatenate-then-chunk packing a pretraining loader
+    does. Per-sequence stats (doc count, token total, fill ratio)
+    are the packing-efficiency profile.
+
+    Scale: the running sum is windowed per shard, never global — a
+    cluster raises _N_SHARDS to O(cores) and every shard packs in
+    parallel, exactly how multi-worker loaders shard a corpus. Token
+    sums are integers, so the prefix sum is exact under any plan.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.withColumn("seq_id", F.floor(cum / F.lit(float(_SEQ_BUDGET))))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(_SEQ_BUDGET)), 6).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C46
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+  CAST(i // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+  CAST(i AS INT) AS chunk_start,
+  CAST(LEN(list_slice(ws, i + 1, i + {_CHUNK_SIZE})) AS INT) AS n_chunk_tokens,
+  array_to_string(list_slice(ws, i + 1, i + {_CHUNK_SIZE}), ' ') AS chunk_text
+FROM w, UNNEST(generate_series(0, LEN(ws) - 1, {_CHUNK_STRIDE})) AS t(i)
+"""
+
+
+@register("doc_chunking", oracle=_CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking: each document explodes into
+    {size}-token windows every {stride} tokens (8-token overlap keeps
+    cross-boundary context, the standard retrieval/embedding chunker).
+    One codegen'd pass — sequence + slice + array_join inside the
+    row, then a single explode; no shuffle at all, so this maps over
+    100 TB at scan speed. The outer explode variant avoids the
+    Generate size>0 filter that would re-inline the chunk-array
+    expression (see SURVEY §6)."""
+    d = _docs(spark, sf_dir)
+    chunks = F.expr(
+        f"""transform(sequence(0, size(_w) - 1, {_CHUNK_STRIDE}),
+              s -> struct(s AS chunk_start,
+                          size(slice(_w, s + 1, {_CHUNK_SIZE})) AS n_chunk_tokens,
+                          array_join(slice(_w, s + 1, {_CHUNK_SIZE}), ' ') AS chunk_text))"""
+    )
+    return (
+        d.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
+        )
+        .select("doc_id", F.posexplode_outer(chunks).alias("chunk_idx", "_c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("_c.chunk_start").alias("chunk_start"),
+            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C47
+_SPAN_K = 8
+
+_SPAN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + {_SPAN_K - 1}), ' ') AS span
+  FROM w, UNNEST(generate_series(1, LEN(ws) - {_SPAN_K - 1})) AS t(i)
+  WHERE LEN(ws) >= {_SPAN_K}
+), cnt AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY span
+)
+SELECT p.doc_id, COUNT(*) AS n_spans,
+  COUNT(*) FILTER (WHERE c.nd >= 2) AS n_dup_spans,
+  CAST(ROUND(CAST(COUNT(*) FILTER (WHERE c.nd >= 2) AS DOUBLE) / COUNT(*), 6)
+    AS DOUBLE) AS dup_fraction
+FROM pos p JOIN cnt c USING (span)
+GROUP BY p.doc_id
+"""
+
+
+@register("dup_span_fraction", oracle=_SPAN_ORACLE)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile at word-{k}-gram
+    granularity (the scalable approximation of suffix-array dedup,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"): every {k}-word span is hashed, spans occurring
+    in >= 2 distinct documents are "duplicated", and each document
+    reports the fraction of its span positions that are duplicated —
+    the per-doc removal signal for span-level dedup.
+
+    Scale: one tokenize+hash pass materialized once (two consumers:
+    the span->doc-count index and the join back), then a shuffle on
+    the span hash — linear in corpus size, never pairwise. The
+    oracle groups raw span strings; the Spark side groups xxhash64
+    of the span (shuffling 8 bytes instead of ~40), identical modulo
+    a ~2^-65-per-pair collision probability."""
+    d = _docs(spark, sf_dir)
+    spans = F.expr(
+        f"""transform(sequence(1, size(_w) - {_SPAN_K - 1}),
+              i -> xxhash64(array_join(slice(_w, i, {_SPAN_K}), ' ')))"""
+    )
+    pos = (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w"))
+        .where(F.size("_w") >= _SPAN_K)
+        .select("doc_id", F.explode_outer(spans).alias("span_h"))
+    )
+    pos = materialize(pos, key=f"{sf_dir}:spans{_SPAN_K}")
+    cnt = pos.groupBy("span_h").agg(F.count_distinct("doc_id").alias("nd"))
+    n_dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        pos.join(cnt, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.round(
+                n_dup.cast("double") / F.count("*"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C48
+_BUDGET_TOKENS = 1_000_000
+_BUDGET_ALPHA = 0.7
+
+_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+    CAST(SUM(LEN(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+      AS source_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, source_tokens,
+    CAST(source_tokens AS DOUBLE)
+      / (SELECT SUM(CAST(source_tokens AS DOUBLE)) FROM t) AS share
+  FROM t
+), z AS (SELECT SUM(POW(share, {_BUDGET_ALPHA})) AS z FROM s)
+SELECT source, source_tokens,
+  CAST(ROUND(POW(share, {_BUDGET_ALPHA}) / z.z, 6) AS DOUBLE) AS mix_weight,
+  CAST(FLOOR({_BUDGET_TOKENS} * POW(share, {_BUDGET_ALPHA}) / z.z) AS BIGINT)
+    AS allocated_tokens,
+  CAST(ROUND({_BUDGET_TOKENS} * POW(share, {_BUDGET_ALPHA}) / z.z
+      / source_tokens, 4) AS DOUBLE) AS epochs,
+  {_BUDGET_TOKENS} * POW(share, {_BUDGET_ALPHA}) / z.z
+    / source_tokens > 1.0 AS oversampled
+FROM s, z
+"""
+
+
+@register("token_budget_allocation", oracle=_BUDGET_ORACLE)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planner for a fixed training-token budget: temperature-
+    scaled mixing weights (share^alpha / Z, the domain_mix_weights
+    recipe) are applied to a target token count, giving each source
+    an allocation, an epoch multiplier (allocation / source tokens),
+    and an oversampling flag (epochs > 1 means the source repeats).
+    One scan plus two source-count-sized broadcast scalars — the same
+    shape at 100 TB."""
+    d = _docs(spark, sf_dir)
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("source_tokens")
+    )
+    total = t.agg(F.sum(F.col("source_tokens").cast("double")).alias("_tot"))
+    s = t.crossJoin(F.broadcast(total)).select(
+        "source",
+        "source_tokens",
+        (F.col("source_tokens").cast("double") / F.col("_tot")).alias("_share"),
+    )
+    z = s.agg(F.sum(F.pow("_share", F.lit(_BUDGET_ALPHA))).alias("_z"))
+    alloc = F.lit(float(_BUDGET_TOKENS)) * F.pow("_share", F.lit(_BUDGET_ALPHA)) / F.col("_z")
+    return s.crossJoin(F.broadcast(z)).select(
+        "source",
+        "source_tokens",
+        F.round(F.pow("_share", F.lit(_BUDGET_ALPHA)) / F.col("_z"), 6).alias(
+            "mix_weight"
+        ),
+        F.floor(alloc).cast("bigint").alias("allocated_tokens"),
+        F.round(alloc / F.col("source_tokens"), 4).alias("epochs"),
+        (alloc / F.col("source_tokens") > 1.0).alias("oversampled"),
+    )
+
+
+# ---------------------------------------------------------------- C49
+_EMB_DIM = 64
+
+_QUANT_ORACLE = f"""
+WITH scales AS (
+  SELECT t.pos AS pos,
+    MAX(ABS(CAST(embedding[t.pos] AS DOUBLE))) / 127.0 AS s
+  FROM embeddings, UNNEST(generate_series(1, {_EMB_DIM})) AS t(pos)
+  GROUP BY t.pos
+), sarr AS (
+  SELECT list(s ORDER BY pos) AS scales FROM scales
+), per_row AS (
+  SELECT label,
+    list_sum(list_transform(list_zip(embedding, scales),
+      p -> CASE WHEN p[2] > 0
+        THEN ABS(FLOOR(CAST(p[1] AS DOUBLE) / p[2] + 0.5) * p[2]
+                 - CAST(p[1] AS DOUBLE))
+        ELSE 0.0 END)) AS err_sum,
+    list_max(list_transform(list_zip(embedding, scales),
+      p -> CASE WHEN p[2] > 0
+        THEN ABS(FLOOR(CAST(p[1] AS DOUBLE) / p[2] + 0.5) * p[2]
+                 - CAST(p[1] AS DOUBLE))
+        ELSE 0.0 END)) AS err_max
+  FROM embeddings, sarr
+)
+SELECT label, COUNT(*) AS n_vectors,
+  CAST(ROUND(CAST(SUM(CAST(err_sum AS DECIMAL(18,9))) AS DOUBLE)
+      / (COUNT(*) * {_EMB_DIM}), 6) AS DOUBLE) AS mean_abs_err,
+  CAST(ROUND(MAX(err_max), 6) AS DOUBLE) AS max_abs_err
+FROM per_row GROUP BY label
+"""
+
+
+@register("embedding_quantization", oracle=_QUANT_ORACLE)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error profile: per-dimension scales
+    from the global max-|v| (64 order-independent max aggregates in
+    ONE pass, the minhash trick — no posexplode, so the scan never
+    multiplies rows by dim), broadcast back, then per-vector
+    round-half-up quantize/dequantize error folded inside the row.
+    Per-label mean/max absolute error is the "is int8 storage safe
+    for this corpus" report an embedding-store migration needs.
+
+    Determinism: the per-row error fold is sequential in both
+    engines; row error sums are decimal-cast before the group mean so
+    accumulation order can't shift the hash (SURVEY §4)."""
+    e = _emb(spark, sf_dir)
+    maxabs = e.agg(
+        *[
+            F.max(F.abs(F.element_at("embedding", i + 1).cast("double"))).alias(
+                f"_m{i}"
+            )
+            for i in range(_EMB_DIM)
+        ]
+    )
+    scales = maxabs.select(
+        F.array(*[(F.col(f"_m{i}") / F.lit(127.0)) for i in range(_EMB_DIM)]).alias(
+            "_scales"
+        )
+    )
+    err = F.expr(
+        """zip_with(embedding, _scales, (v, s) -> CASE WHEN s > 0
+             THEN abs(floor(cast(v AS double) / s + 0.5) * s - cast(v AS double))
+             ELSE 0.0D END)"""
+    )
+    # The zip_with result is referenced twice; bind it once in its own
+    # projection so the fold isn't re-evaluated per consumer.
+    per_row = (
+        e.crossJoin(F.broadcast(scales))
+        .select("label", err.alias("_err"))
+        .select(
+            "label",
+            F.expr("aggregate(_err, 0.0D, (acc, x) -> acc + x)").alias("err_sum"),
+            F.expr("array_max(_err)").alias("err_max"),
+        )
+    )
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("err_sum").cast("decimal(18,9)")).cast("double")
+            / (F.count("*") * _EMB_DIM),
+            6,
+        ).alias("mean_abs_err"),
+        F.round(F.max("err_max"), 6).alias("max_abs_err"),
+    )

@@ -47,6 +47,11 @@ _VERIFY_FIRST = [
     "dedup_components",
     "multimodal_features",
     # new surface
+    "sequence_packing",
+    "doc_chunking",
+    "dup_span_fraction",
+    "token_budget_allocation",
+    "embedding_quantization",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",
@@ -147,6 +152,7 @@ def _load_modules() -> None:
         events,
         multimodal,
         pipeline,
+        shaping,
         similarity,
         stats,
         text,

@@ -1,0 +1,112 @@
+"""Semantic tests for the dataset-shaping operators (C45-C49):
+invariants a packing/chunking/span-dedup pass must hold regardless of
+data, checked on the real testdata (the oracle-parity gate already
+covers value equality vs DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+from tests.conftest import SF_MEDIUM
+
+_Q = all_queries()
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    packed = _Q["sequence_packing"](spark, SF_MEDIUM).collect()
+    docs = load_tables(spark, SF_MEDIUM, ("documents",))["documents"]
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("t")
+    ).collect()[0].t
+    total_docs = docs.count()
+    assert sum(r.seq_tokens for r in packed) == total_tokens
+    assert sum(r.n_docs for r in packed) == total_docs
+    # Within a shard, seq_ids are dense from 0: concat-and-split can't
+    # skip a sequence (every token offset is covered).
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r.seq_id)
+    for shard, ids in by_shard.items():
+        ids = sorted(ids)
+        assert ids[0] == 0, f"shard {shard} misses seq 0"
+        assert ids == list(range(len(ids))), f"shard {shard} has a gap"
+
+
+def test_doc_chunking_covers_every_token(spark):
+    chunks = _Q["doc_chunking"](spark, SF_MEDIUM)
+    docs = load_tables(spark, SF_MEDIUM, ("documents",))["documents"]
+    words = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+    )
+    got = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_start") + F.col("n_chunk_tokens")).alias("covered"),
+            F.count("*").alias("n_chunks"),
+            F.min("chunk_start").alias("first_start"),
+        )
+        .join(words, "doc_id")
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert r.first_start == 0
+        assert r.covered == r.n, f"doc {r.doc_id}: covered {r.covered} of {r.n}"
+        # stride 24: chunk count is exactly ceil(n / 24)
+        assert r.n_chunks == -(-r.n // 24)
+
+
+def test_dup_span_fraction_flags_planted_clones(spark, tmp_path):
+    # Exact clones must report dup_fraction 1.0; a unique-vocabulary
+    # doc must report 0.0.
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(20))),
+        (2, " ".join(f"w{i}" for i in range(20))),  # clone of 1
+        (3, " ".join(f"u{i}" for i in range(20))),  # unique vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path + ".dir")
+    # load_tables expects <dir>/documents.parquet; write a single file tree
+    import glob
+    import shutil
+
+    part = glob.glob(path + ".dir/part-*.parquet")[0]
+    shutil.copy(part, path)
+    out = {
+        r.doc_id: r
+        for r in _Q["dup_span_fraction"](spark, str(tmp_path)).collect()
+    }
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+    assert out[3].dup_fraction == 0.0
+    assert out[1].n_spans == 13  # 20 words -> 13 8-gram positions
+
+
+def test_token_budget_allocation_sums_to_budget(spark):
+    rows = _Q["token_budget_allocation"](spark, SF_MEDIUM).collect()
+    assert rows
+    # Weights normalize; allocations hit the budget up to floor loss.
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    total_alloc = sum(r.allocated_tokens for r in rows)
+    assert 1_000_000 - len(rows) <= total_alloc <= 1_000_000
+    for r in rows:
+        assert r.oversampled == (r.epochs > 1.0)
+
+
+def test_embedding_quantization_error_bounded_by_scale(spark):
+    # Round-half-up int8 error is at most scale/2 = max|v|/254 per dim.
+    emb = load_tables(spark, SF_MEDIUM, ("embeddings",))["embeddings"]
+    max_abs = emb.select(
+        F.max(F.expr("array_max(transform(embedding, v -> abs(cast(v as double))))"))
+    ).collect()[0][0]
+    bound = max_abs / 254.0 + 1e-12
+    for r in _Q["embedding_quantization"](spark, SF_MEDIUM).collect():
+        assert 0.0 <= r.mean_abs_err <= r.max_abs_err <= bound
+        assert r.n_vectors > 0
