@@ -297,3 +297,46 @@ def stream_dedup_gate(
         survivors.write.mode("append").parquet(target_path)
 
     return stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+
+
+# ---------------------------------------------------------------- E14
+def rate_limited_sink(
+    stream: DataFrame,
+    target_path: str,
+    spill_path: str,
+    max_rows_per_batch: int = 1000,
+    order_col: str = "event_id",
+):
+    """Write-rate smoothing: each micro-batch admits at most
+    ``max_rows_per_batch`` rows into the sink (lowest ``order_col``
+    first — deterministic admission); the remainder spills to a
+    carry-over queue that is prepended to the next batch, so bursts
+    are absorbed without loss and the downstream store sees a bounded
+    write rate. The admission is orderBy+limit, which Catalyst
+    executes as TakeOrderedAndProject (no global sort); the spill
+    rewrite is the same staged atomic swap the batch MERGE uses.
+    Drain the tail by triggering empty batches until the spill is
+    empty."""
+    import shutil
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            pending = spark.read.parquet(spill_path).unionByName(batch)
+        except Exception:  # first batch: no spill yet
+            pending = batch
+        admitted = pending.orderBy(order_col).limit(max_rows_per_batch)
+        remainder = pending.join(
+            admitted.select(order_col), order_col, "left_anti"
+        )
+        admitted.write.mode("append").parquet(target_path)
+        remainder.write.mode("overwrite").parquet(spill_path + "_staged")
+        shutil.rmtree(spill_path, ignore_errors=True)
+        shutil.move(spill_path + "_staged", spill_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -119,3 +119,120 @@ def timeout_closed_sessions(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- E13
+_QUOTA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_accepted", LongType()),
+        StructField("n_rejected", LongType()),
+    ]
+)
+_QUOTA_STATE_SCHEMA = StructType(
+    [StructField("acc", LongType()), StructField("rej", LongType())]
+)
+
+
+def quota_enforcer(stream: DataFrame, quota: int = 100) -> DataFrame:
+    """Per-key admission control: each user may contribute at most
+    ``quota`` events to the downstream pipeline; the rest are counted
+    as rejected. State is a two-counter pair per user, so the store
+    stays O(distinct users) regardless of stream length — the
+    ingest-side rate-limit / abuse-cap every multi-tenant event
+    pipeline needs. Emits the running (accepted, rejected) pair for
+    every key touched by the micro-batch (update mode)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc, rej = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n = len(pdf)
+            take = min(n, quota - acc)
+            acc += take
+            rej += n - take
+        state.update((acc, rej))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_accepted": [acc], "n_rejected": [rej]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_QUOTA_OUT_SCHEMA,
+            stateStructType=_QUOTA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------- E15
+_EVICT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("evicted", LongType()),
+    ]
+)
+_EVICT_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("v", DoubleType())]
+)
+
+
+def idle_key_eviction(stream: DataFrame, ttl_ms: int = 10) -> DataFrame:
+    """Processing-time TTL eviction: per-user running totals whose
+    state is DROPPED after ``ttl_ms`` of wall-clock inactivity, with
+    a final flush row (evicted=1) emitted on the way out. This is the
+    state-hygiene pattern for unbounded key spaces (user/session/IP
+    keyed state where most keys go quiet forever): without a TTL the
+    store grows with every key ever seen; with it, the store holds
+    only the working set. Event-time timeouts (E10) close *sessions*;
+    processing-time timeouts bound *memory* even when the event-time
+    watermark stalls."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [v],
+                    "evicted": [1],
+                }
+            )
+            return
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [v],
+                "evicted": [0],
+            }
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EVICT_OUT_SCHEMA,
+            stateStructType=_EVICT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -435,3 +435,118 @@ def test_stream_dedup_gate_matches_batch_incremental(spark, tmp_path):
     )
     assert got == want, (got, want)
     assert got == [800003], got
+
+
+# ---------------------------------------------------------------- E13
+def test_quota_enforcer_caps_per_user(spark, event_drop_dir):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import quota_enforcer
+
+    ev = _prepare(spark, event_drop_dir + "/quota")
+    stream = read_event_stream(spark, event_drop_dir + "/quota", max_files_per_trigger=2)
+    _run_to_memory(quota_enforcer(stream, quota=10), "quota_out", "update")
+    # update mode re-emits per batch; the final row per user carries
+    # the running totals.
+    final = spark.sql(
+        """SELECT user_id, n_accepted, n_rejected FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_accepted + n_rejected DESC) rn
+             FROM quota_out) WHERE rn = 1"""
+    ).collect()
+    truth = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert {r.user_id for r in final} == set(truth)
+    for r in final:
+        assert r.n_accepted == min(10, truth[r.user_id])
+        assert r.n_rejected == truth[r.user_id] - r.n_accepted
+
+
+# ---------------------------------------------------------------- E14
+def test_rate_limited_sink_bounds_batches_and_loses_nothing(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import rate_limited_sink
+
+    src = str(tmp_path / "rl_src")
+    sink = str(tmp_path / "rl_sink")
+    spill = str(tmp_path / "rl_spill")
+    ev = _prepare(spark, src)
+    total = ev.count()
+    cap = 300
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+    q = rate_limited_sink(stream, sink, spill, max_rows_per_batch=cap)
+    q.awaitTermination(180)
+    import glob
+
+    written = spark.read.parquet(sink)
+    spilled = (
+        spark.read.parquet(spill)
+        if glob.glob(spill + "/*.parquet")
+        else spark.createDataFrame([], written.schema)
+    )
+    # nothing lost, nothing duplicated
+    assert written.count() + spilled.count() == total
+    assert written.select("event_id").distinct().count() == written.count()
+    # each append wrote at most `cap` rows: every admitted batch is a
+    # separate append; check via per-file row counts grouped by commit
+    # (a single append's files share a write UUID prefix is not stable,
+    # so assert the stronger invariant: sink grew by <= cap per batch
+    # == total appended <= cap * n_batches, and the FIRST batch's
+    # admission is exactly the cap when enough rows were pending).
+    assert written.count() <= cap * 4  # 8 files / 2 per trigger = 4 batches
+    ordered = sorted(r.event_id for r in written.select("event_id").collect())
+    # deterministic admission: the sink holds the globally lowest ids
+    # except where arrival order delayed them; the union of sink+spill
+    # must still be exactly the source set
+    all_ids = {r.event_id for r in ev.select("event_id").collect()}
+    assert set(ordered) | {r.event_id for r in spilled.select("event_id").collect()} == all_ids
+
+
+# ---------------------------------------------------------------- E15
+def test_idle_key_eviction_flushes_and_drops_state(spark, tmp_path):
+    """A key seen only in the first micro-batch gets evicted by the
+    processing-time TTL during a later batch, emitting exactly one
+    evicted=1 row with its final totals."""
+    import time
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import (
+        idle_key_eviction,
+    )
+
+    src = str(tmp_path / "ttl_src")
+    rows1 = [(1, None, 100, "click", 1.5, "{}"), (2, None, 100, "click", 2.5, "{}")]
+    rows2 = [(3, None, 200, "click", 1.0, "{}")]
+    rows3 = [(4, None, 300, "click", 1.0, "{}")]
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        spark.createDataFrame(
+            [(eid, base, uid, et, v, p) for (eid, _, uid, et, v, p) in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).repartition(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        time.sleep(0.05)
+    # one source dir with three files, one file per trigger
+    import glob
+    import shutil
+
+    merged = str(tmp_path / "ttl_merged")
+    import os
+
+    os.makedirs(merged)
+    for i in range(3):
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{merged}/{i:03d}.parquet")
+    stream = read_event_stream(spark, merged, max_files_per_trigger=1)
+    _run_to_memory(idle_key_eviction(stream, ttl_ms=1), "ttl_out", "update")
+    out = spark.sql("SELECT * FROM ttl_out").collect()
+    evicted = [r for r in out if r.evicted == 1 and r.user_id == 100]
+    assert len(evicted) == 1, f"expected exactly one eviction for user 100, got {out}"
+    assert evicted[0].n_events == 2 and abs(evicted[0].total_value - 4.0) < 1e-9
+    # availableNow drains pending processing-time timeouts before
+    # terminating, so every idle key is flushed at most once, with its
+    # complete totals (state.remove() makes re-eviction impossible).
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rows in by_user.items():
+        ev_rows = [r for r in rows if r.evicted == 1]
+        assert len(ev_rows) <= 1, f"user {uid} evicted twice"
+        if ev_rows:
+            final = max(r.n_events for r in rows)
+            assert ev_rows[0].n_events == final, f"user {uid} evicted early"
