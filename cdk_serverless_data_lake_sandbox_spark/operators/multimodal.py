@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -73,7 +74,11 @@ _DECODED_SCHEMA = StructType(
 )
 
 
-def decode_and_featurize(media: DataFrame) -> DataFrame:
+def decode_and_featurize(
+    media: DataFrame,
+    rows_per_chunk: int | None = None,
+    max_chunk_bytes: int | None = None,
+) -> DataFrame:
     """Arrow-batched decode + feature extraction over the binary
     column. One ``mapInPandas`` pass: batches arrive as pandas frames
     (no per-row Python dispatch), features are a 8-bin byte histogram
@@ -84,35 +89,66 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
     mean reduce per-payload via bincount on (payload_index * 8 |
     bucket) composite codes. This is the pattern a real decoder's
     post-processing must follow: the Python boundary is crossed once
-    per Arrow batch, never per row or per byte."""
+    per Arrow batch, never per row or per byte.
+
+    Batch-memory knobs: Spark's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds Arrow
+    batches by ROW count, but media memory is dominated by payload
+    BYTES — a batch of 10k thumbnails and a batch of 10k videos differ
+    by 1000x. ``rows_per_chunk`` / ``max_chunk_bytes`` re-slice each
+    Arrow batch inside the worker so the decode working set (flat
+    buffer + histogram codes) never exceeds the byte budget, whatever
+    the session's Arrow setting. A chunk always holds >= 1 row, so an
+    oversized single payload degrades to row-at-a-time rather than
+    failing."""
+
+    def _chunks(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        if rows_per_chunk is None and max_chunk_bytes is None:
+            yield pdf
+            return
+        sizes = pdf["media"].map(len)
+        start, rows, by = 0, 0, 0
+        for i, sz in enumerate(sizes):
+            over_rows = rows_per_chunk is not None and rows + 1 > rows_per_chunk
+            over_bytes = max_chunk_bytes is not None and by + sz > max_chunk_bytes
+            if i > start and (over_rows or over_bytes):
+                yield pdf.iloc[start:i]
+                start, rows, by = i, 0, 0
+            rows += 1
+            by += sz
+        if start < len(pdf):
+            yield pdf.iloc[start:]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        for pdf in batches:
-            payloads = [bytes(d) for d in pdf["media"]]
-            for b in payloads:
-                _decode_bytes(b)  # stub decode: validates non-empty
-            lens = np.array([len(b) for b in payloads], dtype=np.int64)
-            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            owner = np.repeat(np.arange(len(payloads)), lens)
-            sums = np.bincount(owner, weights=flat, minlength=len(payloads))
-            mean_byte = sums / lens
-            codes = owner * 8 + (flat >> 5)
-            hist = np.bincount(codes, minlength=len(payloads) * 8).reshape(
-                len(payloads), 8
-            )
-            feats = hist / lens[:, None]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pdf["meta"].map(lambda s: s["width"]),
-                    "height": pdf["meta"].map(lambda s: s["height"]),
-                    "n_bytes": lens.astype(np.int32),
-                    "mean_byte": mean_byte,
-                    "features": feats.tolist(),
-                }
-            )
+        for arrow_batch in batches:
+            yield from (_featurize_chunk(np, pdf) for pdf in _chunks(arrow_batch))
+
+    def _featurize_chunk(np, pdf: pd.DataFrame) -> pd.DataFrame:
+        payloads = [bytes(d) for d in pdf["media"]]
+        for b in payloads:
+            _decode_bytes(b)  # stub decode: validates non-empty
+        lens = np.array([len(b) for b in payloads], dtype=np.int64)
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        owner = np.repeat(np.arange(len(payloads)), lens)
+        sums = np.bincount(owner, weights=flat, minlength=len(payloads))
+        mean_byte = sums / lens
+        codes = owner * 8 + (flat >> 5)
+        hist = np.bincount(codes, minlength=len(payloads) * 8).reshape(
+            len(payloads), 8
+        )
+        feats = hist / lens[:, None]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["meta"].map(lambda s: s["width"]),
+                "height": pdf["meta"].map(lambda s: s["height"]),
+                "n_bytes": lens.astype(np.int32),
+                "mean_byte": mean_byte,
+                "features": feats.tolist(),
+            }
+        )
 
     return media.mapInPandas(process, _DECODED_SCHEMA)
 
@@ -188,3 +224,56 @@ def resample_frames(media: DataFrame, target_n: int = 4) -> DataFrame:
             ),
         )
     )
+
+
+
+def resample_audio(
+    media: DataFrame, source_rate: int = 16000, target_rate: int = 8000
+) -> DataFrame:
+    """Audio-style temporal resampling in Arrow batches: the payload
+    is treated as a u8 sample stream (STUB — a real pipeline would
+    ffmpeg-decode to PCM first; the numpy resample below is exactly
+    what it would then run). Linear interpolation via ``np.interp``
+    over the whole batch's concatenated buffer — one Python crossing
+    per Arrow batch, vectorized math per payload, the same
+    batch-shape contract as ``decode_and_featurize``. Returns the
+    resampled payload as binary plus sample-count metadata."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples_in", IntegerType()),
+            StructField("n_samples_out", IntegerType()),
+            StructField("resampled", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ratio = target_rate / source_rate
+        for pdf in batches:
+            ids, n_in, n_out, payloads = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media"]):
+                x = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
+                if not len(x):
+                    raise NotImplementedError(
+                        "empty media payload; real decoder not available"
+                    )
+                m = max(1, int(len(x) * ratio))
+                # sample positions in source time: uniform grid
+                pos = np.arange(m) / ratio
+                y = np.interp(pos, np.arange(len(x)), x)
+                ids.append(doc_id)
+                n_in.append(len(x))
+                n_out.append(m)
+                payloads.append(np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples_in": pd.array(n_in, dtype="int32"),
+                    "n_samples_out": pd.array(n_out, dtype="int32"),
+                    "resampled": payloads,
+                }
+            )
+
+    return media.mapInPandas(process, out_schema)

@@ -84,3 +84,44 @@ def test_resample_frames_even_budget(spark):
         # short clips keep all frames
         if n_frames <= 4:
             assert len(rows) == min(n_frames, 4)
+
+
+def test_chunked_featurize_matches_unchunked(spark):
+    """Byte/row budgets re-slice batches but cannot change results."""
+    m = _media(spark)
+    base = {
+        r.doc_id: r
+        for r in decode_and_featurize(m).collect()
+    }
+    for kwargs in ({"rows_per_chunk": 7}, {"max_chunk_bytes": 200},
+                   {"rows_per_chunk": 1}, {"max_chunk_bytes": 1}):
+        got = decode_and_featurize(m, **kwargs).collect()
+        assert len(got) == len(base)
+        for r in got:
+            b = base[r.doc_id]
+            assert r.n_bytes == b.n_bytes
+            assert abs(r.mean_byte - b.mean_byte) < 1e-12
+            assert r.features == b.features
+
+
+def test_resample_audio_lengths_and_determinism(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        resample_audio,
+    )
+
+    m = _media(spark)
+    out = resample_audio(m, source_rate=16000, target_rate=8000).collect()
+    src = {r.doc_id: r for r in m.select("doc_id", F.length("media").alias("n")).collect()}
+    assert len(out) == len(src)
+    for r in out:
+        assert r.n_samples_in == src[r.doc_id].n
+        assert r.n_samples_out == max(1, r.n_samples_in // 2)
+        assert len(r.resampled) == r.n_samples_out
+    # upsampling keeps every payload longer
+    up = resample_audio(m, source_rate=8000, target_rate=16000).collect()
+    for r in up:
+        assert r.n_samples_out == 2 * r.n_samples_in
+    # determinism: a second run is byte-identical
+    again = {r.doc_id: bytes(r.resampled) for r in resample_audio(m).collect()}
+    first = {r.doc_id: bytes(r.resampled) for r in out}
+    assert first == again
