@@ -161,12 +161,13 @@ GROUP BY p.doc_id
 """
 
 
-@register("dup_span_fraction", oracle=_SPAN_ORACLE)
-def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication profile at word-{k}-gram
+def dup_span_profile(
+    docs: DataFrame, k: int = _SPAN_K, scratch_key: str | None = None
+) -> DataFrame:
+    """Exact-substring duplication profile at word-``k``-gram
     granularity (the scalable approximation of suffix-array dedup,
     Lee et al. 2022 "Deduplicating Training Data Makes Language
-    Models Better"): every {k}-word span is hashed, spans occurring
+    Models Better"): every ``k``-word span is hashed, spans occurring
     in >= 2 distinct documents are "duplicated", and each document
     reports the fraction of its span positions that are duplicated —
     the per-doc removal signal for span-level dedup.
@@ -174,20 +175,19 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tokenize+hash pass materialized once (two consumers:
     the span->doc-count index and the join back), then a shuffle on
     the span hash — linear in corpus size, never pairwise. The
-    oracle groups raw span strings; the Spark side groups xxhash64
-    of the span (shuffling 8 bytes instead of ~40), identical modulo
-    a ~2^-65-per-pair collision probability."""
-    d = _docs(spark, sf_dir)
+    registered oracle groups raw span strings; this side groups
+    xxhash64 of the span (shuffling 8 bytes instead of ~40),
+    identical modulo a ~2^-65-per-pair collision probability."""
     spans = F.expr(
-        f"""transform(sequence(1, size(_w) - {_SPAN_K - 1}),
-              i -> xxhash64(array_join(slice(_w, i, {_SPAN_K}), ' ')))"""
+        f"""transform(sequence(1, size(_w) - {k - 1}),
+              i -> xxhash64(array_join(slice(_w, i, {k}), ' ')))"""
     )
     pos = (
-        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w"))
-        .where(F.size("_w") >= _SPAN_K)
+        docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w"))
+        .where(F.size("_w") >= k)
         .select("doc_id", F.explode_outer(spans).alias("span_h"))
     )
-    pos = materialize(pos, key=f"{sf_dir}:spans{_SPAN_K}")
+    pos = materialize(pos, key=scratch_key)
     cnt = pos.groupBy("span_h").agg(F.count_distinct("doc_id").alias("nd"))
     n_dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
     return (
@@ -200,6 +200,15 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_dup.cast("double") / F.count("*"), 6
             ).alias("dup_fraction"),
         )
+    )
+
+
+@register("dup_span_fraction", oracle=_SPAN_ORACLE)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`dup_span_profile` over the corpus
+    documents table (k=8, span index shared per sf_dir)."""
+    return dup_span_profile(
+        _docs(spark, sf_dir), scratch_key=f"{sf_dir}:spans{_SPAN_K}"
     )
 
 

@@ -159,7 +159,7 @@ def test_ngram_jaccard_single_tokenize_pass(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["ntile_quartiles", "activity_gini", "pareto_revenue"]
+    "name", ["ntile_quartiles", "activity_gini", "pareto_revenue", "sequence_packing"]
 )
 def test_no_single_reducer_window(spark, name):
     """Global ranks/cumsums must come from range-bucketed parallel

@@ -137,3 +137,38 @@ def test_pii_patterns_fire_on_crafted_text(spark):
     }
     assert got["dirty"] == (1, 1, 1), got
     assert got["clean"] == (0, 0, 0), got
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_dup_span_profile_matches_bruteforce(spark, texts):
+    """The hashed span-index plan must agree with the quadratic
+    definition: a span position is duplicated iff its k-gram occurs
+    in at least one OTHER document. k=3 keeps random docs eligible."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        dup_span_profile,
+    )
+
+    k = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in dup_span_profile(docs, k=k).collect()
+    }
+    span_docs: dict[str, set[int]] = {}
+    per_doc: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        spans = [" ".join(w[j : j + k]) for j in range(len(w) - k + 1)]
+        if not spans:
+            continue
+        per_doc[i] = spans
+        for s in set(spans):
+            span_docs.setdefault(s, set()).add(i)
+    expected = {
+        i: (len(spans), sum(1 for s in spans if len(span_docs[s]) >= 2))
+        for i, spans in per_doc.items()
+    }
+    assert got == expected
