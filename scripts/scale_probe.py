@@ -37,6 +37,11 @@ HEAVY = [
     "sessionize",
     "pii_scan",
     "doc_repetition",
+    "dup_span_fraction",
+    "sequence_packing",
+    "doc_chunking",
+    "embedding_quantization",
+    "semantic_dedup",
 ]
 
 

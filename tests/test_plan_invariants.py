@@ -221,3 +221,12 @@ def test_dsir_scoring_join_broadcasts_bucket_table(spark):
     the token stream's only shuffle is the final per-doc grouping."""
     df = _Q["dsir_importance_weights"](spark, SF_MEDIUM)
     assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    """Chunking is a pure per-row map (sequence + slice + explode):
+    any Exchange in its plan means an accidental shuffle of the
+    corpus — at 100 TB that's the difference between scan speed and
+    moving the whole dataset."""
+    plan = formatted_plan(_Q["doc_chunking"](spark, SF_MEDIUM))
+    assert "Exchange" not in plan, plan
