@@ -233,3 +233,218 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_share", 6).alias("share"),
         F.round(F.pow("_share", F.lit(_MIX_ALPHA)) / F.col("_z"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------- C50
+from cdk_serverless_data_lake_sandbox_spark.operators.text import _TOKEN_RE  # noqa: E402
+
+_FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS ws,
+    LEN(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_t
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(ROUND(CAST(SUM(CAST(CAST(re_t AS DOUBLE) / ws AS DECIMAL(18,9)))
+      AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_fertility,
+  CAST(ROUND(CAST(SUM(re_t) AS DOUBLE) / SUM(ws), 6) AS DOUBLE)
+    AS corpus_fertility
+FROM t GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-ish tokens per
+    whitespace word (the metric that decides whether a tokenizer
+    punishes a language — fertility 2x means half the effective
+    context window). Mean of per-doc ratios (decimal-summed, order-
+    independent) plus the token-weighted corpus ratio. One scan,
+    regexes inside codegen."""
+    d = _docs(spark, sf_dir)
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    re_t = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
+    per = d.select("lang", ws.alias("ws"), re_t.alias("re_t"))
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(
+                (F.col("re_t").cast("double") / F.col("ws")).cast("decimal(18,9)")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_fertility"),
+        F.round(F.sum("re_t").cast("double") / F.sum("ws"), 6).alias(
+            "corpus_fertility"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- C51
+_NOVELTY_K = 3
+
+_NOVELTY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(ws, i, i + {_NOVELTY_K - 1}), ' ') AS gram
+  FROM w, UNNEST(generate_series(1, LEN(ws) - {_NOVELTY_K - 1})) AS t(i)
+  WHERE LEN(ws) >= {_NOVELTY_K}
+), f AS (
+  SELECT gram, MIN(doc_id) AS mind FROM g GROUP BY gram
+)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+  COUNT(*) FILTER (WHERE f.mind = g.doc_id) AS n_novel,
+  CAST(ROUND(CAST(COUNT(*) FILTER (WHERE f.mind = g.doc_id) AS DOUBLE)
+      / COUNT(*), 6) AS DOUBLE) AS novelty
+FROM g JOIN f USING (gram) GROUP BY g.doc_id
+"""
+
+
+@register("ngram_novelty", oracle=_NOVELTY_ORACLE)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in corpus order: the fraction of a doc's
+    distinct {k}-grams whose FIRST corpus occurrence (min doc_id) is
+    this document — the curriculum/diversity signal that decays as a
+    crawl saturates. Distinct grams are computed row-locally
+    (array_distinct before the explode — no dedup shuffle), then one
+    min-aggregation per gram and a join back: linear, the inverted-
+    index shape of the dedup family. Grams travel as xxhash64 (the
+    oracle uses raw strings; collision odds ~2^-65 per pair)."""
+    d = _docs(spark, sf_dir)
+    grams = F.expr(
+        f"""array_distinct(transform(sequence(1, size(_w) - {_NOVELTY_K - 1}),
+              i -> xxhash64(array_join(slice(_w, i, {_NOVELTY_K}), ' '))))"""
+    )
+    g = (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w"))
+        .where(F.size("_w") >= _NOVELTY_K)
+        .select("doc_id", F.explode_outer(grams).alias("gram"))
+    )
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("mind"))
+    novel = F.sum(F.when(F.col("mind") == F.col("doc_id"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C52
+_HEAPS_BUCKETS = 20
+
+_HEAPS_ORACLE = f"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+ d AS (
+  SELECT CAST(FLOOR(doc_id * {_HEAPS_BUCKETS}.0 / (m + 1)) AS BIGINT) AS bucket,
+    string_split_regex(TRIM(text), '\\s+') AS ws
+  FROM documents, mx
+), tb AS (
+  SELECT bucket, SUM(LEN(ws)) AS toks FROM d GROUP BY bucket
+), wf AS (
+  SELECT w, MIN(bucket) AS b
+  FROM (SELECT DISTINCT bucket, w FROM d, UNNEST(ws) AS t(w))
+  GROUP BY w
+), nb AS (
+  SELECT b AS bucket, COUNT(*) AS new_words FROM wf GROUP BY b
+), c AS (
+  SELECT tb.bucket,
+    SUM(toks) OVER (ORDER BY tb.bucket) AS cum_toks,
+    SUM(COALESCE(new_words, 0)) OVER (ORDER BY tb.bucket) AS cum_vocab
+  FROM tb LEFT JOIN nb USING (bucket)
+)
+SELECT COUNT(*) AS n_buckets,
+  CAST(ROUND(REGR_SLOPE(LN(CAST(cum_vocab AS DOUBLE)),
+      LN(CAST(cum_toks AS DOUBLE))), 4) + 0.0 AS DOUBLE) AS heaps_beta,
+  CAST(MAX(cum_toks) AS BIGINT) AS total_tokens,
+  CAST(MAX(cum_vocab) AS BIGINT) AS total_vocab
+FROM c WHERE cum_vocab > 0
+"""
+
+
+@register("heaps_law_fit", oracle=_HEAPS_ORACLE)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: docs are bucketed into
+    {B} equal doc_id ranges, cumulative (tokens, distinct-vocabulary)
+    counts per bucket feed a log-log regression — beta well below 1
+    means vocabulary saturates (a healthy natural corpus); beta near
+    1 flags synthetic or ID-heavy text. First-occurrence buckets come
+    from one min-agg per word (no cumulative distinct needed); the
+    only window runs over exactly {B} rows post-aggregation, so the
+    single-partition frame is constant-sized at any corpus scale.
+    No r2 in the output: when the vocabulary saturates inside the
+    first bucket (constant cum_vocab) the determination coefficient
+    is 0/0 and engines disagree on the convention; the (tokens,
+    vocab) totals are exact instead. The +0.0 normalizes IEEE -0.0
+    slopes so both engines hash identically."""
+    d = _docs(spark, sf_dir)
+    mx = d.agg(F.max("doc_id").alias("_m"))
+    base = d.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            F.col("doc_id") * float(_HEAPS_BUCKETS) / (F.col("_m") + 1)
+        ).alias("bucket"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("_w"),
+    )
+    tb = base.groupBy("bucket").agg(F.sum(F.size("_w")).alias("toks"))
+    wf = (
+        base.select("bucket", F.explode_outer(F.array_distinct("_w")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("bucket").alias("b"))
+    )
+    nb = wf.groupBy(F.col("b").alias("bucket")).agg(
+        F.count("*").alias("new_words")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        tb.join(nb, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(w).alias("cum_toks"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .where(F.col("cum_vocab") > 0)
+    )
+    ln_v = F.log(F.col("cum_vocab").cast("double"))
+    ln_t = F.log(F.col("cum_toks").cast("double"))
+    return c.agg(
+        F.count("*").alias("n_buckets"),
+        (F.round(F.regr_slope(ln_v, ln_t), 4) + F.lit(0.0)).alias("heaps_beta"),
+        F.max("cum_toks").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("total_vocab"),
+    )
+
+
+# ---------------------------------------------------------------- C53
+_SIZE_DIST_ORACLE = """
+WITH c AS (
+  SELECT md5(text) AS h, COUNT(*) AS sz FROM documents GROUP BY md5(text)
+)
+SELECT sz AS n_copies, COUNT(*) AS n_clusters,
+  CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM c GROUP BY sz
+"""
+
+
+@register("dup_cluster_sizes", oracle=_SIZE_DIST_ORACLE)
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how many content
+    hashes occur once, twice, k times — the shape that decides the
+    dedup strategy (a fat head of boilerplate clones vs a long tail
+    of singletons). Two cheap aggregations; the first groupBy does
+    map-side partials on the hash, the second is histogram-sized."""
+    d = _docs(spark, sf_dir)
+    c = d.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("sz"))
+    return c.groupBy(F.col("sz").alias("n_copies")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )

@@ -52,6 +52,10 @@ _VERIFY_FIRST = [
     "dup_span_fraction",
     "token_budget_allocation",
     "embedding_quantization",
+    "tokenizer_fertility",
+    "ngram_novelty",
+    "heaps_law_fit",
+    "dup_cluster_sizes",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",
