@@ -246,3 +246,63 @@ def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("user_id_freqItems").alias("n_frequent_users"),
     )
+
+
+# ---------------------------------------------------------------- B75
+@register("sketch_rollup_dau")  # sketch bytes aren't SQL-expressible -> rows-only
+def sketch_rollup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY HLL sketches of active users
+    are UNIONED into weekly uniques without touching raw events again
+    — the pre-aggregation pattern that makes distinct-count dashboards
+    tractable at 100 TB (store tiny daily sketches, merge any date
+    range on demand; exact distinct would re-scan the raw table per
+    query). Uses Spark's Datasketches HLL (hll_sketch_agg /
+    hll_union_agg); accuracy is pinned by an error-bound test against
+    exact weekly distincts."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    weekly = daily.groupBy(F.date_trunc("week", F.col("day")).alias("week_start")).agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    return weekly.select(
+        "week_start", "n_days", "n_events", F.col("approx_users").cast("bigint").alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------- B76
+_GROUP_SAMPLE_K = 5
+
+_GROUP_SAMPLE_ORACLE = f"""
+SELECT event_type, event_id, rk FROM (
+  SELECT event_type, event_id,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+  FROM events
+) WHERE rk <= {_GROUP_SAMPLE_K}
+"""
+
+
+@register("group_sample_topk", oracle=_GROUP_SAMPLE_ORACLE)
+def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group uniform sample, deterministically: rank
+    rows inside each group by the md5 of their key (a pseudo-random
+    but reproducible order — no RNG, stable under any partitioning or
+    retry, the property a sampled debugging/eval set needs) and keep
+    the first k. The window partitions by group, so ranking
+    parallelizes across groups; at extreme per-group cardinality the
+    md5 order threshold could first be estimated per group to
+    pre-filter before the window (the top-k-per-group pattern)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _GROUP_SAMPLE_K)
+    )

@@ -56,6 +56,8 @@ _VERIFY_FIRST = [
     "ngram_novelty",
     "heaps_law_fit",
     "dup_cluster_sizes",
+    "sketch_rollup_dau",
+    "group_sample_topk",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",

@@ -303,3 +303,33 @@ def test_semantic_dedup_deterministic_and_exact(spark):
     bf_mass = sum(n for _, n in bf_groups)
     got_mass = sum(n for _, n in got_groups)
     assert got_mass >= 0.6 * bf_mass, (got_mass, bf_mass)
+
+
+def test_sketch_rollup_dau_error_bound(spark):
+    """Weekly uniques from unioned daily HLL sketches must sit within
+    HLL error (lgK=12 -> ~1.6% std) of the exact weekly distincts,
+    and day/event counts are exact."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+
+    got = {r.week_start: r for r in _Q["sketch_rollup_dau"](spark, SF_MEDIUM).collect()}
+    ev = load_tables(spark, SF_MEDIUM, ("events",))["events"]
+    exact = {
+        r.week_start: (r.n_users, r.n_events)
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week_start")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for wk, r in got.items():
+        n_users, n_events = exact[wk]
+        assert r.n_events == n_events
+        assert abs(r.approx_users - n_users) <= max(3, 0.05 * n_users), (
+            wk, r.approx_users, n_users
+        )
