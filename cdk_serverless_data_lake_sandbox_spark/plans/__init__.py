@@ -46,3 +46,45 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def shuffle_count(df: DataFrame) -> int:
     return formatted_plan(df).count("Exchange")
+
+
+def single_reducer_window_nodes(df_or_plan: DataFrame | str) -> list[int]:
+    """Node ids of Window operators fed (directly in their input
+    chain, before any fan-out) by an Exchange whose distribution is
+    SinglePartition — the every-row-through-one-task shape that is a
+    scale-killer on raw tables. Formatted explain prints the tree as
+    ``NodeName (id)`` with partitioning only in the per-node detail
+    section, so the literal string "Exchange SinglePartition" NEVER
+    appears; this parses the ids out of each Window's subtree and
+    checks their detail arguments instead."""
+    plan = df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    lines = plan.splitlines()
+    node_re = re.compile(r"([A-Za-z][A-Za-z0-9]*) \((\d+)\)\s*$")
+    tree: list[tuple[int, str, int]] = []  # (depth, name, id)
+    for line in lines:
+        m = node_re.search(line)
+        if not m:
+            if tree and not line.strip():
+                break  # tree section ended
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        tree.append((depth, m.group(1), int(m.group(2))))
+    single_ids: set[int] = set()
+    for m in re.finditer(r"^\((\d+)\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan, re.M):
+        if m.group(2).startswith("SinglePartition"):
+            single_ids.add(int(m.group(1)))
+    offenders: list[int] = []
+    for i, (depth, name, nid) in enumerate(tree):
+        if name != "Window":
+            continue
+        for d2, n2, id2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            if id2 in single_ids:
+                offenders.append(nid)
+                break
+            if n2 in ("HashAggregate", "Join", "BroadcastHashJoin", "SortMergeJoin"):
+                # aggregation/join below the window re-partitions; the
+                # window's own input distribution is decided above it
+                break
+    return offenders

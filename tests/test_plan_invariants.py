@@ -165,22 +165,32 @@ def test_no_single_reducer_window(spark, name):
     """Global ranks/cumsums must come from range-bucketed parallel
     ranking (total_order_index), never an unpartitioned Window: a
     Window fed by Exchange SinglePartition pushes every row through
-    one task. The tree check walks each Window node's subtree down to
-    the next plan fan-out and asserts no single-partition exchange
-    feeds it."""
-    plan = formatted_plan(_Q[name](spark, SF_MEDIUM))
-    lines = plan.splitlines()
-    for i, line in enumerate(lines):
-        if "Window" not in line:
-            continue
-        depth = len(line) - len(line.lstrip(" :+-"))
-        for nxt in lines[i + 1 : i + 6]:
-            nxt_depth = len(nxt) - len(nxt.lstrip(" :+-"))
-            if nxt.strip() and nxt_depth <= depth:
-                break
-            assert "Exchange SinglePartition" not in nxt, (
-                f"{name}: single-reducer window\n{plan}"
-            )
+    one task. Detection parses node ids out of each Window's subtree
+    and checks their detail arguments — formatted explain never
+    prints the literal 'Exchange SinglePartition' in the tree, so a
+    plain substring check would be vacuous (it was, until r2)."""
+    from cdk_serverless_data_lake_sandbox_spark.plans import (
+        single_reducer_window_nodes,
+    )
+
+    offenders = single_reducer_window_nodes(_Q[name](spark, SF_MEDIUM))
+    assert not offenders, f"{name}: single-reducer Window nodes {offenders}"
+
+
+def test_single_reducer_detector_catches_bad_plan(spark):
+    """The detector itself must flag a genuinely global window —
+    guards the guard against the vacuous-matcher regression."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from cdk_serverless_data_lake_sandbox_spark.plans import (
+        single_reducer_window_nodes,
+    )
+
+    bad = spark.range(100).withColumn(
+        "r", F.row_number().over(W.orderBy("id"))
+    )
+    assert single_reducer_window_nodes(bad)
 
 
 def test_gopher_filter_two_stage_agg_no_window(spark):
