@@ -340,3 +340,23 @@ def rate_limited_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E16
+def trending_topk(stream: DataFrame, window: str = "1 day", k: int = 3) -> DataFrame:
+    """Trending dashboard aggregate: event-type counts per tumbling
+    window, globally ranked, top-k — the "what's hot right now" query.
+    Sorting + LIMIT on a streaming aggregate requires COMPLETE output
+    mode (the sink receives the full ranked table each trigger); state
+    is the windowed count store, which complete mode retains for all
+    windows — bound the key space (window x type), not the stream
+    length, and prefer the update-mode + downstream-rank variant when
+    window cardinality grows without limit. The rank itself is
+    TakeOrderedAndProject-shaped: per-partition top-k merged on the
+    driver, never a global sort."""
+    counts = (
+        stream.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    return counts.orderBy(F.desc("n_events"), "window_start", "event_type").limit(k)

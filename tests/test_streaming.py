@@ -550,3 +550,31 @@ def test_idle_key_eviction_flushes_and_drops_state(spark, tmp_path):
         if ev_rows:
             final = max(r.n_events for r in rows)
             assert ev_rows[0].n_events == final, f"user {uid} evicted early"
+
+
+# ---------------------------------------------------------------- E16
+def test_trending_topk_matches_batch(spark, event_drop_dir):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import trending_topk
+
+    ev = _prepare(spark, event_drop_dir + "/trend")
+    stream = read_event_stream(spark, event_drop_dir + "/trend", max_files_per_trigger=3)
+    _run_to_memory(trending_topk(stream, k=3), "trend_out", "complete")
+    got = [
+        (r.window_start, r.event_type, r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM trend_out ORDER BY n_events DESC, window_start, event_type"
+        ).collect()
+    ]
+    expected = [
+        (r.window_start, r.event_type, r.n_events)
+        for r in (
+            ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("win.start").alias("window_start"), "event_type", "n_events"
+            )
+            .orderBy(F.desc("n_events"), "window_start", "event_type")
+            .limit(3)
+        ).collect()
+    ]
+    assert got == expected
