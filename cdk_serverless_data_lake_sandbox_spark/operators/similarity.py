@@ -626,3 +626,140 @@ def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         same.cast("bigint").alias("n_same_label"),
         F.round(same.cast("double") / F.count("*"), 4).alias("purity"),
     )
+
+
+# ---------------------------------------------------------------- C54
+_PQ_M = 16  # subspaces
+_PQ_SUBDIM = 4  # dims per subspace (embeddings are 64-d)
+_PQ_K = 16  # centroids per subspace -> 4-bit codes
+_PQ_ITERS = 3
+
+
+def pq_codebooks(e: DataFrame) -> DataFrame:
+    """Product-quantization codebooks: deterministic Lloyd's k-means
+    run INDEPENDENTLY in each of the {M} subspaces — but as ONE keyed
+    job, not M driver loops: the (vec_id, sub, subvector) frame keys
+    every iteration's assign/recompute by subspace, so all {M}
+    codebooks train in the same two shuffles per iteration that one
+    k-means costs. Initialization is the first {K} vec_ids'
+    subvectors (no RNG). Returns (sub, cid, ce) centroid rows."""
+    sv = e.select(
+        "vec_id",
+        F.posexplode_outer(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" m -> slice(embedding, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+            )
+        ).alias("sub", "sv"),
+    ).where(F.col("sv").isNotNull())
+    cents = (
+        sv.where(F.col("vec_id") < _PQ_K)
+        .select("sub", (F.col("vec_id") + 1).cast("int").alias("cid"), F.col("sv").alias("ce"))
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(sv, ce,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0.0d, (acc, v) -> acc + v)"
+    )
+    for _ in range(_PQ_ITERS):
+        assign = (
+            sv.join(F.broadcast(cents), "sub")
+            .select("vec_id", "sub", "sv", "cid", dist2.alias("d2"))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        cents = (
+            assign.select("sub", "cid", F.posexplode_outer("sv").alias("pos", "val"))
+            .where(F.col("val").isNotNull())
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                    / F.count("*")
+                ).alias("c")
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))"
+                ).alias("ce")
+            )
+        )
+    return cents
+
+
+def pq_encode(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Encode every vector as {M} 4-bit codes (argmin centroid per
+    subspace) and carry the reconstructed (decoded) vector for
+    asymmetric scoring. 64 floats -> {M} codes = 32x memory
+    compression for the stored index; at 100 TB this is the
+    difference between an in-memory ANN index and none."""
+    sv = e.select(
+        "vec_id",
+        F.posexplode_outer(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" m -> slice(embedding, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+            )
+        ).alias("sub", "sv"),
+    ).where(F.col("sv").isNotNull())
+    dist2 = F.expr(
+        "aggregate(zip_with(sv, ce,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0.0d, (acc, v) -> acc + v)"
+    )
+    best = (
+        sv.join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", "cid", "ce", dist2.alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("code"),
+            F.min_by("ce", F.struct(F.col("d2"), F.col("cid"))).alias("part"),
+        )
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
+        ).alias("codes"),
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(sub, part))), x -> x.part))"
+        ).alias("recon"),
+    )
+
+
+@register("ann_topk_pq")  # quantized -> rows-only check + recall tests
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus vectors live as {M}x4-bit PQ
+    codes (trained by keyed per-subspace Lloyd's, encoded once);
+    queries score against the RECONSTRUCTED vectors — asymmetric
+    distance computation, the FAISS IVF-PQ recipe minus the coarse
+    quantizer (compose with ann_ivf's cells for both). One broadcast
+    of the 10-row query set, one scan of the encoded corpus, per-query
+    top-k window. Recall vs exact brute force is pinned by test; the
+    32x index compression is the 100 TB story."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+
+    encoded = materialize(
+        pq_encode(e, pq_codebooks(e)), key=f"pq-encode:{sf_dir}"
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("nq"),
+    )
+    cand = encoded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("recon").alias("re")
+    ).select("neighbor_id", "re", _norm("re").alias("nr"))
+    approx_cos = _dot("qe", "re") / (F.col("nq") * F.col("nr"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(cand, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx_cos.alias("approx_cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )

@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     "dup_cluster_sizes",
     "sketch_rollup_dau",
     "group_sample_topk",
+    "ann_topk_pq",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",

@@ -333,3 +333,44 @@ def test_sketch_rollup_dau_error_bound(spark):
         assert abs(r.approx_users - n_users) <= max(3, 0.05 * n_users), (
             wk, r.approx_users, n_users
         )
+
+
+def test_ann_pq_recall_and_compression(spark):
+    """PQ-ANN: 8x4-bit codes must keep usable recall vs exact brute
+    force, codes must be valid (M entries, values in [1, K]), and
+    reconstruction must be lossy-but-close (quantization sanity)."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    exact = _Q["ann_topk_bruteforce"](spark, SF_MEDIUM).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    approx = _Q["ann_topk_pq"](spark, SF_MEDIUM).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"pq recall@5 {recall:.2f}"
+    assert all(r.rank <= 5 and -1.0001 <= r.approx_cosine <= 1.0001 for r in approx)
+
+    e = load_tables(spark, SF_MEDIUM, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    enc = pq_encode(e, pq_codebooks(e))
+    rows = enc.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+        F.size("recon").alias("d"),
+        F.expr(
+            "sqrt(aggregate(zip_with(recon, recon, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0.0d, (a, v) -> a + v))"
+        ).alias("rn"),
+    ).collect()
+    assert all(r.m == _PQ_M and 1 <= r.lo and r.hi <= _PQ_K and r.d == 64 for r in rows)
+    # reconstructed vectors are non-degenerate
+    assert all(r.rn > 0 for r in rows)
