@@ -448,3 +448,97 @@ def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clusters"),
         F.sum("sz").cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------- C55
+_PSI_BUCKETS = 10
+
+_PSI_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value,
+    EXTRACT(dow FROM ts) IN (0, 6) AS is_weekend
+  FROM events
+), rng AS (
+  SELECT event_type, MIN(value) AS lo,
+    GREATEST(MAX(value) - MIN(value), 1e-12) AS width
+  FROM ev GROUP BY event_type
+), b AS (
+  SELECT ev.event_type, is_weekend,
+    LEAST(CAST(FLOOR((value - lo) / (width / {_PSI_BUCKETS})) AS BIGINT),
+          {_PSI_BUCKETS - 1}) AS bucket
+  FROM ev JOIN rng USING (event_type)
+), c AS (
+  SELECT event_type, bucket,
+    COUNT(*) FILTER (WHERE NOT is_weekend) AS n_wd,
+    COUNT(*) FILTER (WHERE is_weekend) AS n_we
+  FROM b GROUP BY event_type, bucket
+), tot AS (
+  SELECT event_type, SUM(n_wd) AS t_wd, SUM(n_we) AS t_we
+  FROM c GROUP BY event_type
+), terms AS (
+  SELECT c.event_type,
+    (CAST(n_wd + 0.5 AS DOUBLE) / (t_wd + 0.5 * {_PSI_BUCKETS})) AS p,
+    (CAST(n_we + 0.5 AS DOUBLE) / (t_we + 0.5 * {_PSI_BUCKETS})) AS q,
+    t_wd, t_we
+  FROM c JOIN tot USING (event_type)
+)
+SELECT event_type,
+  CAST(ROUND(CAST(SUM(CAST((p - q) * LN(p / q) AS DECIMAL(18,12)))
+      AS DOUBLE), 6) AS DOUBLE) AS psi,
+  CAST(MIN(t_wd) AS BIGINT) AS n_weekday,
+  CAST(MIN(t_we) AS BIGINT) AS n_weekend
+FROM terms GROUP BY event_type
+"""
+
+
+@register("psi_drift", oracle=_PSI_ORACLE)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between weekday and weekend value
+    distributions per event type — the standard drift monitor run
+    before retraining on fresh data (PSI < 0.1 stable, > 0.25 major
+    shift). Ten fixed-width buckets from the per-type range
+    (broadcast), Laplace-smoothed fractions so empty buckets don't
+    blow up the log, and the 10-term PSI sum decimal-cast so
+    accumulation order can't move the hash. Two aggregations plus a
+    broadcast range join — one scan of events at any scale."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type",
+        "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.greatest(F.max("value") - F.min("value"), F.lit(1e-12)).alias("width"),
+    )
+    b = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "is_weekend",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("width") / _PSI_BUCKETS)),
+            F.lit(_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.count(F.when(~F.col("is_weekend"), 1)).alias("n_wd"),
+        F.count(F.when(F.col("is_weekend"), 1)).alias("n_we"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("n_wd").alias("t_wd"), F.sum("n_we").alias("t_we")
+    )
+    p = (F.col("n_wd") + 0.5) / (F.col("t_wd") + 0.5 * _PSI_BUCKETS)
+    q = (F.col("n_we") + 0.5) / (F.col("t_we") + 0.5 * _PSI_BUCKETS)
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            ((p - q) * F.log(p / q)).cast("decimal(18,12)").alias("term"),
+            "t_wd",
+            "t_we",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("term").cast("double"), 6).alias("psi"),
+            F.min("t_wd").cast("bigint").alias("n_weekday"),
+            F.min("t_we").cast("bigint").alias("n_weekend"),
+        )
+    )

@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "sketch_rollup_dau",
     "group_sample_topk",
     "ann_topk_pq",
+    "psi_drift",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",
