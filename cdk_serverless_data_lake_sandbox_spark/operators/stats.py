@@ -1089,3 +1089,54 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(dec("o_totalprice", 2))).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------- B77
+_SKEW_TOP = 20
+
+_SKEW_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_n, SUM(n) AS total
+  FROM c
+)
+SELECT user_id, n,
+  CAST(ROUND(CAST(n AS DOUBLE) / total, 6) AS DOUBLE) AS share,
+  CAST(ROUND(CAST(n AS DOUBLE) / avg_n, 4) AS DOUBLE) AS skew_ratio,
+  CAST(CEIL(CAST(n AS DOUBLE) / avg_n) AS BIGINT) AS suggested_salts
+FROM c, s ORDER BY n DESC, user_id LIMIT {_SKEW_TOP}
+"""
+
+
+@register("key_skew_profile", oracle=_SKEW_ORACLE)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnostic: the hottest join/group keys with
+    their share of all rows and skew ratio vs the mean key, plus the
+    salt factor that would level each one (ceil(n/avg) replicas).
+    This is what you run BEFORE a big join to decide between plain
+    hash, AQE skew-split, and explicit salting (operators/joins.py).
+    One count aggregation + a scalar broadcast + TakeOrdered top-N —
+    diagnostic cost stays trivial at any scale."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    s = c.agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_n"),
+        F.sum("n").alias("total"),
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n").cast("double") / F.col("avg_n"), 4).alias(
+                "skew_ratio"
+            ),
+            F.ceil(F.col("n").cast("double") / F.col("avg_n"))
+            .cast("bigint")
+            .alias("suggested_salts"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(_SKEW_TOP)
+    )

@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "group_sample_topk",
     "ann_topk_pq",
     "psi_drift",
+    "key_skew_profile",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",

@@ -360,3 +360,104 @@ def trending_topk(stream: DataFrame, window: str = "1 day", k: int = 3) -> DataF
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
     )
     return counts.orderBy(F.desc("n_events"), "window_start", "event_type").limit(k)
+
+
+# ---------------------------------------------------------------- E17
+_PSI_MON_BUCKETS = 10
+
+
+def value_psi(batch: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Population Stability Index of ``batch``'s value distribution
+    against ``baseline``, per event_type (the batch-side core shared
+    by the streaming monitor and its tests). Buckets come from the
+    BASELINE range — drift monitoring must hold the reference frame
+    fixed; Laplace smoothing keeps empty buckets finite; the 10-term
+    sum is decimal-cast so accumulation order can't move results."""
+    B = _PSI_MON_BUCKETS
+    rng = baseline.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.greatest(F.max("value") - F.min("value"), F.lit(1e-12)).alias("width"),
+    )
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(rng), "event_type")
+            .select(
+                "event_type",
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            (F.col("value") - F.col("lo")) / (F.col("width") / B)
+                        ),
+                        F.lit(0),
+                    ),
+                    F.lit(B - 1),
+                ).alias("bucket"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.count("*").alias(out))
+        )
+
+    grid = rng.select(
+        "event_type", F.explode(F.expr(f"sequence(0, {B - 1})")).alias("bucket")
+    )
+    c = (
+        grid.join(bucketed(baseline, "n_base"), ["event_type", "bucket"], "left")
+        .join(bucketed(batch, "n_new"), ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_new").alias("t_new")
+    )
+    p = (F.col("n_new") + 0.5) / (F.col("t_new") + 0.5 * B)
+    q = (F.col("n_base") + 0.5) / (F.col("t_base") + 0.5 * B)
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .where(F.col("t_new") > 0)
+        .select(
+            "event_type",
+            ((p - q) * F.log(p / q)).cast("decimal(18,12)").alias("term"),
+            "t_new",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("term").cast("double"), 6).alias("psi"),
+            F.min("t_new").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def psi_monitor_sink(
+    stream: DataFrame,
+    baseline: DataFrame,
+    monitor_path: str,
+    raw_path: str | None = None,
+):
+    """Online drift detection at ingest: every micro-batch's value
+    distribution is scored (PSI) against a static baseline and the
+    per-type scores appended to a monitoring table — the alert feed a
+    retraining pipeline watches. The baseline histogram is tiny
+    (types x 10 buckets) and broadcast; per-batch cost is one
+    aggregation of the batch. ``raw_path`` optionally archives each
+    batch with its batch_id (lineage for test parity and incident
+    replay)."""
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        if raw_path is not None:
+            batch.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(raw_path)
+        value_psi(batch, baseline).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(monitor_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(monitor)
+        .trigger(availableNow=True)
+        .start()
+    )

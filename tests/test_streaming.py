@@ -578,3 +578,43 @@ def test_trending_topk_matches_batch(spark, event_drop_dir):
         ).collect()
     ]
     assert got == expected
+
+
+# ---------------------------------------------------------------- E17
+def test_psi_monitor_matches_batch_twin(spark, tmp_path):
+    """Each micro-batch's recorded PSI must equal value_psi() run on
+    that exact batch's archived rows — streaming and batch share one
+    code path, so equality is exact, not approximate."""
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        psi_monitor_sink,
+        value_psi,
+    )
+
+    src = str(tmp_path / "psi_src")
+    mon = str(tmp_path / "psi_mon")
+    raw = str(tmp_path / "psi_raw")
+    ev = _prepare(spark, src)
+    baseline = ev
+    stream = read_event_stream(spark, src, max_files_per_trigger=3)
+    q = psi_monitor_sink(stream, baseline, mon, raw_path=raw)
+    q.awaitTermination(180)
+    got = {
+        (r.batch_id, r.event_type): (r.psi, r.n_events)
+        for r in spark.read.parquet(mon).collect()
+    }
+    assert got, "monitor table is empty"
+    archived = spark.read.parquet(raw)
+    batch_ids = [r._batch_id for r in archived.select("_batch_id").distinct().collect()]
+    assert len(batch_ids) >= 2, "expected multiple micro-batches"
+    for bid in batch_ids:
+        expected = {
+            r.event_type: (r.psi, r.n_events)
+            for r in value_psi(
+                archived.where(F.col("_batch_id") == bid).drop("_batch_id"),
+                baseline,
+            ).collect()
+        }
+        for et, vals in expected.items():
+            assert got[(bid, et)] == vals, (bid, et)
+    # a batch drawn from the baseline itself cannot show major drift
+    assert all(psi < 0.25 for psi, _ in got.values())
