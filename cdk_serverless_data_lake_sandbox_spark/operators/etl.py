@@ -319,3 +319,40 @@ def partition_stats(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "partition string, n_files int, n_rows long, n_bytes long"
     )
+
+
+# ---------------------------------------------------------------- D12
+def snapshot_diff(
+    lake,
+    zone: str,
+    table: str,
+    v_old: int,
+    v_new: int,
+    key_col: str,
+) -> DataFrame:
+    """Change-data-feed between two Lake snapshots: full outer join
+    on the key, rows classified inserted / deleted / updated /
+    unchanged by comparing an md5 fingerprint of the non-key columns
+    (one expression, no per-column plumbing). This is what an
+    incremental consumer reads instead of re-scanning the new
+    snapshot, and what a reconciliation job audits after a backfill.
+    One shuffle on the key; fingerprints are computed scan-side so
+    the join carries 32 bytes per row, not the row."""
+    old = lake.read_version(zone, table, v_old)
+    new = lake.read_version(zone, table, v_new)
+    cols = sorted(c for c in old.columns if c != key_col)
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        return df.select(
+            F.col(key_col).alias("key"), fp.alias(f"fp_{side}")
+        )
+
+    j = keyed(old, "old").join(keyed(new, "new"), "key", "full_outer")
+    change = (
+        F.when(F.col("fp_old").isNull(), F.lit("inserted"))
+        .when(F.col("fp_new").isNull(), F.lit("deleted"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("key", change.alias("change_type"))

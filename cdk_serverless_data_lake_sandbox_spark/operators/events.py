@@ -596,3 +596,83 @@ def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_lines")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------- B78
+_PIT_ORACLE = """
+WITH dim AS (
+  SELECT * FROM events WHERE event_type <> 'purchase'
+), changes AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM dim
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), segments AS (
+  SELECT user_id, event_type, ts,
+    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+  FROM changes
+), ranges AS (
+  SELECT user_id, seg, event_type AS state, MIN(ts) AS valid_from
+  FROM segments GROUP BY user_id, seg, event_type
+), versioned AS (
+  SELECT user_id, seg, state, valid_from,
+    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+  FROM ranges
+)
+SELECT p.event_id, p.user_id, p.ts, v.state AS state_at_purchase, v.seg
+FROM events p LEFT JOIN versioned v
+  ON p.user_id = v.user_id AND p.ts >= v.valid_from
+  AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register("scd2_point_in_time_join", oracle=_PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct join — the warehouse-correctness
+    classic: each purchase is joined to the SCD2 dimension version
+    valid AT ITS TIMESTAMP (the activity state built from the user's
+    non-purchase events), never to a later version (no time-travel
+    leakage, the bug that silently poisons training features).
+    Dimension ranges are half-open [valid_from, next_valid_from);
+    purchases before any state carry NULL. The join shuffles both
+    sides on user_id; within a user the range predicate selects at
+    most one version — same shape as asof_join, but against a
+    maintained dimension rather than raw events."""
+    ev = _events(spark, sf_dir)
+    dim = ev.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segments = dim.select(
+        "user_id", "event_type", "ts", F.sum(chg).over(wc).alias("seg")
+    )
+    ranges = segments.groupBy(
+        "user_id", "seg", F.col("event_type").alias("state")
+    ).agg(F.min("ts").alias("valid_from"))
+    wl = Window.partitionBy("user_id").orderBy("seg")
+    versioned = ranges.select(
+        F.col("user_id").alias("v_user"), "seg", "state", "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (p["user_id"] == versioned["v_user"])
+        & (p["ts"] >= versioned["valid_from"])
+        & (versioned["valid_to"].isNull() | (p["ts"] < versioned["valid_to"]))
+    )
+    return p.join(versioned, cond, "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state").alias("state_at_purchase"),
+        "seg",
+    )

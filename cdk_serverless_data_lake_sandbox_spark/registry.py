@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "ann_topk_pq",
     "psi_drift",
     "key_skew_profile",
+    "scd2_point_in_time_join",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",

@@ -443,3 +443,25 @@ def test_results_zone_persists_runs(spark, tmp_path):
     assert zone.list_runs("preview_nation") == [0, 1]
     assert zone.read("preview_nation", run=0).count() == 10
     assert zone.read("preview_nation").count() == 5  # latest by default
+
+
+# ---------------------------------------------------------------- D12
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import snapshot_diff
+
+    lake = Lake(spark, str(tmp_path / "diff_lake"))
+    lake.add_zone("serving")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)], "id long, s string, v double"
+    )
+    assert lake.write_version("serving", "t", v0) == 0
+    assert lake.write_version("serving", "t", v1) == 1
+    got = {
+        r.key: r.change_type
+        for r in snapshot_diff(lake, "serving", "t", 0, 1, "id").collect()
+    }
+    assert got == {1: "unchanged", 2: "updated", 3: "deleted", 4: "inserted"}
