@@ -356,3 +356,41 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("key", change.alias("change_type"))
+
+
+# ---------------------------------------------------------------- D13
+def incremental_agg_refresh(
+    spark: SparkSession, target_path: str, batch: DataFrame
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the daily
+    (n_orders, revenue) rollup is refreshed by aggregating ONLY the
+    new batch and merging it with the stored aggregate — sum/count
+    are mergeable partials, so refresh cost is O(batch) + O(aggregate
+    table), never O(full history). Revenue partials stay DECIMAL in
+    storage so merge order can't change results; the swap is the
+    staged-atomic pattern shared with merge_upsert. Returns the new
+    aggregate state."""
+    import shutil
+
+    part = batch.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    try:
+        current = spark.read.parquet(target_path)
+        merged = (
+            current.unionByName(part)
+            .groupBy("day")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("revenue").cast("decimal(18,2)").alias("revenue"),
+            )
+        )
+    except Exception:  # first refresh: no aggregate yet
+        merged = part
+    merged.write.mode("overwrite").parquet(target_path + "_staged")
+    shutil.rmtree(target_path, ignore_errors=True)
+    shutil.move(target_path + "_staged", target_path)
+    return spark.read.parquet(target_path)

@@ -1,0 +1,108 @@
+"""Declarative data-quality expectations (the Deequ/Great-
+Expectations pattern, engine-native): a rule set is compiled into ONE
+conditional-aggregation pass over the table plus one broadcast
+anti-join per referential rule — adding a rule adds a column to the
+aggregate, never a scan. The registered query runs the standard
+warehouse suite over orders/customer; ``run_expectations`` is the
+reusable library entry for any table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+
+def run_expectations(
+    df: DataFrame, rules: dict[str, Column]
+) -> DataFrame:
+    """Evaluate named violation predicates in one scan. Each rule is
+    a Column counting violations (pre-aggregated expressions allowed);
+    returns (rule, n_violations, passed) rows — the shape a quality
+    gate or a dashboard consumes."""
+    agg = df.agg(
+        *[expr.cast("bigint").alias(name) for name, expr in rules.items()]
+    )
+    stack = ", ".join(f"'{name}', {name}" for name in rules)
+    return agg.select(
+        F.expr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        )
+    ).select("rule", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+
+
+_DQ_ORACLE = """
+WITH r AS (
+  SELECT 'null_orderkey' AS rule,
+    COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations FROM orders
+  UNION ALL
+  SELECT 'duplicate_orderkey',
+    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+  UNION ALL
+  SELECT 'nonpositive_totalprice',
+    COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+  UNION ALL
+  SELECT 'status_outside_domain',
+    COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+  UNION ALL
+  SELECT 'orderdate_out_of_range',
+    COUNT(*) FILTER (WHERE o_orderdate < DATE '1990-01-01'
+                        OR o_orderdate > DATE '2030-01-01') FROM orders
+  UNION ALL
+  SELECT 'orphan_custkey',
+    COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+  n_violations = 0 AS passed
+FROM r
+"""
+
+
+@register("dq_expectations", oracle=_DQ_ORACLE)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard warehouse expectation suite over orders: completeness
+    (null key), uniqueness (duplicate key), range (price, date),
+    domain (status), and referential integrity against customer. The
+    five scalar rules compile to one aggregation pass; the
+    referential rule is a broadcast-dim anti-join count — the whole
+    suite costs one scan of the fact table at any scale."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    o, c = t["orders"], t["customer"]
+    scalar = run_expectations(
+        o,
+        {
+            "null_orderkey": F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+            "duplicate_orderkey": F.count("*") - F.count_distinct("o_orderkey"),
+            "nonpositive_totalprice": F.count(
+                F.when(F.col("o_totalprice") <= 0, 1)
+            ),
+            "status_outside_domain": F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ),
+            "orderdate_out_of_range": F.count(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+                    | (F.col("o_orderdate") > F.lit("2030-01-01").cast("date")),
+                    1,
+                )
+            ),
+        },
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("orphan_custkey").alias("rule"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    return scalar.unionByName(orphans)

@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "psi_drift",
     "key_skew_profile",
     "scd2_point_in_time_join",
+    "dq_expectations",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",
@@ -162,6 +163,7 @@ def _load_modules() -> None:
         events,
         multimodal,
         pipeline,
+        quality,
         shaping,
         similarity,
         stats,

@@ -465,3 +465,32 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
         for r in snapshot_diff(lake, "serving", "t", 0, 1, "id").collect()
     }
     assert got == {1: "unchanged", 2: "updated", 3: "deleted", 4: "inserted"}
+
+
+# ---------------------------------------------------------------- D13
+def test_incremental_agg_refresh_matches_full_recompute(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        incremental_agg_refresh,
+    )
+
+    orders = load_tables(spark, SF_SMALL, ("orders",))["orders"]
+    target = str(tmp_path / "agg_state")
+    b1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    incremental_agg_refresh(spark, target, b1)
+    got = {
+        r.day: (r.n_orders, float(r.revenue))
+        for r in incremental_agg_refresh(spark, target, b2).collect()
+    }
+    full = {
+        r.day: (r.n_orders, float(r.revenue))
+        for r in orders.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == full
