@@ -473,6 +473,18 @@ def kmeans_assign(e: DataFrame, k: int, iters: int) -> DataFrame:
                 ).alias("ce")
             )
         )
+        # Truncate lineage each round: centroids are k x d — driver-
+        # sized BY DEFINITION — so collecting them is not a scale
+        # smell. Locally this is timing-neutral (the lazy composition
+        # also evaluated each round once), but it caps the analyzed
+        # plan at one iteration deep: with lazy chaining, optimizer
+        # time and broadcast-plan size grow with every added round,
+        # which is what bites first on a real cluster run.
+        rows = cents.collect()
+        cents = e.sparkSession.createDataFrame(
+            [(int(r["cid"]), list(r["ce"])) for r in rows],
+            "cid int, ce array<float>",
+        )
     return (
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "cid", dist2.alias("d2"))
@@ -687,6 +699,13 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
                     "transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))"
                 ).alias("ce")
             )
+        )
+        # M x K codebook rows are driver-sized; truncate lineage per
+        # round exactly as kmeans_assign does (see its comment).
+        rows = cents.collect()
+        cents = e.sparkSession.createDataFrame(
+            [(int(r["sub"]), int(r["cid"]), list(r["ce"])) for r in rows],
+            "sub int, cid int, ce array<float>",
         )
     return cents
 
