@@ -110,3 +110,35 @@ def test_embedding_quantization_error_bounded_by_scale(spark):
     for r in _Q["embedding_quantization"](spark, SF_MEDIUM).collect():
         assert 0.0 <= r.mean_abs_err <= r.max_abs_err <= bound
         assert r.n_vectors > 0
+
+
+def test_shaping_ops_survive_empty_corpus(spark, tmp_path):
+    """An empty documents table must produce empty (or single
+    null-aggregate) results — never a crash. Guards the where(size>=k)
+    prefilters and the empty-frame round-trip through materialize()."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d.dir"))
+    part = glob.glob(str(tmp_path / "d.dir") + "/part-*.parquet")[0]
+    shutil.copy(part, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    for name in (
+        "sequence_packing",
+        "doc_chunking",
+        "dup_span_fraction",
+        "token_budget_allocation",
+        "tokenizer_fertility",
+        "ngram_novelty",
+        "dup_cluster_sizes",
+    ):
+        rows = _Q[name](spark, sf).collect()
+        assert rows == [], f"{name}: expected empty, got {rows}"
+    # global-aggregate op returns its single row with null fit
+    (heaps,) = _Q["heaps_law_fit"](spark, sf).collect()
+    assert heaps.n_buckets == 0
