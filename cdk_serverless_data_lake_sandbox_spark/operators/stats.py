@@ -1140,3 +1140,62 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(_SKEW_TOP)
     )
+
+
+# ---------------------------------------------------------------- B79
+_MAD_K = 1.4826  # normal-consistency constant
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, MIN(m.med) AS med,
+    MEDIAN(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+  CAST(ROUND(MIN(m.med), 6) AS DOUBLE) AS median_value,
+  CAST(ROUND(MIN(m.mad), 6) AS DOUBLE) AS mad,
+  COUNT(*) FILTER (
+    WHERE ABS(e.value - m.med) > 3 * {_MAD_K} * m.mad) AS n_outliers,
+  COUNT(*) AS n_events
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("mad_outliers", oracle=_MAD_ORACLE)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    three-sigma rule's resistant twin (value_outliers breaks when the
+    outliers themselves inflate the stddev; MAD doesn't). Two
+    aggregate passes (median, then median of absolute deviations),
+    each joined back as a broadcast of one row per event type, then
+    one counting pass — three scans of a column, no windows, same
+    shape at any scale. Interpolated medians agree bit-for-bit with
+    DuckDB's QUANTILE_CONT (the B14 parity result)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+        )
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(dev > 3 * _MAD_K * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     "key_skew_profile",
     "scd2_point_in_time_join",
     "dq_expectations",
+    "mad_outliers",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",
