@@ -676,3 +676,85 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("state_at_purchase"),
         "seg",
     )
+
+
+# ---------------------------------------------------------------- B80
+_COGROUP_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT p.user_id, p.ts,
+    (SELECT MAX(c.ts) FROM c
+     WHERE c.user_id = p.user_id AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 7 DAY) AS click_ts
+  FROM p
+)
+SELECT user_id,
+  COUNT(*) AS n_purchases,
+  COUNT(click_ts) AS n_matched,
+  CAST(QUANTILE_CONT(DATE_DIFF('microsecond', click_ts, ts), 0.5)
+    / 1000000.0 AS DOUBLE) AS median_latency_s
+FROM matched GROUP BY user_id
+"""
+
+
+@register("cogroup_conversion_latency", oracle=_COGROUP_ORACLE)
+def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion latency per user via
+    ``cogroup().applyInPandas`` — the two-sided Arrow escape hatch:
+    each user's purchases and clicks arrive as a pandas frame PAIR and
+    ``pd.merge_asof`` (backward, 7-day tolerance) aligns them in one
+    vectorized call. This is the pattern for per-key logic that needs
+    BOTH sides materialized (alignment, interleaving, per-key model
+    scoring); for plain as-of semantics the JVM-side asof_join stays
+    the fast path — the oracle here is exactly that SQL, proving the
+    two routes agree. Scales like any keyed shuffle: state is one
+    user's rows, never the stream."""
+    import pandas as pd
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+
+    def align(key, p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if p_pdf.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_matched", "median_latency_s"]
+            )
+        p_pdf = p_pdf.sort_values("ts")
+        c_pdf = c_pdf.sort_values("ts")
+        m = pd.merge_asof(
+            p_pdf,
+            c_pdf.rename(columns={"ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            tolerance=pd.Timedelta(days=7),
+        )
+        # Median on INTEGER microseconds, then one division: both
+        # engines then produce the same correctly-rounded double —
+        # rounding an interpolated float median hits half-ulp
+        # disagreements on exact .5 microsecond midpoints.
+        lat_us = (m["ts"] - m["click_ts"]).dropna().astype("int64") // 1000
+        med = float(np.median(lat_us)) / 1e6 if lat_us.size else None
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(m)],
+                "n_matched": [int(lat_us.size)],
+                "median_latency_s": [med],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id long, n_purchases long, n_matched long, median_latency_s double",
+        )
+    )

@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "scd2_point_in_time_join",
     "dq_expectations",
     "mad_outliers",
+    "cogroup_conversion_latency",
     "near_dup_keep_best",
     "gopher_quality_filter",
     "source_overlap_matrix",
