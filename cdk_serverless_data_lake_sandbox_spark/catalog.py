@@ -26,15 +26,27 @@ ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's
-    TimestampType (microseconds) rejects outright. Read nanos as long
-    and truncate to micros — the same ns->us truncation DuckDB applies,
-    so oracle parity holds."""
+    """events.parquet has stored ``ts`` as either TIMESTAMP(NANOS)
+    (which Spark's microsecond TimestampType rejects outright) or plain
+    TIMESTAMP(MICROS), depending on the generator version. Handle both:
+    with ``nanosAsLong`` set, a nanos column reads back as ``bigint``
+    and is truncated to micros — the same ns->us truncation DuckDB
+    applies, so oracle parity holds. A micros column reads back as
+    TIMESTAMP_NTZ (parquet isAdjustedToUTC=false), which breaks
+    ``unix_micros``/interval arithmetic downstream — cast it to the
+    session-zoned TimestampType, which in a UTC session preserves the
+    stored wall-clock exactly like the nanos path did."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(

@@ -360,3 +360,83 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_err"),
         F.round(F.max("err_max"), 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------- C57
+_SEG_SIZE = 16
+
+_SEGDEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+), segs AS (
+  SELECT doc_id, CAST(i // {_SEG_SIZE} AS BIGINT) AS seg_idx,
+    array_to_string(list_slice(ws, i + 1, i + {_SEG_SIZE}), ' ') AS seg
+  FROM w, UNNEST(generate_series(0, LEN(ws) - 1, {_SEG_SIZE})) AS t(i)
+), win AS (
+  SELECT seg, MIN(ROW(doc_id, seg_idx)) AS w FROM segs GROUP BY seg
+), marked AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+    ROW(s.doc_id, s.seg_idx) = win.w AS keep
+  FROM segs s JOIN win USING (seg)
+)
+SELECT doc_id,
+  COUNT(*) AS n_segments,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')
+    AS dedup_text
+FROM marked GROUP BY doc_id
+"""
+
+
+@register("segment_dedup", oracle=_SEGDEDUP_ORACLE)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup REMOVAL with reassembly (the CCNet /
+    RefinedWeb step dup_span_fraction only profiles): documents split
+    into fixed {size}-word segments (the "line" analog for this
+    corpus, which has no newlines), every segment that re-occurs
+    anywhere in the corpus keeps only its first occurrence in
+    (doc_id, position) order, and each document is rebuilt from its
+    surviving segments — boilerplate shared across documents vanishes
+    corpus-wide while first copies survive.
+
+    Scale: one tokenize pass; winners are a hash aggregation keyed by
+    the segment itself (min(struct(doc_id, pos)) — map-side
+    combinable) and the mark-join shuffles on the same key, so the
+    whole op is two linear shuffles on a ~100-char key, never
+    pairwise. Reassembly is a per-doc hash aggregation
+    (collect kept (pos, seg) -> sort in-row -> join) — no windows.
+    The first-occurrence rule makes the result identical under any
+    partitioning."""
+    d = _docs(spark, sf_dir)
+    segs_expr = F.expr(
+        f"""transform(sequence(0, size(_w) - 1, {_SEG_SIZE}),
+              s -> struct(CAST(s div {_SEG_SIZE} AS BIGINT) AS seg_idx,
+                          array_join(slice(_w, s + 1, {_SEG_SIZE}), ' ') AS seg))"""
+    )
+    segs = (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w"))
+        .select("doc_id", F.explode_outer(segs_expr).alias("_s"))
+        .select("doc_id", F.col("_s.seg_idx").alias("seg_idx"), F.col("_s.seg").alias("seg"))
+    )
+    # Two consumers (winner agg + mark join): materialize so the
+    # tokenize+slice pass runs once, not once per branch (SURVEY §6).
+    segs = materialize(segs, key=f"{sf_dir}:segs{_SEG_SIZE}")
+    winners = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("_w")
+    )
+    marked = segs.join(winners, "seg").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("_w.doc_id")) & (F.col("seg_idx") == F.col("_w.seg_idx")),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.when(F.col("keep"), F.struct("seg_idx", "seg")))),
+            lambda x: x["seg"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        kept_text.alias("dedup_text"),
+    )

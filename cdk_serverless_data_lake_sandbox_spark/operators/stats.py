@@ -1199,3 +1199,110 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------- B81
+_CONC_ORACLE = """
+WITH closes AS (
+  SELECT l_orderkey AS okey, MAX(l_shipdate)::DATE AS close_d
+  FROM lineitem GROUP BY l_orderkey
+), spans AS (
+  SELECT o_orderdate::DATE AS open_d, c.close_d
+  FROM orders o JOIN closes c ON o.o_orderkey = c.okey
+), deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_d + 1 AS d, -1 AS delta FROM spans
+), daily AS (
+  SELECT d, SUM(delta) AS delta FROM deltas GROUP BY d
+), c AS (
+  SELECT d, SUM(delta) OVER (ORDER BY d) AS open_orders FROM daily
+)
+SELECT DATE_TRUNC('month', d) AS month,
+  CAST(MAX(open_orders) AS BIGINT) AS peak_open
+FROM c GROUP BY DATE_TRUNC('month', d)
+"""
+
+
+@register("open_order_concurrency", oracle=_CONC_ORACLE)
+def open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrently-open orders per month, by interval sweep-line:
+    an order is open from ``o_orderdate`` until its last line's
+    ship date; +1/-1 boundary deltas are aggregated PER DAY first
+    (a hash aggregation that shrinks the frame to O(calendar days) —
+    data-size independent), and only that tiny daily frame flows
+    through the ordered running sum. The classic interval-concurrency
+    query without an interval join and without sorting fact rows: the
+    facts are touched only by one groupBy each.
+
+    Scale: the window input is bounded by days of history (~2.5k for
+    seven years) no matter the row count; listed in the plan-audit
+    bounded-window allowlist with that justification."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    closes = t["lineitem"].groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
+    )
+    spans = (
+        t["orders"]
+        .select(F.col("o_orderkey"), F.col("o_orderdate").cast("date").alias("open_d"))
+        .join(closes, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("open_d", "close_d")
+    )
+    deltas = spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    cum = F.sum("delta").over(Window.orderBy("d"))
+    return (
+        daily.withColumn("open_orders", cum)
+        .groupBy(F.date_trunc("month", "d").alias("month"))
+        .agg(F.max("open_orders").cast("bigint").alias("peak_open"))
+    )
+
+
+# ---------------------------------------------------------------- C58
+_WS_K = 100
+_WS_SEED = "ws1"
+
+_WSAMPLE_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+    LN((('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || '_{_WS_SEED}'), 1, 12))
+        ::BIGINT + 0.5) / 281474976710656.0) / n_chars AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+  CAST(ROUND(sample_key, 9) AS DOUBLE) AS sample_key
+FROM k ORDER BY sample_key DESC, doc_id LIMIT {_WS_K}
+"""
+
+
+@register("weighted_sample", oracle=_WSAMPLE_ORACLE)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each document draws a reproducible
+    uniform u from the md5 of its key (first 12 hex digits -> a
+    48-bit integer, +0.5 / 2^48 keeps u strictly inside (0,1)) and is
+    ranked by ln(u)/weight — the top-k under that key are an exact
+    weighted sample, here weighted by document length so the sample
+    is token-mass-proportional (what a mixing-audit wants).
+
+    Scale: no RNG state, no collect — the ranking is a pure row-local
+    expression and the top-k fuses to TakeOrderedAndProject (k rows
+    per partition cross the wire, the same pattern the plan tests pin
+    for the TPC-H top-Ns). Re-running on any partitioning returns the
+    identical sample, so audits are reproducible."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    u48 = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_WS_SEED}"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.log((u48 + F.lit(0.5)) / F.lit(float(1 << 48))) / F.col("n_chars")
+    return (
+        d.where(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy(F.col("_k").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "n_chars", F.round("_k", 9).alias("sample_key"))
+    )

@@ -34,6 +34,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Everything else follows in registration order — nothing is dropped,
 # only reordered.
 _VERIFY_FIRST = [
+    # new this session
+    "open_order_concurrency",
+    "weighted_sample",
+    "segment_dedup",
     # changed this round
     "cohort_retention",
     "frequent_items_sketch",
