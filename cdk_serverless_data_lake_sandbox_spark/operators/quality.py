@@ -106,3 +106,46 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scalar.unionByName(orphans)
+
+
+def observe_metrics(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """Attach pipeline metrics that piggyback on the frame's NEXT
+    action — Spark's ``Observation`` accumulates the aggregates on
+    each task's rows as they stream through, so row counts / null
+    counts / sums cost ZERO extra scans (vs. the naive
+    ``df.count(); df.agg(...)`` pattern, which reruns the whole
+    upstream plan per metric batch — at 100 TB that second scan is
+    the difference between free monitoring and doubling the job).
+
+    Returns ``(observed_df, observation)``: run any action on
+    ``observed_df`` (write, noop sink, collect), then read
+    ``observation.get`` for the metric dict. Only aggregate
+    expressions are legal (Spark enforces this)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs
+
+
+def corpus_ingest_metrics(df: DataFrame):
+    """The standard ingest-health metric set for a documents batch:
+    row count, blank/null text count, total characters, and distinct
+    sources — attached via :func:`observe_metrics` so a single write
+    action yields both the data and its health report."""
+    return observe_metrics(
+        df,
+        "corpus_ingest",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_blank_text": F.count_if(
+                F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+            ),
+            "total_chars": F.coalesce(
+                F.sum(F.length("text")), F.lit(0)
+            ).cast("bigint"),
+            # DISTINCT aggregates are illegal in observed metrics
+            # (and exact distinct wouldn't stream anyway) — the HLL
+            # sketch is the right monitoring answer at any scale.
+            "n_sources": F.approx_count_distinct("source"),
+        },
+    )

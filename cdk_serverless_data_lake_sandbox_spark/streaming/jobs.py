@@ -461,3 +461,25 @@ def psi_monitor_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E18
+def observed_event_stream(stream: DataFrame, watermark: str = "1 hour"):
+    """Streaming observability without a second query: attach an
+    ``observe`` metric set (row count, null-value count, value sum,
+    max event time) to the micro-batch plan — the numbers ride the
+    batch's own execution and surface in every progress event under
+    ``observedMetrics['ingest_metrics']``, which is how a production
+    monitor watches throughput/lateness/null-rate with ZERO extra
+    state and zero extra scans (contrast psi_monitor_sink, which
+    pays an aggregation per batch because it needs a distribution).
+
+    Returns the observed stream; pair with any sink. Watermark is
+    applied first so downstream stateful consumers compose."""
+    return stream.withWatermark("ts", watermark).observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("value").isNull()).alias("n_null_value"),
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("value_sum"),
+        F.max("ts").alias("max_event_ts"),
+    )
