@@ -101,6 +101,21 @@ WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+
+def _hashed_shingles(docs: DataFrame, scratch_key: str | None) -> DataFrame:
+    """doc_id + sorted xxhash64 shingle array + size, materialized to
+    scratch once per (app, key) — the shared physical input of the
+    Jaccard AND containment pair generators (same key -> the corpus
+    is tokenized+hashed once even across the two operators)."""
+    return materialize(
+        _shingled(docs).select(
+            "doc_id",
+            F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias("hs"),
+        ).select("doc_id", "hs", F.size("hs").alias("n_sh")),
+        key=scratch_key,
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, tau: float = _JACCARD_TAU, scratch_key: str | None = None
 ) -> DataFrame:
@@ -132,13 +147,7 @@ def ngram_jaccard_pairs(
     # Hash shingles to 8-byte keys (collisions are 2^-64 per pair;
     # the oracle parity test would catch one) and sort for the global
     # prefix order.
-    hashed = materialize(
-        _shingled(docs).select(
-            "doc_id",
-            F.array_sort(F.expr("transform(sh, s -> xxhash64(s))")).alias("hs"),
-        ).select("doc_id", "hs", F.size("hs").alias("n_sh")),
-        key=scratch_key,
-    )
+    hashed = _hashed_shingles(docs, scratch_key)
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * tau) + 1
     # posexplode_outer, not posexplode: the non-outer Generate lets the
     # optimizer infer a size(hs) > 0 filter and push it below the
@@ -528,3 +537,116 @@ def dedup_incremental(
         .distinct()
     )
     return fresh.join(near_dups, fresh["doc_id"] == near_dups["new_id"], "left_anti")
+
+
+# ---------------------------------------------------------------- C62
+_CONTAIN_TAU = 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+  CAST(ROUND(CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) / LEN(a.sh), 6)
+    AS DOUBLE) AS containment
+FROM w a JOIN w b
+  ON (LEN(a.sh) < LEN(b.sh)
+      OR (LEN(a.sh) = LEN(b.sh) AND a.doc_id < b.doc_id))
+WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) / LEN(a.sh)
+  >= {_CONTAIN_TAU}
+"""
+
+
+def containment_pairs(
+    docs: DataFrame, tau: float = _CONTAIN_TAU, scratch_key: str | None = None
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: C(a in b) = |a ∩ b| / |a|
+    >= tau, tested with the smaller-shingle-set document as the
+    contained side (ties by doc_id). Jaccard misses exactly this case
+    — a short document quoted wholesale inside a long one scores
+    |a|/|b| under Jaccard (arbitrarily low) but 1.0 under
+    containment; it's the dedup signal for quote-inclusion /
+    boilerplate-wrapping, the web-corpus case symmetric dedup leaves
+    behind.
+
+    Scale: same inverted-index shape as ngram_jaccard_pairs, sharing
+    its materialized hashed-shingle intermediate (same scratch key ->
+    one tokenize+hash pass feeds both operators). Prefix filtering
+    adapts to the asymmetric threshold: only the CONTAINED side needs
+    a prefix — postings sort by (n_sh, doc_id) so the opener x is the
+    smaller doc, and a pair opens only on x's first
+    n - ceil(tau*n) + 1 shingles (lossless: overlap confined to x's
+    suffix is < tau*|x|). The candidate-dedup groupBy counts shared
+    x-prefix shingles, and o <= c + (ceil(tau*n_a) - 1) prunes pairs
+    that cannot reach ceil(tau*n_a) before the verify join."""
+    hashed = _hashed_shingles(docs, scratch_key)
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * tau) + 1
+    inv = (
+        hashed.select(
+            "doc_id",
+            "n_sh",
+            F.posexplode_outer("hs").alias("pos", "shingle"),
+            prefix_len.alias("pl"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .select(
+            "doc_id", "n_sh", "shingle", (F.col("pos") < F.col("pl")).alias("pref")
+        )
+    )
+    # Postings sorted by (n_sh, doc_id): within flatten/transform the
+    # opener x always has the fewer shingles, so the containment
+    # direction is fixed at pair-generation time and only x's prefix
+    # can open a pair.
+    postings = (
+        inv.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("n_sh", "doc_id", "pref"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    pair_expr = """
+    flatten(transform(ms, (x, i) ->
+      transform(
+        filter(slice(ms, i + 2, size(ms)), y -> x.pref),
+        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id, x.n_sh AS n_a))))
+    """
+    min_overlap = F.ceil(F.col("n_a") * tau)
+    suffix_bound = F.ceil(F.col("n_a") * tau) - 1
+    candidates = (
+        postings.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("a_id", "b_id", "n_a")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") + suffix_bound >= min_overlap)
+        .select("a_id", "b_id")
+    )
+    a = hashed.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
+    b = hashed.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
+    containment = F.size(F.array_intersect("hs_a", "hs_b")).cast(
+        "double"
+    ) / F.size("hs_a")
+    return (
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            F.col("a_id").alias("contained_id"),
+            F.col("b_id").alias("container_id"),
+            F.round(containment, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= tau)
+    )
+
+
+@register("containment_dedup", oracle=_CONTAIN_ORACLE)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`containment_pairs` (tau=0.8),
+    sharing the ngram-hashed scratch intermediate per sf_dir."""
+    return containment_pairs(
+        _docs(spark, sf_dir), scratch_key=f"ngram-hashed:{sf_dir}"
+    )

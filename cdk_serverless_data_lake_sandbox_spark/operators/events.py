@@ -758,3 +758,56 @@ def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_purchases long, n_matched long, median_latency_s double",
         )
     )
+
+
+# ---------------------------------------------------------------- B82
+_SW_GAP_S = 1800
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           >= INTERVAL {_SW_GAP_S} SECONDS
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL {_SW_GAP_S} SECONDS AS session_end,
+  COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("session_window_agg", oracle=_SESSION_WINDOW_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` grouping
+    (the same operator Structured Streaming uses for stateful session
+    windows, here in batch): the planner merges overlapping
+    [ts, ts+gap) intervals per user inside a dedicated
+    session-window aggregation — one shuffle on user_id, no lag/
+    cumsum window pair, and the exact operator a streaming session
+    job runs, so batch backfills and the live stream share semantics
+    by construction.
+
+    Boundary parity: Spark closes a session when the next event
+    starts >= gap after the previous (merge requires overlap of
+    half-open windows); the oracle's lag/cumsum mirror uses the same
+    >= break rule, and session_end = last_ts + gap on both sides."""
+    ev = _events(spark, sf_dir)
+    sw = F.session_window("ts", f"{_SW_GAP_S} seconds")
+    return (
+        ev.groupBy(sw.alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -782,3 +782,72 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------- C64
+@register("ann_topk_arrow")  # execution-strategy twin -> rows-only
+def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow variant of the vectorized scorer: the pandas
+    path pays a per-row Arrow->Python-object conversion to build its
+    matrix (``.tolist()`` on the list column); here each Arrow batch's
+    list column flattens STRAIGHT into a contiguous numpy buffer
+    (offset-aware, zero Python objects) and reshapes to the
+    (batch, dim) matrix the BLAS matmul wants. Same partial-top-k-
+    per-batch contract, same final exact merge window — only the
+    deserialization boundary changes, which is exactly the knob
+    mapInArrow exists for. Tests pin result equality with
+    ann_topk_vectorized."""
+    import numpy as np
+    import pyarrow as pa
+    from collections.abc import Iterator
+
+    e = _emb(spark, sf_dir)
+    q_rows = (
+        e.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # _N_QUERIES rows — the broadcast query set
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qm))
+    k = _TOP_K
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids, queries = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            emb = batch.column(1)
+            # flatten() is offset-aware: sliced batches still yield
+            # exactly this batch's values, contiguously.
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            m = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ queries.T  # (batch, n_queries)
+            nids = batch.column(0).to_numpy(zero_copy_only=False)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(ids):
+                col = sims[:, qi]
+                cand_idx = np.nonzero(nids != qid)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                out_q.extend([qid] * len(top))
+                out_n.extend(nids[top])
+                out_c.extend(col[top])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(np.asarray(out_n, dtype=np.int64), pa.int64()),
+                    pa.array(np.asarray(out_c, dtype=np.float64), pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    partial = e.select("vec_id", "embedding").mapInArrow(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

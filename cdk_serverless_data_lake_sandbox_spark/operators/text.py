@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -735,4 +736,233 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_tokens"),
             F.round(F.sum("lw"), 4).alias("dsir_logweight"),
         )
+    )
+
+
+# ---------------------------------------------------------------- C60
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_QUERIES = {
+    1: ("spark", "join", "merge"),
+    2: ("window", "agg", "stream"),
+    3: ("customer", "order", "line"),
+}
+_BM25_ALL_TERMS = tuple(sorted({t for ts in _BM25_QUERIES.values() for t in ts}))
+
+_BM25_QT_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS token"
+    for qid, ts in sorted(_BM25_QUERIES.items())
+    for t in ts
+)
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_ALL_TERMS) + ")"
+
+_BM25_ORACLE = f"""
+WITH qt AS ({_BM25_QT_SQL}),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN {_BM25_TERMS_SQL} GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), dl AS (
+  SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    SUM(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+            + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+  FROM tf
+  JOIN qt ON tf.token = qt.token
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+      AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+  CAST(ROUND(score, 5) AS DOUBLE) AS score
+FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@register("bm25_retrieval", oracle=_BM25_ORACLE)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson-Sparck Jones IDF, the Lucene
+    formula) for a fixed query set: top-{k} documents per query by
+    sum over query terms of IDF(t) * tf / (tf + k1*(1-b+b*|d|/avgdl)).
+    The retrieval primitive a data-curation stack uses to pull
+    topic-relevant subsets out of a web-scale corpus.
+
+    Scale: the token explode is filtered to the query vocabulary
+    BEFORE any shuffle (the filter sits on the Generate output, so
+    off-vocabulary tokens never leave the scan stage); term stats
+    (df) and corpus stats (avgdl, N) are term-count- and one-row-
+    sized broadcasts; the only linear shuffles are the (doc, term)
+    tf aggregation and the doc-length join on doc_id. The final
+    per-query top-k window partitions by query_id — parallel across
+    queries, and each query's candidate set is bounded by the
+    vocabulary-filtered postings, not the corpus."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    toks = d.select("doc_id", F.explode_outer(words).alias("token")).where(
+        F.col("token").isin(*_BM25_ALL_TERMS)
+    )
+    # tf feeds two branches (the score join AND the df aggregate);
+    # without materialization Spark re-derives it per branch, i.e.
+    # tokenizes the corpus twice. The frame is vocabulary-bounded
+    # (docs x |query vocab| rows at most), so the scratch write is
+    # tiny and the second tokenize pass disappears.
+    tf = materialize(
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")),
+        key=f"{sf_dir}:bm25-tf",
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size(words).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        "query_id INT, token STRING",
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * norm).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 5).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C61
+_VOCAB_K = 20
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT {_VOCAB_K}
+)
+SELECT t.doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+  CAST(ROUND(CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+      / COUNT(*), 6) AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@register("vocab_oov_profile", oracle=_OOV_ORACLE)
+def vocab_oov_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage profile: the corpus' top-{k} words by
+    frequency (deterministic tie-break on the word) form the "vocab",
+    and every document reports its out-of-vocabulary token count and
+    rate — the coverage analysis run before fixing a tokenizer vocab
+    or pruning an embedding table, and a cheap outlier flag (a doc
+    whose tokens are mostly OOV is boilerplate, noise, or the wrong language).
+
+    Scale: vocab selection is a word-count aggregate fused to
+    TakeOrderedAndProject (k rows cross the wire), then a k-row
+    BROADCAST left join against the exploded token stream — one
+    Generate, two linear shuffles (word counts, per-doc rollup), no
+    sort of the corpus."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C63
+_NORM_ORACLE = """
+WITH n AS (
+  SELECT doc_id, text,
+    TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\\s]', '', 'g'),
+                        '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+  LENGTH(text) AS n_chars_raw,
+  LENGTH(norm_text) AS n_chars_norm,
+  text <> norm_text AS changed
+FROM n
+"""
+
+
+@register("normalize_corpus", oracle=_NORM_ORACLE)
+def normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pass run before any hashing
+    or dedup so near-identical byte variants collapse): lowercase,
+    strip non-alphanumerics, collapse whitespace runs, trim — with
+    before/after character counts and a changed flag so the pipeline
+    can report how destructive the pass was. Pure codegen string
+    expressions, zero shuffles: maps over 100 TB at scan speed."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        (F.col("text") != norm).alias("changed"),
     )

@@ -35,6 +35,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "ann_topk_arrow",
+    "session_window_agg",
+    "normalize_corpus",
+    "bm25_retrieval",
+    "containment_dedup",
+    "vocab_oov_profile",
     "open_order_concurrency",
     "weighted_sample",
     "segment_dedup",
