@@ -811,3 +811,84 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------- B83
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_OVERLAP_PAIR_SQL = " UNION ALL ".join(
+    f"""SELECT '{a}' AS type_a, '{b}' AS type_b,
+      CAST(SUM(CASE WHEN f_{a} AND f_{b} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_both,
+      CAST(SUM(CASE WHEN f_{a} THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      CAST(SUM(CASE WHEN f_{b} THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM flags"""
+    for i, a in enumerate(_EVENT_TYPES)
+    for b in _EVENT_TYPES[i + 1 :]
+)
+
+_OVERLAP_ORACLE = f"""
+WITH flags AS (
+  SELECT user_id,
+    {", ".join(f"BOOL_OR(event_type = '{t}') AS f_{t}" for t in _EVENT_TYPES)}
+  FROM events GROUP BY user_id
+)
+SELECT type_a, type_b, n_both, n_a, n_b,
+  CAST(ROUND(CAST(n_both AS DOUBLE) / NULLIF(n_a + n_b - n_both, 0), 6)
+    AS DOUBLE) AS jaccard
+FROM ({_OVERLAP_PAIR_SQL})
+"""
+
+
+@register("audience_overlap", oracle=_OVERLAP_ORACLE)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix: for every event-type pair, how
+    many users did both, each, and the Jaccard of the two audiences —
+    the segment-intersection report behind "do purchasers also
+    click?". ONE pass builds per-user boolean reach flags (map-side
+    combinable bool_or), then every pairwise count is a conditional
+    sum over that user-sized flag table in a single second aggregate
+    — no self-join of events, no distinct-count per pair, and adding
+    a type adds a column, not a scan. At 100 TB the flag table is
+    |users| rows; both shuffles are linear."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    flags = ev.groupBy("user_id").agg(
+        *[
+            F.bool_or(F.col("event_type") == t).alias(f"f_{t}")
+            for t in _EVENT_TYPES
+        ]
+    )
+    both = [
+        F.sum(F.when(F.col(f"f_{a}") & F.col(f"f_{b}"), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"b_{a}_{b}")
+        for i, a in enumerate(_EVENT_TYPES)
+        for b in _EVENT_TYPES[i + 1 :]
+    ]
+    singles = [
+        F.sum(F.when(F.col(f"f_{t}"), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"s_{t}")
+        for t in _EVENT_TYPES
+    ]
+    agg = flags.agg(*(both + singles))
+    rows = []
+    for i, a in enumerate(_EVENT_TYPES):
+        for b in _EVENT_TYPES[i + 1 :]:
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("type_a"),
+                    F.lit(b).alias("type_b"),
+                    F.col(f"b_{a}_{b}").alias("n_both"),
+                    F.col(f"s_{a}").alias("n_a"),
+                    F.col(f"s_{b}").alias("n_b"),
+                )
+            )
+    exploded = agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    jac = F.col("n_both").cast("double") / F.nullif(
+        F.col("n_a") + F.col("n_b") - F.col("n_both"), F.lit(0)
+    )
+    return exploded.select(
+        "type_a", "type_b", "n_both", "n_a", "n_b",
+        F.round(jac, 6).alias("jaccard"),
+    )

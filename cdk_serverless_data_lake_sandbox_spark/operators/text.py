@@ -966,3 +966,57 @@ def normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).alias("n_chars_norm"),
         (F.col("text") != norm).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------- C65
+_BPE_TOPK = 25
+
+_BPE_ORACLE = f"""
+WITH wc AS (
+  SELECT w AS word, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split_regex(TRIM(text), '\\s+')) AS w FROM documents
+  ) GROUP BY w
+), pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM wc, UNNEST(generate_series(1, LEN(word) - 1)) AS t(i)
+  WHERE LEN(word) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+
+@register("bpe_merge_candidates", oracle=_BPE_ORACLE)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed heart of BPE tokenizer training: the most
+    frequent adjacent symbol pairs across the corpus (here the
+    character-pair base case — each merge iteration recomputes this
+    over the updated symbol sequences). The classic scaling trick is
+    built in: pair counting runs over the DISTINCT-WORD table
+    weighted by word frequency, so cost is vocabulary-sized, not
+    corpus-sized — a 100 TB corpus with a 10M-word vocab counts
+    pairs over 10M rows.
+
+    Two hash aggregations (word counts, pair counts) + a top-k that
+    fuses to TakeOrderedAndProject; the pair explode touches only the
+    vocab table."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = d.select(
+        F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").alias("freq"))
+    pair_arr = F.expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+    )
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(F.explode_outer(pair_arr).alias("pair"), "freq")
+        .where(F.col("pair").isNotNull())
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )

@@ -35,6 +35,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "bpe_merge_candidates",
+    "audience_overlap",
     "ann_topk_arrow",
     "session_window_agg",
     "normalize_corpus",

@@ -151,3 +151,42 @@ def test_ann_arrow_equals_vectorized(spark):
         assert cos == _pt.approx(vcos, abs=1e-12)
         if abs(cos - vcos) < 1e-12:
             assert nid == vnid or cos == _pt.approx(vcos, abs=1e-12)
+
+
+# ---------------------------------------------------------------- BPE
+def test_bpe_pair_explode_is_vocab_sized(spark):
+    """The pair Generate must consume the AGGREGATED word-count table
+    (vocab-sized), not the raw token stream: in the plan tree the
+    Generate sits above a HashAggregate, and only one corpus Generate
+    (the word split) exists below it."""
+    plan = formatted_plan(_Q["bpe_merge_candidates"](spark, SF_SMALL))
+    lines = plan.splitlines()
+    gen_lines = [i for i, l in enumerate(lines) if "Generate" in l and "(" in l]
+    assert "TakeOrderedAndProject" in plan
+    # tree prints top-down: pair-Generate appears, then the word-count
+    # HashAggregate below it, then the corpus word-Generate at the leaf
+    first_gen = gen_lines[0]
+    assert any("HashAggregate" in l for l in lines[first_gen:]), plan
+
+
+def test_audience_overlap_matches_python(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import (
+        _EVENT_TYPES,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    seen: dict[int, set] = {}
+    for r in ev.select("user_id", "event_type").collect():
+        seen.setdefault(r.user_id, set()).add(r.event_type)
+    want = {}
+    for i, a in enumerate(_EVENT_TYPES):
+        for b in _EVENT_TYPES[i + 1 :]:
+            na = sum(1 for s in seen.values() if a in s)
+            nb = sum(1 for s in seen.values() if b in s)
+            nboth = sum(1 for s in seen.values() if a in s and b in s)
+            want[(a, b)] = (nboth, na, nb)
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.n_a, r.n_b)
+        for r in _Q["audience_overlap"](spark, SF_SMALL).collect()
+    }
+    assert got == want
