@@ -42,6 +42,14 @@ HEAVY = [
     "doc_chunking",
     "embedding_quantization",
     "semantic_dedup",
+    "segment_dedup",
+    "containment_dedup",
+    "bm25_retrieval",
+    "bpe_merge_candidates",
+    "audience_overlap",
+    "open_order_concurrency",
+    "ann_topk_arrow",
+    "vocab_oov_profile",
 ]
 
 

@@ -618,3 +618,62 @@ def test_psi_monitor_matches_batch_twin(spark, tmp_path):
             assert got[(bid, et)] == vals, (bid, et)
     # a batch drawn from the baseline itself cannot show major drift
     assert all(psi < 0.25 for psi, _ in got.values())
+
+
+def test_tws_user_totals_matches_batch(spark, event_drop_dir):
+    """transformWithStateInPandas twin of running_user_totals: the
+    modern typed-state API must converge to the same per-user totals
+    as a batch aggregation. Requires the RocksDB state store
+    provider; skipped if the build lacks it."""
+    import pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import (
+        tws_user_totals,
+    )
+
+    ev = _prepare(spark, event_drop_dir + "/tws")
+    stream = read_event_stream(
+        spark, event_drop_dir + "/tws", max_files_per_trigger=2
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        try:
+            _run_to_memory(tws_user_totals(stream), "tws_totals", "update")
+        except Exception as e:  # pragma: no cover - env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        out = (
+            spark.table("tws_totals")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .collect()
+        )
+        got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out}
+        expected = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .collect()
+        }
+        assert set(got) == set(expected)
+        for u in expected:
+            assert got[u][0] == expected[u][0]
+            assert abs(got[u][1] - expected[u][1]) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
