@@ -394,3 +394,70 @@ def incremental_agg_refresh(
     shutil.rmtree(target_path, ignore_errors=True)
     shutil.move(target_path + "_staged", target_path)
     return spark.read.parquet(target_path)
+
+
+# ---------------------------------------------------------------- D14
+def file_skipping_report(
+    spark: SparkSession, table_path: str, column: str, lo, hi
+) -> DataFrame:
+    """Data-skipping estimator from parquet footers: for a range
+    predicate ``lo <= column <= hi``, how many row groups (and bytes)
+    could be pruned purely from min/max statistics — WITHOUT scanning
+    any data. This quantifies whether a table's clustering serves its
+    query pattern (the z-order write exists precisely to push this
+    number up) and is the planner's-eye view an ops dashboard wants
+    next to partition_stats: low skip rates on hot predicates mean
+    re-cluster or re-partition.
+
+    A row group is skippable when its [min, max] envelope misses
+    [lo, hi] entirely; missing stats conservatively count as
+    must-read. Footer-only like partition_stats: cost is O(files),
+    driver-side, independent of table size — on a cluster this runs
+    where a manifest/metadata service would."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for root, _dirs, files in os.walk(table_path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            meta = pq.ParquetFile(fp).metadata
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            ci = names.get(column)
+            rel = os.path.relpath(fp, table_path)
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                skippable = False
+                if ci is not None:
+                    st = group.column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        skippable = st.min > hi or st.max < lo
+                rows.append(
+                    (
+                        rel,
+                        rg,
+                        group.num_rows,
+                        group.total_byte_size,
+                        skippable,
+                    )
+                )
+    report = spark.createDataFrame(
+        rows,
+        "file string, row_group int, n_rows long, n_bytes long, skippable boolean",
+    )
+    return report.agg(
+        F.count("*").alias("n_row_groups"),
+        F.sum(F.when(F.col("skippable"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skippable"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum(F.when(F.col("skippable"), F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("skippable_rows"),
+        F.round(
+            F.sum(F.when(F.col("skippable"), F.col("n_bytes")).otherwise(0))
+            / F.sum("n_bytes"),
+            4,
+        ).alias("skippable_byte_fraction"),
+    )

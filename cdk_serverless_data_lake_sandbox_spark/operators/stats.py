@@ -1306,3 +1306,108 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "n_chars", F.round("_k", 9).alias("sample_key"))
     )
+
+
+# ---------------------------------------------------------------- B84
+_LIFT_MIN_SUPPORT = 20
+
+_LIFT_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM ob
+), singles AS (
+  SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_both
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+)
+SELECT brand_a, brand_b, n_both,
+  CAST(ROUND(CAST(n_both AS DOUBLE) / n.n_baskets, 6) AS DOUBLE) AS support,
+  CAST(ROUND(CAST(n_both AS DOUBLE) / sa.n, 6) AS DOUBLE) AS confidence,
+  CAST(ROUND(CAST(n_both AS DOUBLE) * n.n_baskets / (sa.n * sb.n), 6)
+    AS DOUBLE) AS lift
+FROM pairs
+JOIN singles sa ON sa.p_brand = brand_a
+JOIN singles sb ON sb.p_brand = brand_b
+CROSS JOIN n
+WHERE n_both >= {_LIFT_MIN_SUPPORT}
+"""
+
+
+@register("brand_lift", oracle=_LIFT_ORACLE)
+def brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support, confidence
+    (P(b|a)) and lift (observed co-occurrence over the independence
+    expectation) for every brand pair above a minimum support — the
+    Apriori 2-itemset pass. brand_affinity reports raw counts; lift
+    is the signal merchandising actually ranks by (lift > 1 means
+    the pair attracts).
+
+    Scale: pairs come from in-basket generation (the dedup-postings
+    pattern — never a basket self-join); single-brand counts and the
+    basket total are brand-sized/one-row broadcasts joined onto the
+    pair counts. The oracle's pairwise self-join is the quadratic
+    reference this plan must (and does) reproduce exactly."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    ob = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    ob = materialize(ob, key=f"{sf_dir}:order-brands")
+    n_baskets = ob.select(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    singles = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("p_brand")).alias("brands")
+    ).where(F.size("brands") > 1)
+    pair_expr = """
+    flatten(transform(brands, (x, i) ->
+      transform(slice(brands, i + 2, size(brands)),
+                y -> struct(x AS brand_a, y AS brand_b))))
+    """
+    pairs = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= _LIFT_MIN_SUPPORT)
+    )
+    sa = singles.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("_na")
+    )
+    sb = singles.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("_nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_both").cast("double") / F.col("_na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_baskets")
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

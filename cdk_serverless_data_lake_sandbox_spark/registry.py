@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "brand_lift",
     "bpe_merge_candidates",
     "audience_overlap",
     "ann_topk_arrow",

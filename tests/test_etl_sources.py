@@ -494,3 +494,30 @@ def test_incremental_agg_refresh_matches_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == full
+
+
+def test_file_skipping_report_rewards_clustering(spark, tmp_path):
+    """A range-clustered write must show high footer-skippability for
+    a narrow range predicate; the same data round-robin-shuffled must
+    show (near) none — the report is the measurement the z-order
+    writer exists to improve."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        file_skipping_report,
+    )
+
+    df = spark.range(100_000).selectExpr("id AS k", "id % 97 AS v")
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    df.repartitionByRange(8, "k").write.parquet(clustered)
+    df.repartition(8).write.parquet(scattered)
+
+    good = file_skipping_report(spark, clustered, "k", 1000, 2000).first()
+    bad = file_skipping_report(spark, scattered, "k", 1000, 2000).first()
+    assert good.n_row_groups >= 8
+    # at most one range file overlaps [1000, 2000]
+    assert good.n_skippable >= good.n_row_groups - 2
+    assert good.skippable_rows >= 80_000
+    assert bad.n_skippable == 0
+    # unknown column: everything conservatively unskippable
+    unk = file_skipping_report(spark, clustered, "nope", 0, 1).first()
+    assert unk.n_skippable == 0

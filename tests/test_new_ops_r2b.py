@@ -160,3 +160,30 @@ def test_weighted_sample_take_ordered(spark):
 
     plan = formatted_plan(_Q["weighted_sample"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_new_corpus_ops_survive_empty_corpus(spark, tmp_path):
+    """Empty documents table -> empty results, never a crash, for the
+    r2-continuation corpus ops (guards explode_outer null paths,
+    empty materialize round-trips, and the empty top-k)."""
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d.dir"))
+    part = glob.glob(str(tmp_path / "d.dir") + "/part-*.parquet")[0]
+    shutil.copy(part, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    for name in (
+        "segment_dedup",
+        "weighted_sample",
+        "bm25_retrieval",
+        "vocab_oov_profile",
+        "normalize_corpus",
+        "bpe_merge_candidates",
+        "containment_dedup",
+    ):
+        rows = _Q[name](spark, sf).collect()
+        assert rows == [], f"{name}: expected empty, got {rows}"
