@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
 from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
@@ -649,4 +650,67 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing the ngram-hashed scratch intermediate per sf_dir."""
     return containment_pairs(
         _docs(spark, sf_dir), scratch_key=f"ngram-hashed:{sf_dir}"
+    )
+
+
+# ---------------------------------------------------------------- C66
+_REVIEW_K = 5
+
+_REVIEW_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+), q AS (
+  SELECT a_id, b_id,
+    CAST(FLOOR(jaccard * 10) / 10 AS DOUBLE) AS sim_bucket,
+    CAST(ROUND(jaccard, 6) AS DOUBLE) AS jaccard,
+    ROW_NUMBER() OVER (
+      PARTITION BY CAST(FLOOR(jaccard * 10) / 10 AS DOUBLE)
+      ORDER BY md5(CAST(a_id AS VARCHAR) || '_' || CAST(b_id AS VARCHAR)),
+        a_id, b_id) AS rn
+  FROM pairs WHERE jaccard >= {_JACCARD_TAU}
+)
+SELECT sim_bucket, a_id, b_id, jaccard FROM q WHERE rn <= {_REVIEW_K}
+"""
+
+
+@register("near_dup_review_sample", oracle=_REVIEW_ORACLE)
+def near_dup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified QA sample of near-dup pairs: up to
+    {k} pairs per similarity decile (0.5, 0.6, ... 1.0), chosen by
+    md5 order so the review queue is reproducible across runs and
+    partitionings — what a human-in-the-loop dedup-threshold
+    calibration actually reads. Composes the indexed pair generator
+    (shared hashed-shingle scratch) with the md5-ranked
+    exactly-k-per-group pattern (B76); the ranking window partitions
+    by decile, bounded at 6 buckets whose populations are the pair
+    set, not the corpus."""
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), scratch_key=f"ngram-hashed:{sf_dir}"
+    )
+    bucket = (F.floor(F.col("jaccard") * 10) / 10).cast("double")
+    order_key = F.md5(
+        F.concat(
+            F.col("a_id").cast("string"), F.lit("_"), F.col("b_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("sim_bucket").orderBy(order_key, "a_id", "b_id")
+    return (
+        pairs.select(
+            bucket.alias("sim_bucket"),
+            "a_id",
+            "b_id",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _REVIEW_K)
+        .drop("rn")
     )

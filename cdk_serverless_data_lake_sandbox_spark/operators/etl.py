@@ -461,3 +461,66 @@ def file_skipping_report(
             4,
         ).alias("skippable_byte_fraction"),
     )
+
+
+# ---------------------------------------------------------------- D15
+def schema_drift_report(lake, zone: str, table: str, v_old: int, v_new: int) -> DataFrame:
+    """Schema + distribution drift between two Lake snapshot versions:
+    one row per column union, classifying added / removed /
+    type_changed / unchanged, plus null-rate drift for columns
+    present on both sides — the pre-flight check an ingest pipeline
+    runs before promoting a new snapshot (catches upstream schema
+    breaks AND silent quality regressions like a column going 40%
+    null).
+
+    Driver cost is schema-sized; the only data touched is ONE
+    conditional-agg pass per side for null rates (column-count
+    aggregates, no shuffle of rows — the dq_expectations shape)."""
+    old = lake.read_version(zone, table, v_old)
+    new = lake.read_version(zone, table, v_new)
+    spark = old.sparkSession
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+
+    def null_rates(df: DataFrame, cols: list[str]) -> dict[str, float]:
+        if not cols:
+            return {}
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.count_if(F.col(c).isNull()).alias(f"_null_{c}")
+                for c in cols
+            ],
+        ).first()
+        n = row["_n"] or 1
+        return {c: row[f"_null_{c}"] / n for c in cols}
+
+    shared = sorted(set(old_types) & set(new_types))
+    nr_old = null_rates(old, shared)
+    nr_new = null_rates(new, shared)
+    rows = []
+    for c in sorted(set(old_types) | set(new_types)):
+        if c not in old_types:
+            status = "added"
+        elif c not in new_types:
+            status = "removed"
+        elif old_types[c] != new_types[c]:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append(
+            (
+                c,
+                status,
+                old_types.get(c),
+                new_types.get(c),
+                round(nr_old[c], 6) if c in nr_old else None,
+                round(nr_new[c], 6) if c in nr_new else None,
+                round(nr_new[c] - nr_old[c], 6) if c in nr_old else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, status string, old_type string, new_type string, "
+        "null_rate_old double, null_rate_new double, null_rate_delta double",
+    )

@@ -1411,3 +1411,51 @@ def brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------- B85
+_SHIP_LAT_ORACLE = """
+WITH lat AS (
+  SELECT DATE_TRUNC('month', o.o_orderdate) AS month,
+    DATE_DIFF('day', o.o_orderdate::DATE, l.l_shipdate::DATE) AS lat_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT month, COUNT(*) AS n_lines,
+  CAST(ROUND(QUANTILE_CONT(lat_days, 0.5), 4) AS DOUBLE) AS p50_days,
+  CAST(ROUND(QUANTILE_CONT(lat_days, 0.9), 4) AS DOUBLE) AS p90_days,
+  CAST(MAX(lat_days) AS BIGINT) AS max_days
+FROM lat GROUP BY month
+"""
+
+
+@register("ship_latency_percentiles", oracle=_SHIP_LAT_ORACLE)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order month (p50/p90/
+    max days) — the fulfillment SLA report. One broadcast-joined scan
+    and one aggregation keyed by month; interpolated percentiles
+    agree bit-for-bit with DuckDB's QUANTILE_CONT (the B14 parity
+    result). Month keys bound the group count, so exact in-group
+    percentiles are safe at any corpus size (group payloads are
+    lines-per-month; at extreme scale swap percentile for
+    percentile_approx without changing the query shape)."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    lat = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lat_days"),
+        )
+    )
+    return lat.groupBy("month").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.percentile("lat_days", 0.5), 4).alias("p50_days"),
+        F.round(F.percentile("lat_days", 0.9), 4).alias("p90_days"),
+        F.max("lat_days").cast("bigint").alias("max_days"),
+    )

@@ -35,6 +35,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "ship_latency_percentiles",
+    "near_dup_review_sample",
     "brand_lift",
     "bpe_merge_candidates",
     "audience_overlap",

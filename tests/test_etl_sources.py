@@ -521,3 +521,36 @@ def test_file_skipping_report_rewards_clustering(spark, tmp_path):
     # unknown column: everything conservatively unskippable
     unk = file_skipping_report(spark, clustered, "nope", 0, 1).first()
     assert unk.n_skippable == 0
+
+
+def test_schema_drift_report_classifies_and_measures(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        schema_drift_report,
+    )
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.add_zone("processed")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, name string, score double",
+    )
+    # v2: `score` became string (type change), `name` got much nuller,
+    # `extra` appeared
+    v2 = spark.createDataFrame(
+        [(1, None, "x", 10), (2, None, "y", 20), (3, None, "z", 30), (4, "d", "w", 40)],
+        "id long, name string, score string, extra long",
+    )
+    a = lake.write_version("processed", "t", v1)
+    b = lake.write_version("processed", "t", v2)
+    rep = {
+        r.column: r
+        for r in schema_drift_report(lake, "processed", "t", a, b).collect()
+    }
+    assert rep["extra"].status == "added" and rep["extra"].old_type is None
+    assert rep["score"].status == "type_changed"
+    assert rep["score"].old_type == "double" and rep["score"].new_type == "string"
+    assert rep["id"].status == "unchanged"
+    assert rep["name"].null_rate_old == 0.25
+    assert rep["name"].null_rate_new == 0.75
+    assert rep["name"].null_rate_delta == 0.5
