@@ -1020,3 +1020,72 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------- C67
+_SPLIT_SEED = "split1"
+
+_SPLIT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+    ('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || '_{_SPLIT_SEED}'), 1, 4))
+      ::BIGINT AS bucket
+  FROM documents
+), s AS (
+  SELECT CASE WHEN bucket < 52429 THEN 'train'
+              WHEN bucket < 58982 THEN 'validation'
+              ELSE 'test' END AS split,
+    n_chars
+  FROM h
+), tot AS (SELECT COUNT(*) AS n FROM s)
+SELECT split, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 4) AS DOUBLE) AS doc_share
+FROM s, tot GROUP BY split, tot.n
+"""
+
+
+@register("dataset_split", oracle=_SPLIT_ORACLE)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split: each doc
+    hashes into a 16-bit md5 bucket (52429/65536 = 0.80,
+    58982/65536 = 0.90) so membership is a pure function of doc_id —
+    stable across runs, partitionings, and machines, immune to the
+    reordering bugs RNG-based splits hit in distributed loaders, and
+    any later pipeline can recompute membership without a lookup
+    table. Reports per-split doc counts, token mass, and realized
+    shares (the audit that the hash didn't skew).
+
+    One scan + one aggregation; the split expression is codegen'd
+    and costs nothing at 100 TB."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_SPLIT_SEED}"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(bucket < 52429, "train")
+        .when(bucket < 58982, "validation")
+        .otherwise("test")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("split", "_n")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.count("*").cast("double") / F.col("_n"), 4).alias(
+                "doc_share"
+            ),
+        )
+        .drop("_n")
+    )

@@ -483,3 +483,52 @@ def observed_event_stream(stream: DataFrame, watermark: str = "1 hour"):
         F.coalesce(F.sum("value"), F.lit(0.0)).alias("value_sum"),
         F.max("ts").alias("max_event_ts"),
     )
+
+
+# ---------------------------------------------------------------- E20
+DLQ_PROPS_SCHEMA = "k BIGINT, _corrupt STRING"
+
+
+def dlq_ingest(stream: DataFrame, good_path: str, dlq_path: str):
+    """Schema-enforced ingest with a dead-letter queue — the pattern
+    every production stream needs on day one: ``props`` is parsed
+    against a declared schema; rows that parse land in the good
+    table with typed columns, rows that don't (malformed JSON, or a
+    JSON value the declared schema can't hold) land VERBATIM in the
+    DLQ
+    with the batch id, so nothing is dropped and reprocessing is a
+    batch read of the DLQ after a parser fix.
+
+    Stateless per batch (foreachBatch classifies with one from_json
+    pass and writes both sides); at scale this is two appends per
+    micro-batch with no shuffle — the classify filter is codegen on
+    the scan. Detection uses the declared corrupt-record column
+    (PERMISSIVE mode fills it with the raw text exactly when parsing
+    fails — a null struct is NOT what from_json returns for garbage,
+    it returns an all-null struct, so IS NULL checks silently pass
+    everything)."""
+
+    def split_batch(batch: DataFrame, batch_id: int) -> None:
+        parsed = batch.withColumn(
+            "_p",
+            F.from_json(
+                F.col("props"),
+                DLQ_PROPS_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            ),
+        )
+        bad = parsed.where(F.col("_p._corrupt").isNotNull()).drop("_p")
+        good = parsed.where(F.col("_p._corrupt").isNull()).select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.col("_p.k").alias("k"),
+        )
+        good.write.mode("append").parquet(good_path)
+        bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(dlq_path)
+
+    return stream.writeStream.foreachBatch(split_batch)

@@ -677,3 +677,41 @@ def test_tws_user_totals_matches_batch(spark, event_drop_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_dlq_ingest_splits_good_and_bad(spark, tmp_path):
+    """Parseable rows land typed in the good table; malformed props
+    land verbatim in the DLQ with a batch id; nothing is lost."""
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        dlq_ingest,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"].limit(60)
+    corrupted = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 5 == 0, F.lit("{not json")).otherwise(
+            F.col("props")
+        ),
+    )
+    src = str(tmp_path / "src")
+    corrupted.write.parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=100)
+    good_path = str(tmp_path / "good")
+    dlq_path = str(tmp_path / "dlq")
+    q = (
+        dlq_ingest(stream, good_path, dlq_path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    good = spark.read.parquet(good_path)
+    dlq = spark.read.parquet(dlq_path)
+    n_bad = corrupted.where(F.col("event_id") % 5 == 0).count()
+    assert dlq.count() == n_bad
+    assert good.count() == 60 - n_bad
+    # typed extraction worked on the good side
+    assert good.where(F.col("k").isNull()).count() == 0
+    # DLQ keeps the original payload for reprocessing
+    assert set(dlq.select("props").distinct().toPandas()["props"]) == {"{not json"}
+    assert "_batch_id" in dlq.columns
