@@ -714,3 +714,44 @@ def near_dup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _REVIEW_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------- C68
+def plan_minhash_bands(
+    n_perm: int, tau: float, min_recall: float = 0.9, noise_sim: float = 0.2
+) -> dict:
+    """LSH parameter planner: among all (bands b, rows r) with
+    b*r <= n_perm, pick the config that minimizes the candidate
+    probability for unrelated pairs (similarity = ``noise_sim``, the
+    shared-vocabulary noise floor) subject to recall at the dedup
+    threshold ``tau`` being at least ``min_recall``, where
+    P(candidate | j) = 1 - (1 - j^r)^b. This is the calculation
+    behind the 8x4 default (see _N_PERM/_BAND_ROWS) — exposed so a
+    pipeline can re-plan when it changes tau or signature width
+    instead of cargo-culting band counts. Pure driver-side math;
+    raises if no config meets the recall floor (the signal to widen
+    the signature)."""
+    best = None
+    for r in range(1, n_perm + 1):
+        b = n_perm // r
+        if b < 1:
+            break
+        recall = 1.0 - (1.0 - tau**r) ** b
+        if recall < min_recall:
+            continue
+        fp = 1.0 - (1.0 - noise_sim**r) ** b
+        cand = {
+            "bands": b,
+            "rows": r,
+            "perms_used": b * r,
+            "recall_at_tau": round(recall, 6),
+            "candidate_prob_at_noise": round(fp, 6),
+        }
+        if best is None or fp < best["candidate_prob_at_noise"]:
+            best = cand
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) within {n_perm} permutations reaches "
+            f"recall {min_recall} at tau={tau}; widen the signature"
+        )
+    return best

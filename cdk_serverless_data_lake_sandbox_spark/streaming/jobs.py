@@ -532,3 +532,54 @@ def dlq_ingest(stream: DataFrame, good_path: str, dlq_path: str):
         ).parquet(dlq_path)
 
     return stream.writeStream.foreachBatch(split_batch)
+
+
+# ---------------------------------------------------------------- E21
+def idempotent_sink(stream: DataFrame, data_path: str, manifest_path: str):
+    """Exactly-once append to a NON-transactional sink (plain
+    parquet / object storage): Structured Streaming guarantees each
+    batch id is replayed with identical contents after a failure, so
+    the sink keeps a batch-id manifest and makes the write a no-op
+    when the marker already exists — the standard "exactly-once to
+    S3" recipe when the sink itself has no transactions. Data lands
+    under batch_id=N subdirectories BEFORE the marker is written, so
+    a crash between the two leaves an orphan directory that the
+    retry overwrites (mode=overwrite on the batch dir), never a
+    duplicate in reader-visible state: readers go through the
+    manifest-filtered view this function's companion
+    ``read_committed`` returns."""
+    import os
+
+    def write_once(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(manifest_path, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        batch.write.mode("overwrite").parquet(
+            os.path.join(data_path, f"batch_id={batch_id}")
+        )
+        os.makedirs(manifest_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return stream.writeStream.foreachBatch(write_once)
+
+
+def read_committed(spark: SparkSession, data_path: str, manifest_path: str) -> DataFrame:
+    """Reader side of :func:`idempotent_sink`: only batch directories
+    whose manifest marker exists are visible — an orphaned data dir
+    from a mid-write crash is invisible until its retry commits."""
+    import os
+
+    committed = [
+        int(f.split("_", 1)[1])
+        for f in (os.listdir(manifest_path) if os.path.isdir(manifest_path) else [])
+        if f.startswith("batch_")
+    ]
+    if not committed:
+        return spark.createDataFrame([], "event_id long")
+    paths = [
+        os.path.join(data_path, f"batch_id={b}")
+        for b in sorted(committed)
+        if os.path.isdir(os.path.join(data_path, f"batch_id={b}"))
+    ]
+    return spark.read.parquet(*paths)

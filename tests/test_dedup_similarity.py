@@ -374,3 +374,38 @@ def test_ann_pq_recall_and_compression(spark):
     assert all(r.m == _PQ_M and 1 <= r.lo and r.hi <= _PQ_K and r.d == 64 for r in rows)
     # reconstructed vectors are non-degenerate
     assert all(r.rn > 0 for r in rows)
+
+
+def test_minhash_band_planner_constraints_and_default():
+    """The planner must (a) satisfy the recall floor, (b) dominate
+    every other feasible config on false-positive probability, and
+    (c) endorse a config at least as good as the hand-picked 8x4
+    default for the module's own parameters."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _BAND_ROWS,
+        _N_PERM,
+        plan_minhash_bands,
+    )
+
+    plan = plan_minhash_bands(_N_PERM, 0.9, min_recall=0.99)
+    assert plan["recall_at_tau"] >= 0.99
+    assert plan["perms_used"] <= _N_PERM
+    for r in range(1, _N_PERM + 1):
+        b = _N_PERM // r
+        if b < 1:
+            continue
+        recall = 1.0 - (1.0 - 0.9**r) ** b
+        if recall < 0.99:
+            continue
+        fp = 1.0 - (1.0 - 0.2**r) ** b
+        assert plan["candidate_prob_at_noise"] <= fp + 1e-12
+    # the module default is feasible for its own parameters
+    default_recall = 1.0 - (1.0 - 0.9**_BAND_ROWS) ** (_N_PERM // _BAND_ROWS)
+    assert default_recall >= 0.99
+    # and the planner's pick rejects noise at least as hard
+    default_fp = 1.0 - (1.0 - 0.2**_BAND_ROWS) ** (_N_PERM // _BAND_ROWS)
+    assert plan["candidate_prob_at_noise"] <= default_fp + 1e-12
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_minhash_bands(4, 0.3, min_recall=0.999)

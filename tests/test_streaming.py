@@ -715,3 +715,44 @@ def test_dlq_ingest_splits_good_and_bad(spark, tmp_path):
     # DLQ keeps the original payload for reprocessing
     assert set(dlq.select("props").distinct().toPandas()["props"]) == {"{not json"}
     assert "_batch_id" in dlq.columns
+
+
+def test_idempotent_sink_no_duplicates_on_replay(spark, tmp_path):
+    """Replaying the stream from scratch against the same sink (the
+    checkpoint lost, worst case) must not duplicate committed
+    batches; the committed view hides orphaned data dirs."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        idempotent_sink,
+        read_committed,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"].limit(40)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    data = str(tmp_path / "data")
+    manifest = str(tmp_path / "manifest")
+
+    def run(ck: str) -> None:
+        stream = read_event_stream(spark, src, max_files_per_trigger=100)
+        q = (
+            idempotent_sink(stream, data, manifest)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run("ck1")
+    first = read_committed(spark, data, manifest).count()
+    assert first == 40
+    # fresh checkpoint -> the source replays batch 0; the marker makes
+    # the second write a no-op
+    run("ck2")
+    assert read_committed(spark, data, manifest).count() == 40
+    # an orphaned (uncommitted) batch dir stays invisible
+    spark.range(5).selectExpr("id AS event_id").write.parquet(
+        os.path.join(data, "batch_id=999")
+    )
+    assert read_committed(spark, data, manifest).count() == 40
