@@ -851,3 +851,74 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------- C69
+_MINE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.vec_id AS anchor_id, e.vec_id AS cand_id,
+    e.label = q.label AS same_label,
+    {_SQL_DOT.format(a="q.embedding", b="e.embedding")}
+      / ({_SQL_NORM.format(a="q.embedding")}
+         * {_SQL_NORM.format(a="e.embedding")}) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+), ranked AS (
+  SELECT anchor_id, cand_id, same_label, cosine,
+    ROW_NUMBER() OVER (PARTITION BY anchor_id, same_label
+      ORDER BY cosine DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT anchor_id,
+  CASE WHEN same_label THEN 'positive' ELSE 'hard_negative' END AS role,
+  cand_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("hard_negative_mining", oracle=_MINE_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: for each anchor (the query
+    set), the single most similar SAME-label vector (the positive)
+    and the most similar DIFFERENT-label vector (the hard negative —
+    the near-boundary example that actually moves a contrastive
+    loss; random negatives are trivially easy). One broadcast of the
+    anchor set against one corpus scan, per-(anchor, role) argmax via
+    max_by — no window over the corpus, no pairwise corpus join. At
+    100 TB this is exactly the brute-force scorer's shape; swap the
+    scan for the IVF route when the anchor set grows."""
+    e = _emb(spark, sf_dir)
+    anchors = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("la"),
+    )
+    cosine = _dot("ea", "embedding") / (_norm("ea") * _norm("embedding"))
+    scored = (
+        e.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.when(F.col("label") == F.col("la"), "positive")
+            .otherwise("hard_negative")
+            .alias("role"),
+            F.col("vec_id").alias("cand_id"),
+            cosine.alias("cosine"),
+        )
+    )
+    # argmax by (cosine, -cand_id): max_by struct ordering matches the
+    # oracle's ORDER BY cosine DESC, cand_id ASC tiebreak.
+    pick = F.max_by(
+        F.struct("cand_id", "cosine"),
+        F.struct(F.col("cosine"), (-F.col("cand_id")).alias("_t")),
+    )
+    return (
+        scored.groupBy("anchor_id", "role")
+        .agg(pick.alias("_p"))
+        .select(
+            "anchor_id",
+            "role",
+            F.col("_p.cand_id").alias("cand_id"),
+            F.round("_p.cosine", 6).alias("cosine"),
+        )
+    )
