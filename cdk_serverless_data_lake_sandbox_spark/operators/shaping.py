@@ -440,3 +440,65 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         kept_text.alias("dedup_text"),
     )
+
+
+# ---------------------------------------------------------------- C70
+_PACKED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_N_SHARDS} AS shard, TRIM(text) AS text,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, text, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT shard, CAST(FLOOR(cum / {_SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+  string_agg(text, ' ' ORDER BY doc_id) AS seq_text,
+  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+  COUNT(*) AS n_docs
+FROM c GROUP BY shard, CAST(FLOOR(cum / {_SEQ_BUDGET}.0) AS BIGINT)
+"""
+
+
+@register("packed_sequences", oracle=_PACKED_ORACLE)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized twin of sequence_packing: emit the ACTUAL
+    packed training sequences (concatenated doc text in doc_id order
+    within each (shard, seq_id) bin), not just the fill statistics —
+    the artifact a pretraining loader memory-maps. Assignment is
+    identical to C45 (same sharded prefix sum), concatenation is an
+    in-row fold of the collected (doc_id, text) structs — per-bin
+    payloads are budget-bounded, so the collect_list is O(budget)
+    per row and the whole op is one window + one hash aggregation
+    per shard."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        F.trim(F.col("text")).alias("text"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seq_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x["text"],
+        ),
+        " ",
+    )
+    return (
+        base.withColumn("seq_id", F.floor(cum / F.lit(float(_SEQ_BUDGET))))
+        .groupBy("shard", "seq_id")
+        .agg(
+            seq_text.alias("seq_text"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )

@@ -73,7 +73,17 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= tau) blocked by label:
     pairs are only generated inside a label partition, the standard
     blocking trick that turns O(n^2) into O(sum of block^2). The join
-    shuffles both sides on label; AQE splits skewed labels."""
+    shuffles both sides on label; AQE splits skewed labels.
+
+    Scale note: for DENSE vectors an exact tau-join inside a block is
+    irreducibly pairwise (prefix/inverted-index filters need sparsity
+    to prune), so the per-pair work is minimized instead (norms
+    hoisted to row scalars; one fold per pair) and AQE spreads a hot
+    label's quadrant across the cluster. When a block outgrows the
+    pairwise budget, route it through semantic_dedup (k-means-blocked
+    approximate pairs) — the explicit accuracy-for-cost trade, kept
+    as a separate operator so this one stays exactly
+    oracle-checkable."""
     e = _emb(spark, sf_dir)
     # Norms are hoisted to per-ROW scalars: computed per pair they are
     # 2 of the 3 O(d) array folds on the quadratic path. Same

@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "packed_sequences",
     "hard_negative_mining",
     "dataset_split",
     "ship_latency_percentiles",
