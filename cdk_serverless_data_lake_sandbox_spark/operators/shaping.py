@@ -502,3 +502,91 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------- C71
+_MASK_RATE_HEX = 2621  # 2621/16384 ~ 0.16 of 14-bit md5 space
+
+_CORRUPT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+), flags AS (
+  SELECT doc_id, ws,
+    list_transform(generate_series(1, LEN(ws)),
+      i -> ('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                           CAST(i AS VARCHAR)), 1, 4))::BIGINT % 16384
+           < {_MASK_RATE_HEX}) AS m
+  FROM w
+), toks AS (
+  SELECT doc_id,
+    LEN(ws) AS n_tokens,
+    LEN(list_filter(generate_series(1, LEN(ws)), i -> m[i])) AS n_masked,
+    list_filter(
+      list_transform(generate_series(1, LEN(ws)),
+        i -> CASE
+          WHEN NOT m[i] THEN ws[i]
+          WHEN i = 1 OR NOT m[i - 1] THEN '<extra_id>'
+          ELSE NULL END),
+      x -> x IS NOT NULL) AS out
+  FROM flags
+)
+SELECT doc_id, n_tokens, CAST(n_masked AS BIGINT) AS n_masked,
+  CAST(LEN(list_filter(out, x -> x = '<extra_id>')) AS BIGINT) AS n_spans,
+  array_to_string(out, ' ') AS corrupted_text
+FROM toks
+"""
+
+
+@register("span_corruption", oracle=_CORRUPT_ORACLE)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption, deterministically: each token
+    position draws a reproducible ~16% mask flag from
+    md5(doc_id:pos), and RUNS of masked tokens collapse to a single
+    sentinel (the span behavior that distinguishes T5 corruption
+    from BERT token masking — a sentinel is emitted only where a
+    masked run starts). Masking is a pure hash function of
+    (doc_id, position): the same corruption on every run, machine,
+    and partitioning, so training data built from it is auditable.
+
+    Entirely in-row (transform + filter over the token array, no
+    explode, no shuffle) — corruption maps over 100 TB at scan
+    speed. Reports per-doc token/mask/span counts plus the corrupted
+    text."""
+    d = _docs(spark, sf_dir)
+    flags = F.expr(
+        f"""transform(sequence(1, size(_w)),
+          i -> CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+                    CAST(i AS STRING))), 1, 4), 16, 10) AS BIGINT) % 16384
+               < {_MASK_RATE_HEX})"""
+    )
+    # Spark's arr[i] is 0-based (DuckDB lists are 1-based); get() is
+    # the 0-based accessor that NULLs out of range, so the i=1 branch
+    # never evaluates a negative lookup.
+    out_arr = F.expr(
+        """filter(
+             transform(sequence(1, size(_w)),
+               i -> CASE
+                 WHEN NOT get(_m, i - 1) THEN get(_w, i - 1)
+                 WHEN i = 1 OR NOT get(_m, i - 2) THEN '<extra_id>'
+                 ELSE NULL END),
+             x -> x IS NOT NULL)"""
+    )
+    return (
+        d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w"))
+        .select("doc_id", "_w", flags.alias("_m"))
+        .select(
+            "doc_id",
+            F.size("_w").alias("n_tokens"),
+            F.expr("size(filter(_m, x -> x))").cast("bigint").alias("n_masked"),
+            out_arr.alias("_out"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            F.expr("size(filter(_out, x -> x = '<extra_id>'))")
+            .cast("bigint")
+            .alias("n_spans"),
+            F.array_join("_out", " ").alias("corrupted_text"),
+        )
+    )
