@@ -583,3 +583,39 @@ def read_committed(spark: SparkSession, data_path: str, manifest_path: str) -> D
         if os.path.isdir(os.path.join(data_path, f"batch_id={b}"))
     ]
     return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------- E22
+def backfill_handoff(
+    history: DataFrame, stream: DataFrame, cutover_ts: str, target_path: str
+):
+    """Batch-backfill -> stream handoff at an exact event-time
+    boundary (the lambda/kappa cutover every re-platform runs once):
+    the batch side writes all history with ts <= cutover, the
+    streaming side appends strictly ts > cutover — the half-open
+    split means the union is exactly the full dataset, no seam
+    duplicates and no seam gap, REGARDLESS of when the stream starts
+    or how its micro-batches land. Returns the started-but-unawaited
+    writeStream builder for the live side after running the batch
+    side synchronously.
+
+    The boundary filter sits on the stream BEFORE any stateful op,
+    so watermark state never even sees pre-cutover events (cheap
+    replays of a source that re-serves history).
+
+    The live side appends via foreachBatch, NOT the streaming
+    parquet sink: that sink keeps a _spark_metadata transaction log
+    and readers of a directory containing one see ONLY log-listed
+    files — the batch-written backfill would silently vanish from
+    every read. foreachBatch appends are plain files, so batch and
+    stream output stay one coherent table."""
+    cut = F.lit(cutover_ts).cast("timestamp")
+    history.where(F.col("ts") <= cut).write.mode("overwrite").parquet(
+        target_path
+    )
+    live = stream.where(F.col("ts") > cut)
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(target_path)
+
+    return live.writeStream.foreachBatch(append_batch)

@@ -756,3 +756,33 @@ def test_idempotent_sink_no_duplicates_on_replay(spark, tmp_path):
         os.path.join(data, "batch_id=999")
     )
     assert read_committed(spark, data, manifest).count() == 40
+
+
+def test_backfill_handoff_no_seam_dup_or_gap(spark, tmp_path):
+    """Union of the batch backfill and the live stream must equal the
+    full dataset exactly — even when the streaming source re-serves
+    ALL history (the worst-case replay)."""
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        backfill_handoff,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"].limit(300)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    cutover = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).first().c
+    cut_str = cutover.strftime("%Y-%m-%d %H:%M:%S.%f")
+    target = str(tmp_path / "target")
+    stream = read_event_stream(spark, src, max_files_per_trigger=100)
+    q = (
+        backfill_handoff(ev, stream, cut_str, target)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.read.parquet(target)
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
+    assert set(r.event_id for r in got.collect()) == set(
+        r.event_id for r in ev.collect()
+    )
