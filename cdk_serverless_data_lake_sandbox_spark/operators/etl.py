@@ -524,3 +524,50 @@ def schema_drift_report(lake, zone: str, table: str, v_old: int, v_new: int) -> 
         "column string, status string, old_type string, new_type string, "
         "null_rate_old double, null_rate_new double, null_rate_delta double",
     )
+
+
+# ---------------------------------------------------------------- D16
+def ledger_ingest(
+    spark: SparkSession, src_dir: str, target_path: str, ledger_path: str
+) -> dict:
+    """Content-addressed incremental ingest: every source file is
+    checksummed and files whose checksum is already in the ledger are
+    skipped — which catches the two failure modes the high-watermark
+    bookmark (D4) cannot: the SAME file re-delivered under a new name
+    (content dup -> skipped) and a RESTATED file delivered under its
+    old name with new bytes (new checksum -> re-ingested). The ledger
+    is the lake's dedup memory across upstream redeliveries.
+
+    Checksums hash file BYTES (streamed, driver/metadata-tier work —
+    at real scale the object store's etag replaces the read); only
+    genuinely new files are handed to Spark, as one multi-path read."""
+    import hashlib
+
+    os.makedirs(ledger_path, exist_ok=True)
+    seen = set(os.listdir(ledger_path))
+    new_files, new_sums = [], []
+    for f in sorted(os.listdir(src_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(src_dir, f)
+        h = hashlib.md5()
+        with open(fp, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        digest = h.hexdigest()
+        if digest in seen:
+            continue
+        new_files.append(fp)
+        new_sums.append(digest)
+    n_rows = 0
+    if new_files:
+        df = spark.read.parquet(*new_files)
+        n_rows = df.count()
+        df.write.mode("append").parquet(target_path)
+        # markers written AFTER the append commits: a crash between
+        # the two re-ingests (duplicate risk) rather than data-loses —
+        # pair with merge_upsert downstream when exactly-once matters.
+        for digest in new_sums:
+            with open(os.path.join(ledger_path, digest), "w") as fh:
+                fh.write("ingested")
+    return {"ingested_files": len(new_files), "ingested_rows": n_rows}

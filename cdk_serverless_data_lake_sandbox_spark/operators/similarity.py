@@ -932,3 +932,67 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_p.cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------- C72
+_PCA_TOP = 8
+
+
+@register("embedding_pca_variance")  # eigendecomposition -> rows-only
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space spectrum diagnostic: explained-variance ratios
+    of the top principal components — the "is this embedding space
+    collapsed?" check (a healthy space spreads variance; a collapsed
+    one concentrates it in a handful of directions, the classic
+    representation-collapse signature).
+
+    Scale shape: the d x d Gramian and the column means are computed
+    as ONE Arrow-batched partial-sum pass (each task folds its rows
+    into a d x d float64 accumulator — numpy outer products, nothing
+    row-sized leaves the executor), the partials (d*d + d + 1 values
+    per partition) are reduced driver-side, and the eigendecomposition
+    runs on the driver where a 64x64 symmetric matrix belongs. Total
+    shuffle traffic is partitions x d^2 doubles — independent of row
+    count, the same shape at 100 TB."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+
+    def gram_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            g += m.T @ m
+            s += m.sum(axis=0)
+            n += len(m)
+        if n:
+            yield pd.DataFrame(
+                {"g": [g.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        gram_fold, "g array<double>, s array<double>, n long"
+    ).collect()  # one row per non-empty partition: d^2+d+1 doubles each
+    g = sum(np.array(p.g).reshape(dim, dim) for p in parts)
+    s = sum(np.array(p.s) for p in parts)
+    n = sum(p.n for p in parts)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    ratios = [float(v) / total for v in evals[:_PCA_TOP]]
+    cum = np.cumsum(ratios)
+    rows = [
+        (i + 1, round(ratios[i], 6), round(float(cum[i]), 6))
+        for i in range(len(ratios))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, explained_variance double, cumulative double"
+    )

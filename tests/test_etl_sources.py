@@ -554,3 +554,38 @@ def test_schema_drift_report_classifies_and_measures(spark, tmp_path):
     assert rep["name"].null_rate_old == 0.25
     assert rep["name"].null_rate_new == 0.75
     assert rep["name"].null_rate_delta == 0.5
+
+
+def test_ledger_ingest_content_addressed(spark, tmp_path):
+    """Re-runs are no-ops; the same content under a NEW NAME is
+    skipped; changed content under the OLD NAME is re-ingested."""
+    import shutil
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        ledger_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(10).coalesce(1).write.parquet(str(tmp_path / "a"))
+    import glob
+
+    part_a = glob.glob(str(tmp_path / "a") + "/part-*.parquet")[0]
+    shutil.copy(part_a, str(src / "f1.parquet"))
+    target = str(tmp_path / "target")
+    ledger = str(tmp_path / "ledger")
+
+    r1 = ledger_ingest(spark, str(src), target, ledger)
+    assert r1 == {"ingested_files": 1, "ingested_rows": 10}
+    # rerun: no-op
+    assert ledger_ingest(spark, str(src), target, ledger)["ingested_files"] == 0
+    # same bytes, new name: still a no-op (content-addressed)
+    shutil.copy(part_a, str(src / "f1_redelivered.parquet"))
+    assert ledger_ingest(spark, str(src), target, ledger)["ingested_files"] == 0
+    # changed bytes, old name: re-ingested
+    spark.range(5).coalesce(1).write.parquet(str(tmp_path / "b"))
+    part_b = glob.glob(str(tmp_path / "b") + "/part-*.parquet")[0]
+    shutil.copy(part_b, str(src / "f1.parquet"))
+    r4 = ledger_ingest(spark, str(src), target, ledger)
+    assert r4 == {"ingested_files": 1, "ingested_rows": 5}
+    assert spark.read.parquet(target).count() == 15

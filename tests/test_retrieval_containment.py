@@ -190,3 +190,30 @@ def test_audience_overlap_matches_python(spark):
         for r in _Q["audience_overlap"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- PCA
+def test_pca_variance_matches_numpy_and_sums_to_one(spark):
+    """The distributed Gramian path must reproduce a plain numpy PCA
+    on the collected matrix; ratios are positive, descending, and the
+    full spectrum sums to 1."""
+    import numpy as np
+
+    emb = load_tables(spark, SF_SMALL, ("embeddings",))["embeddings"]
+    m = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    want = evals[:8] / evals.sum()
+    got = (
+        _Q["embedding_pca_variance"](spark, SF_SMALL)
+        .orderBy("component")
+        .collect()
+    )
+    for i, r in enumerate(got):
+        assert abs(r.explained_variance - want[i]) < 1e-6, (i, r, want[i])
+    ratios = [r.explained_variance for r in got]
+    assert all(a >= b - 1e-12 for a, b in zip(ratios, ratios[1:]))
+    assert got[-1].cumulative <= 1.0 + 1e-9
