@@ -1089,3 +1089,72 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_n")
     )
+
+
+# ---------------------------------------------------------------- C73
+_IDS_UNK = 0
+
+_IDS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token,
+    generate_subscripts(string_split_regex(TRIM(text), '\\s+'), 1) AS pos
+  FROM documents
+), vocab AS (
+  SELECT token,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS id
+  FROM toks GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT {_VOCAB_K}
+), ids AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.id, {_IDS_UNK}) AS id
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN id = {_IDS_UNK} THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS token_ids
+FROM ids GROUP BY doc_id
+"""
+
+
+@register("tokenize_to_ids", oracle=_IDS_ORACLE)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus -> training-tensor bridge: words map to integer ids
+    under a frequency-ranked vocabulary (top-{k} words; everything
+    else is UNK=0), emitting each document's id sequence plus its
+    UNK count — the step between curation and a training loader,
+    with the UNK rate doubling as the vocabulary-coverage metric.
+
+    The id lookup happens IN-ROW: the ranked vocab (a top-k
+    aggregate, driver-collected at vocab size) becomes a literal map
+    expression, so the corpus pass is map-lookup-per-token inside
+    codegen with no explode, no join, no shuffle — at 100 TB the
+    only distributed work after vocab selection is the linear scan.
+    (A million-entry vocab would switch to a broadcast join on the
+    exploded stream; the in-row form is for bounded vocabularies.)"""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    vocab_rows = (
+        d.select(F.explode_outer(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), "token")
+        .limit(_VOCAB_K)
+        .collect()  # vocab-sized: the literal map below
+    )
+    entries = []
+    for rank, r in enumerate(vocab_rows, start=1):
+        entries.append(F.lit(r.token))
+        entries.append(F.lit(rank))
+    vocab_map = F.create_map(*entries) if entries else F.create_map()
+    ids = F.transform(
+        words, lambda w: F.coalesce(vocab_map[w], F.lit(_IDS_UNK))
+    )
+    return d.select("doc_id", ids.alias("_ids")).select(
+        "doc_id",
+        F.size("_ids").alias("n_tokens"),
+        F.expr(f"size(filter(_ids, x -> x = {_IDS_UNK}))")
+        .cast("bigint")
+        .alias("n_unk"),
+        F.array_join(F.transform("_ids", lambda x: x.cast("string")), ",").alias(
+            "token_ids"
+        ),
+    )

@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "tokenize_to_ids",
     "embedding_pca_variance",
     "span_corruption",
     "packed_sequences",
