@@ -542,3 +542,61 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t_we").cast("bigint").alias("n_weekend"),
         )
     )
+
+
+# ---------------------------------------------------------------- C75
+_REDACT_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id,
+    LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+    LEN(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+    LEN(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ip,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+        '{_PHONE_RE}', '[PHONE]', 'g'),
+      '{_IPV4_RE}', '[IP]', 'g') AS redacted_text
+  FROM documents
+)
+SELECT doc_id, redacted_text,
+  CAST(n_email AS BIGINT) AS n_email,
+  CAST(n_phone AS BIGINT) AS n_phone,
+  CAST(n_ip AS BIGINT) AS n_ip
+FROM r
+"""
+
+
+@register("redact_corpus", oracle=_REDACT_ORACLE)
+def redact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PII redaction — the destructive compliance twin of
+    pii_scan (which only measures): emails, phone numbers, and IPv4
+    addresses are replaced with typed placeholders, and per-doc
+    counts are emitted so the run is auditable (count > 0 with
+    unchanged text would be a redaction bug). Shares its patterns
+    with pii_scan and the streaming curation gate (E11), so batch
+    backfills and the live path redact identically. Pure regexp
+    codegen, zero shuffle, scan speed at any scale."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ),
+        _IPV4_RE,
+        "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        *[
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+            .cast("bigint")
+            .alias(n)
+            for p, n in (
+                (_EMAIL_RE, "n_email"),
+                (_PHONE_RE, "n_phone"),
+                (_IPV4_RE, "n_ip"),
+            )
+        ],
+    )

@@ -1158,3 +1158,94 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_ids"
         ),
     )
+
+
+# ---------------------------------------------------------------- C74
+_SPLITS = ("train", "validation", "test")
+
+_LEAK_PAIR_SQL = " UNION ALL ".join(
+    f"""SELECT '{a}' AS split_a, '{b}' AS split_b,
+      CAST(SUM(CASE WHEN f_{a} AND f_{b} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_leaked_groups
+    FROM flags"""
+    for i, a in enumerate(_SPLITS)
+    for b in _SPLITS[i + 1 :]
+)
+
+_LEAK_ORACLE = f"""
+WITH h AS (
+  SELECT md5(text) AS fp,
+    CASE WHEN ('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+           || '_{_SPLIT_SEED}'), 1, 4))::BIGINT < 52429 THEN 'train'
+         WHEN ('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+           || '_{_SPLIT_SEED}'), 1, 4))::BIGINT < 58982 THEN 'validation'
+         ELSE 'test' END AS split
+  FROM documents
+), flags AS (
+  SELECT fp,
+    {", ".join(f"BOOL_OR(split = '{t}') AS f_{t}" for t in _SPLITS)}
+  FROM h GROUP BY fp
+)
+SELECT split_a, split_b, n_leaked_groups FROM ({_LEAK_PAIR_SQL})
+"""
+
+
+@register("split_leakage_check", oracle=_LEAK_ORACLE)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit over the C67 split: for every split
+    pair, how many exact-duplicate text groups span BOTH sides —
+    each one is a document the model can memorize from train and be
+    scored on in test, the eval-inflation bug dedup exists to
+    prevent. Run AFTER dedup this reports zeros; a nonzero row is
+    the do-not-ship signal.
+
+    Same linear shape as audience_overlap: per-fingerprint split
+    flags via one bool_or aggregation (map-side combinable), then
+    every pairwise count from one conditional-sum pass — never a
+    self-join of the corpus."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_SPLIT_SEED}"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(bucket < 52429, "train")
+        .when(bucket < 58982, "validation")
+        .otherwise("test")
+    )
+    flags = (
+        d.select(F.md5("text").alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            *[
+                F.bool_or(F.col("split") == t).alias(f"f_{t}")
+                for t in _SPLITS
+            ]
+        )
+    )
+    agg = flags.agg(
+        *[
+            F.sum(F.when(F.col(f"f_{a}") & F.col(f"f_{b}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"g_{a}_{b}")
+            for i, a in enumerate(_SPLITS)
+            for b in _SPLITS[i + 1 :]
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(a).alias("split_a"),
+            F.lit(b).alias("split_b"),
+            F.col(f"g_{a}_{b}").alias("n_leaked_groups"),
+        )
+        for i, a in enumerate(_SPLITS)
+        for b in _SPLITS[i + 1 :]
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

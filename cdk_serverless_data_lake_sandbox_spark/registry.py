@@ -35,6 +35,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "split_leakage_check",
+    "redact_corpus",
     "tokenize_to_ids",
     "embedding_pca_variance",
     "span_corruption",
