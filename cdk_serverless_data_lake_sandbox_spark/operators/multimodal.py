@@ -277,3 +277,61 @@ def resample_audio(
             )
 
     return media.mapInPandas(process, out_schema)
+
+
+# ---------------------------------------------------------------- C76
+_MAGIC = {
+    "jpeg": "FFD8FF",
+    "png": "89504E47",
+    "wav": "52494646",  # 'RIFF'
+}
+
+
+def attach_fake_media_mixed(docs: DataFrame) -> DataFrame:
+    """Fake-media synthesis with REAL magic bytes: each doc's payload
+    starts with the genuine JPEG/PNG/RIFF signature (modality cycles
+    by doc_id % 3) followed by the deterministic md5 body — so
+    header-sniffing code paths exercise the same byte patterns real
+    ingest would see, while staying codec-free."""
+    sig = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.unhex(F.lit(_MAGIC["jpeg"])))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.unhex(F.lit(_MAGIC["png"])))
+        .otherwise(F.unhex(F.lit(_MAGIC["wav"])))
+    )
+    body = F.expr("repeat(unhex(md5(text)), 1 + pmod(doc_id, 4))").cast("binary")
+    return docs.select(
+        "doc_id", F.concat(sig, body).alias("media")
+    )
+
+
+@register("modality_profile")  # binary sniffing -> rows-only
+def modality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What's actually in the blob column: modality detection from
+    magic bytes (JPEG FFD8FF / PNG 89504E47 / RIFF-WAV 52494646 —
+    the first real question against an opaque 100 TB binary column,
+    answered WITHOUT decoding a single payload). Sniffing is
+    hex(substring(media, 1, 4)) prefix matching — pure JVM
+    expressions at scan speed — followed by one aggregation: counts,
+    byte totals, and size ranges per detected modality, with
+    'unknown' as the catch-all that flags corrupt or novel payloads
+    for the DLQ."""
+    media = attach_fake_media_mixed(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    head = F.hex(F.expr("substring(media, 1, 4)"))
+    modality = (
+        F.when(head.startswith(_MAGIC["jpeg"]), "jpeg")
+        .when(head.startswith(_MAGIC["png"]), "png")
+        .when(head.startswith(_MAGIC["wav"]), "wav")
+        .otherwise("unknown")
+    )
+    return (
+        media.select(modality.alias("modality"), F.length("media").alias("n_bytes"))
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )

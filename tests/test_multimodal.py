@@ -125,3 +125,32 @@ def test_resample_audio_lengths_and_determinism(spark):
     again = {r.doc_id: bytes(r.resampled) for r in resample_audio(m).collect()}
     first = {r.doc_id: bytes(r.resampled) for r in out}
     assert first == again
+
+
+def test_modality_profile_detects_all_signatures(spark):
+    """Magic-byte sniffing must classify every synthesized payload
+    to its ground-truth modality (doc_id % 3 cycle) with zero
+    unknowns, and totals must cover the corpus."""
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    out = {
+        r.modality: r
+        for r in all_queries()["modality_profile"](spark, SF_SMALL).collect()
+    }
+    assert "unknown" not in out
+    assert set(out) == {"jpeg", "png", "wav"}
+    import collections
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    counts = collections.Counter(
+        ("jpeg", "png", "wav")[r.doc_id % 3]
+        for r in docs.select("doc_id").collect()
+    )
+    assert sum(r.n_payloads for r in out.values()) == sum(counts.values())
+    for m, r in out.items():
+        assert r.n_payloads == counts[m]
+        assert r.min_bytes >= 3 + 16  # signature (3-4B) + >= one md5 body
