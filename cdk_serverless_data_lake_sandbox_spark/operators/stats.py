@@ -1459,3 +1459,61 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lat_days", 0.9), 4).alias("p90_days"),
         F.max("lat_days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------- B86
+_JOINSIZE_TOPK = 20
+
+_JOINSIZE_ORACLE = f"""
+WITH a AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_a FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT c_custkey AS k, COUNT(*) AS n_b FROM customer GROUP BY c_custkey
+), contrib AS (
+  SELECT a.k, a.n_a, b.n_b, a.n_a * b.n_b AS out_rows
+  FROM a JOIN b ON a.k = b.k
+), tot AS (SELECT SUM(out_rows) AS total_out FROM contrib)
+SELECT k AS join_key, n_a, n_b, CAST(out_rows AS BIGINT) AS out_rows,
+  CAST(ROUND(CAST(out_rows AS DOUBLE) / tot.total_out, 6) AS DOUBLE)
+    AS out_share
+FROM contrib, tot
+ORDER BY out_rows DESC, join_key LIMIT {_JOINSIZE_TOPK}
+"""
+
+
+@register("join_size_contribution", oracle=_JOINSIZE_ORACLE)
+def join_size_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join output-size planner: per join key, EXACTLY how many
+    rows the equi-join will emit (count_a x count_b) and each key's
+    share of the total — computed from two per-key count aggregates
+    joined on the key, which costs two linear passes instead of
+    running the join. The top contributors are the keys to salt (the
+    key_skew_profile companion, but for the JOIN's output rather
+    than one side's input — a key can be mild in both inputs and
+    still dominate the product). Key-count frames are key-cardinality
+    sized; the top-k fuses to TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    a = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_a")
+    )
+    b = t["customer"].groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("n_b")
+    )
+    contrib = a.join(b, "k").select(
+        "k", "n_a", "n_b", (F.col("n_a") * F.col("n_b")).alias("out_rows")
+    )
+    tot = contrib.agg(F.sum("out_rows").alias("_total"))
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("join_key"),
+            "n_a",
+            "n_b",
+            F.col("out_rows").cast("bigint").alias("out_rows"),
+            F.round(F.col("out_rows").cast("double") / F.col("_total"), 6).alias(
+                "out_share"
+            ),
+        )
+        .orderBy(F.col("out_rows").desc(), "join_key")
+        .limit(_JOINSIZE_TOPK)
+    )

@@ -619,3 +619,29 @@ def backfill_handoff(
         batch.write.mode("append").parquet(target_path)
 
     return live.writeStream.foreachBatch(append_batch)
+
+
+def gc_uncommitted(data_path: str, manifest_path: str) -> list[int]:
+    """Garbage-collect idempotent_sink orphans: batch_id directories
+    with no manifest marker are mid-write crash residue — invisible
+    to read_committed but still occupying storage. Removing them is
+    always safe because the marker is written only after the data
+    write completes, and a future retry of that batch overwrites the
+    directory anyway. Returns the batch ids collected."""
+    import os
+    import shutil
+
+    committed = {
+        f.split("_", 1)[1]
+        for f in (os.listdir(manifest_path) if os.path.isdir(manifest_path) else [])
+        if f.startswith("batch_")
+    }
+    removed = []
+    for d in os.listdir(data_path) if os.path.isdir(data_path) else []:
+        if not d.startswith("batch_id="):
+            continue
+        bid = d.split("=", 1)[1]
+        if bid not in committed:
+            shutil.rmtree(os.path.join(data_path, d), ignore_errors=True)
+            removed.append(int(bid))
+    return sorted(removed)

@@ -786,3 +786,35 @@ def test_backfill_handoff_no_seam_dup_or_gap(spark, tmp_path):
     assert set(r.event_id for r in got.collect()) == set(
         r.event_id for r in ev.collect()
     )
+
+
+def test_gc_uncommitted_removes_only_orphans(spark, tmp_path):
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        gc_uncommitted,
+        idempotent_sink,
+        read_committed,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"].limit(20)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    data, manifest = str(tmp_path / "data"), str(tmp_path / "manifest")
+    stream = read_event_stream(spark, src, max_files_per_trigger=100)
+    q = (
+        idempotent_sink(stream, data, manifest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # fabricate a crash orphan
+    spark.range(3).selectExpr("id AS event_id").write.parquet(
+        os.path.join(data, "batch_id=777")
+    )
+    assert gc_uncommitted(data, manifest) == [777]
+    assert not os.path.exists(os.path.join(data, "batch_id=777"))
+    # committed batches untouched
+    assert read_committed(spark, data, manifest).count() == 20
+    assert gc_uncommitted(data, manifest) == []
