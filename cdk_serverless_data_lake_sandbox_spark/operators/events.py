@@ -892,3 +892,70 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a", "type_b", "n_both", "n_a", "n_b",
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------- B87
+_WF_WINDOW_DAYS = 7
+
+_WFUNNEL_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(first_signup) AS n_signup,
+  COUNT(CASE WHEN first_click >= first_signup
+         AND first_click < first_signup + INTERVAL {_WF_WINDOW_DAYS} DAYS
+        THEN 1 END) AS n_click_7d,
+  COUNT(CASE WHEN first_purchase >= first_signup
+         AND first_purchase < first_signup + INTERVAL {_WF_WINDOW_DAYS} DAYS
+        THEN 1 END) AS n_purchase_7d,
+  CAST(ROUND(CAST(COUNT(CASE WHEN first_purchase >= first_signup
+         AND first_purchase < first_signup + INTERVAL {_WF_WINDOW_DAYS} DAYS
+        THEN 1 END) AS DOUBLE)
+    / NULLIF(COUNT(first_signup), 0), 6) AS DOUBLE) AS purchase_cvr_7d
+FROM firsts
+"""
+
+
+@register("windowed_funnel", oracle=_WFUNNEL_ORACLE)
+def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel (the SLA variant of B51's ordered funnel):
+    of users whose journey starts with a signup, how many click and
+    how many purchase WITHIN {d} days of that first signup — ordered
+    funnels count eventual conversion, time-boxed funnels measure
+    conversion velocity, and growth teams want the latter. One
+    conditional-min aggregation per user (first touch per stage in a
+    single pass — no joins, no windows), then a one-row conditional
+    count; both shuffles are linear and the second input is
+    user-count sized."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(
+                f"first_{t}"
+            )
+            for t in ("signup", "click", "purchase")
+        ]
+    )
+    in_window = lambda c: (
+        (F.col(c) >= F.col("first_signup"))
+        & (
+            F.col(c)
+            < F.col("first_signup")
+            + F.expr(f"INTERVAL {_WF_WINDOW_DAYS} DAYS")
+        )
+    )
+    n_purch = F.count(F.when(in_window("first_purchase"), 1))
+    return firsts.agg(
+        F.count("first_signup").alias("n_signup"),
+        F.count(F.when(in_window("first_click"), 1)).alias("n_click_7d"),
+        n_purch.alias("n_purchase_7d"),
+        F.round(
+            n_purch.cast("double") / F.nullif(F.count("first_signup"), F.lit(0)),
+            6,
+        ).alias("purchase_cvr_7d"),
+    )

@@ -172,3 +172,88 @@ def test_dup_span_profile_matches_bruteforce(spark, texts):
         for i, spans in per_doc.items()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_containment_pairs_match_bruteforce(spark, texts):
+    """The contained-side-only prefix filter must be lossless: the
+    indexed plan agrees exactly with the quadratic containment
+    definition on arbitrary corpora, including equal-size ties and
+    duplicate texts (containment 1.0 both ways -> one pair, smaller
+    doc_id contained)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _CONTAIN_TAU,
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(docs).collect()
+    }
+    sh = [_shingles(t) for t in texts]
+    expected = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b:
+                continue
+            smaller = len(sh[a]) < len(sh[b]) or (
+                len(sh[a]) == len(sh[b]) and a < b
+            )
+            if not smaller:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= _CONTAIN_TAU:
+                expected[(a, b)] = round(c, 6)
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_segment_dedup_matches_reference(spark, texts):
+    """First-occurrence segment dedup must agree with the sequential
+    reference on arbitrary corpora — duplicates, singletons, and
+    docs shorter than one segment."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        _SEG_SIZE,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="segprop-")
+    try:
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp + "/d.dir")
+        part = glob.glob(tmp + "/d.dir/part-*.parquet")[0]
+        shutil.copy(part, tmp + "/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in all_queries()["segment_dedup"](spark, tmp).collect()
+        }
+        seen: dict[str, tuple[int, int]] = {}
+        per_doc: dict[int, list[tuple[int, str]]] = {}
+        for i, t in enumerate(texts):
+            ws = t.strip().split()
+            segs = [
+                " ".join(ws[j : j + _SEG_SIZE])
+                for j in range(0, len(ws), _SEG_SIZE)
+            ]
+            per_doc[i] = list(enumerate(segs))
+            for idx, s in enumerate(segs):
+                if s not in seen:
+                    seen[s] = (i, idx)
+        for i, pairs in per_doc.items():
+            kept = [s for idx, s in pairs if seen[s] == (i, idx)]
+            assert out[i].dedup_text == " ".join(kept)
+            assert out[i].n_kept == len(kept)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
