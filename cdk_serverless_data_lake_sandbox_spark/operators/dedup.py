@@ -232,19 +232,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C2
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
+def _minhash_signatures(docs: DataFrame, scratch_key: str | None = None) -> DataFrame:
     """doc_id + array<long> MinHash signature, entirely JVM-side.
     Shingles are hashed to longs once; each permutation is a columnar
     ``min(xxhash64(h, i))`` aggregate over the exploded hashes — 32
     codegen'd min-aggs with map-side partials (one narrow shuffle on
-    doc_id) rather than per-row nested array transforms."""
+    doc_id) rather than per-row nested array transforms.
+
+    The hash source is the SAME materialized hashed-shingle frame
+    the jaccard/containment family scans (xxhash64 of each shingle):
+    with a shared ``scratch_key`` the corpus is tokenized and hashed
+    exactly once across the whole dedup family, and the signature
+    branch reads 8-byte longs from scratch parquet instead of
+    re-splitting strings."""
     # explode_outer: see ngram_jaccard_pairs — the non-outer explode
     # triggers a pushed-down size(sh) > 0 filter that duplicates the
     # shingle computation.
     hashes = (
-        _shingled(docs).select("doc_id", F.explode_outer("sh").alias("s"))
-        .where(F.col("s").isNotNull())
-        .select("doc_id", F.xxhash64("s").alias("h"))
+        _hashed_shingles(docs, scratch_key)
+        .select("doc_id", F.explode_outer("hs").alias("h"))
+        .where(F.col("h").isNotNull())
     )
     mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(_N_PERM)]
     per_doc = hashes.groupBy("doc_id").agg(*mins)
@@ -263,7 +270,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature re-join; bucket sizes are bounded by collision rate, so
     candidate generation is near-linear in corpus size."""
     docs = _docs(spark, sf_dir)
-    sigs = _minhash_signatures(docs)
+    sigs = _minhash_signatures(docs, scratch_key=f"ngram-hashed:{sf_dir}")
 
     n_bands = _N_PERM // _BAND_ROWS
     band_arrays = ", ".join(
