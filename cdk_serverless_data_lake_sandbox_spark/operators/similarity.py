@@ -996,3 +996,59 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, explained_variance double, cumulative double"
     )
+
+
+# ---------------------------------------------------------------- C77
+@register("ann_recall_report")  # compares approximate paths -> rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which ANN path can you trust at this configuration: recall@k
+    of every approximate strategy (LSH, IVF, PQ) against the exact
+    brute-force top-k, per query and summarized per method — the
+    go/no-go report an embedding-retrieval rollout reads before
+    swapping the exact scorer out. The same measurement the pytest
+    recall gates make, surfaced as a queryable diagnostic so
+    operators can re-run it when dim/corpus/config change.
+
+    Cost is the sum of the constituent strategies (each one scan);
+    the comparison itself joins k-row-per-query frames."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    methods = {
+        "lsh": ann_lsh_bucketed,
+        "ivf": ann_ivf,
+        "pq": ann_topk_pq,
+    }
+    per_method = []
+    for name, fn in methods.items():
+        approx = fn(spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("got_id")
+        )
+        hits = exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (F.col("true_id") == F.col("got_id")),
+            "left",
+        ).select(exact.query_id, F.col("got_id").isNotNull().alias("hit"))
+        per_method.append(
+            hits.groupBy("query_id").agg(
+                F.lit(name).alias("method"),
+                F.count("*").alias("k"),
+                F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+            )
+        )
+    union = per_method[0]
+    for m in per_method[1:]:
+        union = union.unionByName(m)
+    return (
+        union.groupBy("method")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(
+                F.sum("n_hits").cast("double") / F.sum("k"), 4
+            ).alias("recall_at_k"),
+            F.round(
+                F.min(F.col("n_hits").cast("double") / F.col("k")), 4
+            ).alias("worst_query_recall"),
+        )
+    )

@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only reordered.
 _VERIFY_FIRST = [
     # new this session
+    "ann_recall_report",
     "windowed_funnel",
     "join_size_contribution",
     "modality_profile",

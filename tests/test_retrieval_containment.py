@@ -217,3 +217,16 @@ def test_pca_variance_matches_numpy_and_sums_to_one(spark):
     ratios = [r.explained_variance for r in got]
     assert all(a >= b - 1e-12 for a, b in zip(ratios, ratios[1:]))
     assert got[-1].cumulative <= 1.0 + 1e-9
+
+
+def test_ann_recall_report_consistent_with_gates(spark):
+    """The report's recall numbers must satisfy the same floors the
+    dedicated recall tests enforce, and its bookkeeping must be
+    internally consistent (k queries x top-k rows per method)."""
+    rows = {r.method: r for r in _Q["ann_recall_report"](spark, SF_SMALL).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq"}
+    for r in rows.values():
+        assert r.n_queries == 10
+        assert 0.0 <= r.worst_query_recall <= r.recall_at_k <= 1.0
+    assert rows["ivf"].recall_at_k >= 0.5
+    assert rows["pq"].recall_at_k >= 0.3
