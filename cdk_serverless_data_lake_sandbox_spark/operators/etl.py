@@ -571,3 +571,54 @@ def ledger_ingest(
             with open(os.path.join(ledger_path, digest), "w") as fh:
                 fh.write("ingested")
     return {"ingested_files": len(new_files), "ingested_rows": n_rows}
+
+
+# ---------------------------------------------------------------- D17
+def collect_column_stats(df: DataFrame) -> DataFrame:
+    """ANALYZE-table analog: per-column null count, approximate NDV
+    (HLL sketch), and min/max for orderable types, computed in ONE
+    conditional-aggregation pass over the table (adding a column adds
+    aggregate expressions, never a scan). This is the stats table a
+    cost-based optimizer, a join planner (broadcast or not?), or a
+    crawler-style catalog publishes next to the schema; at 100 TB
+    one linear pass with map-side partials is exactly what ANALYZE
+    costs on any engine."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("_n_rows")]
+    orderable = []
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"_null_{c}"))
+        # rsd=0.02: catalog stats feed broadcast/join decisions, where
+        # the default 5% sketch error is enough to misclassify a
+        # borderline dimension table
+        aggs.append(F.approx_count_distinct(c, 0.02).alias(f"_ndv_{c}"))
+        if f.dataType.simpleString() in (
+            "int", "bigint", "smallint", "tinyint", "double", "float",
+            "date", "string",
+        ) or f.dataType.simpleString().startswith("decimal") or (
+            f.dataType.simpleString().startswith("timestamp")
+        ):
+            orderable.append(c)
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+    row = df.agg(*aggs).first()
+    out = []
+    for f in df.schema.fields:
+        c = f.name
+        out.append(
+            (
+                c,
+                f.dataType.simpleString(),
+                row["_n_rows"],
+                row[f"_null_{c}"],
+                row[f"_ndv_{c}"],
+                row[f"_min_{c}"] if c in orderable else None,
+                row[f"_max_{c}"] if c in orderable else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "approx_ndv long, min_value string, max_value string",
+    )

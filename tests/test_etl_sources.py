@@ -589,3 +589,25 @@ def test_ledger_ingest_content_addressed(spark, tmp_path):
     r4 = ledger_ingest(spark, str(src), target, ledger)
     assert r4 == {"ingested_files": 1, "ingested_rows": 5}
     assert spark.read.parquet(target).count() == 15
+
+
+def test_collect_column_stats_one_pass_analyze(spark):
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        collect_column_stats,
+    )
+
+    from tests.conftest import SF_SMALL
+
+    orders = load_tables(spark, SF_SMALL, ("orders",))["orders"]
+    stats = {r.column: r for r in collect_column_stats(orders).collect()}
+    n = orders.count()
+    assert set(stats) == set(orders.columns)
+    ok = stats["o_orderkey"]
+    assert ok.n_rows == n and ok.n_nulls == 0
+    exact_ndv = orders.select("o_orderkey").distinct().count()
+    assert abs(ok.approx_ndv - exact_ndv) / exact_ndv < 0.05
+    assert int(ok.min_value) == orders.agg({"o_orderkey": "min"}).first()[0]
+    assert int(ok.max_value) == orders.agg({"o_orderkey": "max"}).first()[0]
+    # status is low-cardinality: NDV must reflect that, not row count
+    assert stats["o_orderstatus"].approx_ndv <= 5
