@@ -645,3 +645,27 @@ def gc_uncommitted(data_path: str, manifest_path: str) -> list[int]:
             shutil.rmtree(os.path.join(data_path, d), ignore_errors=True)
             removed.append(int(bid))
     return sorted(removed)
+
+
+# ---------------------------------------------------------------- E24
+def column_stats_monitor(stream: DataFrame, stats_path: str):
+    """Streaming ANALYZE: every micro-batch's per-column statistics
+    (nulls, NDV sketch, min/max — the D17 collector) append to a
+    stats history table keyed by batch id. The result is a
+    time-series of column health at ingest: a null-rate step, an NDV
+    collapse, or a min/max excursion shows up one batch after it
+    happens, without a second scan of stored data (each batch is
+    profiled while it is already in memory for the write)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        collect_column_stats,
+    )
+
+    def profile(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        stats = collect_column_stats(batch).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        stats.write.mode("append").parquet(stats_path)
+
+    return stream.writeStream.foreachBatch(profile)

@@ -818,3 +818,35 @@ def test_gc_uncommitted_removes_only_orphans(spark, tmp_path):
     # committed batches untouched
     assert read_committed(spark, data, manifest).count() == 20
     assert gc_uncommitted(data, manifest) == []
+
+
+def test_column_stats_monitor_tracks_batches(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        column_stats_monitor,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"].limit(100)
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.parquet(src)
+    stats_path = str(tmp_path / "stats")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        column_stats_monitor(stream, stats_path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    hist = spark.read.parquet(stats_path)
+    n_batches = hist.select("_batch_id").distinct().count()
+    assert n_batches >= 2  # one per input file
+    per_batch_cols = (
+        hist.groupBy("_batch_id").count().select("count").distinct().collect()
+    )
+    assert len(per_batch_cols) == 1  # every batch profiled every column
+    total_rows = (
+        hist.where(F.col("column") == "event_id")
+        .agg(F.sum("n_rows"))
+        .first()[0]
+    )
+    assert total_rows == 100
