@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import time
+
 import duckdb
 import pytest
 
@@ -22,6 +24,27 @@ def spark():
     )
     yield s
     s.stop()
+
+
+def await_stream_done(q, timeout: float = 600.0) -> None:
+    """Wait for an ``availableNow`` streaming query to terminate and
+    ASSERT that it did.
+
+    A bare ``q.awaitTermination(n)`` returns ``False`` on timeout and
+    the test then reads a partially-written sink — the load-dependent
+    flake the round-2 verdict flagged in the PSI-monitor test. Polling
+    in short slices (instead of one long wait) lets a failed query
+    surface its exception promptly, and the final assert turns a hung
+    query into a clear message rather than a downstream KeyError on
+    whichever batch was missing."""
+    deadline = time.monotonic() + timeout
+    while q.isActive and time.monotonic() < deadline:
+        q.awaitTermination(10)  # raises StreamingQueryException on failure
+    if q.exception() is not None:
+        raise q.exception()
+    assert not q.isActive, (
+        f"streaming query {q.name or q.id} still active after {timeout}s"
+    )
 
 
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:

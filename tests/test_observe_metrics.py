@@ -14,7 +14,7 @@ from cdk_serverless_data_lake_sandbox_spark.operators.quality import (
     observe_metrics,
 )
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, await_stream_done
 
 
 def test_batch_observe_matches_direct_agg(spark):
@@ -68,7 +68,7 @@ def test_streaming_observe_surfaces_in_progress(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_stream_done(q)
     metrics = [
         p["observedMetrics"]["ingest_metrics"]
         for p in (q.recentProgress or [])

@@ -15,7 +15,7 @@ from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
     windowed_counts,
 )
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, await_stream_done
 
 
 @pytest.fixture(scope="module")
@@ -41,7 +41,7 @@ def _run_to_memory(stream_df, name, mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream_done(q)
     return q
 
 
@@ -113,7 +113,7 @@ def test_upsert_sink_keeps_latest_per_key(spark, event_drop_dir, tmp_path):
     stream = read_event_stream(spark, dup_dir, max_files_per_trigger=2)
     target = str(tmp_path / "cdc_target")
     q = upsert_sink(stream, target)
-    q.awaitTermination(120)
+    await_stream_done(q)
     out = spark.read.parquet(target)
     assert out.count() == ev.count()  # one row per key survives
     assert out.select("event_id").distinct().count() == ev.count()
@@ -202,7 +202,7 @@ def test_checkpointed_source_exactly_once_across_restarts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_stream_done(q)
 
     run_once()
     n_a = spark.read.parquet(sink).count()
@@ -247,7 +247,7 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_stream_done(q)
 
     run_once()
     # a whole-day-late straggler: watermark is now ~day 5, event at day 1
@@ -282,7 +282,7 @@ def test_stream_to_lake_versions(spark, event_drop_dir, tmp_path):
     q = stream_to_lake_versions(
         windowed_counts(stream), lake, "serving", "win_counts"
     )
-    q.awaitTermination(120)
+    await_stream_done(q)
     # at least one snapshot; the registered view serves the newest
     latest = lake.table("serving", "win_counts")
     expected = (
@@ -326,7 +326,7 @@ def test_timeout_closed_sessions_emit_once(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_stream_done(q)
     got = {r.user_id: (r.n_events, r.total_value) for r in spark.table("closed_sessions").collect()}
     # users 1 and 2 closed when the day-2 event advanced the watermark;
     # user 3's own session has nothing after it, so it stays open
@@ -426,7 +426,7 @@ def test_stream_dedup_gate_matches_batch_incremental(spark, tmp_path):
     q = stream_dedup_gate(
         stream, corpus, target, corpus_key=f"test-gate:{tmp_path}"
     )
-    q.awaitTermination(120)
+    await_stream_done(q)
 
     got = sorted(r.doc_id for r in spark.read.parquet(target).collect())
     want = sorted(
@@ -470,7 +470,7 @@ def test_rate_limited_sink_bounds_batches_and_loses_nothing(spark, tmp_path):
     cap = 300
     stream = read_event_stream(spark, src, max_files_per_trigger=2)
     q = rate_limited_sink(stream, sink, spill, max_rows_per_batch=cap)
-    q.awaitTermination(180)
+    await_stream_done(q)
     import glob
 
     written = spark.read.parquet(sink)
@@ -597,7 +597,7 @@ def test_psi_monitor_matches_batch_twin(spark, tmp_path):
     baseline = ev
     stream = read_event_stream(spark, src, max_files_per_trigger=3)
     q = psi_monitor_sink(stream, baseline, mon, raw_path=raw)
-    q.awaitTermination(180)
+    await_stream_done(q)
     got = {
         (r.batch_id, r.event_type): (r.psi, r.n_events)
         for r in spark.read.parquet(mon).collect()
@@ -704,7 +704,7 @@ def test_dlq_ingest_splits_good_and_bad(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_stream_done(q)
     good = spark.read.parquet(good_path)
     dlq = spark.read.parquet(dlq_path)
     n_bad = corrupted.where(F.col("event_id") % 5 == 0).count()
@@ -742,7 +742,7 @@ def test_idempotent_sink_no_duplicates_on_replay(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        await_stream_done(q)
 
     run("ck1")
     first = read_committed(spark, data, manifest).count()
@@ -779,7 +779,7 @@ def test_backfill_handoff_no_seam_dup_or_gap(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_stream_done(q)
     got = spark.read.parquet(target)
     assert got.count() == 300
     assert got.select("event_id").distinct().count() == 300
@@ -808,7 +808,7 @@ def test_gc_uncommitted_removes_only_orphans(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_stream_done(q)
     # fabricate a crash orphan
     spark.range(3).selectExpr("id AS event_id").write.parquet(
         os.path.join(data, "batch_id=777")
@@ -836,7 +836,7 @@ def test_column_stats_monitor_tracks_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    await_stream_done(q)
     hist = spark.read.parquet(stats_path)
     n_batches = hist.select("_batch_id").distinct().count()
     assert n_batches >= 2  # one per input file
