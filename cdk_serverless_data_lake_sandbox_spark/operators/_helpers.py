@@ -82,15 +82,26 @@ def materialize(df, key: str | None = None):
     return _scratch_read(spark, df.schema, path)
 
 
+_SCRATCH_NPART: dict[str, int] = {}
+
+
 def _scratch_read(spark, schema, path):
     """Scan a scratch intermediate, restoring parallelism when the
     files are tiny: Spark bin-packs small files into one split, which
     would serialize every downstream stage that consumes the
     materialized frame. At real scale the files exceed
-    maxPartitionBytes and the gate never fires."""
+    maxPartitionBytes and the gate never fires.
+
+    The scan's split count is probed once per path (scratch files are
+    immutable after the write) — ``df.rdd.getNumPartitions()``
+    materializes a physical plan, so paying it on every re-read of a
+    shared intermediate was measurable driver overhead (round-2
+    verdict nit)."""
     out = spark.read.schema(schema).parquet(path)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if out.rdd.getNumPartitions() < max(n // 2, 2):
+    if path not in _SCRATCH_NPART:
+        _SCRATCH_NPART[path] = out.rdd.getNumPartitions()
+    if _SCRATCH_NPART[path] < max(n // 2, 2):
         out = out.repartition(n)
     return out
 

@@ -182,7 +182,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("is_bench"), 1)).alias("n_benchmark"),
             F.count(F.when(~F.col("is_bench"), 1)).alias("n_corpus"),
         )
-        .crossJoin(contaminated.agg(F.count("*").alias("n_contaminated")))
+        .crossJoin(
+            # 1-row aggregate: broadcast explicitly rather than relying
+            # on AQE to notice the size at runtime
+            F.broadcast(contaminated.agg(F.count("*").alias("n_contaminated")))
+        )
     )
 
 

@@ -589,8 +589,25 @@ def containment_pairs(
     smaller doc, and a pair opens only on x's first
     n - ceil(tau*n) + 1 shingles (lossless: overlap confined to x's
     suffix is < tau*|x|). The candidate-dedup groupBy counts shared
-    x-prefix shingles, and o <= c + (ceil(tau*n_a) - 1) prunes pairs
-    that cannot reach ceil(tau*n_a) before the verify join."""
+    x-prefix shingles AND tracks the container-side position of the
+    last counted match, giving a positional (PPJoin-style, Xiao et
+    al. WWW'08) upper bound that actually prunes:
+
+        o <= c + min(T - 1, n_b - 1 - M_b),   T = ceil(tau * n_a)
+
+    where c counts common shingles whose a-copy sits in a's prefix,
+    and M_b is the largest b-position among them. Losslessness: every
+    UNCOUNTED common shingle has a-position >= prefix_len, hence a
+    larger hash than every counted one (arrays share one global
+    ascending hash sort), hence b-position > M_b — so at most
+    n_b - 1 - M_b of them exist; and a's suffix holds at most T - 1.
+    Pairs whose bound falls below T cannot reach containment tau and
+    are dropped before the verify join ships full shingle arrays.
+    (The naive bound o <= c + (T - 1) reduces to c >= 1 — true for
+    every generated candidate — and prunes nothing; the positional
+    term is what bites, e.g. when a's prefix matches only near the
+    END of b.) Rides the same 2^-64 hash-collision assumption as the
+    Jaccard family."""
     hashed = _hashed_shingles(docs, scratch_key)
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * tau) + 1
     inv = (
@@ -602,18 +619,23 @@ def containment_pairs(
         )
         .where(F.col("shingle").isNotNull())
         .select(
-            "doc_id", "n_sh", "shingle", (F.col("pos") < F.col("pl")).alias("pref")
+            "doc_id",
+            "n_sh",
+            "shingle",
+            "pos",
+            (F.col("pos") < F.col("pl")).alias("pref"),
         )
     )
     # Postings sorted by (n_sh, doc_id): within flatten/transform the
     # opener x always has the fewer shingles, so the containment
     # direction is fixed at pair-generation time and only x's prefix
-    # can open a pair.
+    # can open a pair. Each posting keeps its in-document position so
+    # the candidate filter can apply the positional bound.
     postings = (
         inv.groupBy("shingle")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("n_sh", "doc_id", "pref"))
+                F.collect_list(F.struct("n_sh", "doc_id", "pref", "pos"))
             ).alias("ms")
         )
         .where(F.size("ms") > 1)
@@ -622,16 +644,20 @@ def containment_pairs(
     flatten(transform(ms, (x, i) ->
       transform(
         filter(slice(ms, i + 2, size(ms)), y -> x.pref),
-        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id, x.n_sh AS n_a))))
+        y -> struct(x.doc_id AS a_id, y.doc_id AS b_id, x.n_sh AS n_a,
+                    y.n_sh AS n_b, y.pos AS pos_b))))
     """
     min_overlap = F.ceil(F.col("n_a") * tau)
-    suffix_bound = F.ceil(F.col("n_a") * tau) - 1
+    positional_bound = F.col("c") + F.least(
+        F.ceil(F.col("n_a") * tau) - 1,
+        F.col("n_b") - 1 - F.col("max_pos_b"),
+    )
     candidates = (
         postings.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.*")
-        .groupBy("a_id", "b_id", "n_a")
-        .agg(F.count("*").alias("c"))
-        .where(F.col("c") + suffix_bound >= min_overlap)
+        .groupBy("a_id", "b_id", "n_a", "n_b")
+        .agg(F.count("*").alias("c"), F.max("pos_b").alias("max_pos_b"))
+        .where(positional_bound >= min_overlap)
         .select("a_id", "b_id")
     )
     a = hashed.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))

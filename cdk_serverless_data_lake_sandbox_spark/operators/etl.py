@@ -540,8 +540,20 @@ def ledger_ingest(
 
     Checksums hash file BYTES (streamed, driver/metadata-tier work —
     at real scale the object store's etag replaces the read); only
-    genuinely new files are handed to Spark, as one multi-path read."""
+    genuinely new files are handed to Spark, as one multi-path read.
+
+    Crash-safe WITHOUT a duplicate window: each row lands under a
+    ``_ingest_digest=<md5>`` partition of its source file, written
+    with DYNAMIC partition overwrite — a retry after a crash between
+    the write and the ledger markers re-OVERWRITES exactly those
+    digest partitions with identical content instead of appending a
+    second copy (the round-2 advisory's duplicate window closed by
+    layout, not by shrinking it). Markers stay per-digest and are
+    written only after the write commits. The row count rides the
+    write via ``observe`` — one scan total per batch."""
     import hashlib
+
+    from pyspark.sql import Observation
 
     os.makedirs(ledger_path, exist_ok=True)
     seen = set(os.listdir(ledger_path))
@@ -561,12 +573,29 @@ def ledger_ingest(
         new_sums.append(digest)
     n_rows = 0
     if new_files:
-        df = spark.read.parquet(*new_files)
-        n_rows = df.count()
-        df.write.mode("append").parquet(target_path)
-        # markers written AFTER the append commits: a crash between
-        # the two re-ingests (duplicate risk) rather than data-loses —
-        # pair with merge_upsert downstream when exactly-once matters.
+        # basename -> digest lookup evaluated in-row on input_file_name
+        pairs = []
+        for fp, digest in zip(new_files, new_sums):
+            pairs.extend([F.lit(os.path.basename(fp)), F.lit(digest)])
+        obs = Observation()
+        df = (
+            spark.read.parquet(*new_files)
+            .withColumn(
+                "_ingest_digest",
+                F.element_at(
+                    F.create_map(*pairs),
+                    F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1),
+                ),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n_rows"))
+        )
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ingest_digest")
+            .parquet(target_path)
+        )
+        n_rows = obs.get["n_rows"]
         for digest in new_sums:
             with open(os.path.join(ledger_path, digest), "w") as fh:
                 fh.write("ingested")

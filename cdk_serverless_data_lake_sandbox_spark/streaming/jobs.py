@@ -564,10 +564,23 @@ def idempotent_sink(stream: DataFrame, data_path: str, manifest_path: str):
     return stream.writeStream.foreachBatch(write_once)
 
 
-def read_committed(spark: SparkSession, data_path: str, manifest_path: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession,
+    data_path: str,
+    manifest_path: str,
+    schema: str | None = None,
+) -> DataFrame:
     """Reader side of :func:`idempotent_sink`: only batch directories
     whose manifest marker exists are visible — an orphaned data dir
-    from a mid-write crash is invisible until its retry commits."""
+    from a mid-write crash is invisible until its retry commits.
+
+    When nothing is committed yet the returned empty frame carries
+    the sink's REAL schema: ``schema`` if the caller passed one, else
+    the schema inferred from any data directory already on disk
+    (uncommitted batches still reveal the sink's column layout), so
+    downstream unions/column references behave identically in the
+    empty and non-empty cases. Only with no schema hint and no data
+    at all does it fall back to a zero-column frame."""
     import os
 
     committed = [
@@ -576,7 +589,13 @@ def read_committed(spark: SparkSession, data_path: str, manifest_path: str) -> D
         if f.startswith("batch_")
     ]
     if not committed:
-        return spark.createDataFrame([], "event_id long")
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        if os.path.isdir(data_path) and any(
+            d.startswith("batch_id=") for d in os.listdir(data_path)
+        ):
+            return spark.read.parquet(data_path).limit(0)
+        return spark.createDataFrame([], StructType([]))
     paths = [
         os.path.join(data_path, f"batch_id={b}")
         for b in sorted(committed)

@@ -589,6 +589,16 @@ def test_ledger_ingest_content_addressed(spark, tmp_path):
     r4 = ledger_ingest(spark, str(src), target, ledger)
     assert r4 == {"ingested_files": 1, "ingested_rows": 5}
     assert spark.read.parquet(target).count() == 15
+    # crash between write and marker: wipe the ledger entries and
+    # re-run — dynamic overwrite of the digest partitions must leave
+    # the row count unchanged (no duplicate window)
+    import os
+
+    for m in os.listdir(ledger):
+        os.remove(os.path.join(ledger, m))
+    r5 = ledger_ingest(spark, str(src), target, ledger)
+    assert r5["ingested_files"] == 2  # both digests re-attempted
+    assert spark.read.parquet(target).count() == 15  # but nothing duplicated
 
 
 def test_collect_column_stats_one_pass_analyze(spark):

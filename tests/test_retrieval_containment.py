@@ -149,8 +149,9 @@ def test_ann_arrow_equals_vectorized(spark):
     for key, (nid, cos) in a.items():
         vnid, vcos = v[key]
         assert cos == _pt.approx(vcos, abs=1e-12)
-        if abs(cos - vcos) < 1e-12:
-            assert nid == vnid or cos == _pt.approx(vcos, abs=1e-12)
+        # the final row_number window breaks cosine ties
+        # deterministically, so neighbor identity must match exactly
+        assert nid == vnid, (key, nid, vnid, cos, vcos)
 
 
 # ---------------------------------------------------------------- BPE
