@@ -103,7 +103,14 @@ class IncrementalIngest:
     """Job-bookmark analog (the reference disables Glue bookmarks,
     ``demo_stack.py:210``; this is the Spark-native replacement):
     a persisted high watermark on an event-time column; each run
-    appends only rows past the watermark."""
+    appends only rows past the watermark.
+
+    ONE scan per batch: the fresh-row count and the new watermark ride
+    the append itself as ``observe`` metrics (round 2 flagged the old
+    count() / write / max().collect() triple scan — at 100 TB a daily
+    batch is not small enough to read three times). A batch with no
+    fresh rows still runs the (empty) append — that writes only
+    metadata — and leaves the persisted watermark untouched."""
 
     def __init__(self, state_path: str, watermark_col: str):
         self.state_path = state_path
@@ -116,14 +123,21 @@ class IncrementalIngest:
         return None
 
     def ingest(self, batch: DataFrame, target_path: str) -> int:
+        from pyspark.sql import Observation
+
         wm = self._read_state()
         fresh = batch if wm is None else batch.where(F.col(self.watermark_col) > F.lit(wm))
-        n = fresh.count()
+        obs = Observation()
+        fresh = fresh.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(self.watermark_col).cast("string").alias("new_wm"),
+        )
+        fresh.write.mode("append").parquet(target_path)
+        n = obs.get["n_rows"]
         if n:
-            fresh.write.mode("append").parquet(target_path)
-            new_wm = fresh.agg(F.max(self.watermark_col).cast("string")).collect()[0][0]
             with open(self.state_path, "w") as f:
-                json.dump({"watermark": new_wm}, f)
+                json.dump({"watermark": obs.get["new_wm"]}, f)
         return n
 
 

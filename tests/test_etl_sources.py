@@ -197,11 +197,28 @@ def test_incremental_ingest_watermark(spark, tmp_path):
     ing = IncrementalIngest(state, "ts")
     n1 = ing.ingest(first, target)
     assert n1 == 500
-    n2 = ing.ingest(rest, target)
+    # one source scan per batch: count + watermark ride the append as
+    # observe metrics, so an ingest triggers exactly one Spark job
+    # (the old shape was count / write / max-collect = three)
+    sc = spark.sparkContext
+    sc.setJobGroup("ingest-scan-probe", "single-pass ingest")
+    try:
+        n2 = ing.ingest(rest, target)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ingest-scan-probe")
+    assert len(jobs) == 1, f"ingest ran {len(jobs)} jobs, expected 1"
     assert 0 < n2 <= 500
     total = spark.read.parquet(target).count()
     assert total == n1 + n2
     assert spark.read.parquet(target).select("event_id").distinct().count() == total
+    # a stale batch (all rows behind the watermark) must not move it
+    import json as _json
+
+    wm_before = _json.load(open(state))["watermark"]
+    assert ing.ingest(first, target) == 0
+    assert _json.load(open(state))["watermark"] == wm_before
+    assert spark.read.parquet(target).count() == total
 
 
 # ---------------------------------------------------------------- D5
