@@ -71,7 +71,17 @@ class Lake:
     reference's three buckets (``stacks/demo_stack.py:52-92``), with a
     per-zone table registry (the two Glue databases,
     ``stacks/demo_stack.py:94-100``).
-    """
+
+    The registry is DURABLE: every mutation rewrites a
+    ``catalog.json`` manifest under ``root`` (the Glue Catalog
+    survives the process in the reference — ``demo_stack.py:94-100`` —
+    so the analog must too), and :meth:`Lake.open` restores
+    zones/tables/views into a fresh SparkSession from the manifest
+    alone. Table paths are stored relative to ``root`` when they live
+    inside it, so a lake directory can be moved or mounted elsewhere
+    and reopened."""
+
+    MANIFEST = "catalog.json"
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -79,16 +89,67 @@ class Lake:
         self.zones: dict[str, str] = {}
         self.tables: dict[str, dict[str, str]] = {}
 
+    # -------------------------------------------------- durability
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "Lake":
+        """Reopen an existing lake: rebuild the zone/table registry
+        from ``<root>/catalog.json`` and re-register every table's
+        temp view in THIS session. Tables whose data directory has
+        vanished (e.g. vacuumed externally) are dropped from the
+        restored registry rather than registered as dangling views."""
+        import json
+
+        lake = cls(spark, root)
+        mf = os.path.join(root, cls.MANIFEST)
+        if not os.path.exists(mf):
+            return lake
+        with open(mf) as fh:
+            manifest = json.load(fh)
+        for zone in manifest.get("zones", []):
+            lake.add_zone(zone)
+        for zone, tables in manifest.get("tables", {}).items():
+            lake.tables.setdefault(zone, {})
+            for table, rel in tables.items():
+                path = rel if os.path.isabs(rel) else os.path.join(root, rel)
+                # single-file parquet is a file, a written table a dir
+                if not os.path.exists(path):
+                    continue
+                lake.register(zone, table, path, spark.read.parquet(path))
+        return lake
+
+    def _save_manifest(self) -> None:
+        import json
+
+        rel_tables = {
+            zone: {
+                table: (
+                    os.path.relpath(path, self.root)
+                    if os.path.commonpath([os.path.abspath(path), os.path.abspath(self.root)])
+                    == os.path.abspath(self.root)
+                    else path
+                )
+                for table, path in tables.items()
+            }
+            for zone, tables in self.tables.items()
+        }
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"zones": sorted(self.zones), "tables": rel_tables}, fh, indent=1)
+        os.replace(tmp, os.path.join(self.root, self.MANIFEST))
+
     def add_zone(self, zone: str) -> str:
         path = os.path.join(self.root, zone)
         os.makedirs(path, exist_ok=True)
         self.zones[zone] = path
         self.tables.setdefault(zone, {})
+        self._save_manifest()
         return path
 
     def register(self, zone: str, table: str, path: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(self._view_name(zone, table))
         self.tables[zone][table] = path
+        self._save_manifest()
 
     def table(self, zone: str, table: str) -> DataFrame:
         return self.spark.table(self._view_name(zone, table))
@@ -99,6 +160,7 @@ class Lake:
     def drop(self, zone: str, table: str) -> None:
         self.spark.catalog.dropTempView(self._view_name(zone, table))
         self.tables[zone].pop(table, None)
+        self._save_manifest()
 
     def _view_name(self, zone: str, table: str) -> str:
         return f"{zone}_{table}"

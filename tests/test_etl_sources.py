@@ -131,6 +131,55 @@ def test_lake_catalog_zones(spark, tmp_path):
     assert lake.list_tables("raw") == []
 
 
+# ---------------------------------------------------------------- A7 (durable)
+def test_lake_catalog_survives_sessions(spark, tmp_path):
+    """Glue-Catalog durability analog: a lake reopened from its
+    catalog.json manifest restores zones, table registry, and temp
+    views without any re-registration — including a versioned table's
+    newest-snapshot view. Vanished data dirs are pruned, not
+    registered as dangling views."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    root = str(tmp_path / "lake")
+    lake = Lake(spark, root)
+    lake.add_zone("raw")
+    lake.add_zone("processed")
+    nation = load_tables(spark, SF_SMALL, ("nation",))["nation"]
+    lake.register("raw", "nation", f"{SF_SMALL}/nation.parquet", nation)
+    lake.write_version("processed", "cust", nation.select("n_nationkey"))
+    lake.write_version(
+        "processed", "cust", nation.select("n_nationkey", "n_name")
+    )
+    ghost = str(tmp_path / "ghost")
+    nation.write.parquet(ghost)
+    lake.register("raw", "ghost", ghost, spark.read.parquet(ghost))
+    shutil.rmtree(ghost)  # data vanishes behind the catalog's back
+
+    # simulate a fresh session: all temp views gone
+    for v in ("raw_nation", "raw_ghost", "processed_cust"):
+        spark.catalog.dropTempView(v)
+
+    reopened = Lake.open(spark, root)
+    assert sorted(reopened.zones) == ["processed", "raw"]
+    assert reopened.list_tables("raw") == ["nation"]  # ghost pruned
+    assert reopened.table("raw", "nation").count() == 25
+    assert spark.sql("SELECT COUNT(*) FROM raw_nation").first()[0] == 25
+    # the versioned table's view points at the NEWEST snapshot
+    assert reopened.table("processed", "cust").columns == [
+        "n_nationkey",
+        "n_name",
+    ]
+    # the reopened lake keeps versioning state: next write is v=2
+    assert (
+        reopened.write_version(
+            "processed", "cust", nation.withColumn("n_name", F2.lower("n_name"))
+        )
+        == 2
+    )
+
+
 # ---------------------------------------------------------------- A7 (versioned)
 def test_lake_versioned_tables(spark, tmp_path):
     from pyspark.sql import functions as F2
