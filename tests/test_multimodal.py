@@ -154,3 +154,155 @@ def test_modality_profile_detects_all_signatures(spark):
     for m, r in out.items():
         assert r.n_payloads == counts[m]
         assert r.min_bytes >= 3 + 16  # signature (3-4B) + >= one md5 body
+
+
+# ------------------------------------------------------------ real codecs
+def test_png_roundtrip_all_filters():
+    """Our encoder emits filter 0; the decoder must invert ALL five
+    spec filters — verified by hand-filtering scanlines per PNG spec
+    §9.2 and checking the decoder recovers the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(12, 9), dtype=np.uint8)
+    # encoder/decoder roundtrip (filter 0)
+    w, h, px = png_decode(png_encode(arr))
+    assert (w, h) == (9, 12) and (px == arr).all()
+
+    # hand-build a PNG applying filter type y%5 to scanline y
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = []
+    prev = np.zeros(arr.shape[1], dtype=np.int64)
+    for y in range(arr.shape[0]):
+        cur = arr[y].astype(np.int64)
+        f = y % 5
+        enc = np.zeros_like(cur)
+        for x in range(len(cur)):
+            left = cur[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            pred = [0, left, up, (left + up) // 2, paeth(left, up, ul)][f]
+            enc[x] = (cur[x] - pred) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    hand = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", arr.shape[1], arr.shape[0], 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, px2 = png_decode(hand)
+    assert (px2 == arr).all(), "defilter failed for some filter type"
+
+
+def test_wav_and_jpeg_roundtrip():
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        jpeg_encode_header,
+        jpeg_header,
+        wav_decode,
+        wav_encode,
+    )
+
+    s = (2000 * np.sin(np.arange(200) / 5)).astype("<i2")
+    rate, back = wav_decode(wav_encode(s, 22050))
+    assert rate == 22050 and (back == s).all()
+    assert jpeg_header(jpeg_encode_header(1920, 1080, b"\x00" * 32)) == (1920, 1080)
+
+
+def test_decode_real_media_end_to_end(spark):
+    """Real-bytes decode over Spark: every synthesized payload decodes,
+    validates against its meta, and PNG pixel means match the known
+    generator formula."""
+    from pyspark.sql import functions as F2
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        attach_real_media,
+        decode_real_media,
+    )
+
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].limit(60)
+    decoded = decode_real_media(attach_real_media(docs))
+    rows = decoded.collect()
+    assert len(rows) == 60
+    assert all(r.header_ok for r in rows), [r for r in rows if not r.header_ok][:3]
+    mods = {r.doc_id % 3: r.modality for r in rows}
+    assert mods == {0: "png", 1: "jpeg", 2: "wav"}
+    for r in rows:
+        if r.modality == "png":
+            assert r.n_values == r.width * r.height > 0
+            assert 0 <= r.mean_value <= 255
+            assert abs(sum(r.features) - 1.0) < 1e-9
+        elif r.modality == "wav":
+            assert r.sample_rate == 16000 and r.n_values >= 64
+        else:
+            assert (r.width, r.height) == (16 + r.doc_id % 16, 16 + (r.doc_id * 7) % 16)
+
+
+def test_decode_real_media_flags_corruption(spark):
+    """A payload whose header disagrees with its metadata (or whose
+    bytes are garbage) must flag header_ok=false, not raise."""
+    from pyspark.sql import functions as F2
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        attach_real_media,
+        decode_real_media,
+    )
+
+    from tests.conftest import SF_SMALL
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].limit(30)
+    media = attach_real_media(docs)
+    # lie about every width, and truncate wav payloads mid-header
+    corrupted = media.select(
+        "doc_id",
+        F2.when(F2.pmod("doc_id", F2.lit(3)) == 2, F2.expr("substring(media, 1, 10)"))
+        .otherwise(F2.col("media"))
+        .alias("media"),
+        F2.struct(
+            F2.col("meta.format").alias("format"),
+            (F2.col("meta.width") + 1).alias("width"),
+            F2.col("meta.height").alias("height"),
+            F2.col("meta.sample_rate").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    rows = decode_real_media(corrupted).collect()
+    assert len(rows) == 30
+    assert not any(r.header_ok for r in rows)
+
+
+def test_media_decode_profile_registered(spark):
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    out = {r.modality: r for r in all_queries()["media_decode_profile"](spark, SF_SMALL).collect()}
+    assert set(out) == {"png", "jpeg", "wav"}
+    for m, r in out.items():
+        assert r.n_header_ok == r.n_payloads, m
