@@ -68,6 +68,87 @@ WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
 """
 
 
+# Max candidate pairs a single label block may generate on the exact
+# pairwise path before it is routed through k-means sub-blocking. At
+# the default, a block flips at ~141k rows (n(n-1)/2 > 1e10 pairs) —
+# far above any sf testdata block, so the registered query stays
+# exactly oracle-checkable; on a 100 TB corpus a hot label crosses it
+# and the guard engages automatically.
+_BLOCK_PAIR_BUDGET = 10_000_000_000
+# Target rows per k-means sub-block when the guard engages.
+_SUBBLOCK_TARGET = 50_000
+
+
+def _pairwise_block_join(a_side: DataFrame, b_side: DataFrame, keys: list[str]) -> DataFrame:
+    """Exact cosine tau-join inside equi-key blocks; norms hoisted."""
+    cond = F.col("a_id") < F.col("b_id")
+    for k in keys:
+        cond = (F.col(f"a_{k}") == F.col(f"b_{k}")) & cond
+    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a_side.join(b_side, cond)
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= _COSINE_TAU)
+    )
+
+
+def near_dup_embedding_frame(
+    e: DataFrame,
+    pair_budget: int = _BLOCK_PAIR_BUDGET,
+    subblock_target: int = _SUBBLOCK_TARGET,
+) -> DataFrame:
+    """Near-dup pairs over an (vec_id, label, embedding) frame with an
+    automatic oversized-block escape hatch. One cheap count-by-label
+    agg classifies each block; blocks whose exact pair count n(n-1)/2
+    would exceed ``pair_budget`` are k-means sub-blocked (SemDeDup,
+    Abbas et al. 2023) and pairs generated only inside
+    (label, cluster) cells — the explicit accuracy-for-cost trade,
+    taken per-block instead of per-query so a single hot label cannot
+    force the whole corpus onto the approximate path (nor onto the
+    quadratic one). The oversized-label list is driver-sized by
+    construction: at most total_rows / flip_point labels can exceed
+    the budget."""
+    sizes = e.groupBy("label").agg(F.count("*").alias("n"))
+    big = [
+        r["label"]
+        for r in sizes.where(F.col("n") * (F.col("n") - 1) / 2 > pair_budget).collect()
+    ]
+
+    def side(df: DataFrame, p: str, keys: list[str]) -> DataFrame:
+        cols = [
+            F.col("vec_id").alias(f"{p}_id"),
+            F.col("embedding").alias(f"e{p}"),
+            _norm("embedding").alias(f"n{p}"),
+        ] + [F.col(k).alias(f"{p}_{k}") for k in keys]
+        return df.select(*cols)
+
+    # Norms are hoisted to per-ROW scalars: computed per pair they are
+    # 2 of the 3 O(d) array folds on the quadratic path. Same
+    # expression tree as the oracle (dot / (norm_a * norm_b)), so the
+    # doubles stay bit-identical.
+    small = e.where(~F.col("label").isin(big)) if big else e
+    out = _pairwise_block_join(side(small, "a", ["label"]), side(small, "b", ["label"]), ["label"])
+    if big:
+        from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+
+        hot = e.where(F.col("label").isin(big))
+        n_hot = hot.count()
+        k = max(2, -(-n_hot // subblock_target))
+        assign = materialize(
+            kmeans_assign(hot.select("vec_id", "embedding"), k, 2)
+            .select("vec_id", "cluster")
+            .join(hot.select("vec_id", "label"), "vec_id"),
+            key=f"neardup-hot-assign:{id(e)}",
+        ).join(e.select("vec_id", "embedding"), "vec_id")
+        approx = _pairwise_block_join(
+            side(assign, "a", ["label", "cluster"]),
+            side(assign, "b", ["label", "cluster"]),
+            ["label", "cluster"],
+        )
+        out = out.unionByName(approx)
+    return out
+
+
 @register("near_dup_embedding", oracle=_NEARDUP_ORACLE)
 def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= tau) blocked by label:
@@ -79,30 +160,11 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     irreducibly pairwise (prefix/inverted-index filters need sparsity
     to prune), so the per-pair work is minimized instead (norms
     hoisted to row scalars; one fold per pair) and AQE spreads a hot
-    label's quadrant across the cluster. When a block outgrows the
-    pairwise budget, route it through semantic_dedup (k-means-blocked
-    approximate pairs) — the explicit accuracy-for-cost trade, kept
-    as a separate operator so this one stays exactly
-    oracle-checkable."""
-    e = _emb(spark, sf_dir)
-    # Norms are hoisted to per-ROW scalars: computed per pair they are
-    # 2 of the 3 O(d) array folds on the quadratic path. Same
-    # expression tree as the oracle (dot / (norm_a * norm_b)), so the
-    # doubles stay bit-identical.
-    a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("label").alias("la"),
-        F.col("embedding").alias("ea"), _norm("embedding").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"), _norm("embedding").alias("nb"),
-    )
-    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id", cosine.alias("cosine"))
-        .where(F.col("cosine") >= _COSINE_TAU)
-    )
+    label's quadrant across the cluster. Blocks that outgrow the
+    pairwise budget are auto-routed through k-means sub-blocking —
+    see ``near_dup_embedding_frame``; at testdata scales no block
+    flips, so this query remains exactly oracle-checkable."""
+    return near_dup_embedding_frame(_emb(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- C6

@@ -29,64 +29,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Queries the driver's (possibly truncated) verification pass must see
-# first: rows whose implementation or oracle changed this round, new
-# surface, then queries that have never received a driver verdict.
-# Everything else follows in registration order — nothing is dropped,
-# only reordered.
+# first: the 84 queries that have never received a driver verdict across
+# rounds 1-2 (driver samples 50/round; CORRECTNESS_r0{1,2}.json are the
+# ledger), preceded by anything whose implementation changed this
+# session. Everything else follows in registration order -- nothing is
+# dropped, only reordered.
 _VERIFY_FIRST = [
-    # new this session
-    "ann_recall_report",
-    "windowed_funnel",
-    "join_size_contribution",
-    "modality_profile",
-    "split_leakage_check",
-    "redact_corpus",
-    "tokenize_to_ids",
-    "embedding_pca_variance",
-    "span_corruption",
-    "packed_sequences",
-    "hard_negative_mining",
-    "dataset_split",
-    "ship_latency_percentiles",
-    "near_dup_review_sample",
-    "brand_lift",
-    "bpe_merge_candidates",
-    "audience_overlap",
-    "ann_topk_arrow",
-    "session_window_agg",
-    "normalize_corpus",
-    "bm25_retrieval",
+    "media_decode_profile",
     "containment_dedup",
-    "vocab_oov_profile",
-    "open_order_concurrency",
-    "weighted_sample",
-    "segment_dedup",
-    # changed this round
-    "cohort_retention",
-    "frequent_items_sketch",
-    "forward_fill",
-    "ntile_quartiles",
-    "activity_gini",
-    "pareto_revenue",
-    "dedup_ngram_jaccard",
-    "near_dup_removal",
-    "corpus_pipeline",
-    "dedup_components",
-    "multimodal_features",
-    # new surface
-    "sequence_packing",
-    "doc_chunking",
-    "dup_span_fraction",
-    "token_budget_allocation",
-    "embedding_quantization",
-    "tokenizer_fertility",
-    "ngram_novelty",
-    "heaps_law_fit",
-    "dup_cluster_sizes",
-    "sketch_rollup_dau",
-    "group_sample_topk",
-    "ann_topk_pq",
-    "psi_drift",
     "key_skew_profile",
     "scd2_point_in_time_join",
     "dq_expectations",
@@ -111,7 +61,6 @@ _VERIFY_FIRST = [
     "preview_events",
     "preview_documents",
     "preview_embeddings",
-    # never driver-graded (r1 gate stopped at 50 entries)
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_volume_shipping",
@@ -163,6 +112,14 @@ _VERIFY_FIRST = [
     "bigram_collocations",
     "tfidf_doc_top_terms",
     "federated_kv_lookup",
+    "approx_quantiles",
+    "quartiles_scalable",
+    "priority_transitions",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "ann_topk_vectorized",
+    "kmeans_clusters",
 ]
 
 
