@@ -13,12 +13,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+from cdk_serverless_data_lake_sandbox_spark.compat import ensure_protobuf
+
 
 def get_spark(
     app_name: str = "cdk-serverless-data-lake-sandbox-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Must run before the gateway launches: Python workers inherit the
+    # JVM's environment, so the vendored protobuf path (needed by the
+    # transformWithStateInPandas worker) has to be in PYTHONPATH now.
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -253,11 +253,12 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
     the RocksDB provider keeps it off-heap + changelog-checkpointed
     — the store the big-state deployments run.
 
-    Environment note: the TWS Python runner imports google.protobuf,
-    which this container lacks — the parity test detects the runner
-    crash and skips with the reason; on a standard Spark 4 install
-    the operator runs as written (API verified against the PySpark
-    4.1 signatures)."""
+    Environment note: the TWS Python runner imports google.protobuf;
+    containers without it get the vendored clean-room mini-runtime
+    (vendor/google/protobuf, activated by compat.ensure_protobuf()
+    inside session.get_spark before the gateway launches), so the
+    batch-parity test executes the real runner end-to-end — RocksDB
+    state store, socket state-server handshake and all."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
