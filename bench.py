@@ -35,6 +35,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "text_quality",
+    # r2-surface heavies (added r3 so regressions get a number; the 20
+    # above are unchanged for cross-round comparability)
+    "containment_dedup",
+    "segment_dedup",
+    "bm25_retrieval",
+    "semantic_dedup",
+    "ann_topk_arrow",
 ]
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money, money_sum
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -69,7 +69,7 @@ def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     monthly = (
         o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
-        .agg(money(F.sum(dec("o_totalprice", 2))).alias("month_revenue"))
+        .agg(money_sum("o_totalprice", 2).alias("month_revenue"))
     )
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
     return monthly.select(
@@ -124,7 +124,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            money(F.sum(dec("o_totalprice", 2))).alias("bucket_revenue"),
+            money_sum("o_totalprice", 2).alias("bucket_revenue"),
         )
     )
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money, money_sum
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 # ---------------------------------------------------------------- A1
@@ -152,8 +152,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money(F.sum(dec("l_quantity", 2))).alias("sum_qty"),
-            money(F.sum(dec("l_extendedprice", 2))).alias("sum_base_price"),
+            money_sum("l_quantity", 2).alias("sum_qty"),
+            money_sum("l_extendedprice", 2).alias("sum_base_price"),
             money(F.sum(disc_price)).alias("sum_disc_price"),
             money(F.sum(charge)).alias("sum_charge"),
             (F.sum(dec("l_quantity", 2)).cast("double") / F.count("*")).alias("avg_qty"),
@@ -409,7 +409,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(money(F.sum(dec("l_quantity", 2))).alias("total_qty"))
+        .agg(money_sum("l_quantity", 2).alias("total_qty"))
     )
 
 
@@ -583,7 +583,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .rollup("n_name", "c_mktsegment")
         .agg(
-            money(F.sum(dec("c_acctbal", 2))).alias("total_acctbal"),
+            money_sum("c_acctbal", 2).alias("total_acctbal"),
             F.count("*").alias("n_customers"),
         )
     )

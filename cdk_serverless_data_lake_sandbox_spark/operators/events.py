@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money, money_sum
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -106,7 +106,7 @@ def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            money(F.sum(dec("value", 2))).alias("total_value"),
+            money_sum("value", 2).alias("total_value"),
         )
     )
 
@@ -406,14 +406,12 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's DAYOFWEEK is 0-based while Spark's is 1-based; the
     oracle shifts to match."""
     ev = _events(spark, sf_dir)
-    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money
-
     return ev.groupBy(
         F.dayofweek("ts").cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hour"),
     ).agg(
         F.count("*").alias("n_events"),
-        money(F.sum(dec("value", 4))).alias("total_value"),
+        money_sum("value", 4).alias("total_value"),
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from decimal import Decimal
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, materialize, money
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, materialize, money, money_sum
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -125,7 +125,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
-            money(F.sum(dec("c_acctbal", 2))).alias("total_bal"),
+            money_sum("c_acctbal", 2).alias("total_bal"),
         )
     )
 
@@ -733,7 +733,7 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the IEEE ratio, so the percentages match the oracle."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        money(F.sum(dec("o_totalprice", 2))).alias("revenue")
+        money_sum("o_totalprice", 2).alias("revenue")
     )
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
@@ -768,7 +768,7 @@ def quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
-            money(F.sum(dec("c_acctbal", 2))).alias("total_bal"),
+            money_sum("c_acctbal", 2).alias("total_bal"),
         )
     )
 
@@ -1086,7 +1086,7 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_orders"),
-            money(F.sum(dec("o_totalprice", 2))).alias("revenue"),
+            money_sum("o_totalprice", 2).alias("revenue"),
         )
     )
 
