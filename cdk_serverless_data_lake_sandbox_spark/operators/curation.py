@@ -604,3 +604,217 @@ def redact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+# ---------------------------------------------------------------- C78
+# Fixed, documented weights for the linear quality model. Real
+# pipelines train a fastText/logistic classifier (e.g. the GPT-3 /
+# LLaMA "quality classifier" stage); the FEATURES and the serving
+# plan are what matters for the engine — swapping learned weights in
+# changes no plan shape. Signs follow the published heuristics:
+# stopword density up-weights prose, punctuation soup and digit walls
+# down-weight, moderate length helps.
+_QC_W_STOP = 3.0
+_QC_W_PUNCT = -8.0
+_QC_W_DIGIT = -4.0
+_QC_W_LOGLEN = 0.35
+_QC_W_WORDLEN = -0.25
+_QC_BIAS = -2.0
+_QC_KEEP = 0.60
+_QC_DROP = 0.40
+
+_QC_FEATURES_SQL = """
+  SELECT doc_id, source,
+    CAST(LEN(list_filter(string_split(text, ' '),
+      w -> list_contains({stop}, w))) AS DOUBLE)
+      / LEN(string_split(text, ' ')) AS stop_ratio,
+    CAST(LEN(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+      / LEN(text) AS punct_ratio,
+    CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      / LEN(text) AS digit_ratio,
+    LN(1 + LEN(text)) AS log_len,
+    CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE)
+      / LEN(string_split(text, ' ')) AS mean_word_len
+  FROM documents
+"""
+
+_QC_ORACLE: str  # assigned below once the stopword list is imported
+
+
+def _qc_score_sql() -> str:
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _ALL_STOP,
+        _sql_list,
+    )
+
+    feats = _QC_FEATURES_SQL.format(stop=_sql_list(_ALL_STOP))
+    lin = (
+        f"{_QC_W_STOP} * stop_ratio + {_QC_W_PUNCT} * punct_ratio"
+        f" + {_QC_W_DIGIT} * digit_ratio + {_QC_W_LOGLEN} * log_len"
+        f" + {_QC_W_WORDLEN} * mean_word_len + {_QC_BIAS}"
+    )
+    return f"""
+WITH f AS ({feats}), s AS (
+  SELECT doc_id, source, ROUND(1.0 / (1.0 + EXP(-({lin}))), 6) AS score FROM f
+)
+SELECT doc_id, source, score,
+  CASE WHEN score >= {_QC_KEEP} THEN 'keep'
+       WHEN score < {_QC_DROP} THEN 'drop'
+       ELSE 'review' END AS decision
+FROM s
+"""
+
+
+@register("quality_classifier_score", oracle=_qc_score_sql())
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier serving pass (the fastText-style
+    "looks like reference text?" stage of GPT-3/LLaMA-class data
+    pipelines, Brown et al. 2020 §2.2): engineered per-doc features
+    -> fixed logistic score -> keep/review/drop decision. The
+    features (stopword density, punctuation/digit ratios, log length,
+    mean word length) are computed in ONE projection inside
+    whole-stage codegen — no shuffle at all, so the pass runs at
+    parquet-scan speed on any corpus size; a learned weight vector
+    drops in without changing the plan.
+
+    The score is rounded to 6 dp BEFORE thresholding in both engines
+    so keep/drop decisions cannot straddle a float ulp."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _ALL_STOP,
+        _spark_array,
+    )
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    arr = _spark_array(_ALL_STOP)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> array_contains({arr}, w)))")
+    stop_ratio = n_stop.cast("double") / F.size(words)
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), F.lit(0))).cast("double")
+        / F.length("text")
+    )
+    digit_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))).cast("double")
+        / F.length("text")
+    )
+    log_len = F.log1p(F.length("text"))
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / F.size(words)
+    )
+    lin = (
+        F.lit(_QC_W_STOP) * stop_ratio
+        + F.lit(_QC_W_PUNCT) * punct_ratio
+        + F.lit(_QC_W_DIGIT) * digit_ratio
+        + F.lit(_QC_W_LOGLEN) * log_len
+        + F.lit(_QC_W_WORDLEN) * mean_word_len
+        + F.lit(_QC_BIAS)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6)
+    return d.select("doc_id", "source", score.alias("score")).withColumn(
+        "decision",
+        F.when(F.col("score") >= _QC_KEEP, "keep")
+        .when(F.col("score") < _QC_DROP, "drop")
+        .otherwise("review"),
+    )
+
+
+# ---------------------------------------------------------------- C79
+# z-score tercile boundaries (Phi^-1(1/3) ~ -0.4307, Phi^-1(2/3) ~
+# +0.4307): the scalable stand-in for CCNet's exact perplexity
+# terciles — means/stddevs are map-side-combinable where exact
+# per-language quantiles are not.
+_PPL_Z = 0.4307
+
+_PPL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab
+), bits AS (
+  SELECT t.doc_id,
+    ROUND(AVG(-LOG2(CAST(v.cnt AS DOUBLE) / (SELECT n FROM total))), 4) AS bpt
+  FROM tok t JOIN vocab v ON t.word = v.word GROUP BY t.doc_id
+), scored AS (
+  SELECT d.lang, b.bpt FROM bits b JOIN documents d ON b.doc_id = d.doc_id
+), mom AS (
+  SELECT lang, COUNT(*) AS n,
+    CAST(SUM(CAST(bpt AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mu,
+    SQRT(GREATEST(
+      CAST(SUM(CAST(bpt AS DECIMAL(18,4)) * CAST(bpt AS DECIMAL(18,4))) AS DOUBLE)
+        / COUNT(*)
+      - POW(CAST(SUM(CAST(bpt AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2),
+      1e-12)) AS sigma
+  FROM scored GROUP BY lang
+)
+SELECT s.lang,
+  CASE WHEN s.bpt < mom.mu - {_PPL_Z} * mom.sigma THEN 'head'
+       WHEN s.bpt > mom.mu + {_PPL_Z} * mom.sigma THEN 'tail'
+       ELSE 'middle' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / mom.n, 6) AS share,
+  CAST(ROUND(SUM(CAST(s.bpt AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE) AS avg_bits
+FROM scored s JOIN mom ON s.lang = mom.lang
+GROUP BY s.lang, mom.n,
+  CASE WHEN s.bpt < mom.mu - {_PPL_Z} * mom.sigma THEN 'head'
+       WHEN s.bpt > mom.mu + {_PPL_Z} * mom.sigma THEN 'tail'
+       ELSE 'middle' END
+"""
+
+
+@register("perplexity_bucket_mix", oracle=_PPL_ORACLE)
+def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail mix report (Wenzek et al. 2020):
+    per language, documents are bucketed by their LM quality score
+    (unigram bits-per-token, the same proxy unigram_logprob emits)
+    and the mix (count, share, mean bits) per bucket is reported —
+    the dashboard a curation run uses to pick which perplexity band
+    to keep per language.
+
+    CCNet buckets on exact per-language perplexity terciles; exact
+    per-group quantiles need a per-language sort (one reducer per
+    language — a skew bomb when one language is half the corpus).
+    This uses the scalable threshold variant: per-language mean/std
+    (map-side-combinable, decimal-exact over the 4dp-rounded scores
+    so both engines see identical sums) and z-score cuts at
+    +-0.4307 = Phi^-1(2/3), which ARE the terciles under normality
+    and a fixed, auditable approximation otherwise. No windows, no
+    sorts: token scan -> two keyed aggs -> broadcast per-lang
+    moments joined back."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import unigram_logprob
+
+    bits = (
+        unigram_logprob(spark, sf_dir)
+        .select("doc_id", F.col("bits_per_token").alias("bpt"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    scored = bits.join(d, "doc_id").select("lang", "bpt")
+    dbpt = F.col("bpt").cast("decimal(18,4)")
+    mom = scored.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        (F.sum(dbpt).cast("double") / F.count("*")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(dbpt * dbpt).cast("double") / F.count("*")
+                - F.pow(F.sum(dbpt).cast("double") / F.count("*"), 2),
+                F.lit(1e-12),
+            )
+        ).alias("sigma"),
+    )
+    s = scored.join(F.broadcast(mom), "lang")
+    bucket = (
+        F.when(F.col("bpt") < F.col("mu") - _PPL_Z * F.col("sigma"), "head")
+        .when(F.col("bpt") > F.col("mu") + _PPL_Z * F.col("sigma"), "tail")
+        .otherwise("middle")
+    )
+    return (
+        s.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.count("*").cast("double") / F.first("n"), 6).alias("share"),
+            F.round(F.sum(dbpt) / F.count("*"), 4).cast("double").alias("avg_bits"),
+        )
+    )

@@ -590,3 +590,111 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("_out", " ").alias("corrupted_text"),
         )
     )
+
+
+# ---------------------------------------------------------------- C82
+_JSONL_WRITERS = 8
+_JSONL_BUDGET = 64 * 1024  # bytes per output file
+
+# The exported line is an explicit template (valid JSON for this
+# corpus: keys are fixed, text is space-separated ASCII words with
+# nothing to escape) rather than engine to_json, so both engines
+# compute identical byte counts and the writer emits exactly the
+# bytes the planner counted.
+_JSONL_LINE_SQL = (
+    "'{{\"doc_id\":' || doc_id || ',\"text\":\"' || text || '\",\"lang\":\"'"
+    " || lang || '\",\"source\":\"' || source || '\"}}'"
+)
+
+_JSONL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_JSONL_WRITERS} AS writer,
+    LEN({_JSONL_LINE_SQL.format()}) + 1 AS line_bytes
+  FROM documents
+), c AS (
+  SELECT writer, line_bytes,
+    COALESCE(SUM(line_bytes) OVER (PARTITION BY writer ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT writer, CAST(FLOOR(cum / {_JSONL_BUDGET}.0) AS BIGINT) AS file_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(line_bytes) AS BIGINT) AS file_bytes
+FROM c GROUP BY writer, CAST(FLOOR(cum / {_JSONL_BUDGET}.0) AS BIGINT)
+"""
+
+
+def _jsonl_line() -> F.Column:
+    return F.concat(
+        F.lit('{"doc_id":'), F.col("doc_id").cast("string"),
+        F.lit(',"text":"'), F.col("text"),
+        F.lit('","lang":"'), F.col("lang"),
+        F.lit('","source":"'), F.col("source"), F.lit('"}'),
+    )
+
+
+def _jsonl_plan(d: DataFrame) -> DataFrame:
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % _JSONL_WRITERS).alias("writer"),
+        _jsonl_line().alias("line"),
+    ).withColumn("line_bytes", F.length("line") + 1)
+    w = (
+        Window.partitionBy("writer")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("line_bytes").over(w), F.lit(0))
+    return base.withColumn(
+        "file_idx", F.floor(cum / F.lit(float(_JSONL_BUDGET)))
+    )
+
+
+@register("export_jsonl_shards", oracle=_JSONL_ORACLE)
+def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard plan for a size-budgeted JSONL corpus export — the
+    "write the curated corpus as ~64 KiB .jsonl shards a trainer
+    streams" step. Documents are routed to a deterministic writer
+    (doc_id % W), byte-exact line lengths are prefix-summed per
+    writer, and a file rolls when the running total crosses the
+    budget (file_idx = floor(prefix/budget)) — concat-then-chunk
+    packing applied to BYTES, sharing sequence_packing's shape.
+    Output is the shard manifest (docs + bytes per file), the
+    artifact an export job publishes for the loader.
+
+    Scale: per-writer windows only — writers scale with cores, the
+    byte counts are integers (exact under any plan), and
+    ``export_jsonl`` materializes exactly these bytes, so manifest
+    and files cannot drift."""
+    return (
+        _jsonl_plan(_docs(spark, sf_dir))
+        .groupBy("writer", "file_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("line_bytes").cast("bigint").alias("file_bytes"),
+        )
+    )
+
+
+def export_jsonl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Materialize the export planned by ``export_jsonl_shards``:
+    one directory per (writer, file_idx) holding the newline-
+    terminated JSON lines whose byte counts the manifest promised.
+    Returns {files, docs, bytes} totals for the caller's audit."""
+    plan = _jsonl_plan(load_tables(spark, sf_dir, ("documents",))["documents"])
+    (
+        plan.repartition("writer", "file_idx")
+        .sortWithinPartitions("doc_id")
+        .select("writer", "file_idx", "line")
+        .write.mode("overwrite")
+        .partitionBy("writer", "file_idx")
+        .text(out_dir)
+    )
+    manifest = (
+        plan.groupBy().agg(
+            F.countDistinct("writer", "file_idx").alias("files"),
+            F.count("*").alias("docs"),
+            F.sum("line_bytes").alias("bytes"),
+        )
+    ).collect()[0]
+    return {"files": manifest[0], "docs": manifest[1], "bytes": manifest[2]}

@@ -1114,3 +1114,99 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("worst_query_recall"),
         )
     )
+
+
+# ---------------------------------------------------------------- C81
+_OUT_Z = 2.5
+
+_OUTLIER_ORACLE = f"""
+WITH ex AS (
+  SELECT label, vec_id,
+    unnest(embedding) AS x,
+    unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+      / COUNT(*) AS c
+  FROM ex GROUP BY label, pos
+), d AS (
+  SELECT ex.vec_id, ex.label,
+    ROUND(SUM(POW(CAST(ex.x AS DOUBLE) - cent.c, 2)), 6) AS d2
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY ex.vec_id, ex.label
+), mom AS (
+  SELECT label,
+    CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+    SQRT(GREATEST(
+      CAST(SUM(CAST(d2 AS DECIMAL(18,6)) * CAST(d2 AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*)
+      - POW(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2),
+      1e-12)) AS sigma
+  FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, d.d2,
+  ROUND((d.d2 - mom.mu) / mom.sigma, 4) AS z
+FROM d JOIN mom ON d.label = mom.label
+WHERE (d.d2 - mom.mu) / mom.sigma > {_OUT_Z}
+"""
+
+
+@register("embedding_outliers", oracle=_OUTLIER_ORACLE)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scrub: per-label centroid, squared
+    distance per vector, z-score of that distance within the label,
+    flag z > {_OUT_Z} — the "drop mislabeled / corrupted vectors"
+    pass an embedding-curation pipeline runs before ANN indexing or
+    semantic dedup (far-from-every-centroid points poison both).
+
+    Plan shape: one posexplode agg for centroids (per-dimension
+    decimal means — the kmeans recompute idiom, exact across
+    engines), centroids broadcast back for one distance fold per
+    row, then per-label decimal moments of the 6dp-rounded distances
+    broadcast for the z-cut. Everything is map-side-combinable or
+    broadcast — no windows, no sorts, shuffle traffic is centroid/
+    moment-sized (labels x dims), not corpus-sized."""
+    e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+            ).alias("ce")
+        )
+    )
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(embedding, ce,"
+            " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+            " 0.0d, (acc, v) -> acc + v)"
+        ),
+        6,
+    )
+    dist = e.join(F.broadcast(cent), "label").select("vec_id", "label", d2.alias("d2"))
+    dd = F.col("d2").cast("decimal(18,6)")
+    mom = dist.groupBy("label").agg(
+        (F.sum(dd).cast("double") / F.count("*")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(dd * dd).cast("double") / F.count("*")
+                - F.pow(F.sum(dd).cast("double") / F.count("*"), 2),
+                F.lit(1e-12),
+            )
+        ).alias("sigma"),
+    )
+    z = (F.col("d2") - F.col("mu")) / F.col("sigma")
+    return (
+        dist.join(F.broadcast(mom), "label")
+        .where(z > _OUT_Z)
+        .select("vec_id", "label", "d2", F.round(z, 4).alias("z"))
+    )

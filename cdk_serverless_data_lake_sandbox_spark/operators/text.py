@@ -1249,3 +1249,67 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _SPLITS[i + 1 :]
     ]
     return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------- C80
+# 32 dims keeps the oracle comparison tractable; the plan is
+# dimension-count-independent (dim is a value, not a column).
+_FH_DIMS = 32
+
+_FH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(word), 1, 4)) AS INTEGER) % {_FH_DIMS} AS dim,
+    CASE WHEN CAST(('0x' || substring(md5(word), 5, 1)) AS INTEGER) % 2 = 0
+         THEN 1 ELSE -1 END AS sgn
+  FROM tok
+), n AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id
+)
+SELECT h.doc_id, h.dim,
+  CAST(ROUND(CAST(SUM(sgn) AS DOUBLE) / SQRT(MAX(n.n_tokens)), 6) AS DOUBLE) AS val
+FROM h JOIN n ON h.doc_id = n.doc_id
+GROUP BY h.doc_id, h.dim
+"""
+
+
+@register("feature_hash_embedding", oracle=_FH_ORACLE)
+def feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.
+    2009): every token is hashed to one of {_FH_DIMS} dimensions with
+    a +-1 sign from an independent hash bit, per-doc sums normalized
+    by sqrt(n_tokens) — an unbiased, training-free sparse document
+    embedding a retrieval/clustering stage can consume without a
+    vocabulary or model artifact. Output is the exploded (doc_id,
+    dim, val) triple form, which joins/pivots freely downstream.
+
+    One token scan, one (doc, dim) aggregation — the same shuffle a
+    word count pays, independent of vocabulary size; md5-derived
+    bucket and sign reproduce bit-identically across engines (the
+    same recipe the DSIR op pins)."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .where(F.col("word").isNotNull())
+    )
+    dim = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long") % _FH_DIMS
+    ).cast("int")
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.col("word")), 5, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    h = tok.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+    n = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tokens"))
+    return (
+        h.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("s"))
+        .join(n, "doc_id")
+        .select(
+            "doc_id",
+            "dim",
+            F.round(F.col("s").cast("double") / F.sqrt(F.col("n_tokens")), 6).alias("val"),
+        )
+    )

@@ -35,6 +35,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # session. Everything else follows in registration order -- nothing is
 # dropped, only reordered.
 _VERIFY_FIRST = [
+    # new this session (r3)
+    "quality_classifier_score",
+    "perplexity_bucket_mix",
+    "feature_hash_embedding",
+    "embedding_outliers",
+    "export_jsonl_shards",
     "media_decode_profile",
     "containment_dedup",
     "key_skew_profile",

@@ -21,6 +21,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -287,6 +288,82 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
         .transformWithStateInPandas(
             Totals(),
             outputStructType=_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+_TWS_MAP_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def tws_type_counts(stream: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts on
+    ``transformWithStateInPandas`` with a **MapState** handle — the
+    typed per-key dictionary (getMapState / containsKey / getValue /
+    updateValue / iterator) that replaces packing a whole dict into
+    one opaque state tuple. Each micro-batch increments the per-type
+    counters for the touched user and re-emits that user's full map,
+    so the sink converges to the batch groupBy twin (parity-tested).
+
+    Beyond the semantics, this operator deliberately walks the map-
+    state RPC surface (ContainsKey / GetValue / UpdateValue /
+    Iterator request+response messages between the Python worker and
+    the JVM state server) — the paths the vendored protobuf
+    mini-runtime must encode byte-exactly; the parity test is
+    therefore also an end-to-end conformance check on it.
+
+    Scale: state partitions by user_id; map entries live in the
+    RocksDB store per key, so cardinality in BOTH dimensions (users x
+    types) stays off-heap and changelog-checkpointed."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_schema = StructType([StructField("event_type", StringType())])
+    val_schema = StructType([StructField("n", LongType())])
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("type_counts", key_schema, val_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            for pdf in rows:
+                for et, n_new in pdf["event_type"].value_counts().items():
+                    k = (et,)
+                    if self._counts.containsKey(k):
+                        (n_old,) = self._counts.getValue(k)
+                    else:
+                        n_old = 0
+                    self._counts.updateValue(k, (n_old + int(n_new),))
+            types, counts = [], []
+            for (et,), (n,) in self._counts.iterator():
+                types.append(et)
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(types),
+                    "event_type": types,
+                    "n_events": counts,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeCounts(),
+            outputStructType=_TWS_MAP_OUTPUT,
             outputMode="Update",
             timeMode="None",
         )

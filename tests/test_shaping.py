@@ -142,3 +142,60 @@ def test_shaping_ops_survive_empty_corpus(spark, tmp_path):
     # global-aggregate op returns its single row with null fit
     (heaps,) = _Q["heaps_law_fit"](spark, sf).collect()
     assert heaps.n_buckets == 0
+
+
+def test_export_jsonl_writes_manifest_exact_bytes(spark, tmp_path):
+    """The materialized JSONL shards must carry exactly the bytes the
+    export_jsonl_shards manifest planned: per-(writer,file_idx) byte
+    totals match, every doc round-trips as parseable JSON, and no
+    file exceeds the budget except by its final single line."""
+    import json
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        _JSONL_BUDGET,
+        export_jsonl,
+    )
+
+    out = str(tmp_path / "jsonl")
+    totals = export_jsonl(spark, SF_MEDIUM, out)
+    manifest = {
+        (r.writer, r.file_idx): (r.n_docs, r.file_bytes)
+        for r in _Q["export_jsonl_shards"](spark, SF_MEDIUM).collect()
+    }
+    docs = load_tables(spark, SF_MEDIUM, ("documents",))["documents"]
+    n_docs = docs.count()
+    assert totals["docs"] == n_docs
+    assert totals["files"] == len(manifest)
+
+    seen_ids = []
+    for (writer, file_idx), (nd, fb) in manifest.items():
+        d = os.path.join(out, f"writer={writer}", f"file_idx={file_idx}")
+        lines = []
+        for fn in os.listdir(d):
+            if fn.endswith(".txt"):
+                with open(os.path.join(d, fn), "rb") as fh:
+                    lines += fh.read().splitlines(keepends=True)
+        assert len(lines) == nd, (writer, file_idx)
+        assert sum(len(ln) for ln in lines) == fb, (writer, file_idx)
+        # budget holds up to the final line's overflow
+        assert fb - len(lines[-1]) < _JSONL_BUDGET
+        for ln in lines:
+            rec = json.loads(ln)
+            seen_ids.append(rec["doc_id"])
+            assert rec["doc_id"] % 8 == writer
+    assert sorted(seen_ids) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """The classifier serving pass is one projection: no Exchange may
+    appear in its physical plan (scan speed at any corpus size)."""
+    plan = (
+        _Q["quality_classifier_score"](spark, SF_MEDIUM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

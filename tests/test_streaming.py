@@ -850,3 +850,50 @@ def test_column_stats_monitor_tracks_batches(spark, tmp_path):
         .first()[0]
     )
     assert total_rows == 100
+
+
+def test_tws_type_counts_matches_batch(spark, event_drop_dir):
+    """MapState twin: per-(user, event_type) streaming counts via
+    transformWithStateInPandas must converge to the batch groupBy.
+    Also an end-to-end conformance check on the map-state RPC paths
+    (ContainsKey/GetValue/UpdateValue/Iterator) through the vendored
+    protobuf mini-runtime."""
+    import pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import (
+        tws_type_counts,
+    )
+
+    ev = _prepare(spark, event_drop_dir + "/twsmap")
+    stream = read_event_stream(
+        spark, event_drop_dir + "/twsmap", max_files_per_trigger=2
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        try:
+            _run_to_memory(tws_type_counts(stream), "tws_type_counts", "update")
+        except Exception as e:  # pragma: no cover - env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        got = {
+            (r.user_id, r.event_type): r.n_events
+            for r in spark.table("tws_type_counts")
+            .groupBy("user_id", "event_type")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        }
+        expected = {
+            (r.user_id, r.event_type): r.n
+            for r in ev.groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
