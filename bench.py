@@ -66,12 +66,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         results[name] = round(best, 3)
     total = round(sum(results.values()), 3)
+    # the 20-query prefix is unchanged since r1 — its subtotal is the
+    # cross-round comparable number; the r3 additions extend coverage.
+    shared20 = round(sum(v for k, v in results.items() if k in HEADLINE[:20]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                "shared20_total_sec": shared20,
                 "queries": results,
                 "sf": sf,
             }

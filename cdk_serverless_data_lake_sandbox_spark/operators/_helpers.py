@@ -107,7 +107,24 @@ def materialize(df, key: str | None = None):
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
     if key is not None:
         _MATERIALIZED[(app, key)] = path
+        _SCRATCH_SCHEMA[(app, key)] = df.schema
     return _scratch_read(spark, df.schema, path)
+
+
+_SCRATCH_SCHEMA: dict[tuple[str, str], object] = {}
+
+
+def materialize_lazy(spark, key: str, builder):
+    """Keyed materialization whose DERIVATION is also skipped on a
+    cache hit. ``materialize(df, key)`` can only short-circuit the
+    write — the caller has already paid for constructing ``df``, which
+    for eager-plan builders (kmeans_assign collects centroids per
+    Lloyd round) is the expensive part. Here the builder runs only on
+    a miss; hits re-scan the scratch parquet directly."""
+    app = spark.sparkContext.applicationId
+    if (app, key) in _MATERIALIZED:
+        return _scratch_read(spark, _SCRATCH_SCHEMA[(app, key)], _MATERIALIZED[(app, key)])
+    return materialize(builder(), key=key)
 
 
 _SCRATCH_NPART: dict[str, int] = {}

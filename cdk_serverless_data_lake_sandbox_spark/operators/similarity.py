@@ -605,14 +605,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation round, and the composed plan tree grows without
     bound. Tests pin determinism, exactness of emitted pairs, and
     recall against the unblocked brute-force pair set."""
-    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    assign = materialize(
-        kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS).select(
+    # materialize_lazy, not materialize: kmeans_assign collects
+    # centroids per Lloyd round while BUILDING its frame, so on a
+    # cache hit the whole fit must be skipped, not just the write.
+    assign = materialize_lazy(
+        spark,
+        f"kmeans-assign:{sf_dir}",
+        lambda: kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS).select(
             "vec_id", "embedding", "cluster", _norm("embedding").alias("nrm")
         ),
-        key=f"kmeans-assign:{sf_dir}",
     )
     a = assign.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
@@ -832,10 +838,12 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k window. Recall vs exact brute force is pinned by test; the
     32x index compression is the 100 TB story."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
 
-    encoded = materialize(
-        pq_encode(e, pq_codebooks(e)), key=f"pq-encode:{sf_dir}"
+    encoded = materialize_lazy(
+        spark, f"pq-encode:{sf_dir}", lambda: pq_encode(e, pq_codebooks(e))
     )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
