@@ -1313,3 +1313,94 @@ def feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.sqrt(F.col("n_tokens")), 6).alias("val"),
         )
     )
+
+
+# ---------------------------------------------------------------- C83
+_LM_LAMBDA = 0.75  # bigram weight; (1-lambda) backs off to unigram
+
+_BIGRAM_LM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, UNNEST(ws) AS word FROM w
+), uni AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni
+), bg AS (
+  SELECT doc_id,
+    UNNEST(ws[1:LEN(ws)-1]) AS w1,
+    UNNEST(ws[2:LEN(ws)]) AS w2
+  FROM w WHERE LEN(ws) >= 2
+), bgc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), stats AS (
+  SELECT bgc.w1, bgc.w2,
+    {_LM_LAMBDA} * (CAST(bgc.c12 AS DOUBLE) / u1.cnt)
+      + {1 - _LM_LAMBDA} * (CAST(u2.cnt AS DOUBLE) / (SELECT n FROM total)) AS p
+  FROM bgc JOIN uni u1 ON bgc.w1 = u1.word JOIN uni u2 ON bgc.w2 = u2.word
+)
+SELECT bg.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(-LOG2(stats.p)), 4) AS bits_per_bigram
+FROM bg JOIN stats ON bg.w1 = stats.w1 AND bg.w2 = stats.w2
+GROUP BY bg.doc_id
+"""
+
+
+@register("bigram_lm_logprob", oracle=_BIGRAM_LM_ORACLE)
+def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score per document: bits per
+    bigram under P(w2|w1) = l*c(w1w2)/c(w1) + (1-l)*c(w2)/N — one
+    modeling step past the unigram proxy (Jelinek-Mercer smoothing,
+    the simplest member of the KenLM family CCNet actually serves).
+    Repetitive/templated text scores low, rare-sequence soup scores
+    high; both tails feed the curation review queue.
+
+    Plan: bigrams come from ONE in-row transform over the split
+    array (sequence + struct slices) — no positional self-join of
+    the token stream. The (w1,w2)->p stats table carries every
+    probability term pre-joined (bigram counts joined to both
+    unigram marginals once, vocabulary-sized), so the corpus stream
+    pays exactly one skewed join — the same AQE-split Zipf join
+    unigram_logprob documents. Doc with <2 tokens have no bigrams
+    and drop out identically in both engines."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    tok = w.select("doc_id", F.explode_outer("ws").alias("word")).where(
+        F.col("word").isNotNull()
+    )
+    uni = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("bigint").alias("n"))
+    bg = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("cnt").alias("c2"))
+    p = (
+        F.lit(_LM_LAMBDA) * (F.col("c12").cast("double") / F.col("c1"))
+        + F.lit(1 - _LM_LAMBDA) * (F.col("c2").cast("double") / F.col("n"))
+    )
+    stats = (
+        bgc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", p.alias("p"))
+    )
+    return (
+        bg.join(stats, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log2("p")), 4).alias("bits_per_bigram"),
+        )
+    )

