@@ -267,3 +267,109 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.q").alias("keep_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------- C84
+_TEP_ORACLE = f"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE LEN(string_split_regex(TRIM(text), '\\s+')) BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+    AND CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\\s+'))) AS DOUBLE)
+        / LEN(string_split_regex(TRIM(text), '\\s+')) >= {_MIN_DISTINCT_RATIO}
+), keeps AS (
+  SELECT MIN(doc_id) AS keep_id FROM gated GROUP BY md5(text)
+), survivors AS (
+  SELECT g.* FROM gated g JOIN keeps k ON g.doc_id = k.keep_id
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM survivors
+), drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= {_JACCARD_TAU}
+), kept AS (
+  SELECT doc_id,
+    doc_id % 8 AS shard,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens
+  FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+), packed AS (
+  SELECT shard, n_tokens,
+    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT)
+      AS seq_id
+  FROM kept
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(ROUND(CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(DISTINCT seq_id) * 256.0), 6)
+    AS DOUBLE) AS fill_ratio
+FROM packed GROUP BY shard
+"""
+
+
+@register("training_export_pipeline", oracle=_TEP_ORACLE)
+def training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining preprocessing chain as one declarative
+    plan: quality gate -> exact dedup -> near-dup drop -> shard ->
+    concat-and-split sequence packing -> per-shard training manifest
+    (docs, sequences, tokens, fill ratio). This is the end-to-end a
+    data team hands to a trainer; expressing it as one composed
+    DataFrame plan (instead of N materialized intermediate jobs) is
+    exactly what the Spark-first design buys — Catalyst pushes the
+    gate into the parquet scan, the dedup stages run only on
+    survivors, and the SAME hashed-shingle scratch the standalone
+    dedup family uses is reused here (one corpus tokenize+hash per
+    application).
+
+    Stage costs shrink monotonically: gate (scan filter), exact dedup
+    (one hash-groupBy), near-dup (prefix-filtered in-bucket pairs on
+    survivors only), packing (per-shard integer prefix sums — shards
+    scale with cores)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    gated = docs.where(
+        n_words.between(_MIN_WORDS, _MAX_WORDS)
+        & (distinct_ratio >= _MIN_DISTINCT_RATIO)
+    )
+    keeps = gated.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    survivors = gated.join(keeps, gated.doc_id == keeps.keep_id, "left_semi")
+    drops = (
+        ngram_jaccard_pairs(survivors, scratch_key=f"ngram-hashed-gated:{sf_dir}")
+        .select(F.col("b_id").alias("drop_id"))
+        .distinct()
+    )
+    kept = (
+        survivors.join(drops, survivors.doc_id == drops.drop_id, "left_anti")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = kept.withColumn("seq_id", F.floor(cum / F.lit(256.0)))
+    return packed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / (F.countDistinct("seq_id") * 256.0), 6
+        ).alias("fill_ratio"),
+    )
