@@ -137,6 +137,8 @@ def min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     workload: per round one shuffle join against the (persisted, tiny)
     edge list and a convergence count; the corpus itself is never
     rescanned inside the loop."""
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
@@ -145,31 +147,50 @@ def min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # Each round's plan references the previous round's labels TWICE
     # (the propagation join and the convergence check), so composing
     # lazily doubles the logical plan per round — after ~20 rounds the
-    # tree alone OOMs the driver. persist() caches data but not the
-    # plan; materialize() (written scratch, fresh scan) truncates it,
-    # keeping every round's plan constant-size. The labels frame is
-    # two longs per doc — the cheapest frame in the pipeline to spill.
-    labels = materialize(docs.select("doc_id", F.col("doc_id").alias("label")))
+    # tree alone OOMs the driver. Lineage is therefore truncated every
+    # round: eager localCheckpoint for driver-reasonable label frames
+    # (executor-local blocks, no parquet round-trip — each round costs
+    # ONE action), written scratch above the size gate (durable across
+    # executor loss, the correct choice when labels are corpus-sized).
+    # The convergence count rides the SAME action via observe() — the
+    # old separate count() was a third action per round and most of
+    # the iterative wall-time.
+    small = docs.count() <= 10_000_000
+
+    def truncate(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if small else materialize(df)
+
+    labels = truncate(docs.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(32):  # diameter bound; near-dup clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = materialize(
+        obs = Observation()
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("_old"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("new_label") != F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .select("doc_id", F.col("new_label").alias("label"))
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = truncate(stepped)
+        if not small:
+            # materialize() already ran the plan; observe metrics are
+            # available either way.
+            pass
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels
 

