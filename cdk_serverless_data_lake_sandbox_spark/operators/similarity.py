@@ -1225,3 +1225,150 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(z > _OUT_Z)
         .select("vec_id", "label", "d2", F.round(z, 4).alias("z"))
     )
+
+
+# ---------------------------------------------------------------- C85
+_SWEEP_TAUS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+_SWEEP_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / ({_SQL_NORM.format(a="a.embedding")} * {_SQL_NORM.format(a="b.embedding")}) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / ({_SQL_NORM.format(a="a.embedding")} * {_SQL_NORM.format(a="b.embedding")})
+      >= {min(_SWEEP_TAUS)}
+), taus AS (
+  SELECT UNNEST({list(_SWEEP_TAUS)}) AS tau
+)
+SELECT t.tau,
+  CAST(COUNT(p.a_id) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT p.b_id) AS BIGINT) AS n_docs_dropped
+FROM taus t LEFT JOIN pairs p ON p.cosine >= t.tau
+GROUP BY t.tau
+"""
+
+
+@register("dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tau-sensitivity curve for embedding near-dup removal: pair
+    count and would-be-dropped doc count at every candidate cosine
+    threshold, from ONE pair-generation pass (pairs are computed once
+    at the loosest tau; each row of the tiny tau table counts the
+    pairs at or above it). This is the dial-setting diagnostic a
+    curation team runs before committing to a dedup threshold —
+    without it, every tau candidate re-pays the blocked pair join.
+
+    The pair side reuses the label-blocked guarded path (oversized
+    blocks k-means sub-blocked); the tau table is 7 rows, broadcast,
+    so the sweep costs one extra narrow aggregation over the pair
+    set regardless of how many thresholds are swept."""
+    pairs = near_dup_embedding_frame(_emb(spark, sf_dir))
+    taus = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau double")
+    return (
+        F.broadcast(taus)
+        .join(pairs, pairs.cosine >= taus.tau, "left")
+        .groupBy("tau")
+        .agg(
+            F.count("a_id").cast("bigint").alias("n_pairs"),
+            F.countDistinct("b_id").cast("bigint").alias("n_docs_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C86
+def ivf_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
+    """Materialize the IVF index as a LAKE ARTIFACT: the coarse
+    quantizer (centroids) and the cell assignment written as parquet
+    PARTITIONED BY cell — ann_ivf's "write-once ETL artifact at real
+    scale", made literal. Because members are hive-partitioned on
+    cell, a probe-limited query prunes to its probed cells at the
+    FILE level (Spark partition pruning), so the serving scan reads
+    ~n*probe/cells bytes — the property that makes a 100 TB vector
+    corpus servable without an external index server.
+
+    Returns {cells, vectors} for the caller's audit."""
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    cos_c = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", cos_c.alias("c_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("nid"))
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        assign.select("vec_id", "embedding", _norm("embedding").alias("nrm"), "cell")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/members")
+    )
+    return {
+        "cells": _N_CENTROIDS,
+        "vectors": spark.read.parquet(f"{index_dir}/members").count(),
+    }
+
+
+def ivf_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = _TOP_K,
+    probes: int = _N_PROBE,
+) -> DataFrame:
+    """Serve top-k cosine neighbors from a persisted IVF index (built
+    by :func:`ivf_index_build`, possibly in another session — the
+    index is self-contained on disk). The probed-cell list is pushed
+    into the members scan as a PARTITION filter (cell IN (...)), so
+    only probe/cells of the index files are read; the query set is
+    broadcast and each probed cell is exact-scored with the stored
+    norms.
+
+    ``queries`` needs (query_id, embedding)."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    probe = (
+        queries.select(F.col("query_id"), F.col("embedding").alias("eq"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "eq",
+            F.col("cent_id"),
+            (_dot("eq", "ce") / (_norm("eq") * _norm("ce"))).alias("c_cos"),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "cent_id")
+            ),
+        )
+        .where(F.col("probe_rank") <= probes)
+        .select("query_id", "eq", _norm("eq").alias("nq"), F.col("cent_id").alias("cell"))
+    )
+    # Collect the (tiny: queries x probes) probed-cell set so it lands
+    # in the members scan as a partition PRUNING predicate, not a
+    # post-scan join filter — this is what turns the read into
+    # probe/cells of the index.
+    cells = sorted({r["cell"] for r in probe.select("cell").distinct().collect()})
+    members = spark.read.parquet(f"{index_dir}/members").where(F.col("cell").isin(cells))
+    cosine = _dot("eq", "embedding") / (F.col("nq") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        F.broadcast(probe)
+        .join(members.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

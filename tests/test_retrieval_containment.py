@@ -231,3 +231,40 @@ def test_ann_recall_report_consistent_with_gates(spark):
         assert 0.0 <= r.worst_query_recall <= r.recall_at_k <= 1.0
     assert rows["ivf"].recall_at_k >= 0.5
     assert rows["pq"].recall_at_k >= 0.3
+
+
+# ---------------------------------------------------------------- IVF index artifact
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """The persisted IVF index must (a) serve the same results as the
+    inline ann_ivf path (same quantizer, same probe policy), and
+    (b) prune the members scan to the probed cells via Hive partition
+    pruning — the property that bounds the serving read at scale."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _N_QUERIES,
+        ivf_index_build,
+        ivf_index_query,
+    )
+
+    idx = str(tmp_path / "ivf")
+    info = ivf_index_build(spark, SF_SMALL, idx)
+    e = load_tables(spark, SF_SMALL, ("embeddings",))["embeddings"]
+    assert info["vectors"] == e.count()
+
+    queries = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivf_index_query(spark, idx, queries)
+    inline = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in _Q["ann_ivf"](spark, SF_SMALL).collect()
+    }
+    got = {(r.query_id, r.rank): r.neighbor_id for r in served.collect()}
+    assert got == inline
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the pruning predicate must actually restrict the partition set
+    assert "cell IN" in plan or "cell#" in plan
