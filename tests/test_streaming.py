@@ -978,3 +978,63 @@ def test_tws_recent_events_keeps_last_n(spark, event_drop_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_session_flush_fires_event_time_timers(spark, tmp_path):
+    """TWS event-time timers: sessions flush exactly once when the
+    watermark passes last_event + gap — the E10 semantics on the
+    modern timer API, and the conformance check for the timer RPC
+    paths (RegisterTimer/DeleteTimer/expired-timer callback) through
+    the vendored protobuf runtime."""
+    import datetime as dt
+
+    import pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.stateful import (
+        tws_session_flush,
+    )
+
+    src = str(tmp_path / "tws_to_src")
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 1, "click", 2.0, "{}"),
+        (3, base, 2, "click", 5.0, "{}"),
+        (4, base + dt.timedelta(days=2), 3, "click", 0.5, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).repartition(1).write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        try:
+            q = (
+                tws_session_flush(stream, gap_s=1800)
+                .writeStream.format("memory")
+                .queryName("tws_sessions")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_stream_done(q)
+        except Exception as e:  # pragma: no cover - env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.table("tws_sessions").collect()
+        }
+        assert got.get(1) == (2, 3.0), got
+        assert got.get(2) == (1, 5.0), got
+        assert 3 not in got
+        assert spark.table("tws_sessions").count() == 2  # exactly once each
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
