@@ -645,8 +645,16 @@ def test_psi_monitor_matches_batch_twin(spark, tmp_path):
         }
         for et, vals in expected.items():
             assert got[(bid, et)] == vals, (bid, et)
-    # a batch drawn from the baseline itself cannot show major drift
-    assert all(psi < 0.25 for psi, _ in got.values())
+    # A batch drawn from the baseline itself cannot show major drift —
+    # but only where the sample is big enough for PSI to mean
+    # anything: with B buckets, E[PSI] under the null is ~(B-1)/n, so
+    # a rare event type inside one micro-batch (n in the tens) can
+    # exceed any fixed cut from sampling noise alone. That is the
+    # monitor CORRECTLY reporting an under-sampled cell, not drift;
+    # the batch-twin parity above already pinned the values exactly.
+    assert all(psi < 0.25 for psi, n in got.values() if n >= 500), {
+        k: v for k, v in got.items() if v[1] >= 500 and v[0] >= 0.25
+    }
 
 
 def test_tws_user_totals_matches_batch(spark, event_drop_dir):
