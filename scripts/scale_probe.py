@@ -50,6 +50,15 @@ HEAVY = [
     "open_order_concurrency",
     "ann_topk_arrow",
     "vocab_oov_profile",
+    # r3 additions
+    "bigram_lm_logprob",
+    "quality_classifier_score",
+    "perplexity_bucket_mix",
+    "feature_hash_embedding",
+    "embedding_outliers",
+    "export_jsonl_shards",
+    "training_export_pipeline",
+    "dedup_threshold_sweep",
 ]
 
 
