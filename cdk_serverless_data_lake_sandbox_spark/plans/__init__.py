@@ -88,3 +88,30 @@ def single_reducer_window_nodes(df_or_plan: DataFrame | str) -> list[int]:
                 # window's own input distribution is decided above it
                 break
     return offenders
+
+
+def plan_profile(df_or_plan: DataFrame | str) -> dict:
+    """One-call physical-plan profile: the counters that decide 100 TB
+    behavior (shuffle exchanges, single-partition exchanges, join
+    strategies, cartesian products, single-reducer windows, scans and
+    pushdown coverage). Used by the registry-wide audit script and
+    available to user pipelines as a pre-flight check before
+    submitting a plan to a large cluster."""
+    plan = df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    args = re.findall(r"^Arguments: (.*)$", plan, re.M)
+    hash_ex = sum(
+        1
+        for a in args
+        if a.startswith("hashpartitioning") or a.startswith("rangepartitioning")
+    )
+    single_ex = sum(1 for a in args if a.startswith("SinglePartition"))
+    return {
+        "exchanges": hash_ex,
+        "single_part": single_ex,
+        "bhj": plan.count(") BroadcastHashJoin"),
+        "smj": plan.count(") SortMergeJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "single_windows": len(single_reducer_window_nodes(plan)),
+        "scans": plan.count(") Scan parquet"),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+    }

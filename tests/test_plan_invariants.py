@@ -240,3 +240,18 @@ def test_doc_chunking_is_shuffle_free(spark):
     moving the whole dataset."""
     plan = formatted_plan(_Q["doc_chunking"](spark, SF_MEDIUM))
     assert "Exchange" not in plan, plan
+
+
+def test_plan_profile_counters(spark):
+    """plan_profile must count what the plan actually contains: q5 has
+    broadcast dim joins and a shuffle; q6 is scan+agg with pushdown
+    and no join at all."""
+    from cdk_serverless_data_lake_sandbox_spark.plans import plan_profile
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    qs = all_queries()
+    q5 = plan_profile(qs["q5_local_supplier_volume"](spark, SF_MEDIUM))
+    assert q5["bhj"] >= 3 and q5["cartesian"] == 0
+    q6 = plan_profile(qs["q6_forecast_revenue"](spark, SF_MEDIUM))
+    assert q6["scans"] == 1 and q6["pushed"] >= 1
+    assert q6["bhj"] == 0 and q6["smj"] == 0
