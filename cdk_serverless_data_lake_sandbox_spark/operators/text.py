@@ -1404,3 +1404,107 @@ def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2("p")), 4).alias("bits_per_bigram"),
         )
     )
+
+
+# ---------------------------------------------------------------- C87
+_BPE_MERGES = 12
+
+
+def _merge_pair_expr(col: str, a: str, b: str) -> str:
+    """SQL expression merging adjacent (a,b) symbol pairs in an array
+    column via a left fold — the standard leftmost-non-overlapping
+    merge order, fully JVM-side (no UDF)."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return (
+        f"aggregate({col}, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')), "
+        f"concat(acc, array(x))))"
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES) -> list:
+    """Distributed BPE training (Sennrich et al. 2016): ``n_merges``
+    rounds of [count adjacent symbol pairs over the DISTINCT-WORD
+    table weighted by frequency -> adopt the argmax pair -> merge it
+    everywhere]. All heavy work is vocabulary-sized (the corpus is
+    touched once for word counts); each round is one pair-count
+    aggregation plus a JVM fold rewrite of the symbol arrays, with
+    lineage truncated per round so the plan stays constant-size.
+    Ties break (count desc, pair asc) for cross-run determinism.
+    Returns the ranked merge list [(a, b), ...]."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = d.select(
+        F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", F.expr("split(word, '')").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair = (
+            vocab.where(F.size("syms") >= 2)  # sequence(1,0) steps BACKWARD
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pair or pair[0]["n"] < 2:
+            break
+        a, b = pair[0]["a"], pair[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "word", "freq", F.expr(_merge_pair_expr("syms", a, b)).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@register("bpe_tokenize_stats")  # iterative training -> rows-only check
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a corpus-trained BPE merge list and report per-doc
+    tokenization stats (word count, piece count, fertility =
+    pieces/word) — closing the tokenizer loop that
+    bpe_merge_candidates opens: train (vocabulary-sized iterations,
+    ``bpe_train``), apply (the ranked merges replayed as ONE nested
+    JVM fold plan over the distinct-word table), then join the
+    word->n_pieces map back to the corpus stream — so the 100 TB
+    corpus pays one explode+join, never per-row Python.
+
+    Not SQL-expressible (iterative argmax training); pytest pins the
+    result against a pure-Python reference BPE on the same corpus."""
+    merges = bpe_train(spark, sf_dir)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = d.select(
+        "doc_id",
+        F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    expr = "split(word, '')"
+    for a, b in merges:
+        expr = _merge_pair_expr(expr, a, b)
+    pieces = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("_"))
+        .select("word", F.size(F.expr(expr)).alias("n_pieces"))
+    )
+    return (
+        words.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(F.sum("n_pieces") / F.count("*"), 4).alias("fertility"),
+        )
+    )

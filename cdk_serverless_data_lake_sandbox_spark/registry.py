@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dropped, only reordered.
 _VERIFY_FIRST = [
     # new this session (r3)
+    "bpe_tokenize_stats",
     "dedup_threshold_sweep",
     "training_export_pipeline",
     "bigram_lm_logprob",

@@ -199,3 +199,58 @@ def test_quality_classifier_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bpe_train_apply_matches_reference(spark):
+    """bpe_train + bpe_tokenize_stats must reproduce a pure-Python
+    reference BPE (same tie-breaks, same leftmost-non-overlapping
+    merge order) exactly, on the sf0.001 corpus."""
+    from collections import Counter
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _BPE_MERGES,
+        bpe_train,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_tables(spark, SF_SMALL, ("documents",))["documents"].collect()
+    }
+    wc = Counter(w for t in docs.values() for w in t.strip().split() if w)
+
+    def merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    vocab = {w: list(w) for w in wc}
+    ref_merges = []
+    for _ in range(_BPE_MERGES):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        ref_merges.append((a, b))
+        vocab = {w: merge(s, a, b) for w, s in vocab.items()}
+
+    got_merges = bpe_train(spark, SF_SMALL)
+    assert got_merges == ref_merges
+
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces)
+        for r in _Q["bpe_tokenize_stats"](spark, SF_SMALL).collect()
+    }
+    for doc_id, text in docs.items():
+        ws = [w for w in text.strip().split() if w]
+        exp_pieces = sum(len(vocab[w]) for w in ws)
+        assert got[doc_id] == (len(ws), exp_pieces), doc_id
