@@ -788,3 +788,139 @@ def plan_minhash_bands(
             f"recall {min_recall} at tau={tau}; widen the signature"
         )
     return best
+
+
+# ---------------------------------------------------------------- C91
+_CDC_MOD = 8  # expected chunk length ~8 words
+
+# Portable 16-bit word hash shared verbatim with the DuckDB oracle:
+# the first 4 hex digits of md5 parsed as an integer. Both engines
+# implement RFC-1321 md5 over UTF-8 bytes, so the boundary decisions
+# (and therefore the chunking) are bit-identical. Production runs on a
+# single engine can swap in xxhash64(word) without changing the plan.
+_CDC_SPARK_H16 = "cast(conv(substr(md5(word), 1, 4), 16, 10) as bigint)"
+_CDC_SQL_H16 = "CAST(('0x' || substr(md5(word), 1, 4)) AS INTEGER)"
+
+_CDC_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(TRIM(text), '\\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, i AS p, ws[i] AS word
+  FROM w, UNNEST(generate_series(1, LEN(ws))) AS t(i)
+), fl AS (
+  SELECT doc_id, source, p, word,
+    CASE WHEN {_CDC_SQL_H16} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM tok
+), ch AS (
+  SELECT doc_id, source, p, word,
+    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM fl
+), chunks AS (
+  SELECT doc_id, source, chunk_id,
+    md5(string_agg(word, ' ' ORDER BY p)) AS chunk_hash,
+    LENGTH(string_agg(word, ' ' ORDER BY p)) AS chunk_bytes
+  FROM ch GROUP BY doc_id, source, chunk_id
+), hs AS (
+  SELECT chunk_hash, COUNT(DISTINCT source) AS n_sources,
+    MIN(chunk_bytes) AS chunk_bytes
+  FROM chunks GROUP BY chunk_hash
+), per AS (
+  SELECT c.source, c.chunk_hash, COUNT(*) AS cnt,
+    MIN(c.chunk_bytes) AS chunk_bytes, MIN(h.n_sources) AS n_sources
+  FROM chunks c JOIN hs h USING (chunk_hash)
+  GROUP BY c.source, c.chunk_hash
+)
+SELECT source,
+  CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+  CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+  CAST(COUNT(*) FILTER (WHERE n_sources >= 2) AS BIGINT) AS n_shared_chunks,
+  CAST(SUM(cnt * chunk_bytes) AS BIGINT) AS bytes_total,
+  CAST(SUM(chunk_bytes) AS BIGINT) AS bytes_unique,
+  CAST(ROUND(1.0 - CAST(SUM(chunk_bytes) AS DOUBLE)
+    / SUM(cnt * chunk_bytes), 6) AS DOUBLE) AS dedup_ratio
+FROM per GROUP BY source
+"""
+
+
+def cdc_chunk_dedup_frame(docs: DataFrame, mod: int = _CDC_MOD) -> DataFrame:
+    """Content-defined-chunking dedup profile (the rolling-hash
+    boundary trick of LBFS/rsync applied at word granularity): a word
+    whose 16-bit hash is 0 mod {mod} closes a chunk, so chunk
+    boundaries are CONTENT-anchored — insert or delete a sentence and
+    only the chunks touching the edit change identity, which is what
+    makes chunk-level storage dedup robust where fixed-size blocks
+    are not. Chunks are identified by md5 of their text; per source
+    the report gives chunk counts, unique-chunk counts, how many of
+    its distinct chunks also appear in ANOTHER source, and the byte
+    dedup ratio a chunk-store would realize.
+
+    Scale: tokenize is one scan; the boundary prefix-count is a
+    per-document window (bounded by doc length, embarrassingly
+    parallel); chunk assembly groups by (doc, chunk) and the stats
+    are two map-side-combinable aggs keyed on the 16-byte chunk hash.
+    No pairwise joins anywhere — dedup detection is hash-groupBy, the
+    same shape as ``dedup_exact`` one level below documents."""
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p", "word"),
+    ).withColumn(
+        "bnd",
+        F.when(F.expr(_CDC_SPARK_H16) % mod == 0, 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = tok.withColumn("chunk_id", F.coalesce(F.sum("bnd").over(w), F.lit(0)))
+    chunk_text = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(p, word))),"
+        " s -> s.word), ' ')"
+    )
+    chunks = (
+        ch.groupBy("doc_id", "source", "chunk_id")
+        .agg(chunk_text.alias("ctext"))
+        .select(
+            "source",
+            F.md5("ctext").alias("chunk_hash"),
+            F.length("ctext").alias("chunk_bytes"),
+        )
+    )
+    chunks = materialize(chunks)
+    hs = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("source").alias("n_sources")
+    )
+    per = (
+        chunks.groupBy("source", "chunk_hash")
+        .agg(F.count("*").alias("cnt"), F.min("chunk_bytes").alias("chunk_bytes"))
+        .join(hs, "chunk_hash")
+    )
+    return per.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("n_unique_chunks"),
+        F.sum(F.when(F.col("n_sources") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_chunks"),
+        F.sum(F.col("cnt") * F.col("chunk_bytes"))
+        .cast("bigint")
+        .alias("bytes_total"),
+        F.sum("chunk_bytes").cast("bigint").alias("bytes_unique"),
+        F.round(
+            1.0
+            - F.sum("chunk_bytes").cast("double")
+            / F.sum(F.col("cnt") * F.col("chunk_bytes")),
+            6,
+        ).alias("dedup_ratio"),
+    )
+
+
+@register("cdc_chunk_dedup", oracle=_CDC_ORACLE)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`cdc_chunk_dedup_frame` over the
+    documents table."""
+    return cdc_chunk_dedup_frame(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )

@@ -698,3 +698,129 @@ def export_jsonl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         )
     ).collect()[0]
     return {"files": manifest[0], "docs": manifest[1], "bytes": manifest[2]}
+
+
+# ---------------------------------------------------------------- C88
+_STRIP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, i - 1 AS p, ws[i] AS word
+  FROM w, UNNEST(generate_series(1, LEN(ws))) AS t(i)
+), pos AS (
+  SELECT doc_id, i - 1 AS p0,
+    array_to_string(list_slice(ws, i, i + {_SPAN_K - 1}), ' ') AS span
+  FROM w, UNNEST(generate_series(1, LEN(ws) - {_SPAN_K - 1})) AS t(i)
+  WHERE LEN(ws) >= {_SPAN_K}
+), own AS (
+  SELECT span, MIN(doc_id) AS owner
+  FROM pos GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT p.doc_id, p.p0 + u.o AS p
+  FROM pos p JOIN own ON p.span = own.span AND p.doc_id <> own.owner,
+    UNNEST(generate_series(0, {_SPAN_K - 1})) AS u(o)
+), kept AS (
+  SELECT t.doc_id, t.p, t.word FROM tok t
+  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(word, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(LEN(w.ws) AS BIGINT) AS n_tokens,
+  CAST(LEN(w.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(a.text_clean, '') AS text_clean
+FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def strip_dup_spans_frame(
+    docs: DataFrame, k: int = _SPAN_K, scratch_key: str | None = None
+) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 — ``dup_span_fraction`` is the matching profile
+    step): every word-k-gram span occurring in >= 2 distinct documents
+    keeps exactly ONE canonical occurrence set (the min-doc_id owner
+    retains its text); every other document has the token positions
+    covered by such spans excised, and its text is rebuilt from the
+    surviving tokens. Output is one row per document with the original
+    token count, how many tokens were removed, and the rewritten text
+    — the corpus a trainer actually consumes after span-level dedup.
+
+    Scale: linear passes only. The (doc, position, span-hash) index is
+    one tokenize+hash scan, shuffled on the 8-byte span hash to find
+    multi-doc spans (map-side-combinable agg); coverage positions are
+    exploded ONLY for removable span occurrences (k rows each), then a
+    distinct + anti-join — both shuffles keyed by (doc, position),
+    never pairwise in the corpus. Rebuilding text groups by doc_id
+    (bounded by document length). The Spark side hashes spans with
+    xxhash64 (8-byte shuffle keys); the oracle groups raw span strings
+    — identical results modulo a ~2^-64 collision probability, the
+    same trade ``dup_span_profile`` documents."""
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
+    )
+    spans = F.expr(
+        f"""transform(sequence(1, size(_w) - {k - 1}),
+              i -> struct(i - 1 AS p0,
+                          xxhash64(array_join(slice(_w, i, {k}), ' ')) AS span_h))"""
+    )
+    pos = (
+        base.where(F.size("_w") >= k)
+        .select("doc_id", F.explode(spans).alias("s"))
+        .select("doc_id", F.col("s.p0").alias("p0"), F.col("s.span_h").alias("span_h"))
+    )
+    pos = materialize(pos, key=scratch_key)
+    own = (
+        pos.groupBy("span_h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("span_h", "owner")
+    )
+    covered = (
+        pos.join(own, "span_h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p0"), F.col("p0") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        "doc_id", F.posexplode("_w").alias("p", "word")
+    )
+    kept = tokens.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(p, word))),"
+            " s -> s.word), ' ')"
+        ).alias("text_clean"),
+    )
+    return (
+        base.select("doc_id", F.size("_w").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+@register("strip_dup_spans", oracle=_STRIP_ORACLE)
+def strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`strip_dup_spans_frame` over the
+    corpus documents table (k=8, position-span index shared per
+    sf_dir)."""
+    return strip_dup_spans_frame(
+        _docs(spark, sf_dir), scratch_key=f"{sf_dir}:spans{_SPAN_K}pos"
+    )

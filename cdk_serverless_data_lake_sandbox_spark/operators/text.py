@@ -1508,3 +1508,140 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_pieces") / F.count("*"), 4).alias("fertility"),
         )
     )
+
+
+# ---------------------------------------------------------------- C89
+_PHRASES = (
+    "spark",
+    "hash join",
+    "sort merge",
+    "table scan",
+    "slow query",
+    "merge batch",
+    "window window",
+    "fast fast",
+)
+
+_PHRASE_ORACLE = f"""
+WITH ph AS (
+  SELECT UNNEST({_sql_list(_PHRASES)}) AS phrase
+), sc AS (
+  SELECT ph.phrase, d.source,
+    CAST((LENGTH(d.text) - LENGTH(REPLACE(d.text, ph.phrase, '')))
+      // LENGTH(ph.phrase) AS BIGINT) AS occ
+  FROM documents d CROSS JOIN ph
+)
+SELECT phrase,
+  CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs,
+  CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(DISTINCT source) FILTER (WHERE occ > 0) AS BIGINT) AS n_sources
+FROM sc GROUP BY phrase
+"""
+
+
+def phrase_search_frame(
+    docs: DataFrame, phrases: tuple[str, ...] = _PHRASES
+) -> DataFrame:
+    """WIMBD-style corpus phrase counting (Elazar et al. 2024, "What's
+    In My Big Data?"): for each query phrase, how many documents
+    contain it, how many (non-overlapping, left-to-right) occurrences
+    exist corpus-wide, and how many sources it appears in — the
+    look-before-you-train probe for memorization strings, benchmark
+    leaks, and boilerplate.
+
+    Scale: ONE corpus scan. The phrase list is exploded in-row (a
+    literal array — |P| codegen'd length/replace evaluations per
+    document, no join, no UDF) and the counts are map-side-combinable
+    aggregations on a |P|-row result. Occurrence counting by
+    length-delta-over-replace is exactly the oracle's expression, so
+    both engines count identical non-overlapping matches."""
+    occ = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.col("phrase")))
+    ) / F.length("phrase")
+    return (
+        docs.select(
+            "source",
+            "text",
+            F.explode(F.lit(list(phrases)).cast("array<string>")).alias(
+                "phrase"
+            ),
+        )
+        .select("source", "phrase", occ.cast("bigint").alias("occ"))
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.when(F.col("occ") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+            F.count_distinct(
+                F.when(F.col("occ") > 0, F.col("source"))
+            ).cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+@register("phrase_search", oracle=_PHRASE_ORACLE)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`phrase_search_frame` with the
+    module's fixed probe-phrase list over the documents table."""
+    return phrase_search_frame(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- C90
+_ENTROPY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+), a AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, SUM(c * log2(c)) AS s
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+  CAST(ROUND(log2(n) - s / n, 6) AS DOUBLE) AS entropy_bits,
+  CAST(ROUND(CASE WHEN nd > 1 THEN (log2(n) - s / n) / log2(nd)
+    ELSE 0.0 END, 6) AS DOUBLE) AS norm_entropy
+FROM a
+"""
+
+
+def unigram_entropy_frame(docs: DataFrame) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits/token) and its
+    normalized form H / log2(V_doc) — the lexical-diversity filter
+    that catches keyword-stuffed or template-generated documents a
+    plain type-token ratio misses (low entropy = mass concentrated on
+    few words even when many distinct words appear once).
+
+    Scale: two map-side-combinable aggregations — (doc, word) counts,
+    then per-doc moments using H = log2(N) - sum(c*log2 c)/N so no
+    per-word probability join is needed. Both shuffles are keyed by
+    doc_id(+word); no windows, no UDFs."""
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    s = F.sum(F.col("c") * F.log2("c"))
+    nd = F.count("*")
+    h = F.log2(n) - s / n
+    return wc.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(
+            F.when(nd > 1, h / F.log2(nd)).otherwise(F.lit(0.0)), 6
+        ).alias("norm_entropy"),
+    )
+
+
+@register("unigram_entropy", oracle=_ENTROPY_ORACLE)
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`unigram_entropy_frame` over the
+    documents table."""
+    return unigram_entropy_frame(_docs(spark, sf_dir))

@@ -36,6 +36,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dropped, only reordered.
 _VERIFY_FIRST = [
     # new this session (r3)
+    "strip_dup_spans",
+    "phrase_search",
+    "unigram_entropy",
+    "cdc_chunk_dedup",
     "bpe_tokenize_stats",
     "dedup_threshold_sweep",
     "training_export_pipeline",

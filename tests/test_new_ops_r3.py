@@ -1,0 +1,163 @@
+"""Semantic tests for the round-3 operators: cross-doc span removal,
+phrase counting, unigram entropy, and content-defined chunk dedup.
+
+The oracle-parity sweep (test_oracle_parity.py) already proves each
+registered query equals its DuckDB oracle at sf0.01; these tests pin
+the BEHAVIOR on synthetic inputs where the expected answer is known by
+construction (owner keeps its text, overlap counting is
+non-overlapping, entropy of uniform/constant docs, CDC boundary
+stability under edits).
+"""
+
+from __future__ import annotations
+
+import math
+
+from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+    cdc_chunk_dedup_frame,
+)
+from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+    strip_dup_spans_frame,
+)
+from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+    phrase_search_frame,
+    unigram_entropy_frame,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# ------------------------------------------------------ strip_dup_spans
+def test_strip_keeps_owner_and_excises_copies(spark):
+    shared = "a b c d e f g h"  # exactly k=8 words
+    rows = [
+        (1, "s0", shared + " i j"),
+        (2, "s0", shared + " x y"),
+        (3, "s0", "p q r s t u v w z1 z2"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in strip_dup_spans_frame(_docs_df(spark, rows)).collect()
+    }
+    # owner (min doc_id) keeps everything
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_clean"] == shared + " i j"
+    # non-owner loses exactly the 8 covered positions
+    assert out[2]["n_removed"] == 8
+    assert out[2]["text_clean"] == "x y"
+    # untouched doc passes through verbatim
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == rows[2][2]
+    assert all(r["n_tokens"] == 10 for r in out.values())
+
+
+def test_strip_fully_covered_doc_becomes_empty(spark):
+    shared = "a b c d e f g h"
+    rows = [(1, "s0", shared + " tail1 tail2"), (2, "s0", shared)]
+    out = {
+        r["doc_id"]: r
+        for r in strip_dup_spans_frame(_docs_df(spark, rows)).collect()
+    }
+    assert out[2]["n_removed"] == 8
+    assert out[2]["text_clean"] == ""
+
+
+def test_strip_output_has_no_remaining_cross_doc_spans(spark):
+    """Re-running the profile on the stripped corpus finds nothing:
+    every duplicated span kept exactly one owner occurrence."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        dup_span_profile,
+    )
+
+    shared = "a b c d e f g h i j k l"
+    rows = [
+        (1, "s0", shared + " end1 end2"),
+        (2, "s0", "lead1 lead2 " + shared),
+        (3, "s0", shared),
+    ]
+    stripped = strip_dup_spans_frame(_docs_df(spark, rows)).select(
+        "doc_id", "text_clean"
+    )
+    redo = dup_span_profile(
+        stripped.selectExpr("doc_id", "text_clean AS text")
+    )
+    assert all(r["n_dup_spans"] == 0 for r in redo.collect())
+
+
+# -------------------------------------------------------- phrase_search
+def test_phrase_counts_are_non_overlapping_and_per_source(spark):
+    rows = [
+        (1, "s0", "ab ab ab"),
+        (2, "s1", "ab ab"),
+        (3, "s1", "zz"),
+    ]
+    out = {
+        r["phrase"]: r
+        for r in phrase_search_frame(
+            _docs_df(spark, rows), phrases=("ab ab", "zz", "qq")
+        ).collect()
+    }
+    # "ab ab ab" contains ONE non-overlapping "ab ab" (left-to-right)
+    assert out["ab ab"]["n_occurrences"] == 2
+    assert out["ab ab"]["n_docs"] == 2
+    assert out["ab ab"]["n_sources"] == 2
+    assert out["zz"]["n_docs"] == 1 and out["zz"]["n_sources"] == 1
+    # absent phrase still reports a zero row (the probe list is the axis)
+    assert out["qq"]["n_docs"] == 0 and out["qq"]["n_occurrences"] == 0
+
+
+# ------------------------------------------------------ unigram_entropy
+def test_entropy_uniform_and_constant_docs(spark):
+    rows = [
+        (1, "s0", "a b c d"),  # uniform over 4 types -> 2 bits, norm 1
+        (2, "s0", "a a a a"),  # constant -> 0 bits, norm 0
+        (3, "s0", "a a b b b b"),  # p=(1/3,2/3)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_entropy_frame(_docs_df(spark, rows)).collect()
+    }
+    assert out[1]["entropy_bits"] == 2.0 and out[1]["norm_entropy"] == 1.0
+    assert out[2]["entropy_bits"] == 0.0 and out[2]["norm_entropy"] == 0.0
+    h = -(1 / 3) * math.log2(1 / 3) - (2 / 3) * math.log2(2 / 3)
+    assert abs(out[3]["entropy_bits"] - round(h, 6)) < 1e-9
+    assert out[3]["n_tokens"] == 6 and out[3]["n_distinct"] == 2
+
+
+# ------------------------------------------------------ cdc_chunk_dedup
+def _word_stream(n, seed):
+    # deterministic pseudo-text: enough variety for boundaries to land
+    return " ".join(f"w{(i * 7 + seed) % 23}x{i % 11}" for i in range(n))
+
+
+def test_cdc_identical_docs_across_sources_share_all_chunks(spark):
+    text = _word_stream(120, seed=3)
+    rows = [(1, "s0", text), (2, "s1", text)]
+    out = {
+        r["source"]: r
+        for r in cdc_chunk_dedup_frame(_docs_df(spark, rows)).collect()
+    }
+    for s in ("s0", "s1"):
+        # every distinct chunk of each copy exists in the other source
+        assert out[s]["n_shared_chunks"] == out[s]["n_unique_chunks"] > 0
+        assert out[s]["bytes_unique"] <= out[s]["bytes_total"]
+
+
+def test_cdc_local_edit_preserves_distant_chunks(spark):
+    """The CDC property fixed-size blocks lack: editing the head of a
+    document leaves later chunk identities unchanged, so the edited
+    copy still shares most chunks with the original."""
+    base = _word_stream(200, seed=5)
+    edited = "EDIT0 EDIT1 EDIT2 " + base.split(" ", 3)[3]
+    rows = [(1, "s0", base), (2, "s1", edited)]
+    out = {
+        r["source"]: r
+        for r in cdc_chunk_dedup_frame(_docs_df(spark, rows)).collect()
+    }
+    # most of the edited copy's chunks still match the original
+    shared_frac = out["s1"]["n_shared_chunks"] / out["s1"]["n_unique_chunks"]
+    assert shared_frac >= 0.5, out["s1"]
+    # and the original keeps at least one chunk the edit broke
+    assert out["s0"]["n_shared_chunks"] < out["s0"]["n_unique_chunks"]
