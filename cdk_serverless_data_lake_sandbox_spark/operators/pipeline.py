@@ -129,19 +129,78 @@ GROUP BY label
 """
 
 
-def min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """doc_id -> component label (the component's min doc_id) via
-    iterative min-label propagation — each round every node adopts the
-    smallest label among itself and its neighbors, converging in
-    O(component diameter) rounds. The canonical iterative-join Spark
-    workload: per round one shuffle join against the (persisted, tiny)
-    edge list and a convergence count; the corpus itself is never
-    rescanned inside the loop."""
+_FASTPATH_MAX_EDGES = 1_000_000  # two longs/edge -> <= ~16 MB on the driver
+
+
+def min_label_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fastpath_max_edges: int = _FASTPATH_MAX_EDGES,
+) -> DataFrame:
+    """doc_id -> component label (the component's min doc_id).
+
+    Two physical strategies behind one semantics:
+
+    - **Driver union-find fast path** when the EDGE set is
+      driver-sized (|pairs| <= ``fastpath_max_edges``, a hard count
+      gate checked first). Dup pairs are rare even in huge corpora —
+      the corpus can be 100 TB while the near-dup graph is a few
+      thousand edges — and collecting <= 1M (long, long) rows
+      (~16 MB) to run path-compressed union-find costs ONE job plus
+      one broadcast join back to the (never collected) node frame,
+      versus O(diameter) shuffle rounds. Isolated nodes label
+      themselves via coalesce, so only edge endpoints ever leave the
+      executors.
+    - **Iterative min-label propagation** above the gate: each round
+      every node adopts the smallest label among itself and its
+      neighbors, converging in O(component diameter) rounds; per
+      round one shuffle join against the (persisted, tiny) edge list
+      with the convergence count riding the same action via
+      observe(). The corpus itself is never rescanned inside the
+      loop.
+
+    Both paths produce identical labels (the component min) — a test
+    pins the fast path against the forced-iterative path on the same
+    graph."""
     from pyspark.sql import Observation
 
+    spark = docs.sparkSession
+    flat = pairs.select("a_id", "b_id").persist()
+    if flat.count() <= fastpath_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        # ONE collect job (toLocalIterator would launch a sequential
+        # job per shuffle partition); Arrow transfer keeps the gate's
+        # 1M edges at ~16 MB of numpy, not 1M Row objects.
+        edges_pdf = flat.toPandas()
+        for ea, eb in zip(edges_pdf["a_id"].values, edges_pdf["b_id"].values):
+            ra, rb = find(int(ea)), find(int(eb))
+            if ra != rb:
+                # union by min: the smaller root wins, so every
+                # component's root IS its min member by induction.
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        flat.unpersist()
+        labels = [(n, find(n)) for n in parent]
+        lbl = spark.createDataFrame(
+            labels, schema="doc_id long, label long"
+        )
+        return docs.join(F.broadcast(lbl), "doc_id", "left").select(
+            "doc_id", F.coalesce("label", "doc_id").alias("label")
+        )
+
     edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        flat.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(flat.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .persist()
     )
     # Each round's plan references the previous round's labels TWICE

@@ -161,3 +161,35 @@ def test_cdc_local_edit_preserves_distant_chunks(spark):
     assert shared_frac >= 0.5, out["s1"]
     # and the original keeps at least one chunk the edit broke
     assert out["s0"]["n_shared_chunks"] < out["s0"]["n_unique_chunks"]
+
+
+# ----------------------------------------------- min_label_components
+def test_union_find_fastpath_matches_iterative_propagation(spark):
+    """The driver union-find fast path and the distributed min-label
+    propagation must produce identical component labels (the component
+    min). Graph: a 4-node chain, a 2-node island, and isolated nodes."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.pipeline import (
+        min_label_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(3, 1), (1, 7), (7, 5), (8, 9)], "a_id long, b_id long"
+    )
+    fast = {
+        r["doc_id"]: r["label"]
+        for r in min_label_components(docs, pairs).collect()
+    }
+    slow = {
+        r["doc_id"]: r["label"]
+        for r in min_label_components(
+            docs, pairs, fastpath_max_edges=0
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[3] == fast[1] == fast[7] == fast[5] == 1
+    assert fast[8] == fast[9] == 8
+    for iso in (0, 2, 4, 6):
+        assert fast[iso] == iso
