@@ -149,3 +149,82 @@ def corpus_ingest_metrics(df: DataFrame):
             "n_sources": F.approx_count_distinct("source"),
         },
     )
+
+
+# ---------------------------------------------------------------- C92
+_ENSEMBLE_ENTROPY_MIN = 0.9
+
+
+def _ensemble_oracle() -> str:
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _qc_score_sql,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _ENTROPY_ORACLE,
+        _GOPHER_ORACLE,
+    )
+
+    return f"""
+WITH g AS ({_GOPHER_ORACLE}), c AS ({_qc_score_sql()}), e AS ({_ENTROPY_ORACLE})
+SELECT g.keep AS gopher_keep, c.decision AS classifier_decision,
+  CAST(e.norm_entropy >= {_ENSEMBLE_ENTROPY_MIN} AS INTEGER) AS entropy_pass,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(e.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(ROUND(AVG(c.score), 6) AS DOUBLE) AS mean_score
+FROM g JOIN c USING (doc_id) JOIN e USING (doc_id)
+GROUP BY g.keep, c.decision, CAST(e.norm_entropy >= {_ENSEMBLE_ENTROPY_MIN} AS INTEGER)
+"""
+
+
+@register("quality_ensemble", oracle=_ensemble_oracle())
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-agreement matrix across three ORTHOGONAL quality
+    signals — the Gopher rule gate (hand heuristics), the linear
+    classifier score (learned-model stand-in), and the unigram-entropy
+    diversity cut — rolled up to one row per decision combination
+    with doc counts, token mass, and mean classifier score.
+
+    This is the calibration report a curation run reads BEFORE wiring
+    filters in series: high-volume disagreement cells (e.g. Gopher
+    keeps / classifier drops) are exactly where thresholds need
+    tuning, and the token mass per cell says what each policy would
+    cost at corpus scale.
+
+    Scale: three independent linear passes over the corpus (each
+    map-side-combinable, no windows — see the component operators),
+    joined on doc_id and collapsed to <= 2*3*2 rows. The join keys are
+    unique per side, so AQE plans shuffle joins with no skew risk; the
+    rollup output is constant-size regardless of corpus size."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        quality_classifier_score,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        gopher_quality_filter,
+        unigram_entropy,
+    )
+
+    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    c = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "score", "decision"
+    )
+    e = unigram_entropy(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("norm_entropy") >= _ENSEMBLE_ENTROPY_MIN)
+        .cast("int")
+        .alias("entropy_pass"),
+    )
+    return (
+        g.join(c, "doc_id")
+        .join(e, "doc_id")
+        .groupBy(
+            F.col("keep").alias("gopher_keep"),
+            F.col("decision").alias("classifier_decision"),
+            "entropy_pass",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+    )

@@ -688,3 +688,40 @@ def column_stats_monitor(stream: DataFrame, stats_path: str):
         stats.write.mode("append").parquet(stats_path)
 
     return stream.writeStream.foreachBatch(profile)
+
+
+# ---------------------------------------------------------------- E28
+def stream_phrase_monitor(stream: DataFrame, phrases: tuple[str, ...] | None = None) -> DataFrame:
+    """Running phrase-hit totals over a document stream — the live
+    twin of the batch ``phrase_search`` probe (same probe list, same
+    length-delta-over-replace counting expression, so batch and live
+    counts cannot diverge). Emits per-phrase cumulative occurrence and
+    containing-doc totals: the at-ingest alarm for memorization
+    strings, benchmark leaks, or boilerplate flooding a crawl.
+
+    Streaming-state design: the aggregation key is the PROBE PHRASE,
+    so state is |phrases| rows — bounded by configuration, not by the
+    stream — which is why this can run in update mode forever with no
+    watermark and no TTL. The per-document work is the same in-row
+    codegen projection as the batch operator (no join, no UDF)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import _PHRASES
+
+    probe = phrases if phrases is not None else _PHRASES
+    occ = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.col("phrase")))
+    ) / F.length("phrase")
+    return (
+        stream.select(
+            "text",
+            F.explode(F.lit(list(probe)).cast("array<string>")).alias("phrase"),
+        )
+        .select("phrase", occ.cast("bigint").alias("occ"))
+        .groupBy("phrase")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+            F.sum(F.when(F.col("occ") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

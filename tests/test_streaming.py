@@ -1046,3 +1046,42 @@ def test_tws_session_flush_fires_event_time_timers(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+# ---------------------------------------------------------------- E28
+def test_stream_phrase_monitor_matches_batch_twin(spark, tmp_path):
+    """The streaming phrase monitor's cumulative totals after draining
+    the stream must equal the batch phrase_search over the same docs —
+    same probe list, same counting expression, state bounded by the
+    probe list."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        phrase_search_frame,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        stream_phrase_monitor,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    drop = str(tmp_path / "docs_drop")
+    docs.select(*DOCS_STREAM_SCHEMA.fieldNames()).repartition(6).write.parquet(
+        drop
+    )
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drop)
+    )
+    q = _run_to_memory(
+        stream_phrase_monitor(stream), "phrase_monitor", "complete"
+    )
+    got = spark.table("phrase_monitor").toPandas()
+    q.stop()
+    want = (
+        phrase_search_frame(spark.read.parquet(drop))
+        .select("phrase", "n_occurrences", "n_docs")
+        .toPandas()
+    )
+    from tests.compare import assert_frames_match
+
+    assert_frames_match(got, want, "stream_phrase_monitor")
