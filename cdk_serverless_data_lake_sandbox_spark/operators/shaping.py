@@ -824,3 +824,57 @@ def strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_dup_spans_frame(
         _docs(spark, sf_dir), scratch_key=f"{sf_dir}:spans{_SPAN_K}pos"
     )
+
+
+# ---------------------------------------------------------------- C93
+_GS_SHARDS = 16
+
+_GS_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, md5('gs:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+)
+SELECT doc_id, sort_key,
+  CAST(CAST(('0x' || substr(sort_key, 1, 4)) AS INTEGER) % {_GS_SHARDS}
+    AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY CAST(('0x' || substr(sort_key, 1, 4)) AS INTEGER) % {_GS_SHARDS}
+    ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
+FROM k
+"""
+
+
+@register("global_shuffle", oracle=_GS_ORACLE)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the "shuffle the corpus
+    before sharding" step every pretraining loader needs, without RNG
+    state: each document's sort key is a keyed cryptographic hash
+    (md5 over a fixed salt + doc_id), its shard is a hash bucket of
+    that key, and its position is the key's rank within the shard.
+    Any two runs (and any two engines — the oracle evaluates the
+    identical expressions) produce the same permutation, and changing
+    the salt is a fresh epoch-level reshuffle with zero stored state.
+
+    Scale: this is exactly how a distributed shuffle-sort executes —
+    hash-partition into shards, then sort WITHIN each shard (Spark's
+    spillable per-partition sort; no global ordering is ever
+    materialized). The per-shard rank window partitions on the shard
+    id: parallelism = shard count, which a cluster raises to O(cores)
+    just like ``sequence_packing``'s shards. A writer materializes
+    this plan with ``repartition(shard).sortWithinPartitions`` and
+    never needs the rank column at all."""
+    d = _docs(spark, sf_dir)
+    sort_key = F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
+    k = d.select("doc_id", sort_key.alias("sort_key"))
+    shard = (
+        F.expr("cast(conv(substr(sort_key, 1, 4), 16, 10) as int)")
+        % _GS_SHARDS
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("sort_key", "doc_id")
+    )
+    return (
+        k.withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+    )

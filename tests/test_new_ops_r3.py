@@ -193,3 +193,26 @@ def test_union_find_fastpath_matches_iterative_propagation(spark):
     assert fast[8] == fast[9] == 8
     for iso in (0, 2, 4, 6):
         assert fast[iso] == iso
+
+
+# -------------------------------------------------------- global_shuffle
+def test_global_shuffle_is_a_dense_permutation(spark):
+    """Every doc gets exactly one (shard, pos) slot; positions are
+    dense 1..n per shard; re-running yields the identical assignment
+    (no RNG state anywhere)."""
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    q = all_queries()["global_shuffle"]
+    a = q(spark, SF_SMALL).toPandas()
+    b = q(spark, SF_SMALL).toPandas()
+    assert a.doc_id.is_unique
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp.pos_in_shard) == list(range(1, len(grp) + 1))
+    key = ["doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    # the permutation actually shuffles: shard order != doc_id order
+    first_shard = a[a.shard == a.shard.iloc[0]].sort_values("pos_in_shard")
+    assert not first_shard.doc_id.is_monotonic_increasing
