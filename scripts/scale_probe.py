@@ -59,6 +59,13 @@ HEAVY = [
     "export_jsonl_shards",
     "training_export_pipeline",
     "dedup_threshold_sweep",
+    # r3 second-session additions
+    "strip_dup_spans",
+    "phrase_search",
+    "unigram_entropy",
+    "cdc_chunk_dedup",
+    "quality_ensemble",
+    "global_shuffle",
 ]
 
 
