@@ -665,3 +665,123 @@ def collect_column_stats(df: DataFrame) -> DataFrame:
         "column string, dtype string, n_rows long, n_nulls long, "
         "approx_ndv long, min_value string, max_value string",
     )
+
+
+# ---------------------------------------------------------------- D18
+_BLOOM_BITS = 1 << 16  # bits per file bitmap (8 KiB)
+_BLOOM_K = 4  # probe hashes per value
+
+
+def _bloom_positions(col: str | F.Column, k: int, m: int) -> list:
+    """k bit positions for a value: xxhash64(value, seed_i) mod m.
+    Seeding by an extra literal argument gives k independent 64-bit
+    hashes from the same JVM-side function."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m)) for i in range(k)]
+
+
+def bloom_index_build(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_path: str,
+    m_bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Build a per-FILE Bloom-filter index over ``column`` — the
+    Delta/Iceberg bloom-index analog for point lookups on columns the
+    table is NOT partitioned or clustered by (min/max skipping is
+    useless for high-cardinality scattered keys; a membership sketch
+    is exactly what prunes them).
+
+    The index is itself a small parquet table of (file, slot, bitmap)
+    rows: each file's m-bit filter is stored as m/64 longs, built
+    entirely JVM-side — hash to k bit positions, explode, and
+    ``bit_or`` the single-bit masks per (file, slot). No driver
+    loops, no UDFs; index size is files x m/64 longs regardless of
+    row count. Rebuild = overwrite (the index is derived data).
+
+    Scale: one linear scan of the table; the shuffle key is
+    (file, slot) with at most files x m/64 groups. On a cluster the
+    same plan indexes any table size; m_bits rises with rows/file to
+    hold the false-positive rate (k ln2 bits/key for optimal k)."""
+    df = (
+        spark.read.parquet(table_path)
+        .select(F.input_file_name().alias("file"), F.col(column).alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    pos = F.array(*_bloom_positions("v", k, m_bits))
+    bits = (
+        df.select("file", F.explode(pos).alias("p"))
+        .select(
+            "file",
+            (F.col("p") / 64).cast("long").alias("slot"),
+            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
+        )
+        .groupBy("file", "slot")
+        .agg(F.bit_or("mask").alias("bitmap"))
+    )
+    bits.write.mode("overwrite").parquet(index_path)
+    return spark.read.parquet(index_path)
+
+
+def bloom_candidate_files(
+    spark: SparkSession,
+    index_path: str,
+    values: list,
+    m_bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> list[str]:
+    """Files that MAY contain any of ``values`` per the index: a file
+    qualifies for a value when ALL k probe bits are set in its bitmap
+    (Bloom semantics — no false negatives, bounded false positives).
+    The probe set is tiny (|values| x k rows), so it broadcasts into
+    a join against the index; the decision is a per-(file, value)
+    count of matched probes. Returns the candidate file list — at
+    most O(files) strings, the same driver-side footprint every
+    manifest-based planner carries."""
+    probes = spark.createDataFrame(
+        [(v,) for v in values], schema=f"v {'long' if values and isinstance(values[0], int) else 'string'}"
+    )
+    pos = F.array(*_bloom_positions("v", k, m_bits))
+    want = probes.select(
+        "v", F.explode(pos).alias("p")
+    ).select(
+        "v",
+        (F.col("p") / 64).cast("long").alias("slot"),
+        F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
+    )
+    idx = spark.read.parquet(index_path)
+    hit = (
+        idx.join(F.broadcast(want), "slot")
+        .where(F.col("bitmap").bitwiseAND(F.col("mask")) == F.col("mask"))
+        .groupBy("file", "v")
+        .agg(F.count("*").alias("n_hit"))
+        .where(F.col("n_hit") >= k)
+        .select("file")
+        .distinct()
+    )
+    return [r["file"] for r in hit.collect()]
+
+
+def bloom_filtered_read(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    values: list,
+    index_path: str,
+    m_bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Point-lookup read through the bloom index: scan ONLY the
+    candidate files, then re-apply the exact predicate (false
+    positives cost a scan, never a wrong row). Returns an empty,
+    correctly-schema'd frame when no file can match."""
+    files = bloom_candidate_files(spark, index_path, values, m_bits, k)
+    if not files:
+        return (
+            spark.read.parquet(table_path)
+            .where(F.lit(False))
+            .where(F.col(column).isin(values))
+        )
+    return spark.read.parquet(*files).where(F.col(column).isin(values))

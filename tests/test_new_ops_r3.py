@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
     cdc_chunk_dedup_frame,
 )
@@ -216,3 +218,64 @@ def test_global_shuffle_is_a_dense_permutation(spark):
     # the permutation actually shuffles: shard order != doc_id order
     first_shard = a[a.shard == a.shard.iloc[0]].sort_values("pos_in_shard")
     assert not first_shard.doc_id.is_monotonic_increasing
+
+
+# ---------------------------------------------------------- bloom index
+def test_bloom_index_prunes_files_without_losing_rows(spark, tmp_path):
+    """Build the per-file bloom index over doc_id, look up a handful of
+    keys: the filtered read must return exactly the full-scan rows AND
+    touch fewer files than the table has (real pruning, no false
+    negatives)."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        bloom_candidate_files,
+        bloom_filtered_read,
+        bloom_index_build,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    table = str(tmp_path / "docs_tbl")
+    # spread doc_ids across many files so point lookups CAN prune
+    docs.repartition(16, "doc_id").write.parquet(table)
+    index = str(tmp_path / "docs_bloom")
+    idx = bloom_index_build(spark, table, "doc_id", index)
+    assert idx.columns == ["file", "slot", "bitmap"]
+
+    keys = [3, 77, 411]
+    cand = bloom_candidate_files(spark, index, keys)
+    n_files = len(
+        [f for f in __import__("os").listdir(table) if f.endswith(".parquet")]
+    )
+    assert 0 < len(cand) < n_files, (len(cand), n_files)
+
+    got = (
+        bloom_filtered_read(spark, table, "doc_id", keys, index)
+        .orderBy("doc_id")
+        .collect()
+    )
+    want = (
+        spark.read.parquet(table)
+        .where(F.col("doc_id").isin(keys))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_bloom_index_empty_result_keeps_schema(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        bloom_filtered_read,
+        bloom_index_build,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    table = str(tmp_path / "t2")
+    docs.repartition(4, "doc_id").write.parquet(table)
+    index = str(tmp_path / "b2")
+    bloom_index_build(spark, table, "doc_id", index)
+    out = bloom_filtered_read(spark, table, "doc_id", [10_000_001], index)
+    assert out.count() == 0
+    assert set(out.columns) == set(docs.columns)
