@@ -1372,3 +1372,155 @@ def ivf_index_query(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------- C94
+_ABLATION_DIMS = (8, 16, 32, 64)
+
+_ABL_SLICE_DOT = (
+    "list_sum(list_transform(list_zip(list_slice({a}, 1, dim), list_slice({b}, 1, dim)),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_ABL_SLICE_NORM = (
+    "sqrt(list_sum(list_transform(list_slice({a}, 1, dim),"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+_ABLATION_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT UNNEST({list(_ABLATION_DIMS)}) AS dim),
+sc AS (
+  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_ABL_SLICE_DOT.format(a="q.embedding", b="c.embedding")}
+      / ({_ABL_SLICE_NORM.format(a="q.embedding")}
+         * {_ABL_SLICE_NORM.format(a="c.embedding")}) AS cos_d,
+    {_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+      / ({_SQL_NORM.format(a="q.embedding")}
+         * {_SQL_NORM.format(a="c.embedding")}) AS cos_full
+  FROM q JOIN c ON c.vec_id <> q.vec_id CROSS JOIN dims d
+), pick AS (
+  SELECT dim, query_id, neighbor_id, cos_full,
+    ROW_NUMBER() OVER (PARTITION BY dim, query_id
+      ORDER BY cos_d DESC, neighbor_id) AS rn
+  FROM sc
+), best AS (SELECT * FROM pick WHERE rn = 1),
+fullpick AS (
+  SELECT query_id, neighbor_id AS full_id, cos_full AS full_cos
+  FROM best WHERE dim = 64
+)
+SELECT CAST(b.dim AS INT) AS dim,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(ROUND(AVG(CASE WHEN b.neighbor_id = f.full_id THEN 1.0 ELSE 0.0 END), 6)
+    AS DOUBLE) AS top1_agreement,
+  CAST(ROUND(AVG(b.cos_full), 6) AS DOUBLE) AS mean_pick_cosine,
+  CAST(ROUND(AVG(f.full_cos), 6) AS DOUBLE) AS mean_best_cosine
+FROM best b JOIN fullpick f USING (query_id)
+GROUP BY b.dim
+"""
+
+
+@register("embedding_dim_ablation", oracle=_ABLATION_ORACLE)
+def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation ablation (Kusupati et al.
+    2022, arXiv:2205.13147): for each prefix dimensionality d, how
+    often does exact top-1 retrieval over the FIRST d components agree
+    with full-dimension retrieval, and how much full-dim cosine does
+    the truncated pick give up? The d=64 row is a built-in control
+    (agreement exactly 1.0). This is the measurement that decides
+    whether an index (IVF/PQ/brute force) can run at d/4 cost — on a
+    real corpus the answer gates a 4x storage/compute saving.
+
+    Scale: one corpus scan. The query set broadcasts (bounded, like
+    every ANN path here); per (query, candidate) row the |dims|
+    prefix cosines are computed in-row from ONE zip (running prefix
+    sums sliced per dim), then a single max_by aggregation per
+    (dim, query) — no windows over the corpus, shuffle carries
+    |dims| x |queries| rows."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.lit(list(_ABLATION_DIMS)).cast("array<int>")
+            ).alias("dim"),
+            "qe",
+            "ce",
+        )
+        .select(
+            "dim",
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(
+                    "aggregate(zip_with(slice(qe, 1, dim), slice(ce, 1, dim),"
+                    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                    " 0.0d, (acc, v) -> acc + v)"
+                )
+                / (
+                    F.sqrt(
+                        F.expr(
+                            "aggregate(transform(slice(qe, 1, dim),"
+                            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                            " 0.0d, (acc, v) -> acc + v)"
+                        )
+                    )
+                    * F.sqrt(
+                        F.expr(
+                            "aggregate(transform(slice(ce, 1, dim),"
+                            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                            " 0.0d, (acc, v) -> acc + v)"
+                        )
+                    )
+                )
+            ).alias("cos_d"),
+            (_dot("qe", "ce") / (_norm("qe") * _norm("ce"))).alias("cos_full"),
+        )
+    )
+    pick = scored.groupBy("dim", "query_id").agg(
+        F.max_by(
+            F.struct("neighbor_id", "cos_full"),
+            F.struct(F.col("cos_d"), (-F.col("neighbor_id")).alias("nid")),
+        ).alias("p")
+    ).select(
+        "dim",
+        "query_id",
+        F.col("p.neighbor_id").alias("neighbor_id"),
+        F.col("p.cos_full").alias("cos_full"),
+    )
+    fullpick = pick.where(F.col("dim") == 64).select(
+        "query_id",
+        F.col("neighbor_id").alias("full_id"),
+        F.col("cos_full").alias("full_cos"),
+    )
+    return (
+        pick.join(fullpick, "query_id")
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("neighbor_id") == F.col("full_id"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("top1_agreement"),
+            F.round(F.avg("cos_full"), 6).alias("mean_pick_cosine"),
+            F.round(F.avg("full_cos"), 6).alias("mean_best_cosine"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_queries",
+            "top1_agreement",
+            "mean_pick_cosine",
+            "mean_best_cosine",
+        )
+    )

@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dropped, only reordered.
 _VERIFY_FIRST = [
     # new this session (r3)
+    "embedding_dim_ablation",
     "global_shuffle",
     "quality_ensemble",
     "strip_dup_spans",
