@@ -725,3 +725,95 @@ def stream_phrase_monitor(stream: DataFrame, phrases: tuple[str, ...] | None = N
             .alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------- E29
+def stream_bloom_gate(
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    key: str = "doc_id",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+):
+    """Approximate streaming dedup gate with BOUNDED state: a single
+    m-bit Bloom filter (stored as (slot, bitmap) parquet rows,
+    m/64 longs total) accumulates every key ever admitted; a
+    micro-batch row is dropped when all k probe bits were already set
+    BEFORE the batch. This is the at-scale complement of the exact
+    ``stream_dedup_gate``: exact dedup state grows with the corpus,
+    the bloom gate's state is m bits forever — the standard trade at
+    ingest volume, with the standard asymmetry (a false positive
+    drops a NON-duplicate at ~(1-e^(-kn/m))^k probability; a true
+    duplicate is never admitted twice). Size m ~ 10 bits/expected-key
+    for <1% fp, far below the keys themselves.
+
+    Mechanics are the D18 bloom index's, pointed at a stream: keys
+    hash to k seeded xxhash64 bit positions JVM-side; membership is a
+    broadcast join on the slot column; the post-batch filter is the
+    bit_or of the prior filter and the admitted keys' bits. Within a
+    batch, exact dropDuplicates runs first (the batch is in memory
+    anyway)."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        _bloom_positions,
+    )
+
+    bits_dir = os.path.join(state_dir, "bits")
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([key])
+        pos = F.array(*_bloom_positions(F.col(key), k, m_bits))
+        probes = batch.select(F.col(key).alias("_v"), F.explode(pos).alias("p")).select(
+            "_v",
+            (F.col("p") / 64).cast("long").alias("slot"),
+            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
+        )
+        try:
+            seen = spark.read.parquet(bits_dir)
+            have = seen.count() > 0
+        except Exception:
+            have = False
+        if have:
+            hit = (
+                probes.join(F.broadcast(seen), "slot")
+                .where(F.col("bitmap").bitwiseAND(F.col("mask")) == F.col("mask"))
+                .groupBy("_v")
+                .agg(F.count("*").alias("n_hit"))
+                .where(F.col("n_hit") >= k)
+                .select(F.col("_v").alias(key))
+            )
+            fresh = batch.join(hit, key, "left_anti")
+        else:
+            fresh = batch
+        fresh.write.mode("append").parquet(out_dir)
+        new_bits = (
+            fresh.select(F.explode(F.array(*_bloom_positions(F.col(key), k, m_bits))).alias("p"))
+            .select(
+                (F.col("p") / 64).cast("long").alias("slot"),
+                F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
+            )
+            .groupBy("slot")
+            .agg(F.bit_or("mask").alias("bitmap"))
+        )
+        if have:
+            merged = (
+                spark.read.parquet(bits_dir)
+                .unionByName(new_bits)
+                .groupBy("slot")
+                .agg(F.bit_or("bitmap").alias("bitmap"))
+            )
+        else:
+            merged = new_bits
+        staged = bits_dir + f"_staged{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(bits_dir, ignore_errors=True)
+        shutil.move(staged, bits_dir)
+
+    return stream.writeStream.foreachBatch(gate)

@@ -1085,3 +1085,49 @@ def test_stream_phrase_monitor_matches_batch_twin(spark, tmp_path):
     from tests.compare import assert_frames_match
 
     assert_frames_match(got, want, "stream_phrase_monitor")
+
+
+# ---------------------------------------------------------------- E29
+def test_stream_bloom_gate_admits_each_key_once(spark, tmp_path):
+    """Keys repeated across micro-batches are admitted exactly once;
+    at test sizes (m=2^16 bits, ~500 keys) the false-positive
+    probability is ~1e-6, so every distinct key must come through."""
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        stream_bloom_gate,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    base = docs.select(*DOCS_STREAM_SCHEMA.fieldNames()).limit(400)
+    drop = str(tmp_path / "drop")
+    # four files, each containing overlapping halves -> duplicates
+    # arrive in LATER batches than the originals
+    base.where("doc_id < 200").repartition(1).write.parquet(drop)
+    base.where("doc_id >= 100 and doc_id < 300").repartition(1).write.mode(
+        "append"
+    ).parquet(drop)
+    base.where("doc_id >= 200").repartition(1).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    q = (
+        stream_bloom_gate(stream, out, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q)
+    q.stop()
+
+    got = spark.read.parquet(out).toPandas()
+    want_ids = set(base.toPandas().doc_id)
+    assert set(got.doc_id) == want_ids
+    assert got.doc_id.is_unique, "a duplicate slipped through the gate"
+    # state is the m/64-long bitmap, not the key set
+    bits = spark.read.parquet(state + "/bits")
+    assert bits.count() <= (1 << 16) // 64
