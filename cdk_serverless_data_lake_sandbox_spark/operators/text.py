@@ -1645,3 +1645,55 @@ def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered entry for :func:`unigram_entropy_frame` over the
     documents table."""
     return unigram_entropy_frame(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- C95
+def compression_ratio_frame(docs: DataFrame) -> DataFrame:
+    """Per-document zlib compression ratio — the classic "too
+    compressible = templated/repetitive, incompressible = noise"
+    corpus-quality signal (a deflate pass approximates Kolmogorov
+    complexity well enough to catch boilerplate that n-gram
+    repetition scores miss, and it needs no vocabulary).
+
+    This is the documented SLOW-PATH TIER used deliberately: no Spark
+    built-in or DuckDB function exposes a compressor, so the operator
+    is an Arrow-batched ``mapInPandas`` — zlib's C deflate runs per
+    batch with only the (doc_id, byte counts) frame crossing the
+    Arrow boundary, never the text back. Linear, shuffle-free,
+    batch-sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+    the pytest gate pins it against direct zlib and the
+    repetitive-vs-diverse ordering invariant."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, n_bytes long, n_compressed long, compression_ratio double"
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            nb = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_compressed": comp,
+                    "compression_ratio": [
+                        round(c / b, 6) if b else 0.0
+                        for c, b in zip(comp, nb)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema)
+
+
+@register("compression_ratio")
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (rows-only) entry for
+    :func:`compression_ratio_frame` — no oracle because DuckDB has no
+    compressor; the pytest gate compares against direct zlib."""
+    return compression_ratio_frame(_docs(spark, sf_dir))

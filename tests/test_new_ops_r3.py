@@ -279,3 +279,33 @@ def test_bloom_index_empty_result_keeps_schema(spark, tmp_path):
     out = bloom_filtered_read(spark, table, "doc_id", [10_000_001], index)
     assert out.count() == 0
     assert set(out.columns) == set(docs.columns)
+
+
+# ---------------------------------------------------------- compression
+def test_compression_ratio_matches_direct_zlib_and_orders_quality(spark):
+    import zlib
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        compression_ratio_frame,
+    )
+
+    diverse = " ".join(f"tok{i * 37 % 101}x{i}" for i in range(80))
+    rows = [
+        (1, "s0", "spam spam spam " * 40),
+        (2, "s0", diverse),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in compression_ratio_frame(_docs_df(spark, rows)).collect()
+    }
+    for doc_id, _, text in rows:
+        b = text.encode("utf-8")
+        assert out[doc_id]["n_bytes"] == len(b)
+        assert out[doc_id]["n_compressed"] == len(zlib.compress(b, 6))
+        assert out[doc_id]["compression_ratio"] == round(
+            len(zlib.compress(b, 6)) / len(b), 6
+        )
+    # the signal: repeated boilerplate compresses far better
+    assert (
+        out[1]["compression_ratio"] < 0.5 * out[2]["compression_ratio"]
+    ), (out[1], out[2])
