@@ -753,67 +753,96 @@ def stream_bloom_gate(
     broadcast join on the slot column; the post-batch filter is the
     bit_or of the prior filter and the admitted keys' bits. Within a
     batch, exact dropDuplicates runs first (the batch is in memory
-    anyway)."""
+    anyway).
+
+    Batch-retry safety (the ``idempotent_sink`` recipe, adapted):
+    output lands under ``batch_id=N`` with overwrite and a marker
+    commits the batch LAST. A retry that finds the marker is a no-op;
+    a retry that finds a completed output dir (crash after admit,
+    before/after the bits merge) REUSES that admit decision instead
+    of re-deciding against possibly-already-merged bits — re-merging
+    the same keys is free because bit_or is idempotent. So a replayed
+    batch can neither duplicate output nor lose admitted rows."""
     import os
+    import shutil
 
     from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
         _bloom_positions,
     )
 
     bits_dir = os.path.join(state_dir, "bits")
+    manifest_dir = os.path.join(state_dir, "manifest")
+
+    def _bits_of(df: DataFrame, col: str):
+        pos = F.array(*_bloom_positions(F.col(col), k, m_bits))
+        return df.select(F.explode(pos).alias("p")).select(
+            (F.col("p") / 64).cast("long").alias("slot"),
+            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
+        )
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        marker = os.path.join(manifest_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
         spark = batch.sparkSession
-        batch = batch.dropDuplicates([key])
-        pos = F.array(*_bloom_positions(F.col(key), k, m_bits))
-        probes = batch.select(F.col(key).alias("_v"), F.explode(pos).alias("p")).select(
-            "_v",
-            (F.col("p") / 64).cast("long").alias("slot"),
-            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
-        )
-        try:
-            seen = spark.read.parquet(bits_dir)
-            have = seen.count() > 0
-        except Exception:
-            have = False
-        if have:
-            hit = (
-                probes.join(F.broadcast(seen), "slot")
-                .where(F.col("bitmap").bitwiseAND(F.col("mask")) == F.col("mask"))
-                .groupBy("_v")
-                .agg(F.count("*").alias("n_hit"))
-                .where(F.col("n_hit") >= k)
-                .select(F.col("_v").alias(key))
-            )
-            fresh = batch.join(hit, key, "left_anti")
+        batch_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+        prior_done = os.path.exists(os.path.join(batch_dir, "_SUCCESS"))
+        if prior_done:
+            # crash landed between output and marker on the last try:
+            # the admit decision is already durable — reuse it.
+            fresh = spark.read.parquet(batch_dir)
         else:
-            fresh = batch
-        fresh.write.mode("append").parquet(out_dir)
-        new_bits = (
-            fresh.select(F.explode(F.array(*_bloom_positions(F.col(key), k, m_bits))).alias("p"))
-            .select(
+            batch = batch.dropDuplicates([key])
+            probes = batch.select(F.col(key).alias("_v")).select(
+                "_v", F.explode(F.array(*_bloom_positions(F.col("_v"), k, m_bits))).alias("p")
+            ).select(
+                "_v",
                 (F.col("p") / 64).cast("long").alias("slot"),
                 F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
             )
+            try:
+                seen = spark.read.parquet(bits_dir)
+                have = seen.count() > 0
+            except Exception:
+                have = False
+            if have:
+                hit = (
+                    probes.join(F.broadcast(seen), "slot")
+                    .where(
+                        F.col("bitmap").bitwiseAND(F.col("mask")) == F.col("mask")
+                    )
+                    .groupBy("_v")
+                    .agg(F.count("*").alias("n_hit"))
+                    .where(F.col("n_hit") >= k)
+                    .select(F.col("_v").alias(key))
+                )
+                fresh = batch.join(hit, key, "left_anti")
+            else:
+                fresh = batch
+            fresh.write.mode("overwrite").parquet(batch_dir)
+            fresh = spark.read.parquet(batch_dir)
+        new_bits = (
+            _bits_of(fresh.select(key), key)
             .groupBy("slot")
             .agg(F.bit_or("mask").alias("bitmap"))
         )
-        if have:
+        try:
+            old = spark.read.parquet(bits_dir)
             merged = (
-                spark.read.parquet(bits_dir)
-                .unionByName(new_bits)
+                old.unionByName(new_bits)
                 .groupBy("slot")
                 .agg(F.bit_or("bitmap").alias("bitmap"))
             )
-        else:
+        except Exception:
             merged = new_bits
         staged = bits_dir + f"_staged{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
-        import shutil
-
         shutil.rmtree(bits_dir, ignore_errors=True)
         shutil.move(staged, bits_dir)
+        os.makedirs(manifest_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
 
     return stream.writeStream.foreachBatch(gate)

@@ -1131,3 +1131,61 @@ def test_stream_bloom_gate_admits_each_key_once(spark, tmp_path):
     # state is the m/64-long bitmap, not the key set
     bits = spark.read.parquet(state + "/bits")
     assert bits.count() <= (1 << 16) // 64
+
+
+def test_stream_bloom_gate_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed batch is a no-op (marker); replaying an
+    UNcommitted-but-written batch reuses its durable admit decision
+    instead of re-deciding against already-merged bits — no data loss,
+    no duplicates."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        stream_bloom_gate,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    base = docs.select(*DOCS_STREAM_SCHEMA.fieldNames()).limit(100)
+    drop = str(tmp_path / "drop")
+    base.repartition(1).write.parquet(drop)
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stream_bloom_gate(stream, out, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q)
+    q.stop()
+    first = spark.read.parquet(out).toPandas()
+
+    # simulate the crash-before-marker retry: delete the marker and
+    # replay the same batch through a fresh gate instance
+    markers = os.listdir(os.path.join(state, "manifest"))
+    assert markers, "gate wrote no commit marker"
+    os.remove(os.path.join(state, "manifest", markers[0]))
+    stream2 = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q2 = (
+        stream_bloom_gate(stream2, out, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q2)
+    q2.stop()
+    replayed = spark.read.parquet(out).toPandas()
+    assert sorted(replayed.doc_id) == sorted(first.doc_id)
+    assert replayed.doc_id.is_unique
