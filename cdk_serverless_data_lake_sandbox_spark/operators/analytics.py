@@ -306,3 +306,109 @@ def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _GROUP_SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------- C96
+_HR_BINS = 64
+
+_HIST_ROLLUP_ORACLE = f"""
+WITH rng AS (
+  SELECT event_type, MIN(value) AS lo,
+    GREATEST(MAX(value) - MIN(value), 1e-12) AS width
+  FROM events GROUP BY event_type
+), b AS (
+  SELECT e.event_type,
+    LEAST(CAST(FLOOR((e.value - r.lo) / r.width * {_HR_BINS}) AS INT),
+          {_HR_BINS - 1}) AS bin
+  FROM events e JOIN rng r USING (event_type)
+), h AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+), pick AS (
+  SELECT event_type, MAX(n) AS n,
+    MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN bin END) AS b50,
+    MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN bin END) AS b95,
+    MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bin END) AS b99
+  FROM cum GROUP BY event_type
+)
+SELECT p.event_type, CAST(p.n AS BIGINT) AS n_events,
+  CAST(ROUND(r.lo + (p.b50 + 1) * r.width / {_HR_BINS}, 6) AS DOUBLE) AS p50_est,
+  CAST(ROUND(r.lo + (p.b95 + 1) * r.width / {_HR_BINS}, 6) AS DOUBLE) AS p95_est,
+  CAST(ROUND(r.lo + (p.b99 + 1) * r.width / {_HR_BINS}, 6) AS DOUBLE) AS p99_est,
+  CAST(ROUND(r.width / {_HR_BINS}, 6) AS DOUBLE) AS bin_width
+FROM pick p JOIN rng r USING (event_type)
+"""
+
+
+@register("histogram_rollup_percentiles", oracle=_HIST_ROLLUP_ORACLE)
+def histogram_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HISTOGRAM percentile rollup — ``sketch_rollup_dau``'s
+    pattern applied to quantiles: per-day fixed-bin value histograms
+    are tiny (<= {bins} rows/day/type) and merge by ADDING bin counts,
+    so any date range's p50/p95/p99 comes from summed bins with error
+    bounded by one bin width — no re-scan of raw events, which is the
+    only way percentile dashboards stay tractable at 100 TB (exact
+    percentiles are not mergeable; bin counts are).
+
+    The estimate is the bin's upper edge (guaranteed >= the true
+    quantile within one bin width, the conservative side for latency
+    SLOs). Per-type bin ranges come from one min/max pass. The daily
+    histogram stage is real (groupBy day x type x bin) and the merge
+    is a second sum — the oracle computes the direct histogram, which
+    is equal by construction BECAUSE binning is mergeable; the
+    equality is the point being tested. Windows touch only the
+    {bins}-row-per-type cumulative frame, never raw events."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.greatest(F.max("value") - F.min("value"), F.lit(1e-12)).alias("width"),
+    )
+    b = ev.join(rng, "event_type").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("width") * _HR_BINS)
+            .cast("int"),
+            F.lit(_HR_BINS - 1),
+        ).alias("bin"),
+    )
+    daily = b.groupBy("event_type", "day", "bin").agg(F.count("*").alias("c"))
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    def _pick(q: float):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))
+        )
+    pick = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        _pick(0.50).alias("b50"),
+        _pick(0.95).alias("b95"),
+        _pick(0.99).alias("b99"),
+    )
+    def _edge(bcol: str):
+        return F.round(
+            F.col("lo") + (F.col(bcol) + 1) * F.col("width") / _HR_BINS, 6
+        )
+    return pick.join(rng, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        _edge("b50").alias("p50_est"),
+        _edge("b95").alias("p95_est"),
+        _edge("b99").alias("p99_est"),
+        F.round(F.col("width") / _HR_BINS, 6).alias("bin_width"),
+    )

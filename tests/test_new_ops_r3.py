@@ -309,3 +309,31 @@ def test_compression_ratio_matches_direct_zlib_and_orders_quality(spark):
     assert (
         out[1]["compression_ratio"] < 0.5 * out[2]["compression_ratio"]
     ), (out[1], out[2])
+
+
+# ------------------------------------------- histogram percentile rollup
+def test_histogram_rollup_error_bounded_by_bin_width(spark):
+    """The merged-histogram quantile estimate must sit within one bin
+    width ABOVE the exact percentile (upper-edge = conservative)."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    est = {
+        r["event_type"]: r
+        for r in all_queries()["histogram_rollup_percentiles"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"].toPandas()
+    for etype, grp in ev.groupby("event_type"):
+        vals = sorted(grp["value"])
+        for q, col in ((0.50, "p50_est"), (0.95, "p95_est"), (0.99, "p99_est")):
+            # the estimator targets the value at 1-based rank
+            # ceil(q*n) and reports the upper edge of its bin
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            got = est[etype][col]
+            w = est[etype]["bin_width"]
+            assert exact - 1e-9 <= got <= exact + w + 1e-9, (
+                etype, q, exact, got, w,
+            )
