@@ -412,3 +412,99 @@ def histogram_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edge("b99").alias("p99_est"),
         F.round(F.col("width") / _HR_BINS, 6).alias("bin_width"),
     )
+
+
+# ---------------------------------------------------------------- B89
+_CUPED_CUTOFF = "2024-01-16"
+_CUPED_ARM_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2"
+)
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+    {_CUPED_ARM_SQL} AS arm,
+    COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}' THEN value END), 0)
+      AS pre,
+    COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}' THEN value END), 0)
+      AS post
+  FROM events GROUP BY user_id
+), st AS (
+  SELECT covar_pop(post, pre) / var_pop(pre) AS theta, AVG(pre) AS mp
+  FROM per_user
+), adj AS (
+  SELECT p.arm, p.post, p.post - st.theta * (p.pre - st.mp) AS post_adj, st.theta
+  FROM per_user p CROSS JOIN st
+)
+SELECT CAST(arm AS INT) AS arm,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(ROUND(AVG(post), 6) AS DOUBLE) AS mean_post,
+  CAST(ROUND(AVG(post_adj), 6) AS DOUBLE) AS mean_adjusted,
+  CAST(ROUND(var_pop(post), 6) AS DOUBLE) AS var_post,
+  CAST(ROUND(var_pop(post_adj), 6) AS DOUBLE) AS var_adjusted,
+  CAST(ROUND(1.0 - var_pop(post_adj) / var_pop(post), 6) AS DOUBLE)
+    AS var_reduction,
+  CAST(ROUND(MIN(theta), 6) AS DOUBLE) AS theta
+FROM adj GROUP BY arm
+"""
+
+
+@register("cuped_lift", oracle=_CUPED_ORACLE)
+def cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    WSDM — "Improving the Sensitivity of Online Controlled
+    Experiments"): users hash deterministically into two arms, the
+    pre-period value sum is the covariate, theta = cov(post,pre)/
+    var(pre) is fitted on the pooled population, and the adjusted
+    metric post - theta*(pre - mean(pre)) preserves the treatment
+    effect while shrinking variance by the pre/post correlation
+    squared — the standard trick that makes small lifts detectable
+    without more traffic. Per arm: raw and adjusted means/variances
+    plus the realized variance reduction.
+
+    Scale: one events scan -> per-user conditional sums (map-side
+    combinable), a 1-row moment aggregate broadcast back, and a
+    2-row output; no windows, no pairwise anything. The arm hash is
+    the same portable md5 expression as the oracle's, so assignment
+    is bit-identical across engines."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cutoff = F.to_timestamp(F.lit(_CUPED_CUTOFF))
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cutoff, F.col("value"))), F.lit(0.0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cutoff, F.col("value"))), F.lit(0.0)
+        ).alias("post"),
+    ).withColumn(
+        "arm",
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id as string)), 1, 4), 16, 10) as int)"
+            )
+            % 2
+        ).cast("int"),
+    )
+    st = per_user.agg(
+        (F.covar_pop("post", "pre") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("mp"),
+    )
+    adj = per_user.crossJoin(F.broadcast(st)).select(
+        "arm",
+        "post",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("mp"))).alias(
+            "post_adj"
+        ),
+        "theta",
+    )
+    return adj.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("post"), 6).alias("mean_post"),
+        F.round(F.avg("post_adj"), 6).alias("mean_adjusted"),
+        F.round(F.var_pop("post"), 6).alias("var_post"),
+        F.round(F.var_pop("post_adj"), 6).alias("var_adjusted"),
+        F.round(1.0 - F.var_pop("post_adj") / F.var_pop("post"), 6).alias(
+            "var_reduction"
+        ),
+        F.round(F.min("theta"), 6).alias("theta"),
+    )

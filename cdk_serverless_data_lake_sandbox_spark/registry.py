@@ -36,6 +36,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dropped, only reordered.
 _VERIFY_FIRST = [
     # new this session (r3)
+    "cuped_lift",
+    "histogram_rollup_percentiles",
+    "compression_ratio",
     "embedding_dim_ablation",
     "global_shuffle",
     "quality_ensemble",
