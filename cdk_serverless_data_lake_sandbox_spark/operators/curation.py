@@ -818,3 +818,89 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dbpt) / F.count("*"), 4).cast("double").alias("avg_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------- C97
+def _card_oracle() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id, lang, source, text,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents
+), base AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+    CAST(SUM(n_tokens) AS DOUBLE) AS n_tokens,
+    CAST(COUNT(DISTINCT text) AS DOUBLE) AS n_distinct_texts,
+    CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+    CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+    CAST(AVG(n_tokens) AS DOUBLE) AS mean_tokens,
+    CAST(AVG(LENGTH(text)) AS DOUBLE) AS mean_chars
+  FROM w
+), top_src AS (
+  SELECT CAST(MAX(c) AS DOUBLE) / SUM(c) AS share
+  FROM (SELECT source, COUNT(*) AS c FROM w GROUP BY source)
+)
+SELECT metric, CAST(ROUND(value, 6) AS DOUBLE) AS value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+  UNION ALL SELECT 'exact_dup_rate',
+    1.0 - n_distinct_texts / n_docs FROM base
+  UNION ALL SELECT 'n_langs', n_langs FROM base
+  UNION ALL SELECT 'n_sources', n_sources FROM base
+  UNION ALL SELECT 'mean_tokens_per_doc', mean_tokens FROM base
+  UNION ALL SELECT 'mean_chars_per_doc', mean_chars FROM base
+  UNION ALL SELECT 'top_source_share', share FROM top_src
+)
+"""
+
+
+@register("dataset_card", oracle=_card_oracle())
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card's quantitative face — the first query anyone
+    runs against an unfamiliar corpus: size (docs/tokens), exact
+    duplicate rate, language and source spread, mean document length,
+    and source concentration, as (metric, value) rows a docs page or
+    a drift monitor ingests directly.
+
+    Scale: ONE scan feeding a single multi-aggregate (count_distinct
+    on text hashes under the hood is a shuffle on the dedup key —
+    the same shape as dedup_exact), plus a source-histogram max for
+    concentration. Everything map-side combinable; output is a
+    constant eight rows."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    base = w.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_tokens").cast("double").alias("n_tokens"),
+        F.count_distinct("text").cast("double").alias("n_distinct_texts"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.avg("n_tokens").alias("mean_tokens"),
+        F.avg(F.length("text")).alias("mean_chars"),
+    )
+    top_src = (
+        w.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("share"))
+    )
+    rows = base.crossJoin(F.broadcast(top_src)).select(
+        F.expr(
+            "stack(8,"
+            " 'n_docs', n_docs,"
+            " 'n_tokens', n_tokens,"
+            " 'exact_dup_rate', 1.0 - n_distinct_texts / n_docs,"
+            " 'n_langs', n_langs,"
+            " 'n_sources', n_sources,"
+            " 'mean_tokens_per_doc', mean_tokens,"
+            " 'mean_chars_per_doc', mean_chars,"
+            " 'top_source_share', share"
+            ") AS (metric, value)"
+        )
+    )
+    return rows.select("metric", F.round("value", 6).alias("value"))

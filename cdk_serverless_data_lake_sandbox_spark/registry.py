@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dropped, only reordered.
 _VERIFY_FIRST = [
     # new this session (r3)
+    "dataset_card",
     "cuped_lift",
     "histogram_rollup_percentiles",
     "compression_ratio",
