@@ -378,6 +378,15 @@ def histogram_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = b.groupBy("event_type", "day", "bin").agg(F.count("*").alias("c"))
     merged = daily.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    return percentiles_from_bins(merged, rng)
+
+
+def percentiles_from_bins(merged: DataFrame, rng: DataFrame) -> DataFrame:
+    """Read p50/p95/p99 off merged (event_type, bin, c) counts against
+    the (event_type, lo, width) reference ranges — the shared decode
+    half of the histogram rollup, used by the batch operator and the
+    streaming sink's reader alike so both report identical numbers
+    from the same stored bins."""
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("bin")
@@ -411,6 +420,19 @@ def histogram_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edge("b95").alias("p95_est"),
         _edge("b99").alias("p99_est"),
         F.round(F.col("width") / _HR_BINS, 6).alias("bin_width"),
+    )
+
+
+def bin_values(events: DataFrame, rng: DataFrame, bins: int = _HR_BINS) -> DataFrame:
+    """(event_type, bin) per event against fixed reference ranges —
+    the shared encode half of the histogram rollup."""
+    return events.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("width") * bins)
+            .cast("int"),
+            F.lit(bins - 1),
+        ).alias("bin"),
     )
 
 

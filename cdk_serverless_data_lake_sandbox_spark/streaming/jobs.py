@@ -846,3 +846,61 @@ def stream_bloom_gate(
             fh.write("committed")
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E30
+def stream_histogram_sink(stream: DataFrame, rng_rows: list, bins_path: str):
+    """Streaming half of the mergeable-histogram percentile rollup
+    (B88): every micro-batch appends its (event_type, bin, count)
+    rows — <= types x bins tiny rows per batch — against FIXED
+    reference ranges (``rng_rows``: (event_type, lo, width), captured
+    from a baseline period; monitors must hold the reference frame
+    fixed, same rule as the PSI monitor). Because bin counts merge by
+    addition, the reader can answer p50/p95/p99 for ANY batch range
+    by summing stored bins — no raw-event retention, which is the
+    entire point at ingest volume.
+
+    State: none (stateless foreachBatch append); the parquet bins ARE
+    the rollup artifact."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
+        bin_values,
+    )
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        rng = spark.createDataFrame(
+            rng_rows, "event_type string, lo double, width double"
+        )
+        (
+            bin_values(batch, rng)
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("c"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(bins_path)
+        )
+
+    return stream.writeStream.foreachBatch(write)
+
+
+def read_histogram_percentiles(
+    spark: SparkSession, bins_path: str, rng_rows: list
+) -> DataFrame:
+    """Reader for :func:`stream_histogram_sink`'s bins: sum counts
+    across stored batches and decode percentiles with the SAME shared
+    helper the batch operator uses — stream and batch cannot drift."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
+        percentiles_from_bins,
+    )
+
+    rng = spark.createDataFrame(
+        rng_rows, "event_type string, lo double, width double"
+    )
+    merged = (
+        spark.read.parquet(bins_path)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    return percentiles_from_bins(merged, rng)

@@ -1189,3 +1189,55 @@ def test_stream_bloom_gate_batch_replay_is_idempotent(spark, tmp_path):
     replayed = spark.read.parquet(out).toPandas()
     assert sorted(replayed.doc_id) == sorted(first.doc_id)
     assert replayed.doc_id.is_unique
+
+
+# ---------------------------------------------------------------- E30
+def test_stream_histogram_rollup_matches_batch(spark, event_drop_dir):
+    """Summing the streamed per-batch bin counts and decoding with the
+    shared helper must reproduce the batch histogram_rollup exactly
+    (bin counts are mergeable — the property the artifact exists for)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        read_histogram_percentiles,
+        stream_histogram_sink,
+    )
+
+    _prepare(spark, event_drop_dir)
+    ev = spark.read.parquet(event_drop_dir)
+    rng_rows = [
+        (r["event_type"], r["lo"], r["width"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.greatest(F.max("value") - F.min("value"), F.lit(1e-12)).alias(
+                "width"
+            ),
+        )
+        .collect()
+    ]
+    bins_path = tempfile.mkdtemp() + "/bins"
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(event_drop_dir)
+    )
+    q = (
+        stream_histogram_sink(stream, rng_rows, bins_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q)
+    q.stop()
+
+    got = read_histogram_percentiles(spark, bins_path, rng_rows).toPandas()
+    want = all_queries()["histogram_rollup_percentiles"](
+        spark, SF_SMALL
+    ).toPandas()
+    from tests.compare import assert_frames_match
+
+    assert_frames_match(got, want, "stream_histogram_rollup")
