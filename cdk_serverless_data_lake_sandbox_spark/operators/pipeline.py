@@ -251,6 +251,11 @@ def min_label_components(
             pass
         if (obs.get["changed"] or 0) == 0:
             break
+    # labels is checkpointed/materialized — lineage no longer reaches
+    # the cached frames, so release them instead of leaking one cache
+    # entry per call.
+    edges.unpersist()
+    flat.unpersist()
     return labels
 
 
