@@ -957,3 +957,85 @@ def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_cvr_7d"),
     )
+
+
+# ---------------------------------------------------------------- B90
+_PATH_PREFIX_LEN = 5
+_PATH_TOP_N = 20
+
+_TOP_PATHS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR DATE_DIFF('second', LAG(ts) OVER w, ts) > {_SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM numbered
+), paths AS (
+  SELECT user_id, session_id,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ranked WHERE rn <= {_PATH_PREFIX_LEN}
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {_PATH_TOP_N}
+"""
+
+
+@register("top_paths", oracle=_TOP_PATHS_ORACLE)
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the most common ordered event-type sequences
+    (first {k} events of each gap-based session) — the path-analysis
+    query behind every funnel-exploration UI, answering "what do
+    sessions actually DO?" rather than testing a preconceived funnel.
+
+    Scale: one shuffle on user_id serves the session windows (same
+    plan spine as ``sessionize``); the path string is built by an
+    in-group sort of at most {k} rows, and path counting is a
+    map-side-combinable groupBy on the path string. The final top-N
+    is TakeOrdered (per-partition heads merged on the driver), not a
+    global sort."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    is_new = F.when(gap_s.isNull() | (gap_s > _SESSION_GAP_S), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_new.alias("is_new")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_new").over(wc).alias("session_id"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    )
+    paths = (
+        numbered.withColumn("rn", rn)
+        .where(F.col("rn") <= _PATH_PREFIX_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOP_N)
+    )

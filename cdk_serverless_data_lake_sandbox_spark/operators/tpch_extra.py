@@ -607,3 +607,70 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(dec("c_acctbal", 2))).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------- B91
+_RECON_ORACLE = """
+WITH calc AS (
+  SELECT l_orderkey,
+    SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS computed
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderstatus AS status, o.o_totalprice, c.computed,
+    ABS(o.o_totalprice - c.computed) AS delta
+  FROM orders o JOIN calc c ON c.l_orderkey = o.o_orderkey
+)
+SELECT status,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(*) FILTER (WHERE delta > 0.01) AS BIGINT) AS n_mismatched,
+  CAST(ROUND(SUM(delta), 2) AS DOUBLE) AS total_abs_delta,
+  CAST(ROUND(MAX(delta), 2) AS DOUBLE) AS max_abs_delta
+FROM j GROUP BY status
+"""
+
+
+@register("order_reconciliation", oracle=_RECON_ORACLE)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalization audit: does each order's stored total equal the
+    total recomputed from its line items (extendedprice x (1-disc) x
+    (1+tax))? The reconciliation every warehouse runs after ingest —
+    a nonzero mismatch count localizes silent corruption (partial
+    loads, currency/rounding drift, missed CDC deletes) to a status
+    class before anyone trusts a revenue number downstream.
+
+    Scale: one map-side-combinable aggregation over lineitem, one
+    shuffle join on the order key (the natural key both tables are
+    bucketed on in D2's layout), and a tiny per-status rollup. Sums
+    are DECIMAL until the final delta so accumulation order cannot
+    manufacture mismatches."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    calc = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                * (F.lit(1).cast("decimal(18,4)") + F.col("l_tax").cast("decimal(18,4)"))
+            ).alias("computed")
+        )
+    )
+    j = t["orders"].join(
+        calc, t["orders"].o_orderkey == calc.l_orderkey
+    ).select(
+        F.col("o_orderstatus").alias("status"),
+        F.abs(
+            F.col("o_totalprice").cast("decimal(24,8)")
+            - F.col("computed").cast("decimal(24,8)")
+        )
+        .cast("double")
+        .alias("delta"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("delta") > 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.round(F.sum("delta"), 2).alias("total_abs_delta"),
+        F.round(F.max("delta"), 2).alias("max_abs_delta"),
+    )

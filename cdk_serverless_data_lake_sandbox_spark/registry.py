@@ -36,6 +36,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dropped, only reordered.
 _VERIFY_FIRST = [
     # new this session (r3)
+    "top_paths",
+    "order_reconciliation",
     "dataset_card",
     "cuped_lift",
     "histogram_rollup_percentiles",
