@@ -1697,3 +1697,89 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`compression_ratio_frame` — no oracle because DuckDB has no
     compressor; the pytest gate compares against direct zlib."""
     return compression_ratio_frame(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- C98
+_KEYNESS_SOURCE = "src0"
+_KEYNESS_TOP_N = 25
+
+# Dunning G2 = 2 * (a*ln(a/E_a) + b*ln(b/E_b)) with expected counts
+# from the pooled rate; guarded with NULLIF/CASE so zero cells
+# contribute zero (lim x->0 of x*ln x).
+_KEYNESS_ORACLE = f"""
+WITH w AS (
+  SELECT source = '{_KEYNESS_SOURCE}' AS in_focus,
+    UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+  FROM documents
+), counts AS (
+  SELECT word,
+    CAST(SUM(CASE WHEN in_focus THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+    CAST(SUM(CASE WHEN in_focus THEN 0 ELSE 1 END) AS DOUBLE) AS b
+  FROM w GROUP BY word
+), tot AS (
+  SELECT SUM(a) AS na, SUM(b) AS nb FROM counts
+), g AS (
+  SELECT c.word, c.a, c.b,
+    2 * (
+      CASE WHEN c.a > 0
+        THEN c.a * LN(c.a / ((c.a + c.b) * t.na / (t.na + t.nb))) ELSE 0 END
+      + CASE WHEN c.b > 0
+        THEN c.b * LN(c.b / ((c.a + c.b) * t.nb / (t.na + t.nb))) ELSE 0 END
+    ) AS g2,
+    (c.a / t.na) > (c.b / t.nb) AS over_represented
+  FROM counts c CROSS JOIN tot t
+)
+SELECT word, CAST(a AS BIGINT) AS n_focus, CAST(b AS BIGINT) AS n_rest,
+  CAST(ROUND(g2, 4) AS DOUBLE) AS g2, over_represented
+FROM g
+ORDER BY g2 DESC, word LIMIT {_KEYNESS_TOP_N}
+"""
+
+
+@register("keyness_llr", oracle=_KEYNESS_ORACLE)
+def keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-comparison keyness by Dunning's log-likelihood ratio
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    and Coincidence"): which words are statistically over- or
+    under-represented in one source versus the rest of the corpus —
+    the domain-diagnostic that shows what a crawl segment is actually
+    ABOUT (and catches boilerplate tokens flooding a single source)
+    before it is blended into a training mix.
+
+    Scale: one tokenize scan -> (word, side) counts (map-side
+    combinable), a 1-row total broadcast back, the G2 expression
+    in-row, TakeOrdered top-N. Zero cells contribute zero via the
+    analytic limit, so the statistic is defined for every word."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        (F.col("source") == _KEYNESS_SOURCE).alias("in_focus"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    counts = w.groupBy("word").agg(
+        F.sum(F.when(F.col("in_focus"), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when(F.col("in_focus"), 0).otherwise(1))
+        .cast("double")
+        .alias("b"),
+    )
+    tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    a, b, na, nb = F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+    ea = (a + b) * na / (na + nb)
+    eb = (a + b) * nb / (na + nb)
+    g2 = 2 * (
+        F.when(a > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            a.cast("bigint").alias("n_focus"),
+            b.cast("bigint").alias("n_rest"),
+            F.round(g2, 4).alias("g2"),
+            ((a / na) > (b / nb)).alias("over_represented"),
+        )
+        .orderBy(F.desc("g2"), "word")
+        .limit(_KEYNESS_TOP_N)
+    )
