@@ -66,6 +66,14 @@ HEAVY = [
     "cdc_chunk_dedup",
     "quality_ensemble",
     "global_shuffle",
+    "embedding_dim_ablation",
+    "compression_ratio",
+    "histogram_rollup_percentiles",
+    "cuped_lift",
+    "dataset_card",
+    "top_paths",
+    "order_reconciliation",
+    "keyness_llr",
 ]
 
 
