@@ -367,7 +367,7 @@ def histogram_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.greatest(F.max("value") - F.min("value"), F.lit(1e-12)).alias("width"),
     )
-    b = ev.join(rng, "event_type").select(
+    b = ev.join(F.broadcast(rng), "event_type").select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.least(
