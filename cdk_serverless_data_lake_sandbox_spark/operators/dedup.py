@@ -924,3 +924,93 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_dedup_frame(
         load_tables(spark, sf_dir, ("documents",))["documents"]
     )
+
+
+# ---------------------------------------------------------------- D19
+def _band_key_expr() -> str:
+    n_bands = _N_PERM // _BAND_ROWS
+    return ", ".join(
+        f"named_struct('band', {i}, 'key', xxhash64(concat_ws(',',"
+        f" slice(sig, {i * _BAND_ROWS + 1}, {_BAND_ROWS}))))"
+        for i in range(n_bands)
+    )
+
+
+def minhash_index_build(docs: DataFrame, index_path: str) -> dict:
+    """Persist the MinHash LSH index as a lake artifact — the
+    production shape of corpus dedup, symmetric with the IVF index
+    (C86): a dedup SERVICE hashes the corpus once at index time and
+    every daily/streaming batch joins against the stored band buckets
+    instead of re-tokenizing terabytes per batch (the inline
+    ``dedup_incremental`` path re-derives corpus scratch per
+    application; this survives across applications and ships to a
+    metastore like any table).
+
+    Layout: ``sig/`` = (doc_id, 32-long signature); ``bands/`` =
+    (key, doc_id) partitioned by band id, so the candidate join
+    co-partitions on the same (band, key) the probe side produces.
+    Returns {n_docs, n_bands} for the caller's manifest."""
+    sigs = _minhash_signatures(docs)
+    sigs.write.mode("overwrite").parquet(index_path + "/sig")
+    spark = docs.sparkSession
+    stored = spark.read.parquet(index_path + "/sig")
+    banded = stored.select(
+        "doc_id", F.explode(F.expr(f"array({_band_key_expr()})")).alias("b")
+    ).select(F.col("b.band").alias("band"), F.col("b.key").alias("key"), "doc_id")
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        index_path + "/bands"
+    )
+    return {
+        "n_docs": stored.count(),
+        "n_bands": _N_PERM // _BAND_ROWS,
+    }
+
+
+def minhash_index_query(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Probe the stored index with a batch of NEW documents: the batch
+    is signed (only the batch is tokenized — the corpus work was paid
+    at build time), its band keys join the stored bucket table on
+    (band, key), and candidates are scored by signature agreement
+    against the stored signatures. Returns (new_id, corpus_id,
+    est_jaccard >= threshold) — the admit/drop decision feed for an
+    ingest gate.
+
+    Scale: batch-sized work plus one join per side against the index;
+    the band join shuffles on (band, key) — 8-byte keys, bucket lists
+    bounded by collision rate — and the signature re-join fetches
+    only candidate rows."""
+    new_sigs = _minhash_signatures(new_docs)
+    probe = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("new_sig"),
+        F.explode(F.expr(f"array({_band_key_expr()})")).alias("b"),
+    ).select(
+        "new_id", "new_sig", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    bands = spark.read.parquet(index_path + "/bands").select(
+        "band", "key", F.col("doc_id").alias("corpus_id")
+    )
+    cand = (
+        probe.join(bands, ["band", "key"])
+        .select("new_id", "new_sig", "corpus_id")
+        .distinct()
+    )
+    sig = spark.read.parquet(index_path + "/sig").select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("corpus_sig")
+    )
+    est = (
+        F.size(
+            F.expr("filter(zip_with(new_sig, corpus_sig, (u, v) -> u = v), e -> e)")
+        ).cast("double")
+        / _N_PERM
+    )
+    return (
+        cand.join(sig, "corpus_id")
+        .select("new_id", "corpus_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+    )

@@ -337,3 +337,63 @@ def test_histogram_rollup_error_bounded_by_bin_width(spark):
             assert exact - 1e-9 <= got <= exact + w + 1e-9, (
                 etype, q, exact, got, w,
             )
+
+
+# ------------------------------------------------------ minhash index
+def test_minhash_index_matches_inline_lsh(spark, tmp_path):
+    """Probing the persisted index with the corpus itself must yield
+    exactly the inline dedup_minhash_lsh candidate pairs (same bands,
+    same signatures, same estimator) — plus the trivial self-matches,
+    which are filtered here."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_query,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    idx = str(tmp_path / "mh_index")
+    meta = minhash_index_build(docs, idx)
+    assert meta["n_docs"] == docs.count() and meta["n_bands"] == 8
+
+    got = {
+        (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]))
+        for r in minhash_index_query(spark, idx, docs, 0.5).collect()
+        if r["new_id"] != r["corpus_id"]
+    }
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in all_queries()["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+        if r["est_jaccard"] >= 0.5
+    }
+    assert got == want and len(want) > 0
+
+
+def test_minhash_index_flags_near_dup_batch(spark, tmp_path):
+    """A new batch containing a lightly-edited copy of a corpus doc is
+    flagged against its source; a novel doc is not flagged."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_query,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    idx = str(tmp_path / "mh2")
+    minhash_index_build(docs, idx)
+    src = docs.orderBy("doc_id").limit(1).collect()[0]
+    edited = src["text"] + " tail extra"
+    novel = " ".join(f"nv{i}q{i*3%17}" for i in range(60))
+    batch = spark.createDataFrame(
+        [(900001, edited), (900002, novel)], "doc_id long, text string"
+    )
+    hits = minhash_index_query(spark, idx, batch, 0.5).collect()
+    flagged = {r["new_id"] for r in hits}
+    assert 900001 in flagged
+    assert all(
+        r["corpus_id"] == src["doc_id"] for r in hits if r["new_id"] == 900001
+    ) or any(r["corpus_id"] == src["doc_id"] for r in hits if r["new_id"] == 900001)
+    assert 900002 not in flagged
