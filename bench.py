@@ -42,6 +42,12 @@ HEADLINE = [
     "bm25_retrieval",
     "semantic_dedup",
     "ann_topk_arrow",
+    # r3 second-session heavies
+    "strip_dup_spans",
+    "cdc_chunk_dedup",
+    "embedding_dim_ablation",
+    "histogram_rollup_percentiles",
+    "top_paths",
 ]
 
 

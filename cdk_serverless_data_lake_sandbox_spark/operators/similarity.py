@@ -1432,56 +1432,63 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpus the answer gates a 4x storage/compute saving.
 
     Scale: one corpus scan. The query set broadcasts (bounded, like
-    every ANN path here); per (query, candidate) row the |dims|
-    prefix cosines are computed in-row from ONE zip (running prefix
-    sums sliced per dim), then a single max_by aggregation per
-    (dim, query) — no windows over the corpus, shuffle carries
-    |dims| x |queries| rows."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    every ANN path here). Per-vector prefix NORMS are hoisted out of
+    the cross join (computed once per row side, not once per pair —
+    same sequential sums as the oracle's inline norms, so values are
+    bit-identical), leaving only the |dims| prefix dots per pair; the
+    d=64 cosine doubles as cos_full, so no separate full-dim pass.
+    One max_by aggregation per (dim, query) — no windows over the
+    corpus, shuffle carries |dims| x |queries| rows."""
+    norms = F.expr(
+        "transform(array({dims}), d -> sqrt(aggregate("
+        "transform(slice(embedding, 1, d),"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0.0d, (acc, v) -> acc + v)))".format(
+            dims=", ".join(str(d) for d in _ABLATION_DIMS)
+        )
     )
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", norms.alias("pnorm")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("pnorm").alias("qn"),
+    )
+    dim_idx = {d: i + 1 for i, d in enumerate(_ABLATION_DIMS)}
+    cos_structs = ", ".join(
+        f"named_struct('dim', {d}, 'cos_d',"
+        f" aggregate(zip_with(slice(qe, 1, {d}), slice(ce, 1, {d}),"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0.0d, (acc, v) -> acc + v) / (qn[{dim_idx[d] - 1}] * cn[{dim_idx[d] - 1}]))"
+        for d in _ABLATION_DIMS
+    )
+    full_pos = len(_ABLATION_DIMS) - 1  # 64 is last in _ABLATION_DIMS
     scored = (
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            F.col("pnorm").alias("cn"),
+        )
         .crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.explode(
-                F.lit(list(_ABLATION_DIMS)).cast("array<int>")
-            ).alias("dim"),
-            "qe",
-            "ce",
+            F.expr(f"array({cos_structs})").alias("_cs"),
         )
         .select(
-            "dim",
             "query_id",
             "neighbor_id",
-            (
-                F.expr(
-                    "aggregate(zip_with(slice(qe, 1, dim), slice(ce, 1, dim),"
-                    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-                    " 0.0d, (acc, v) -> acc + v)"
-                )
-                / (
-                    F.sqrt(
-                        F.expr(
-                            "aggregate(transform(slice(qe, 1, dim),"
-                            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-                            " 0.0d, (acc, v) -> acc + v)"
-                        )
-                    )
-                    * F.sqrt(
-                        F.expr(
-                            "aggregate(transform(slice(ce, 1, dim),"
-                            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-                            " 0.0d, (acc, v) -> acc + v)"
-                        )
-                    )
-                )
-            ).alias("cos_d"),
-            (_dot("qe", "ce") / (_norm("qe") * _norm("ce"))).alias("cos_full"),
+            F.expr(f"_cs[{full_pos}].cos_d").alias("cos_full"),
+            F.explode("_cs").alias("c"),
+        )
+        .select(
+            F.col("c.dim").alias("dim"),
+            "query_id",
+            "neighbor_id",
+            F.col("c.cos_d").alias("cos_d"),
+            "cos_full",
         )
     )
     pick = scored.groupBy("dim", "query_id").agg(
