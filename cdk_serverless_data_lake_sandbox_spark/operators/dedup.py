@@ -844,7 +844,9 @@ FROM per GROUP BY source
 """
 
 
-def cdc_chunk_dedup_frame(docs: DataFrame, mod: int = _CDC_MOD) -> DataFrame:
+def cdc_chunk_dedup_frame(
+    docs: DataFrame, mod: int = _CDC_MOD, scratch_key: str | None = None
+) -> DataFrame:
     """Content-defined-chunking dedup profile (the rolling-hash
     boundary trick of LBFS/rsync applied at word granularity): a word
     whose 16-bit hash is 0 mod {mod} closes a chunk, so chunk
@@ -889,7 +891,7 @@ def cdc_chunk_dedup_frame(docs: DataFrame, mod: int = _CDC_MOD) -> DataFrame:
             F.length("ctext").alias("chunk_bytes"),
         )
     )
-    chunks = materialize(chunks)
+    chunks = materialize(chunks, key=scratch_key)
     hs = chunks.groupBy("chunk_hash").agg(
         F.count_distinct("source").alias("n_sources")
     )
@@ -922,7 +924,8 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered entry for :func:`cdc_chunk_dedup_frame` over the
     documents table."""
     return cdc_chunk_dedup_frame(
-        load_tables(spark, sf_dir, ("documents",))["documents"]
+        load_tables(spark, sf_dir, ("documents",))["documents"],
+        scratch_key=f"{sf_dir}:cdcchunks{_CDC_MOD}",
     )
 
 
