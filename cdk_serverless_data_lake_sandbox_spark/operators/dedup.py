@@ -1017,3 +1017,64 @@ def minhash_index_query(
         .select("new_id", "corpus_id", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= min_est_jaccard)
     )
+
+
+# ---------------------------------------------------------------- C99
+_SRC_MATRIX_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+  FROM documents
+), pairs AS (
+  SELECT LEAST(a.source, b.source) AS source_a,
+    GREATEST(a.source, b.source) AS source_b,
+    CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)))
+      >= {_JACCARD_TAU}
+)
+SELECT source_a, source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(ROUND(AVG(jaccard), 6) AS DOUBLE) AS mean_jaccard
+FROM pairs GROUP BY source_a, source_b
+"""
+
+
+@register("near_dup_source_matrix", oracle=_SRC_MATRIX_ORACLE)
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES near-duplicate each other: the exact Jaccard pair
+    set rolled up to an (unordered) source-pair matrix with pair
+    counts and mean similarity — the mirror-site / syndication
+    detector a crawl curator reads before deciding which source to
+    drop wholesale (``source_overlap_matrix`` answers this for exact
+    copies; this catches the lightly-edited mirrors it misses).
+
+    Scale: rides ``ngram_jaccard_pairs`` unchanged (AllPairs prefix +
+    PPJoin count filters, shared hashed-shingle scratch), then two
+    broadcast-sized joins to attach sources and one
+    map-side-combinable rollup — the matrix is |sources|^2 at most."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), scratch_key=f"ngram-hashed:{sf_dir}"
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )
