@@ -257,3 +257,57 @@ def test_segment_dedup_matches_reference(spark, texts):
             assert out[i].n_kept == len(kept)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------------ strip_dup_spans
+def _ref_strip(texts: list[str], k: int = 8):
+    """Pure-Python reference of the span-removal semantics: positions
+    covered by any k-gram span occurring in >= 2 docs are excised
+    everywhere except in the span's min-doc owner."""
+    spans: dict[str, set[int]] = {}
+    toks = [t.split() for t in texts]
+    for d, w in enumerate(toks):
+        for i in range(len(w) - k + 1):
+            spans.setdefault(" ".join(w[i : i + k]), set()).add(d)
+    owner = {s: min(ds) for s, ds in spans.items() if len(ds) >= 2}
+    out = []
+    for d, w in enumerate(toks):
+        covered: set[int] = set()
+        for i in range(len(w) - k + 1):
+            s = " ".join(w[i : i + k])
+            if s in owner and owner[s] != d:
+                covered.update(range(i, i + k))
+        kept = [t for p, t in enumerate(w) if p not in covered]
+        out.append((len(w), len(w) - len(kept), " ".join(kept)))
+    return out
+
+
+_span_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_span_texts)
+def test_strip_dup_spans_matches_reference(spark, texts):
+    """Random small-alphabet corpora maximize span collisions — the
+    regime where an off-by-one in prefix positions or owner selection
+    would show. The distributed plan must equal the reference
+    exactly, including rebuilt text."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        strip_dup_spans_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in strip_dup_spans_frame(docs).collect()
+    }
+    want = {i: row for i, row in enumerate(_ref_strip(texts))}
+    assert got == want
