@@ -311,3 +311,85 @@ def test_strip_dup_spans_matches_reference(spark, texts):
     }
     want = {i: row for i, row in enumerate(_ref_strip(texts))}
     assert got == want
+
+
+# ------------------------------------------------------ cdc_chunk_dedup
+def _ref_cdc(rows: list[tuple[int, str, str]], mod: int = 8):
+    """Pure-Python reference of the content-defined chunker: a word
+    whose md5-16-bit hash is 0 mod ``mod`` ends a chunk (exclusive
+    prefix count of boundary flags = chunk id); chunks are identified
+    by md5 of their text."""
+    import hashlib
+    from collections import defaultdict
+
+    def h16(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16)
+
+    chunks = []  # (source, chunk_hash, chunk_bytes)
+    for _doc_id, source, text in rows:
+        words = text.split()
+        cid, cur = 0, []
+        groups = defaultdict(list)
+        for w in words:
+            groups[cid].append(w)
+            if h16(w) % mod == 0:
+                cid += 1
+        for ws in groups.values():
+            ctext = " ".join(ws)
+            chunks.append(
+                (source, hashlib.md5(ctext.encode()).hexdigest(), len(ctext))
+            )
+    n_sources = defaultdict(set)
+    for s, ch, _b in chunks:
+        n_sources[ch].add(s)
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for s, ch, b in chunks:
+        per[s][ch][0] += 1
+        per[s][ch][1] = b
+    out = {}
+    for s, hs in per.items():
+        n_chunks = sum(c for c, _ in hs.values())
+        uniq = len(hs)
+        shared = sum(1 for ch in hs if len(n_sources[ch]) >= 2)
+        bt = sum(c * b for c, b in hs.values())
+        bu = sum(b for _, b in hs.values())
+        out[s] = (n_chunks, uniq, shared, bt, bu)
+    return out
+
+
+_cdc_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1"]),
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=30,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_cdc_rows)
+def test_cdc_chunker_matches_reference(spark, rows):
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        cdc_chunk_dedup_frame,
+    )
+
+    full = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    docs = spark.createDataFrame(
+        full, "doc_id long, source string, text string"
+    )
+    got = {
+        r["source"]: (
+            r["n_chunks"],
+            r["n_unique_chunks"],
+            r["n_shared_chunks"],
+            r["bytes_total"],
+            r["bytes_unique"],
+        )
+        for r in cdc_chunk_dedup_frame(docs).collect()
+    }
+    assert got == _ref_cdc(full)
