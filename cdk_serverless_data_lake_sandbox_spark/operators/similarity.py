@@ -1531,3 +1531,80 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_best_cosine",
         )
     )
+
+
+# ---------------------------------------------------------------- C100
+@register("ann_lsh_multiprobe")  # approximate -> rows-only check
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes
+    its own bucket PLUS every bucket at Hamming distance 1 (one
+    flipped sign bit) in each table. A near neighbor that lands just
+    across one hyperplane — the dominant miss mode of sign-bit LSH —
+    is recovered without adding tables, so recall rises at the same
+    index size; candidates grow only by the probe factor
+    (1 + planes per table), not by corpus size. The candidate set is
+    a strict superset of ``ann_lsh_bucketed``'s, so recall@k is
+    provably >= the single-probe path on identical data (the recall
+    test asserts exactly that).
+
+    Scale: the corpus is bucketed ONCE per table (same expression as
+    the single-probe path — at real scale a write-once artifact, see
+    D19 for the persisted-index pattern); only the bounded query side
+    explodes its probe list. Exact scoring touches candidates only."""
+    e = _emb(spark, sf_dir)
+    tables = []
+    for t in range(_N_TABLES):
+        tables.append(
+            e.select(
+                "vec_id",
+                F.lit(t).alias("tbl"),
+                _bucket_expr("embedding", t).alias("bucket"),
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionAll(t)
+
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)
+        ],
+    )
+    q = (
+        bucketed.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "tbl",
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
+    cosine = _dot("eq", "ec") / (F.col("nq") * F.col("nc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("eq"),
+                _norm("embedding").alias("nq"),
+            ),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ec"),
+                _norm("embedding").alias("nc"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+    )

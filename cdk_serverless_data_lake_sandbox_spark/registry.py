@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dropped, only reordered.
 _VERIFY_FIRST = [
     # new this session (r3)
+    "ann_lsh_multiprobe",
     "near_dup_source_matrix",
     "keyness_llr",
     "top_paths",

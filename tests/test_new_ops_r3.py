@@ -397,3 +397,30 @@ def test_minhash_index_flags_near_dup_batch(spark, tmp_path):
         r["corpus_id"] == src["doc_id"] for r in hits if r["new_id"] == 900001
     ) or any(r["corpus_id"] == src["doc_id"] for r in hits if r["new_id"] == 900001)
     assert 900002 not in flagged
+
+
+# ------------------------------------------------------ multi-probe LSH
+def test_multiprobe_lsh_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe's, so its
+    recall@k against brute force must be >= the single-probe path and
+    clear a floor on this data."""
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_topk_bruteforce"](spark, SF_SMALL).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_lsh_bucketed"](spark, SF_SMALL).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_lsh_multiprobe"](spark, SF_SMALL).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.85, (r_single, r_multi)
