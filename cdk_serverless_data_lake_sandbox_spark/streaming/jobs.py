@@ -904,3 +904,64 @@ def read_histogram_percentiles(
         .agg(F.sum("c").alias("c"))
     )
     return percentiles_from_bins(merged, rng)
+
+
+# ---------------------------------------------------------------- E31
+def stream_minhash_dedup_gate(
+    stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    min_est_jaccard: float = 0.5,
+):
+    """Near-dup ingest gate backed by the PERSISTED MinHash index
+    (D19) — the full production loop: each micro-batch (1) signs only
+    itself, (2) probes the stored band buckets and drops documents
+    whose signature agreement with any indexed document clears the
+    threshold, (3) appends the survivors AND their signatures/band
+    keys back to the index, so later batches dedup against everything
+    admitted so far. The corpus is hashed exactly once, ever; batch
+    cost is batch-sized.
+
+    Versus the exact ``stream_dedup_gate`` (scratch-keyed shingle
+    verify) this is the approximate-but-index-maintained variant: the
+    index is durable across applications and its size is
+    corpus-linear in SIGNATURES (32 longs/doc), not text. Within a
+    batch, exact text dropDuplicates runs first; batch-internal
+    near-dup pairs are admitted together (documented — run a batch
+    self-join or rely on the next compaction pass if that matters)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _band_key_expr,
+        _minhash_signatures,
+        minhash_index_query,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(["text"])
+        hits = (
+            minhash_index_query(spark, index_path, batch, min_est_jaccard)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        fresh = batch.join(hits, "doc_id", "left_anti")
+        fresh.write.mode("append").parquet(out_dir)
+        sigs = _minhash_signatures(fresh)
+        sigs.write.mode("append").parquet(index_path + "/sig")
+        (
+            sigs.select(
+                "doc_id",
+                F.explode(F.expr(f"array({_band_key_expr()})")).alias("b"),
+            )
+            .select(
+                F.col("b.band").alias("band"),
+                F.col("b.key").alias("key"),
+                "doc_id",
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(index_path + "/bands")
+        )
+
+    return stream.writeStream.foreachBatch(gate)

@@ -1241,3 +1241,60 @@ def test_stream_histogram_rollup_matches_batch(spark, event_drop_dir):
     from tests.compare import assert_frames_match
 
     assert_frames_match(got, want, "stream_histogram_rollup")
+
+
+# ---------------------------------------------------------------- E31
+def test_stream_minhash_gate_drops_near_dups_and_maintains_index(
+    spark, tmp_path
+):
+    """Batch 2's near-copy of a batch-1 document is dropped even
+    though it was never in the ORIGINAL corpus index — the gate
+    appended batch 1's signatures, proving index maintenance. Novel
+    docs pass; corpus near-copies are dropped on first sight."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        minhash_index_build,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_minhash_dedup_gate,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    corpus = docs.where("doc_id < 300")
+    idx = str(tmp_path / "idx")
+    minhash_index_build(corpus, idx)
+
+    src = corpus.orderBy("doc_id").limit(1).collect()[0]
+    novel1 = " ".join(f"aa{i}b{i * 5 % 13}" for i in range(50))
+    batch1 = [
+        (900001, src["text"] + " tiny tail"),  # near-dup of corpus -> drop
+        (900002, novel1),  # novel -> admit
+    ]
+    batch2 = [
+        (900003, novel1 + " edited end"),  # near-dup of batch-1 admit -> drop
+        (900004, " ".join(f"zz{i}c{i * 7 % 11}" for i in range(50))),  # admit
+    ]
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(batch1, "doc_id long, text string").repartition(
+        1
+    ).write.parquet(drop)
+    spark.createDataFrame(batch2, "doc_id long, text string").repartition(
+        1
+    ).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_minhash_dedup_gate(stream, idx, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q)
+    q.stop()
+
+    admitted = set(spark.read.parquet(out).toPandas().doc_id)
+    assert admitted == {900002, 900004}, admitted
