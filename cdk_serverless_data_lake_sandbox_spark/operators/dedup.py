@@ -1078,3 +1078,43 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+def minhash_index_compact(spark: SparkSession, index_path: str) -> dict:
+    """Compaction for the streaming-maintained index: E31 appends one
+    small file set per micro-batch; periodically rewrite ``sig/`` and
+    ``bands/`` consolidated (the D3 compaction policy applied to the
+    index artifact) so probe-side scans stay O(partitions), not
+    O(batches). Results are unchanged by construction — the rewrite
+    is a read + coalesced write of the same rows, staged then
+    atomically swapped. Returns file counts before/after."""
+    import os
+    import shutil
+
+    def _n_files(p):
+        return sum(
+            1
+            for root, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _n_files(index_path)
+    sig = spark.read.parquet(index_path + "/sig")
+    sig.coalesce(max(1, sig.rdd.getNumPartitions() // 8)).write.mode(
+        "overwrite"
+    ).parquet(index_path + "/sig_staged")
+    bands = spark.read.parquet(index_path + "/bands")
+    (
+        bands.repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(index_path + "/bands_staged")
+    )
+    for part in ("sig", "bands"):
+        shutil.rmtree(os.path.join(index_path, part), ignore_errors=True)
+        shutil.move(
+            os.path.join(index_path, part + "_staged"),
+            os.path.join(index_path, part),
+        )
+    return {"files_before": before, "files_after": _n_files(index_path)}

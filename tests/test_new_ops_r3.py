@@ -424,3 +424,52 @@ def test_multiprobe_lsh_dominates_single_probe(spark):
     r_multi = len(multi & exact) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.85, (r_single, r_multi)
+
+
+def test_minhash_index_compaction_preserves_results(spark, tmp_path):
+    """After simulated streaming appends, compaction shrinks the file
+    count and leaves query results identical."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_query,
+        _band_key_expr,
+        _minhash_signatures,
+    )
+    from pyspark.sql import functions as FF
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    idx = str(tmp_path / "idx")
+    minhash_index_build(docs.where("doc_id < 250"), idx)
+    # simulate 3 micro-batch appends
+    for lo, hi in ((250, 300), (300, 350), (350, 400)):
+        part = docs.where(f"doc_id >= {lo} and doc_id < {hi}")
+        sigs = _minhash_signatures(part)
+        sigs.write.mode("append").parquet(idx + "/sig")
+        (
+            sigs.select(
+                "doc_id", FF.explode(FF.expr(f"array({_band_key_expr()})")).alias("b")
+            )
+            .select(
+                FF.col("b.band").alias("band"),
+                FF.col("b.key").alias("key"),
+                "doc_id",
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(idx + "/bands")
+        )
+    probe = docs.where("doc_id >= 400 and doc_id < 450")
+    before = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_index_query(spark, idx, probe, 0.5).collect()
+    }
+    stats = minhash_index_compact(spark, idx)
+    assert stats["files_after"] < stats["files_before"], stats
+    after = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_index_query(spark, idx, probe, 0.5).collect()
+    }
+    assert before == after
