@@ -38,6 +38,10 @@ def _shingled(docs: DataFrame) -> DataFrame:
 
 _JACCARD_TAU = 0.5
 
+# Suggested hot_threshold for the opt-in saturated-feature-space guard
+# in ngram_jaccard_pairs / containment_pairs (see their docstrings).
+_HOT_POSTING = 512
+
 # MinHash parameters: 32 permutations in 8 bands of 4 rows.
 # P(candidate | jaccard j) = 1-(1-j^4)^8: ~0.9998 at j=0.9 (where the
 # near-dup mass lives), ~0.001 at j=0.15 (the unrelated-pair mass for
@@ -118,7 +122,10 @@ def _hashed_shingles(docs: DataFrame, scratch_key: str | None) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, tau: float = _JACCARD_TAU, scratch_key: str | None = None
+    docs: DataFrame,
+    tau: float = _JACCARD_TAU,
+    scratch_key: str | None = None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (jaccard >= tau) over any
     documents-shaped frame — the reusable core of dedup_ngram_jaccard
@@ -162,13 +169,42 @@ def ngram_jaccard_pairs(
         .where(F.col("shingle").isNotNull())
         .select("doc_id", "n_sh", "shingle", (F.col("pos") < F.col("pl")).alias("pref"))
     )
+    # OPT-IN hybrid pair generation for saturated feature spaces.
+    # Normal corpora obey Heaps' law — the shingle space grows with
+    # the corpus, postings stay bounded (sf0.1 max posting: 25) — and
+    # the default plan emits pairs in-lambda from collect_list'd
+    # postings: one shuffle, one |posting|^2/2 allocation, no joins.
+    # A corpus whose feature space SATURATES (the synthetic tables
+    # have a 31-word vocabulary, so every possible trigram exists and
+    # postings grow linearly with corpus size — measured max 13,410
+    # members at 10x sf0.1) makes that one allocation ~90M structs
+    # and OOMs the task. Passing ``hot_threshold`` enables the guard:
+    # a count aggregation finds the (few) hot shingles, which are
+    # BROADCAST-excluded from the posting build; their pairs come
+    # from a spillable sort-merge self-join on member rows — same
+    # pairs, quadratic work distributed and memory-bounded. The guard
+    # is opt-in because it costs an extra agg + two joins (~30% at
+    # sf0.1) that bounded-posting corpora never need; run
+    # key_skew_profile / heaps_law_fit first to know which regime the
+    # data is in.
+    if hot_threshold is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("psz"))
+            .where(F.col("psz") > hot_threshold)
+            .select("shingle")
+        )
+        posting_src = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        hot = None
+        posting_src = inv
     # Posting-list pair generation: one shuffle on the shingle hash,
     # pairs emitted inside each posting. Postings are sorted so pairs
     # come out with a_id < b_id; the length filter and the
     # prefix condition prune inside the posting, before the pair ever
     # reaches a shuffle.
     postings = (
-        inv.groupBy("shingle")
+        posting_src.groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh", "pref"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
@@ -197,9 +233,37 @@ def ngram_jaccard_pairs(
         F.ceil(F.col("n_a") * tau) - 1, F.ceil(F.col("n_b") * tau) - 1
     )
     min_overlap = F.ceil((F.col("n_a") + F.col("n_b")) * (tau / (1.0 + tau)))
-    candidates = (
+    all_pairs = (
         postings.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.*")
+    )
+    if hot is not None:
+        hot_members = inv.join(F.broadcast(hot), "shingle", "left_semi")
+        ha = hot_members.select(
+            "shingle",
+            F.col("doc_id").alias("a_id"),
+            F.col("n_sh").alias("n_a"),
+            F.col("pref").alias("pref_a"),
+        )
+        hb = hot_members.select(
+            "shingle",
+            F.col("doc_id").alias("b_id"),
+            F.col("n_sh").alias("n_b"),
+            F.col("pref").alias("pref_b"),
+        )
+        hot_pairs = (
+            ha.join(hb, "shingle")
+            .where(
+                (F.col("a_id") < F.col("b_id"))
+                & (F.col("pref_a") | F.col("pref_b"))
+                & (F.col("n_b") >= F.col("n_a") * tau)
+                & (F.col("n_a") >= F.col("n_b") * tau)
+            )
+            .select("a_id", "b_id", "n_a", "n_b")
+        )
+        all_pairs = all_pairs.unionByName(hot_pairs)
+    candidates = (
+        all_pairs
         .groupBy("a_id", "b_id", "n_a", "n_b")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") + suffix_bound >= min_overlap)
@@ -570,7 +634,10 @@ WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) / LEN(a.sh)
 
 
 def containment_pairs(
-    docs: DataFrame, tau: float = _CONTAIN_TAU, scratch_key: str | None = None
+    docs: DataFrame,
+    tau: float = _CONTAIN_TAU,
+    scratch_key: str | None = None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs: C(a in b) = |a ∩ b| / |a|
     >= tau, tested with the smaller-shingle-set document as the
@@ -626,13 +693,29 @@ def containment_pairs(
             (F.col("pos") < F.col("pl")).alias("pref"),
         )
     )
+    # Opt-in hybrid generation, same policy and rationale as
+    # ngram_jaccard_pairs: with ``hot_threshold`` set, a cheap count
+    # finds hot shingles, which are broadcast-excluded from the
+    # posting build; their pairs come from a spillable self-join on
+    # member rows. Default (None) is the single in-lambda plan.
+    if hot_threshold is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("psz"))
+            .where(F.col("psz") > hot_threshold)
+            .select("shingle")
+        )
+        posting_src = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        hot = None
+        posting_src = inv
     # Postings sorted by (n_sh, doc_id): within flatten/transform the
     # opener x always has the fewer shingles, so the containment
     # direction is fixed at pair-generation time and only x's prefix
     # can open a pair. Each posting keeps its in-document position so
     # the candidate filter can apply the positional bound.
     postings = (
-        inv.groupBy("shingle")
+        posting_src.groupBy("shingle")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("n_sh", "doc_id", "pref", "pos"))
@@ -652,9 +735,40 @@ def containment_pairs(
         F.ceil(F.col("n_a") * tau) - 1,
         F.col("n_b") - 1 - F.col("max_pos_b"),
     )
-    candidates = (
+    all_pairs = (
         postings.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.*")
+    )
+    if hot is not None:
+        hot_members = inv.join(F.broadcast(hot), "shingle", "left_semi")
+        ha = hot_members.select(
+            "shingle",
+            F.col("doc_id").alias("a_id"),
+            F.col("n_sh").alias("n_a"),
+            F.col("pref").alias("pref_a"),
+        )
+        hb = hot_members.select(
+            "shingle",
+            F.col("doc_id").alias("b_id"),
+            F.col("n_sh").alias("n_b"),
+            F.col("pos").alias("pos_b"),
+        )
+        # the sorted-posting order is (n_sh, doc_id); replicate it in
+        # the join condition so the opener is the smaller-set side
+        hot_pairs = (
+            ha.join(hb, "shingle")
+            .where(
+                (
+                    (F.col("n_a") < F.col("n_b"))
+                    | ((F.col("n_a") == F.col("n_b")) & (F.col("a_id") < F.col("b_id")))
+                )
+                & F.col("pref_a")
+            )
+            .select("a_id", "b_id", "n_a", "n_b", "pos_b")
+        )
+        all_pairs = all_pairs.unionByName(hot_pairs)
+    candidates = (
+        all_pairs
         .groupBy("a_id", "b_id", "n_a", "n_b")
         .agg(F.count("*").alias("c"), F.max("pos_b").alias("max_pos_b"))
         .where(positional_bound >= min_overlap)

@@ -473,3 +473,27 @@ def test_minhash_index_compaction_preserves_results(spark, tmp_path):
         for r in minhash_index_query(spark, idx, probe, 0.5).collect()
     }
     assert before == after
+
+
+# --------------------------------------------- hot-posting guard paths
+def test_hot_posting_guard_produces_identical_pairs(spark):
+    """Forcing EVERY posting through the self-join guard
+    (hot_threshold=1) must reproduce the default in-lambda plan's
+    pair set exactly, for both the jaccard and containment cores —
+    the two physical strategies share one semantics."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    for core, key in ((ngram_jaccard_pairs, ("a_id", "b_id")),
+                      (containment_pairs, None)):
+        default = core(docs).collect()
+        forced = core(docs, hot_threshold=1).collect()
+        cols = default[0].asDict().keys() if default else []
+        d = {tuple(r[c] for c in cols) for r in default}
+        f = {tuple(r[c] for c in cols) for r in forced}
+        assert d == f and len(d) > 0, core.__name__
