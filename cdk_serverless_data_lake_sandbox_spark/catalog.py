@@ -241,6 +241,40 @@ class ResultsZone:
         run = self._latest_run(os.path.join(self.root, name)) if run is None else run
         return self.spark.read.parquet(os.path.join(self.root, name, f"run={run}"))
 
+    def run_cached(
+        self, name: str, df: DataFrame, max_age_s: float = 3600.0
+    ) -> tuple[int, bool]:
+        """Athena query-result REUSE (the workgroup's
+        result-reuse-by-age configuration): if the SAME query (by
+        Spark's ``semanticHash`` — plan-level identity, stable across
+        textual reformulations) ran within ``max_age_s``, return that
+        run instead of executing again. Returns (run_number, reused).
+
+        The fingerprint rides a sidecar file next to the run dir, so
+        reuse survives process restarts exactly like Athena's: result
+        objects plus metadata in the results location, no external
+        state. A hash match with a stale timestamp (or any hash
+        mismatch — the query changed) executes and persists a fresh
+        run; runs remain append-only either way."""
+        import json as _json
+        import time as _time
+
+        base = os.path.join(self.root, name)
+        fp = df.semanticHash()
+        meta_path = os.path.join(base, "_last_run.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            if (
+                meta.get("semantic_hash") == fp
+                and _time.time() - meta.get("ts", 0) <= max_age_s
+            ):
+                return meta["run"], True
+        run = self.run(name, df)
+        with open(meta_path, "w") as fh:
+            _json.dump({"semantic_hash": fp, "ts": _time.time(), "run": run}, fh)
+        return run, False
+
     def list_runs(self, name: str) -> list[int]:
         base = os.path.join(self.root, name)
         if not os.path.isdir(base):

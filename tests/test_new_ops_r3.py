@@ -497,3 +497,34 @@ def test_hot_posting_guard_produces_identical_pairs(spark):
         d = {tuple(r[c] for c in cols) for r in default}
         f = {tuple(r[c] for c in cols) for r in forced}
         assert d == f and len(d) > 0, core.__name__
+
+
+# ----------------------------------------------------- result reuse
+def test_results_zone_reuses_fresh_semantically_equal_runs(spark, tmp_path):
+    """Athena result-reuse analog: a semantically identical query
+    within the age window returns the stored run without a new
+    execution (no new run dir); a changed query or an expired window
+    executes fresh."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import (
+        ResultsZone,
+        load_tables,
+    )
+    from tests.conftest import SF_SMALL
+
+    rz = ResultsZone(spark, str(tmp_path / "results"))
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    q = docs.groupBy("lang").count()
+    r1, reused1 = rz.run_cached("lang_counts", q)
+    assert not reused1
+    # textually different but semantically identical plan
+    q2 = docs.groupBy("lang").count()
+    r2, reused2 = rz.run_cached("lang_counts", q2)
+    assert reused2 and r2 == r1
+    assert rz.list_runs("lang_counts") == [r1]
+    # a different query misses the cache
+    q3 = docs.groupBy("source").count()
+    r3, reused3 = rz.run_cached("lang_counts", q3)
+    assert not reused3 and r3 == r1 + 1
+    # expired window misses even on a hash match
+    r4, reused4 = rz.run_cached("lang_counts", q3, max_age_s=0.0)
+    assert not reused4 and r4 == r3 + 1
