@@ -928,25 +928,48 @@ def stream_minhash_dedup_gate(
     corpus-linear in SIGNATURES (32 longs/doc), not text. Within a
     batch, exact text dropDuplicates runs first; batch-internal
     near-dup pairs are admitted together (documented — run a batch
-    self-join or rely on the next compaction pass if that matters)."""
+    self-join or rely on the next compaction pass if that matters).
+
+    Batch-retry safety (the ``stream_bloom_gate`` recipe): output
+    lands under ``batch_id=N`` with overwrite, a marker commits LAST,
+    and a retry that finds completed output reuses that admit
+    decision instead of re-deciding against the already-updated index
+    (which would drop the whole batch as self-duplicates). Index
+    appends are guarded by the marker too: a crash between output and
+    marker re-appends the same signature rows once, which the probe
+    side tolerates (duplicate (band, key, doc) rows change no
+    candidate set) and the next ``minhash_index_compact``'s rewrite
+    collapses."""
+    import os
+
     from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
         _band_key_expr,
         _minhash_signatures,
         minhash_index_query,
     )
 
+    manifest_dir = os.path.join(index_path, "manifest")
+
     def gate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        marker = os.path.join(manifest_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
         spark = batch.sparkSession
-        batch = batch.dropDuplicates(["text"])
-        hits = (
-            minhash_index_query(spark, index_path, batch, min_est_jaccard)
-            .select(F.col("new_id").alias("doc_id"))
-            .distinct()
-        )
-        fresh = batch.join(hits, "doc_id", "left_anti")
-        fresh.write.mode("append").parquet(out_dir)
+        batch_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            fresh = spark.read.parquet(batch_dir)
+        else:
+            batch = batch.dropDuplicates(["text"])
+            hits = (
+                minhash_index_query(spark, index_path, batch, min_est_jaccard)
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            fresh = batch.join(hits, "doc_id", "left_anti")
+            fresh.write.mode("overwrite").parquet(batch_dir)
+            fresh = spark.read.parquet(batch_dir)
         sigs = _minhash_signatures(fresh)
         sigs.write.mode("append").parquet(index_path + "/sig")
         (
@@ -963,5 +986,8 @@ def stream_minhash_dedup_gate(
             .partitionBy("band")
             .parquet(index_path + "/bands")
         )
+        os.makedirs(manifest_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
 
     return stream.writeStream.foreachBatch(gate)

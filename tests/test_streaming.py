@@ -1298,3 +1298,27 @@ def test_stream_minhash_gate_drops_near_dups_and_maintains_index(
 
     admitted = set(spark.read.parquet(out).toPandas().doc_id)
     assert admitted == {900002, 900004}, admitted
+
+    # replay with a missing marker (simulated crash-before-commit):
+    # the durable admit decisions are reused, so nothing duplicates
+    # and nothing is re-dropped against the already-updated index
+    import os
+
+    for m in os.listdir(os.path.join(idx, "manifest")):
+        os.remove(os.path.join(idx, "manifest", m))
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q2 = (
+        stream_minhash_dedup_gate(stream2, idx, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q2)
+    q2.stop()
+    replayed = spark.read.parquet(out).toPandas()
+    assert set(replayed.doc_id) == {900002, 900004}
+    assert replayed.doc_id.is_unique
