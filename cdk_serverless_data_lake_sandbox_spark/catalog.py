@@ -268,6 +268,12 @@ class ResultsZone:
             if (
                 meta.get("semantic_hash") == fp
                 and _time.time() - meta.get("ts", 0) <= max_age_s
+                # The sidecar is advisory; the run dir is the result.
+                # A manually-cleaned (or crash-orphaned) run dir must
+                # fall through to a fresh execution, not hand back a
+                # run number whose read() fails until the sidecar ages
+                # out.
+                and os.path.isdir(os.path.join(base, f"run={meta.get('run')}"))
             ):
                 return meta["run"], True
         run = self.run(name, df)

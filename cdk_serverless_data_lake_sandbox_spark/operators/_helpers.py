@@ -153,3 +153,40 @@ def _scratch_read(spark, schema, path):
 
 def uuid_hex() -> str:
     return _uuid.uuid4().hex
+
+
+def swap_dir(target: str, staged: str) -> None:
+    """Atomically replace directory ``target`` with ``staged``.
+
+    The naive ``rmtree(target); move(staged, target)`` has a crash
+    window in which the state is GONE (deleted but not yet replaced) —
+    a reader that treats missing-as-empty then silently restarts from
+    scratch. Sequence here: move the live dir ASIDE, move the staged
+    dir into place, only then delete the old copy. Every crash point
+    leaves either the old state (at ``target`` or ``target + '_old'``)
+    or the new state at ``target`` — :func:`recover_dir` on the read
+    side restores the aside copy if the swap died mid-flight."""
+    import os as _os
+    import shutil as _shutil
+
+    old = target + "_old"
+    _shutil.rmtree(old, ignore_errors=True)
+    if _os.path.exists(target):
+        _shutil.move(target, old)
+    _shutil.move(staged, target)
+    _shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_dir(target: str) -> bool:
+    """Read-side companion to :func:`swap_dir`: if ``target`` is
+    missing but the aside copy from an interrupted swap exists,
+    restore it. Returns True iff ``target`` exists afterwards — the
+    caller distinguishes genuinely-absent state (bootstrap) from a
+    real read failure (corrupt files raise, they are NOT 'no state')."""
+    import os as _os
+    import shutil as _shutil
+
+    old = target + "_old"
+    if not _os.path.exists(target) and _os.path.exists(old):
+        _shutil.move(old, target)
+    return _os.path.exists(target)

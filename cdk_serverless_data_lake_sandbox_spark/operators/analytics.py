@@ -426,12 +426,19 @@ def percentiles_from_bins(merged: DataFrame, rng: DataFrame) -> DataFrame:
 def bin_values(events: DataFrame, rng: DataFrame, bins: int = _HR_BINS) -> DataFrame:
     """(event_type, bin) per event against fixed reference ranges —
     the shared encode half of the histogram rollup."""
+    # Clamp BOTH ends into [0, bins): against a fixed baseline range a
+    # live stream legally produces values above hi (top clamp) and
+    # below lo (bottom clamp) — a negative bin id would break the
+    # rollup/decode invariant and the lowest bin's quantile bound.
     return events.join(F.broadcast(rng), "event_type").select(
         "event_type",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / F.col("width") * bins)
-            .cast("int"),
-            F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / F.col("width") * bins)
+                .cast("int"),
+                F.lit(bins - 1),
+            ),
         ).alias("bin"),
     )
 

@@ -1101,6 +1101,14 @@ def minhash_index_query(
     the band join shuffles on (band, key) — 8-byte keys, bucket lists
     bounded by collision rate — and the signature re-join fetches
     only candidate rows."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import recover_dir
+
+    # Heal an interrupted compact swap (live dir moved aside, staged
+    # promotion crashed) before reading.
+    for part in ("bands", "sig"):
+        recover_dir(os.path.join(index_path, part))
     new_sigs = _minhash_signatures(new_docs)
     probe = new_sigs.select(
         F.col("doc_id").alias("new_id"),
@@ -1201,9 +1209,13 @@ def minhash_index_compact(spark: SparkSession, index_path: str) -> dict:
     index artifact) so probe-side scans stay O(partitions), not
     O(batches). Results are unchanged by construction — the rewrite
     is a read + coalesced write of the same rows, staged then
-    atomically swapped. Returns file counts before/after."""
+    atomically swapped (live dir moved aside before the staged one is
+    promoted — a crash mid-swap never leaves the index missing; the
+    probe side restores the aside copy). Returns file counts
+    before/after."""
     import os
-    import shutil
+
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import swap_dir
 
     def _n_files(p):
         return sum(
@@ -1226,9 +1238,5 @@ def minhash_index_compact(spark: SparkSession, index_path: str) -> dict:
         .parquet(index_path + "/bands_staged")
     )
     for part in ("sig", "bands"):
-        shutil.rmtree(os.path.join(index_path, part), ignore_errors=True)
-        shutil.move(
-            os.path.join(index_path, part + "_staged"),
-            os.path.join(index_path, part),
-        )
+        swap_dir(os.path.join(index_path, part), os.path.join(index_path, part + "_staged"))
     return {"files_before": before, "files_after": _n_files(index_path)}

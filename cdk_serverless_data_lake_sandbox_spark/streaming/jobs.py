@@ -762,10 +762,21 @@ def stream_bloom_gate(
     before/after the bits merge) REUSES that admit decision instead
     of re-deciding against possibly-already-merged bits — re-merging
     the same keys is free because bit_or is idempotent. So a replayed
-    batch can neither duplicate output nor lose admitted rows."""
-    import os
-    import shutil
+    batch can neither duplicate output nor lose admitted rows.
 
+    Filter-state durability: presence of prior bits is decided by
+    PATH existence (no per-batch count job on the hot path), the
+    bits swap moves the live dir aside before promoting the staged
+    one (a crash mid-swap is recovered on the next read), and a real
+    read failure — corrupt files, transient IO — RAISES rather than
+    being treated as 'no prior state', which would re-admit
+    previously admitted keys and void the no-duplicate guarantee."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        recover_dir,
+        swap_dir,
+    )
     from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
         _bloom_positions,
     )
@@ -802,12 +813,8 @@ def stream_bloom_gate(
                 (F.col("p") / 64).cast("long").alias("slot"),
                 F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
             )
-            try:
+            if recover_dir(bits_dir):
                 seen = spark.read.parquet(bits_dir)
-                have = seen.count() > 0
-            except Exception:
-                have = False
-            if have:
                 hit = (
                     probes.join(F.broadcast(seen), "slot")
                     .where(
@@ -828,19 +835,18 @@ def stream_bloom_gate(
             .groupBy("slot")
             .agg(F.bit_or("mask").alias("bitmap"))
         )
-        try:
+        if recover_dir(bits_dir):
             old = spark.read.parquet(bits_dir)
             merged = (
                 old.unionByName(new_bits)
                 .groupBy("slot")
                 .agg(F.bit_or("bitmap").alias("bitmap"))
             )
-        except Exception:
+        else:
             merged = new_bits
         staged = bits_dir + f"_staged{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(bits_dir, ignore_errors=True)
-        shutil.move(staged, bits_dir)
+        swap_dir(bits_dir, staged)
         os.makedirs(manifest_dir, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write("committed")
@@ -962,12 +968,22 @@ def stream_minhash_dedup_gate(
             fresh = spark.read.parquet(batch_dir)
         else:
             batch = batch.dropDuplicates(["text"])
-            hits = (
-                minhash_index_query(spark, index_path, batch, min_est_jaccard)
-                .select(F.col("new_id").alias("doc_id"))
-                .distinct()
-            )
-            fresh = batch.join(hits, "doc_id", "left_anti")
+            # Bootstrap: a fresh index has no bands/ or sig/ yet (the
+            # gate may be the first writer, with no prior
+            # minhash_index_build). Skip the probe and admit the whole
+            # deduped batch; the post-batch append below creates the
+            # index for every later batch to probe.
+            if os.path.exists(os.path.join(index_path, "bands")) and os.path.exists(
+                os.path.join(index_path, "sig")
+            ):
+                hits = (
+                    minhash_index_query(spark, index_path, batch, min_est_jaccard)
+                    .select(F.col("new_id").alias("doc_id"))
+                    .distinct()
+                )
+                fresh = batch.join(hits, "doc_id", "left_anti")
+            else:
+                fresh = batch
             fresh.write.mode("overwrite").parquet(batch_dir)
             fresh = spark.read.parquet(batch_dir)
         sigs = _minhash_signatures(fresh)
