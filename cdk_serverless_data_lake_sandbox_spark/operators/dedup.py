@@ -121,11 +121,49 @@ def _hashed_shingles(docs: DataFrame, scratch_key: str | None) -> DataFrame:
     )
 
 
+# Auto-mode posting-size bound: the in-lambda pair flatten allocates
+# |posting|^2/2 structs in one task — at 1024 that's ~0.5M structs
+# (~16 MB), comfortably inside task memory; the sf1 soak's observed
+# OOM posting (13,410 members -> ~90M structs) is 13x over it. Normal
+# (Heaps-law) corpora max out far below the bound (sf0.1: 25), so the
+# guard stays off for them and they pay only the probe aggregation.
+_HOT_AUTO_BOUND = 1024
+
+
+def _resolve_hot(inv: DataFrame, hot_threshold) -> DataFrame | None:
+    """Shared hot-shingle policy for the jaccard/containment pair
+    generators. ``"auto"`` (the default): one cheap map-side-combined
+    count over the posting rows finds shingles whose posting exceeds
+    ``_HOT_AUTO_BOUND``; if none exist — every corpus obeying Heaps'
+    law — the guard stays off and the plan is the unchanged in-lambda
+    one. A saturated feature space (the failure mode the sf1 soak
+    exposed: linear posting growth on a fixed vocabulary) engages the
+    guard automatically, so the default path can no longer OOM on a
+    data property the caller would otherwise have to know in advance.
+    An explicit int forces the guard at that bound (tests route every
+    posting through it); ``None`` forces it off. A non-None result is
+    materialized to scratch: three plan branches consume it (anti,
+    semi, and the emptiness probe) and the count agg should run
+    once."""
+    if hot_threshold is None:
+        return None
+    bound = _HOT_AUTO_BOUND if hot_threshold == "auto" else int(hot_threshold)
+    hot = materialize(
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("psz"))
+        .where(F.col("psz") > bound)
+        .select("shingle")
+    )
+    if hot_threshold == "auto" and hot.isEmpty():
+        return None
+    return hot
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     tau: float = _JACCARD_TAU,
     scratch_key: str | None = None,
-    hot_threshold: int | None = None,
+    hot_threshold: int | str | None = "auto",
 ) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (jaccard >= tau) over any
     documents-shaped frame — the reusable core of dedup_ngram_jaccard
@@ -169,7 +207,7 @@ def ngram_jaccard_pairs(
         .where(F.col("shingle").isNotNull())
         .select("doc_id", "n_sh", "shingle", (F.col("pos") < F.col("pl")).alias("pref"))
     )
-    # OPT-IN hybrid pair generation for saturated feature spaces.
+    # AUTO hybrid pair generation for saturated feature spaces.
     # Normal corpora obey Heaps' law — the shingle space grows with
     # the corpus, postings stay bounded (sf0.1 max posting: 25) — and
     # the default plan emits pairs in-lambda from collect_list'd
@@ -178,26 +216,19 @@ def ngram_jaccard_pairs(
     # have a 31-word vocabulary, so every possible trigram exists and
     # postings grow linearly with corpus size — measured max 13,410
     # members at 10x sf0.1) makes that one allocation ~90M structs
-    # and OOMs the task. Passing ``hot_threshold`` enables the guard:
-    # a count aggregation finds the (few) hot shingles, which are
+    # and OOMs the task. The guard: hot shingles (posting size over
+    # the bound — see :func:`_resolve_hot` for the auto policy) are
     # BROADCAST-excluded from the posting build; their pairs come
     # from a spillable sort-merge self-join on member rows — same
-    # pairs, quadratic work distributed and memory-bounded. The guard
-    # is opt-in because it costs an extra agg + two joins (~30% at
-    # sf0.1) that bounded-posting corpora never need; run
-    # key_skew_profile / heaps_law_fit first to know which regime the
-    # data is in.
-    if hot_threshold is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count("*").alias("psz"))
-            .where(F.col("psz") > hot_threshold)
-            .select("shingle")
-        )
-        posting_src = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    else:
-        hot = None
-        posting_src = inv
+    # pairs, quadratic work distributed and memory-bounded. Bounded-
+    # posting corpora pay only the probe aggregation; only the hot
+    # shingles themselves pay the join path.
+    hot = _resolve_hot(inv, hot_threshold)
+    posting_src = (
+        inv.join(F.broadcast(hot), "shingle", "left_anti")
+        if hot is not None
+        else inv
+    )
     # Posting-list pair generation: one shuffle on the shingle hash,
     # pairs emitted inside each posting. Postings are sorted so pairs
     # come out with a_id < b_id; the length filter and the
@@ -637,7 +668,7 @@ def containment_pairs(
     docs: DataFrame,
     tau: float = _CONTAIN_TAU,
     scratch_key: str | None = None,
-    hot_threshold: int | None = None,
+    hot_threshold: int | str | None = "auto",
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs: C(a in b) = |a ∩ b| / |a|
     >= tau, tested with the smaller-shingle-set document as the
@@ -693,22 +724,17 @@ def containment_pairs(
             (F.col("pos") < F.col("pl")).alias("pref"),
         )
     )
-    # Opt-in hybrid generation, same policy and rationale as
-    # ngram_jaccard_pairs: with ``hot_threshold`` set, a cheap count
-    # finds hot shingles, which are broadcast-excluded from the
-    # posting build; their pairs come from a spillable self-join on
-    # member rows. Default (None) is the single in-lambda plan.
-    if hot_threshold is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count("*").alias("psz"))
-            .where(F.col("psz") > hot_threshold)
-            .select("shingle")
-        )
-        posting_src = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    else:
-        hot = None
-        posting_src = inv
+    # Auto hybrid generation, same policy and rationale as
+    # ngram_jaccard_pairs (see :func:`_resolve_hot`): hot shingles are
+    # broadcast-excluded from the posting build; their pairs come
+    # from a spillable self-join on member rows. Bounded-posting
+    # corpora resolve to the single in-lambda plan.
+    hot = _resolve_hot(inv, hot_threshold)
+    posting_src = (
+        inv.join(F.broadcast(hot), "shingle", "left_anti")
+        if hot is not None
+        else inv
+    )
     # Postings sorted by (n_sh, doc_id): within flatten/transform the
     # opener x always has the fewer shingles, so the containment
     # direction is fixed at pair-generation time and only x's prefix
