@@ -584,7 +584,95 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C42
-@register("semantic_dedup")  # kmeans-based -> rows-only check
+def _semantic_dedup_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB oracle for :func:`semantic_dedup`: the SAME
+    deterministic Lloyd's k-means (k lowest vec_ids seed, per-dim
+    decimal(18,9) means cast to REAL, argmin ties to lowest cid),
+    intra-cluster cosine pairs, and recursive min-label components —
+    unrolled as one CTE chain per iteration. Every float-sensitive
+    expression mirrors the Spark tree exactly (double folds over REAL
+    inputs, decimal mean accumulation), which is why the hash compare
+    holds with no tolerance. ``k`` is pinned at the sf<=0.1 value of
+    the Spark side's max(8, min(256, n//500)) sizing — valid for every
+    gate/test SF (n <= 4000 ⇒ k = 8)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.embedding, c.ce), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM emb e CROSS JOIN c{i} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT cid, list(CAST(c AS REAL) ORDER BY pos) AS ce FROM (
+    SELECT cid, pos,
+      CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        / COUNT(*) AS c
+    FROM (
+      SELECT cid, unnest(embedding) AS val,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM a{i + 1}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+    ctes.append(f"""af AS (
+  SELECT vec_id, embedding, cid AS cluster,
+         {_SQL_NORM.format(a="embedding")} AS nrm
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM emb e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / (a.nrm * b.nrm) >= {_COSINE_TAU}
+)""")
+    ctes.append("""edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+)""")
+    ctes.append("""walk(node, label) AS (
+  SELECT vec_id, vec_id FROM af
+  UNION
+  SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node
+)""")
+    ctes.append(
+        "comp AS (SELECT node AS vec_id, MIN(label) AS label FROM walk GROUP BY node)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(g.label AS BIGINT) AS group_id,
+       CAST(af.cluster AS INTEGER) AS cluster,
+       CAST(g.n_members AS BIGINT) AS n_members
+FROM (
+  SELECT label, COUNT(*) AS n_members FROM comp GROUP BY label
+  HAVING COUNT(*) > 1
+) g JOIN af ON af.vec_id = g.label
+"""
+    )
+
+
+_SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
+
+
+@register("semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE)
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means partitions the embedding space, then

@@ -88,3 +88,36 @@ def test_auto_hot_guard_stays_off_on_bounded_postings(spark):
 
     strip = lambda p: re.sub(r"#\d+", "#", p)  # expression ids differ per plan
     assert strip(auto_plan) == strip(off_plan)
+
+
+# --------------------------------------- SURVEY §2 kind bookkeeping
+def test_survey_kinds_match_registry():
+    """The §2 checklist is the coverage contract: a row marked [Q]
+    must have a registered oracle and a row marked [R] must not —
+    the r3 verdict found exactly one mismatch (C42), so pin the whole
+    table."""
+    import os
+    import re
+
+    from cdk_serverless_data_lake_sandbox_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    qs, ors = all_queries(), all_oracles()
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(survey) as fh:
+        text = fh.read()
+    checked = 0
+    for m in re.finditer(
+        r"^\| ([A-E]\d+b?) \| `([a-z0-9_]+)`[^|]*\| ([A-Z]) \|", text, re.M
+    ):
+        row, name, kind = m.groups()
+        if name not in qs:
+            continue
+        if kind == "Q":
+            assert name in ors, f"{row} {name}: SURVEY says Q, registry has no oracle"
+        elif kind == "R":
+            assert name not in ors, f"{row} {name}: SURVEY says R, registry has an oracle"
+        checked += 1
+    assert checked > 120, f"only matched {checked} rows — regex drifted from SURVEY format"
