@@ -29,63 +29,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Queries the driver's (possibly truncated) verification pass must see
-# first: the 84 queries that have never received a driver verdict across
-# rounds 1-2 (driver samples 50/round; CORRECTNESS_r0{1,2}.json are the
-# ledger), preceded by anything whose implementation changed this
-# session. Everything else follows in registration order -- nothing is
-# dropped, only reordered.
+# first: anything whose implementation or oracle changed this session,
+# then the 60 queries that have never received a driver verdict across
+# rounds 1-3 (driver samples 50/round; CORRECTNESS_r0{1,2,3}.json are
+# the ledger). Everything else follows in registration order --
+# nothing is dropped, only reordered.
 _VERIFY_FIRST = [
-    # new this session (r3)
-    "ann_lsh_multiprobe",
-    "near_dup_source_matrix",
-    "keyness_llr",
-    "top_paths",
-    "order_reconciliation",
-    "dataset_card",
-    "cuped_lift",
-    "histogram_rollup_percentiles",
-    "compression_ratio",
-    "embedding_dim_ablation",
-    "global_shuffle",
-    "quality_ensemble",
-    "strip_dup_spans",
-    "phrase_search",
-    "unigram_entropy",
-    "cdc_chunk_dedup",
-    "bpe_tokenize_stats",
-    "dedup_threshold_sweep",
-    "training_export_pipeline",
-    "bigram_lm_logprob",
-    "quality_classifier_score",
-    "perplexity_bucket_mix",
-    "feature_hash_embedding",
-    "embedding_outliers",
-    "export_jsonl_shards",
-    "media_decode_profile",
-    "containment_dedup",
-    "key_skew_profile",
-    "scd2_point_in_time_join",
-    "dq_expectations",
-    "mad_outliers",
-    "cogroup_conversion_latency",
-    "near_dup_keep_best",
-    "gopher_quality_filter",
-    "source_overlap_matrix",
+    # changed this session (r4): oracle added
     "semantic_dedup",
-    "unigram_logprob",
-    "dsir_importance_weights",
-    "pii_scan",
-    "doc_repetition",
-    "contamination_check",
-    "domain_mix_weights",
-    "federated_jdbc_lookup",
-    "preview_region",
-    "preview_customer",
-    "preview_supplier",
-    "preview_part",
-    "preview_lineitem",
-    "preview_events",
-    "preview_documents",
+    # never driver-sampled through r3
     "preview_embeddings",
     "q2_min_cost_supplier",
     "q4_order_priority",
