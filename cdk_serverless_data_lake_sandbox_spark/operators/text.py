@@ -1423,16 +1423,69 @@ def _merge_pair_expr(col: str, a: str, b: str) -> str:
     )
 
 
-def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES) -> list:
-    """Distributed BPE training (Sennrich et al. 2016): ``n_merges``
-    rounds of [count adjacent symbol pairs over the DISTINCT-WORD
-    table weighted by frequency -> adopt the argmax pair -> merge it
-    everywhere]. All heavy work is vocabulary-sized (the corpus is
-    touched once for word counts); each round is one pair-count
-    aggregation plus a JVM fold rewrite of the symbol arrays, with
-    lineage truncated per round so the plan stays constant-size.
-    Ties break (count desc, pair asc) for cross-run determinism.
-    Returns the ranked merge list [(a, b), ...]."""
+# Merges adopted per Spark job in bpe_train. A real 32k-merge
+# tokenizer run at one job per merge is 32k sequential driver round
+# trips — wall-clock dies on job latency long before data size
+# matters; batching divides job count by ~this factor.
+_BPE_BATCH = 8
+
+
+def select_disjoint_batch(
+    ranked: list, batch_size: int, already: int, n_merges: int
+) -> list:
+    """Greedy batch selection over one round's (a, b, n) pair counts,
+    sorted by (n desc, a, b): accept up to ``batch_size`` merges whose
+    symbols neither touch any previously accepted pair's symbols nor
+    any symbol CREATED by one (a later pair's count could be stale in
+    either case — it waits for the next round's recount). Shared by
+    the Spark trainer and the pure-Python test reference so both
+    engines batch identically. With batch_size=1 this is classic
+    sequential BPE selection."""
+    accepted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b, n in ranked:
+        if len(accepted) >= min(batch_size, n_merges - already - len(accepted)):
+            break
+        if n < 2:
+            break
+        if a in used or b in used or (a + b) in used:
+            continue
+        accepted.append((a, b))
+        used.update((a, b, a + b))
+    return accepted
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _BPE_MERGES,
+    batch_size: int = _BPE_BATCH,
+    stats: dict | None = None,
+) -> list:
+    """Distributed BPE training (Sennrich et al. 2016): rounds of
+    [count adjacent symbol pairs over the DISTINCT-WORD table weighted
+    by frequency -> adopt a BATCH of merges -> merge them everywhere].
+    All heavy work is vocabulary-sized (the corpus is touched once for
+    word counts); each round is one pair-count aggregation plus one
+    JVM fold rewrite of the symbol arrays, with lineage truncated per
+    round so the plan stays constant-size.
+
+    Batching is the standard job-count fix: the round's top pairs are
+    collected once and up to ``batch_size`` pairwise-DISJOINT merges
+    adopted together (``select_disjoint_batch``); pairs touching an
+    earlier accepted pair's symbols — whose counts the earlier merge
+    may change — are deferred to the next round's recount. Job count
+    is therefore ~n_merges/batch_size instead of n_merges; a 32k-merge
+    production run becomes ~4k jobs. The trade (explicit): when merge
+    ORDER is ambiguous (a later-accepted merge would, under strict
+    sequential replay, have been outranked by a pair the batch's first
+    merge created or shrank) the batched list can deviate from
+    one-at-a-time BPE; with batch_size=1 the output is exactly classic
+    sequential BPE, and the parity tests pin both modes against
+    pure-Python references of the same selection rule. Ties break
+    (count desc, pair asc) for cross-run determinism. Returns the
+    ranked merge list [(a, b), ...]; ``stats`` (if given) records the
+    round count."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     words = d.select(
         F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
@@ -1444,8 +1497,12 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES) -> 
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pair = (
+    rounds = 0
+    while len(merges) < n_merges:
+        # Collect a candidate margin past batch_size so symbol-overlap
+        # skips still fill the batch; the collect is (8x batch) tiny
+        # rows, not the vocabulary.
+        top = (
             vocab.where(F.size("syms") >= 2)  # sequence(1,0) steps BACKWARD
             .select(
                 "freq",
@@ -1458,17 +1515,31 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES) -> 
             )
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("n"))
+            .where(F.col("n") >= 2)
             .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
+            .limit(max(batch_size * 8, 8))
             .collect()
         )
-        if not pair or pair[0]["n"] < 2:
+        rounds += 1
+        batch = select_disjoint_batch(
+            [(r["a"], r["b"], r["n"]) for r in top],
+            batch_size,
+            len(merges),
+            n_merges,
+        )
+        if not batch:
             break
-        a, b = pair[0]["a"], pair[0]["b"]
-        merges.append((a, b))
+        merges.extend(batch)
+        # Disjoint symbols -> the chained folds commute; one select,
+        # one lineage truncation per ROUND, not per merge.
+        expr = "syms"
+        for a, b in batch:
+            expr = _merge_pair_expr(expr, a, b)
         vocab = vocab.select(
-            "word", "freq", F.expr(_merge_pair_expr("syms", a, b)).alias("syms")
+            "word", "freq", F.expr(expr).alias("syms")
         ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -201,13 +201,58 @@ def test_quality_classifier_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
-def test_bpe_train_apply_matches_reference(spark):
-    """bpe_train + bpe_tokenize_stats must reproduce a pure-Python
-    reference BPE (same tie-breaks, same leftmost-non-overlapping
-    merge order) exactly, on the sf0.001 corpus."""
+def _bpe_merge(syms, a, b):
+    out = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _ref_bpe(wc, n_merges, batch_size):
+    """Pure-Python BPE with the SAME batched selection rule as the
+    Spark trainer (select_disjoint_batch is shared, so only the
+    count/apply halves are independently reimplemented here).
+    batch_size=1 is classic sequential Sennrich BPE."""
     from collections import Counter
 
     from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        select_disjoint_batch,
+    )
+
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    while len(merges) < n_merges:
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        ranked = sorted(
+            ((a, b, n) for (a, b), n in pc.items()), key=lambda t: (-t[2], t[0], t[1])
+        )
+        batch = select_disjoint_batch(ranked, batch_size, len(merges), n_merges)
+        if not batch:
+            break
+        merges.extend(batch)
+        for a, b in batch:
+            vocab = {w: _bpe_merge(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_bpe_train_apply_matches_reference(spark):
+    """bpe_train + bpe_tokenize_stats must reproduce a pure-Python
+    reference BPE (same tie-breaks, same leftmost-non-overlapping
+    merge order, same disjoint-batch selection) exactly, on the
+    sf0.001 corpus — in BOTH modes: the default batched trainer, and
+    batch_size=1 which must equal classic one-merge-per-round BPE.
+    Batching must also actually cut the round count (the reason it
+    exists: a 32k-merge run can't be 32k sequential Spark jobs)."""
+    from collections import Counter
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _BPE_BATCH,
         _BPE_MERGES,
         bpe_train,
     )
@@ -219,32 +264,17 @@ def test_bpe_train_apply_matches_reference(spark):
     }
     wc = Counter(w for t in docs.values() for w in t.strip().split() if w)
 
-    def merge(syms, a, b):
-        out = []
-        for x in syms:
-            if out and out[-1] == a and x == b:
-                out[-1] = a + b
-            else:
-                out.append(x)
-        return out
+    # classic sequential mode
+    seq_ref, _ = _ref_bpe(wc, _BPE_MERGES, batch_size=1)
+    assert bpe_train(spark, SF_SMALL, batch_size=1) == seq_ref
 
-    vocab = {w: list(w) for w in wc}
-    ref_merges = []
-    for _ in range(_BPE_MERGES):
-        pc = Counter()
-        for w, syms in vocab.items():
-            for i in range(len(syms) - 1):
-                pc[(syms[i], syms[i + 1])] += wc[w]
-        if not pc:
-            break
-        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        if n < 2:
-            break
-        ref_merges.append((a, b))
-        vocab = {w: merge(s, a, b) for w, s in vocab.items()}
-
-    got_merges = bpe_train(spark, SF_SMALL)
-    assert got_merges == ref_merges
+    # default batched mode: identical to the batched reference, and
+    # round count sublinear in merges
+    batch_ref, vocab = _ref_bpe(wc, _BPE_MERGES, batch_size=_BPE_BATCH)
+    stats: dict = {}
+    got_merges = bpe_train(spark, SF_SMALL, stats=stats)
+    assert got_merges == batch_ref
+    assert stats["rounds"] <= -(-_BPE_MERGES // _BPE_BATCH) + 2, stats
 
     got = {
         r.doc_id: (r.n_words, r.n_pieces)
