@@ -437,6 +437,358 @@ def jpeg_encode_header(w: int, h: int, body: bytes = b"") -> bytes:
     return b"\xff\xd8" + app0 + sof0 + body + b"\xff\xd9"
 
 
+# --- REAL baseline JPEG codec (grayscale), stdlib + numpy only -----
+#
+# Same scope policy as the PNG codec above: one honestly-implemented
+# variant (baseline DCT, 8-bit, single component, no restart markers)
+# rather than a codec-library shim. The decoder is general within
+# that scope — it reads quantization and Huffman tables FROM the
+# bitstream (DQT/DHT), so any conforming encoder's grayscale baseline
+# output decodes here, not just our own. References: ITU-T T.81
+# (public spec) §§A.3 (DCT, zigzag), F.1-F.2 (entropy codec),
+# Annex K (the standard example tables used by the encoder).
+
+# Standard luminance quantization table (T.81 Annex K.1), natural
+# (row-major) order.
+_JPEG_STD_LUM_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+# Standard luminance Huffman specs (T.81 Annex K.3): (bits[1..16],
+# symbol values). The DECODER never uses these — it builds tables
+# from the file's DHT segments; they only seed the encoder.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> list:
+    """The 64 (row, col) block coordinates in JPEG zigzag order
+    (T.81 Figure 5): even diagonals walk row-descending, odd ones
+    row-ascending."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rows if s % 2 else reversed(list(rows))):
+            out.append((r, s - r))
+    return out
+
+
+_ZZ = _zigzag_order()
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II basis (T.81 A.3.3's FDCT/IDCT pair
+    as one matrix): forward is D @ block @ D.T, inverse D.T @ F @ D."""
+    import numpy as np
+
+    n = np.arange(8)
+    d = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2
+    d[0] /= np.sqrt(2)
+    return d
+
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) canonical Huffman assignment from a
+    DHT-style (bits, values) spec (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in reversed(range(nbits)):
+            self._acc = (self._acc << 1) | ((val >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)  # pad to byte boundary with 1-bits (F.1.2.3)
+
+
+class _BitReader:
+    """MSB-first bit unpacker with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            if self._n == 0:
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                        raise ValueError("unexpected marker inside entropy data")
+                    self.pos += 1
+                self._acc = b
+                self._n = 8
+            self._n -= 1
+            v = (v << 1) | ((self._acc >> self._n) & 1)
+        return v
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC coefficient (F.1.2.1.1):
+    negatives are sent as v + 2^size - 1."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _jpeg_extend(raw: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return raw if raw >= (1 << (size - 1)) else raw - (1 << size) + 1
+
+
+def jpeg_encode(arr, quant=None) -> bytes:
+    """REAL baseline JPEG encoder: 8-bit grayscale, standard Annex K
+    Huffman tables, any quantization table (default: all-ones, i.e.
+    near-lossless — the DCT round trip then bounds per-pixel error by
+    rounding alone, which is what lets tests pin the decoder against
+    known pixel content). Output decodes in any JPEG viewer."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64).reshape(8, 8)
+    # replicate-pad to full 8x8 blocks
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
+    d = _dct_matrix()
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coef = d @ img[by : by + 8, bx : bx + 8] @ d.T
+            zq = np.rint(coef / q).astype(int)
+            seq = [zq[r, c] for r, c in _ZZ]
+            size, bits = _jpeg_magnitude(seq[0] - prev_dc)
+            prev_dc = seq[0]
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if seq[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if seq[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL
+                    bw.write(zc, zl)
+                    run -= 16
+                size, bits = _jpeg_magnitude(seq[i])
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                ec, el = ac_codes[0x00]  # EOB
+                bw.write(ec, el)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = bytes([0]) + bytes(int(q[r, c]) for r, c in _ZZ)
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, qz)
+        + seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        + seg(0xC4, dht)
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_decode(data: bytes):
+    """REAL baseline JPEG decode for 8-bit single-component
+    (grayscale) images without restart markers: marker walk, DQT/DHT
+    tables read from the bitstream, Huffman entropy decode with byte
+    unstuffing, dequantize, de-zigzag, IDCT, level shift, crop to the
+    SOF dimensions. Returns (width, height, 2-D uint8 pixels); raises
+    ValueError on malformed bytes or an out-of-scope variant
+    (progressive, multi-component, DRI) — callers route those to the
+    header-only tier."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, list] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dims = None
+    qsel = None
+    dc_id = ac_id = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                if body[p] >> 4:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qtables[body[p] & 0x0F] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls_id = body[p]
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                huff[(cls_id >> 4, cls_id & 0x0F)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                p += 17 + n
+        elif marker == 0xC0:
+            # body: precision, h(2), w(2), ncomp, then per component
+            # (id, sampling, qtable-selector)
+            if body[5] != 1:
+                raise ValueError("only single-component (grayscale) baseline")
+            if body[7] != 0x11:
+                raise ValueError("subsampled grayscale unsupported")
+            hgt, wid = struct.unpack(">HH", body[1:5])
+            dims = (wid, hgt)
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:
+            raise ValueError("restart markers unsupported")
+        elif marker == 0xDA:
+            sel = body[2]
+            dc_id, ac_id = sel >> 4, sel & 0x0F
+            scan = data[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    if dims is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h = dims
+    if qsel not in qtables or (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("JPEG missing tables for scan")
+    qz = qtables[qsel]
+    qmat = np.empty((8, 8))
+    for i, (r, c) in enumerate(_ZZ):
+        qmat[r, c] = qz[i]
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+
+    br = _BitReader(scan)
+
+    def read_symbol(tab: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    d = _dct_matrix()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.empty((ph, pw), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            seq = [0] * 64
+            size = read_symbol(dc_tab)
+            prev_dc += _jpeg_extend(br.read(size), size)
+            seq[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += sym >> 4
+                if i > 63:
+                    raise ValueError("AC run overflows block")
+                seq[i] = _jpeg_extend(br.read(sym & 0x0F), sym & 0x0F)
+                i += 1
+            coef = np.zeros((8, 8))
+            for i, (r, c) in enumerate(_ZZ):
+                coef[r, c] = seq[i]
+            block = d.T @ (coef * qmat) @ d + 128.0
+            out[by : by + 8, bx : bx + 8] = np.clip(np.rint(block), 0, 255).astype(
+                np.uint8
+            )
+    return w, h, out[:h, :w]
+
+
 def wav_encode(samples, sample_rate: int = 16000) -> bytes:
     """REAL WAV PCM encode through the stdlib ``wave`` module:
     16-bit mono little-endian."""
@@ -491,12 +843,14 @@ _REAL_MEDIA_SCHEMA = StructType(
 
 def attach_real_media(docs: DataFrame) -> DataFrame:
     """Synthesize REAL media from documents, deterministic per doc_id:
-    modality cycles png/jpeg/wav by ``doc_id % 3``. PNG payloads are
-    complete valid images (decodable pixels), WAV payloads complete
-    valid PCM clips, JPEG payloads valid headers around an opaque
-    body. Encoding runs in ``mapInPandas`` (one Python crossing per
-    Arrow batch) — this is the test-data synthesizer, not a hot path;
-    a real ingest lands bytes from upstream."""
+    modality cycles png/jpeg/wav by ``doc_id % 3``. All three payloads
+    are complete valid files with decodable content — PNG and JPEG
+    images with known pixel patterns (the JPEG entropy-coded with the
+    all-ones quantization table, so decoded pixels pin to the pattern
+    within DCT rounding), WAV PCM clips. Encoding runs in
+    ``mapInPandas`` (one Python crossing per Arrow batch) — this is
+    the test-data synthesizer, not a hot path; a real ingest lands
+    bytes from upstream."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -512,7 +866,8 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
                     media = png_encode((x + y * 3 + d) % 256)
                     meta = ("png", w, h, 0)
                 elif kind == 1:
-                    media = jpeg_encode_header(w, h, body=bytes([d % 251]) * 64)
+                    x, y = np.meshgrid(np.arange(w), np.arange(h))
+                    media = jpeg_encode((x * 2 + y * 5 + d) % 256)
                     meta = ("jpeg", w, h, 0)
                 else:
                     n = 64 + d % 64
@@ -549,8 +904,11 @@ def decode_real_media(media: DataFrame) -> DataFrame:
     - PNG -> full pixel decode; features = 8-bin pixel histogram.
     - WAV -> PCM sample decode; features = 8-bin histogram over the
       normalized sample range.
-    - JPEG -> header parse only (dimensions); byte-level features
-      over the body as the stand-in for the codec-bound pixel pass.
+    - JPEG -> full baseline pixel decode (Huffman + dequant + IDCT,
+      :func:`jpeg_decode`); features = 8-bin pixel histogram, same as
+      PNG. Out-of-scope variants (progressive, color, DRI) fall back
+      to the header parse — dimensions and byte-level features, with
+      ``header_ok`` still validating the dimensions.
 
     ``header_ok`` validates decoded dimensions/rate against the meta
     struct — a corrupt or mislabeled payload flags false for DLQ
@@ -583,9 +941,15 @@ def decode_real_media(media: DataFrame) -> DataFrame:
                         ok = w == meta["width"] and h == meta["height"]
                     elif data[:2] == b"\xff\xd8":
                         mod = "jpeg"
-                        w, h = jpeg_header(data)
-                        body = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
-                        n, mean, feats = 0, float(body.mean()), hist8(body)
+                        try:
+                            w, h, px = jpeg_decode(data)
+                            flat = px.ravel().astype(np.float64)
+                            n, mean, feats = flat.size, float(flat.mean()), hist8(flat)
+                        except ValueError:
+                            # out-of-scope variant: header-only tier
+                            w, h = jpeg_header(data)
+                            body = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                            n, mean, feats = 0, float(body.mean()), hist8(body)
                         ok = w == meta["width"] and h == meta["height"]
                     elif data[:4] == b"RIFF":
                         mod = "wav"

@@ -232,6 +232,70 @@ def test_wav_and_jpeg_roundtrip():
     assert jpeg_header(jpeg_encode_header(1920, 1080, b"\x00" * 32)) == (1920, 1080)
 
 
+def test_jpeg_codec_roundtrip_near_lossless():
+    """The baseline JPEG codec with the all-ones quantization table
+    must reproduce arbitrary pixel content within DCT rounding (max
+    abs error 1) at every block-alignment shape, and jpeg_header must
+    agree with the full decode's dimensions."""
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_header,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in ((8, 8), (16, 24), (31, 17), (9, 40)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = jpeg_encode(img)
+        w, h, px = jpeg_decode(data)
+        assert (w, h) == (shape[1], shape[0])
+        assert jpeg_header(data) == (w, h)
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_codec_lossy_and_scope():
+    """The standard Annex-K quantization table path is genuinely
+    lossy-but-close (the codec is real, not a byte passthrough), and
+    out-of-scope variants raise ValueError instead of returning
+    garbage — progressive frames, restart intervals, and the legacy
+    header-only payloads all route to the header tier."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        _JPEG_STD_LUM_Q,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_header,
+    )
+
+    x, y = np.meshgrid(np.arange(48), np.arange(32))
+    img = np.minimum(x * 4 + y * 2, 255).astype(np.uint8)
+    data = jpeg_encode(img, quant=_JPEG_STD_LUM_Q)
+    w, h, px = jpeg_decode(data)
+    assert (w, h) == (48, 32)
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert 0 < err.mean() < 8.0  # lossy, but a faithful image
+
+    # progressive: flip the SOF0 marker to SOF2
+    prog = bytearray(data)
+    prog[prog.index(b"\xff\xc0")+1] = 0xC2
+    with _pytest.raises(ValueError):
+        jpeg_decode(bytes(prog))
+    # restart interval: splice a DRI segment after APP0
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    cut = 2 + 2 + 2 + 16  # SOI + APP0 marker+len+body
+    with _pytest.raises(ValueError):
+        jpeg_decode(data[:cut] + dri + data[cut:])
+    # legacy header-only payload (no tables, no scan)
+    with _pytest.raises(ValueError):
+        jpeg_decode(jpeg_encode_header(32, 16, b"\x01" * 16))
+
+
 def test_decode_real_media_end_to_end(spark):
     """Real-bytes decode over Spark: every synthesized payload decodes,
     validates against its meta, and PNG pixel means match the known
@@ -253,6 +317,8 @@ def test_decode_real_media_end_to_end(spark):
     assert all(r.header_ok for r in rows), [r for r in rows if not r.header_ok][:3]
     mods = {r.doc_id % 3: r.modality for r in rows}
     assert mods == {0: "png", 1: "jpeg", 2: "wav"}
+    import numpy as np
+
     for r in rows:
         if r.modality == "png":
             assert r.n_values == r.width * r.height > 0
@@ -261,7 +327,16 @@ def test_decode_real_media_end_to_end(spark):
         elif r.modality == "wav":
             assert r.sample_rate == 16000 and r.n_values >= 64
         else:
-            assert (r.width, r.height) == (16 + r.doc_id % 16, 16 + (r.doc_id * 7) % 16)
+            w, h = 16 + r.doc_id % 16, 16 + (r.doc_id * 7) % 16
+            assert (r.width, r.height) == (w, h)
+            # full pixel decode now: pin the decoded mean against the
+            # synthesizer's known pattern within DCT rounding (the
+            # all-ones quant table bounds per-pixel error at 1)
+            assert r.n_values == w * h > 0
+            x, y = np.meshgrid(np.arange(w), np.arange(h))
+            want = float(((x * 2 + y * 5 + r.doc_id) % 256).mean())
+            assert abs(r.mean_value - want) <= 1.0, (r.doc_id, r.mean_value, want)
+            assert abs(sum(r.features) - 1.0) < 1e-9
 
 
 def test_decode_real_media_flags_corruption(spark):
