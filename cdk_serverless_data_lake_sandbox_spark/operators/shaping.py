@@ -878,3 +878,149 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.withColumn("shard", shard)
         .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------- C101
+_CHAR_K = 50  # Lee et al. 2022's 50-character duplicate threshold
+
+_STRIP_CHARS_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, i - 1 AS p0, substr(text, i, {_CHAR_K}) AS span
+  FROM documents, UNNEST(generate_series(1, LENGTH(text) - {_CHAR_K - 1})) t(i)
+  WHERE LENGTH(text) >= {_CHAR_K}
+), own AS (
+  SELECT span, MIN(doc_id) AS owner
+  FROM pos GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT p.doc_id, p.p0 + u.o AS p
+  FROM pos p JOIN own ON p.span = own.span AND p.doc_id <> own.owner,
+    UNNEST(generate_series(0, {_CHAR_K - 1})) AS u(o)
+), tok AS (
+  SELECT doc_id, i - 1 AS p, substr(text, i, 1) AS ch
+  FROM documents, UNNEST(generate_series(1, LENGTH(text))) t(i)
+), kept AS (
+  SELECT t.doc_id, t.p, t.ch FROM tok t
+  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(ch, '' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+  CAST(LENGTH(d.text) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(a.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def strip_dup_chars_frame(
+    docs: DataFrame, k: int = _CHAR_K, scratch_key: str | None = None
+) -> DataFrame:
+    """CHARACTER-level exact-substring dedup removal (Lee et al. 2022,
+    arXiv:2107.06499 §4's suffix-array method, re-expressed as linear
+    DataFrame passes): any substring of >= ``k`` characters shared by
+    two documents keeps one canonical copy (the min-doc_id owner) and
+    is excised everywhere else, with the text rebuilt from surviving
+    characters. This is the sub-word-granularity complement of
+    ``strip_dup_spans``: word-8-grams miss boilerplate that does not
+    align to word boundaries (markup fragments, concatenated
+    identifiers, partial sentences) — a duplicated substring of length
+    L >= k is exactly the union of its overlapping char-k-grams, so
+    marking every position covered by a multi-document k-gram excises
+    precisely the positions the suffix-array method would.
+
+    Scale: the same inverted-index discipline as the word variant —
+    one scan emits (doc, position, xxhash64(k-gram)) rows (one row per
+    character, the suffix array's O(total chars) footprint), one
+    map-side-combinable aggregation finds multi-document grams, and
+    the removable occurrences come back as start positions. Excision
+    is NOT per-character after that: starts collapse per document into
+    merged [start, start+k) intervals with one in-row fold (intervals
+    per doc bounded by duplicate regions, not length), and the clean
+    text is rebuilt by slicing the complement gaps out of the original
+    string — a second fold, no per-char shuffle. The oracle rebuilds
+    per-character (quadratic-ish but exact) from raw span strings;
+    Spark ships 8-byte hashes, the usual 2^-64 collision trade."""
+    pos = (
+        docs.where(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(1, length(text) - {k - 1}),
+                          i -> struct(i - 1 AS p0,
+                                      xxhash64(substring(text, i, {k})) AS h))"""
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.p0").alias("p0"), F.col("s.h").alias("h"))
+    )
+    pos = materialize(pos, key=scratch_key)
+    own = (
+        pos.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    starts = (
+        pos.join(own, "h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p0")).alias("ps"))
+    )
+    # merge sorted, fixed-length-k start positions into disjoint
+    # [s, e) intervals: one in-row fold, no explode
+    ivs = F.expr(
+        f"""aggregate(ps, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+              (acc, x) -> IF(size(acc) > 0 AND x <= element_at(acc, -1).e,
+                concat(slice(acc, 1, size(acc) - 1),
+                       array(struct(element_at(acc, -1).s AS s,
+                                    x + {k} AS e))),
+                concat(acc, array(struct(x AS s, x + {k} AS e)))))"""
+    )
+    rebuilt = (
+        docs.join(starts, "doc_id")
+        .select("doc_id", "text", ivs.alias("ivs"))
+        .select(
+            "doc_id",
+            F.expr("aggregate(ivs, 0, (a, iv) -> a + (iv.e - iv.s))")
+            .cast("bigint")
+            .alias("n_removed"),
+            # slice the complement gaps out of the original text
+            F.expr(
+                """aggregate(ivs,
+                     struct(0 AS pos, '' AS acc),
+                     (st, iv) -> struct(iv.e AS pos,
+                       concat(st.acc,
+                              substring(text, st.pos + 1, iv.s - st.pos)) AS acc),
+                     st -> concat(st.acc, substring(text, st.pos + 1,
+                                  length(text) - st.pos)))"""
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.col("text").alias("_text"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce("text_clean", "_text").alias("text_clean"),
+        )
+    )
+
+
+@register("strip_dup_chars", oracle=_STRIP_CHARS_ORACLE)
+def strip_dup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for :func:`strip_dup_chars_frame` over the
+    corpus documents table (k=50, char-span index keyed per sf_dir)."""
+    return strip_dup_chars_frame(
+        _docs(spark, sf_dir), scratch_key=f"{sf_dir}:chars{_CHAR_K}pos"
+    )

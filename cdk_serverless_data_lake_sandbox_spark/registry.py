@@ -35,7 +35,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the ledger). Everything else follows in registration order --
 # nothing is dropped, only reordered.
 _VERIFY_FIRST = [
-    # changed this session (r4): oracle added
+    # new / changed this session (r4)
+    "strip_dup_chars",
     "semantic_dedup",
     # never driver-sampled through r3
     "preview_embeddings",

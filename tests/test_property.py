@@ -393,3 +393,56 @@ def test_cdc_chunker_matches_reference(spark, rows):
         for r in cdc_chunk_dedup_frame(docs).collect()
     }
     assert got == _ref_cdc(full)
+
+
+# ------------------------------------------------------ strip_dup_chars
+def _ref_strip_chars(texts: list[str], k: int):
+    """Pure-Python suffix-scan reference of character-level
+    exact-substring removal: every char position covered by a k-gram
+    occurring in >= 2 docs is excised except in the gram's min-doc
+    owner; text rebuilt from surviving characters."""
+    grams: dict[str, set[int]] = {}
+    for d, t in enumerate(texts):
+        for i in range(len(t) - k + 1):
+            grams.setdefault(t[i : i + k], set()).add(d)
+    owner = {g: min(ds) for g, ds in grams.items() if len(ds) >= 2}
+    out = []
+    for d, t in enumerate(texts):
+        covered: set[int] = set()
+        for i in range(len(t) - k + 1):
+            g = t[i : i + k]
+            if g in owner and owner[g] != d:
+                covered.update(range(i, i + k))
+        kept = "".join(c for p, c in enumerate(t) if p not in covered)
+        out.append((len(t), len(t) - len(kept), kept))
+    return out
+
+
+_char_texts = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=30),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_char_texts)
+def test_strip_dup_chars_matches_reference(spark, texts):
+    """Random tiny-alphabet corpora maximize char-gram collisions and
+    interval merges/abutments — the regime where an off-by-one in the
+    interval fold or the complement-slice rebuild would show. k=5 so
+    short random strings actually collide; the registered k=50 entry
+    rides the identical frame function."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        strip_dup_chars_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_removed"], r["text_clean"])
+        for r in strip_dup_chars_frame(docs, k=5).collect()
+    }
+    want = {i: row for i, row in enumerate(_ref_strip_chars(texts, k=5))}
+    assert got == want
