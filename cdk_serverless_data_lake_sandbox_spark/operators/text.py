@@ -812,6 +812,27 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window partitions by query_id — parallel across
     queries, and each query's candidate set is bounded by the
     vocabulary-filtered postings, not the corpus."""
+    scored = _bm25_scored(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 5).alias("score"),
+        )
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score) BM25 frame shared by the lexical
+    retrieval entry and the hybrid RRF fusion."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     words = F.split(F.trim(F.col("text")), r"\s+")
     toks = d.select("doc_id", F.explode_outer(words).alias("token")).where(
@@ -842,28 +863,13 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(qt), "token")
         .join(F.broadcast(df), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(idf * norm).alias("score"))
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), "doc_id"
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _BM25_TOPK)
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.round("score", 5).alias("score"),
-        )
     )
 
 
@@ -1853,4 +1859,164 @@ def keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("g2"), "word")
         .limit(_KEYNESS_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------- C102
+_RRF_K = 60  # Cormack et al. 2009's reciprocal-rank-fusion constant
+_FUSE_DEPTH = 20  # candidate depth per leg
+_FUSE_TOPK = 10
+
+_HYBRID_ORACLE = f"""
+WITH qt AS ({_BM25_QT_SQL}),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN {_BM25_TERMS_SQL} GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), dl AS (
+  SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+), bm_scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    SUM(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+            + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+  FROM tf
+  JOIN qt ON tf.token = qt.token
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), bmk AS (
+  SELECT query_id, doc_id, bm25_rank FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS bm25_rank
+    FROM bm_scored
+  ) WHERE bm25_rank <= {_FUSE_DEPTH}
+), qv AS (
+  SELECT vec_id AS query_id,
+    embedding AS qe,
+    sqrt(list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id IN ({", ".join(str(q) for q in sorted(_BM25_QUERIES))})
+), dv AS (
+  SELECT d.doc_id, e.embedding AS de,
+    sqrt(list_sum(list_transform(e.embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS dn
+  FROM documents d
+  JOIN embeddings e
+    ON e.vec_id = d.doc_id % (SELECT COUNT(*) FROM embeddings)
+), annk AS (
+  SELECT query_id, doc_id, ann_rank FROM (
+    SELECT qv.query_id, dv.doc_id,
+      ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+        list_sum(list_transform(list_zip(dv.de, qv.qe),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (dv.dn * qv.qn) DESC, dv.doc_id) AS ann_rank
+    FROM dv CROSS JOIN qv
+  ) WHERE ann_rank <= {_FUSE_DEPTH}
+), fused AS (
+  SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+    COALESCE(b.doc_id, a.doc_id) AS doc_id,
+    COALESCE(1e0 / ({_RRF_K} + b.bm25_rank), 0e0)
+      + COALESCE(1e0 / ({_RRF_K} + a.ann_rank), 0e0) AS rrf,
+    b.bm25_rank AS bm25_rank, a.ann_rank AS ann_rank
+  FROM bmk b FULL OUTER JOIN annk a
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+)
+SELECT query_id, doc_id, fused_rank,
+  CAST(ROUND(rrf, 6) AS DOUBLE) AS rrf_score,
+  CAST(COALESCE(bm25_rank, 0) AS INT) AS bm25_rank,
+  CAST(COALESCE(ann_rank, 0) AS INT) AS ann_rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY rrf DESC, doc_id) AS INT) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {_FUSE_TOPK}
+"""
+
+
+@register("hybrid_retrieval_rrf", oracle=_HYBRID_ORACLE)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 lexical leg and an embedding-cosine semantic leg
+    each rank their top-{depth} candidates per query, and documents
+    are re-ranked by sum over legs of 1/(60 + rank) — the standard
+    RRF that needs no score calibration between legs. Documents are
+    linked to vectors deterministically (vec_id = doc_id mod
+    |embeddings|, the contract the synthetic tables support at every
+    SF); query q's vector is embedding vec_id = q.
+
+    Scale: the BM25 leg is the vocabulary-filtered plan
+    ``bm25_retrieval`` documents (shared scored frame). The semantic
+    leg here is the exact cosine scan — |queries| is 3, so the
+    cross-join side is a broadcast of 3 rows with hoisted norms, one
+    corpus pass, per-query top-k windows partitioned by query_id; a
+    production run swaps that leg for the IVF/LSH index probe
+    (``ivf_index_query``) without touching the fusion, which only
+    consumes (query_id, doc_id, rank) lists. The fusion itself is a
+    full-outer join of two depth-bounded rank lists — tiny."""
+    from pyspark.sql.window import Window
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    bm_w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    bmk = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("bm25_rank", F.row_number().over(bm_w))
+        .where(F.col("bm25_rank") <= _FUSE_DEPTH)
+        .select("query_id", "doc_id", "bm25_rank")
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n_vecs = e.count()  # one count job; a scalar, not data motion
+    qids = sorted(_BM25_QUERIES)
+    qv = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    dv = d.select("doc_id", (F.col("doc_id") % n_vecs).alias("vec_id")).join(
+        e.select("vec_id", F.col("embedding").alias("de"), _norm("embedding").alias("dn")),
+        "vec_id",
+    )
+    ann_w = Window.partitionBy("query_id").orderBy(
+        (_dot("de", "qe") / (F.col("dn") * F.col("qn"))).desc(), "doc_id"
+    )
+    annk = (
+        dv.crossJoin(F.broadcast(qv))
+        .withColumn("ann_rank", F.row_number().over(ann_w))
+        .where(F.col("ann_rank") <= _FUSE_DEPTH)
+        .select("query_id", "doc_id", "ann_rank")
+    )
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ann_rank")), F.lit(0.0))
+    fused = bmk.join(annk, ["query_id", "doc_id"], "full_outer").select(
+        "query_id", "doc_id", rrf.alias("rrf"), "bm25_rank", "ann_rank"
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(fw).cast("int"))
+        .where(F.col("fused_rank") <= _FUSE_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "fused_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+            F.coalesce("ann_rank", F.lit(0)).cast("int").alias("ann_rank"),
+        )
     )

@@ -37,6 +37,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _VERIFY_FIRST = [
     # new / changed this session (r4)
     "strip_dup_chars",
+    "hybrid_retrieval_rrf",
     "semantic_dedup",
     # never driver-sampled through r3
     "preview_embeddings",
