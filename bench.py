@@ -48,6 +48,9 @@ HEADLINE = [
     "embedding_dim_ablation",
     "histogram_rollup_percentiles",
     "top_paths",
+    # r4 additions
+    "strip_dup_chars",
+    "hybrid_retrieval_rrf",
 ]
 
 

@@ -130,7 +130,13 @@ def _hashed_shingles(docs: DataFrame, scratch_key: str | None) -> DataFrame:
 _HOT_AUTO_BOUND = 1024
 
 
-def _resolve_hot(inv: DataFrame, hot_threshold) -> DataFrame | None:
+_HOT_MISS = object()
+_HOT_CACHE: dict[tuple, DataFrame | None] = {}
+
+
+def _resolve_hot(
+    inv: DataFrame, hot_threshold, scratch_key: str | None = None
+) -> DataFrame | None:
     """Shared hot-shingle policy for the jaccard/containment pair
     generators. ``"auto"`` (the default): one cheap map-side-combined
     count over the posting rows finds shingles whose posting exceeds
@@ -143,11 +149,24 @@ def _resolve_hot(inv: DataFrame, hot_threshold) -> DataFrame | None:
     An explicit int forces the guard at that bound (tests route every
     posting through it); ``None`` forces it off. A non-None result is
     materialized to scratch: three plan branches consume it (anti,
-    semi, and the emptiness probe) and the count agg should run
-    once."""
+    semi, and the emptiness probe) and the count agg should run once.
+
+    The resolved decision is CACHED per (app, scratch_key, bound) —
+    posting sizes are a property of the materialized shingle scratch,
+    so every query deriving from the same corpus intermediate (jaccard
+    / containment / removal / components / source-matrix over one
+    sf_dir) pays the probe aggregation exactly once, the same
+    pay-once discipline as the scratch itself."""
     if hot_threshold is None:
         return None
     bound = _HOT_AUTO_BOUND if hot_threshold == "auto" else int(hot_threshold)
+    ck = None
+    if scratch_key is not None:
+        app = inv.sparkSession.sparkContext.applicationId
+        ck = (app, scratch_key, bound)
+        cached = _HOT_CACHE.get(ck, _HOT_MISS)
+        if cached is not _HOT_MISS:
+            return cached
     hot = materialize(
         inv.groupBy("shingle")
         .agg(F.count("*").alias("psz"))
@@ -155,7 +174,9 @@ def _resolve_hot(inv: DataFrame, hot_threshold) -> DataFrame | None:
         .select("shingle")
     )
     if hot_threshold == "auto" and hot.isEmpty():
-        return None
+        hot = None
+    if ck is not None:
+        _HOT_CACHE[ck] = hot
     return hot
 
 
@@ -223,7 +244,7 @@ def ngram_jaccard_pairs(
     # pairs, quadratic work distributed and memory-bounded. Bounded-
     # posting corpora pay only the probe aggregation; only the hot
     # shingles themselves pay the join path.
-    hot = _resolve_hot(inv, hot_threshold)
+    hot = _resolve_hot(inv, hot_threshold, scratch_key)
     posting_src = (
         inv.join(F.broadcast(hot), "shingle", "left_anti")
         if hot is not None
@@ -729,7 +750,7 @@ def containment_pairs(
     # broadcast-excluded from the posting build; their pairs come
     # from a spillable self-join on member rows. Bounded-posting
     # corpora resolve to the single in-lambda plan.
-    hot = _resolve_hot(inv, hot_threshold)
+    hot = _resolve_hot(inv, hot_threshold, scratch_key)
     posting_src = (
         inv.join(F.broadcast(hot), "shingle", "left_anti")
         if hot is not None
