@@ -38,10 +38,6 @@ def _shingled(docs: DataFrame) -> DataFrame:
 
 _JACCARD_TAU = 0.5
 
-# Suggested hot_threshold for the opt-in saturated-feature-space guard
-# in ngram_jaccard_pairs / containment_pairs (see their docstrings).
-_HOT_POSTING = 512
-
 # MinHash parameters: 32 permutations in 8 bands of 4 rows.
 # P(candidate | jaccard j) = 1-(1-j^4)^8: ~0.9998 at j=0.9 (where the
 # near-dup mass lives), ~0.001 at j=0.15 (the unrelated-pair mass for

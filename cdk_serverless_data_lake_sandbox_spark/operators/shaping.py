@@ -1024,3 +1024,74 @@ def strip_dup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_dup_chars_frame(
         _docs(spark, sf_dir), scratch_key=f"{sf_dir}:chars{_CHAR_K}pos"
     )
+
+
+# ---------------------------------------------------------------- D20
+def _char_spans(docs: DataFrame, k: int = _CHAR_K, with_pos: bool = True) -> DataFrame:
+    """(doc_id [, p0], xxhash64(char-k-gram)) rows — one per character
+    position; the probe/build primitive of the char-span index."""
+    struct_expr = (
+        f"transform(sequence(1, length(text) - {k - 1}),"
+        f" i -> struct(i - 1 AS p0, xxhash64(substring(text, i, {k})) AS h))"
+    )
+    out = (
+        docs.where(F.length("text") >= k)
+        .select("doc_id", F.explode(F.expr(struct_expr)).alias("s"))
+        .select("doc_id", F.col("s.p0").alias("p0"), F.col("s.h").alias("h"))
+    )
+    return out if with_pos else out.select("doc_id", "h")
+
+
+def charspan_index_build(docs: DataFrame, index_path: str, k: int = _CHAR_K) -> dict:
+    """Persist the corpus's char-k-gram hash SET as a lake artifact —
+    the exact-substring counterpart of the MinHash index (D19): an
+    ingest service hashes the corpus once at index time, and every
+    later batch probes the stored hashes instead of re-scanning
+    terabytes of text. Layout: ``spans/`` = distinct 8-byte xxhash64
+    values (one column — the index is a membership set, positions are
+    only needed on the PROBE side). Returns {n_spans}."""
+    spans = _char_spans(docs, k, with_pos=False).select("h").distinct()
+    spans.write.mode("overwrite").parquet(index_path + "/spans")
+    return {"n_spans": docs.sparkSession.read.parquet(index_path + "/spans").count()}
+
+
+def charspan_index_query(
+    spark: SparkSession, new_docs: DataFrame, index_path: str, k: int = _CHAR_K
+) -> DataFrame:
+    """Coverage of each NEW document against the stored span set:
+    (doc_id, n_chars, n_covered, coverage) where n_covered counts the
+    characters lying inside at least one k-gram whose hash is already
+    indexed — exactly strip_dup_chars' coverage notion, with the
+    corpus side read from the index instead of recomputed.
+
+    Scale: only the batch is hashed (batch-sized explode); the
+    membership test is one join on the 8-byte hash against the stored
+    set (shuffle keyed on h — or a broadcast when the index fits);
+    covered positions explode k rows per MATCHED start only, then a
+    distinct + count per doc. Never corpus x batch pairwise."""
+    pos = _char_spans(new_docs, k)
+    stored = spark.read.parquet(index_path + "/spans")
+    covered = (
+        pos.join(stored, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p0"), F.col("p0") + F.lit(k - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_covered"))
+    )
+    return (
+        new_docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0))
+                / F.greatest("n_chars", F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -1007,3 +1007,79 @@ def stream_minhash_dedup_gate(
             fh.write("committed")
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E32
+def stream_charspan_gate(
+    stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    max_coverage: float = 0.5,
+):
+    """Exact-substring ingest gate backed by the persisted char-span
+    index (D20) — the streaming application of ``strip_dup_chars``'
+    coverage notion: each micro-batch (1) hashes only itself, (2)
+    probes the stored span set and DROPS documents whose character
+    coverage by already-indexed 50-grams reaches ``max_coverage``
+    (a boilerplate-heavy near-copy of indexed text), (3) appends the
+    survivors' distinct span hashes back, so later batches dedup
+    against everything admitted so far. The corpus is hashed exactly
+    once, ever; per-batch cost is batch-sized plus one hash join
+    against the set.
+
+    Versus the minhash gate (E31) this is the EXACT membership tier:
+    no banding probability, a document is dropped only when measured
+    character overlap clears the threshold. Index rows are bare
+    8-byte hashes; duplicate appends are harmless (probes are
+    semi-joins) and a periodic rewrite compacts them.
+
+    Batch-retry safety: the stream_bloom_gate recipe — output lands
+    under ``batch_id=N`` with overwrite, a marker commits LAST, a
+    retry that finds completed output reuses that admit decision
+    (re-appending the same span hashes is a no-op for semi-join
+    probes). Bootstrap: a fresh index (no spans/ yet) admits the
+    whole deduped first batch and creates the index for batch 2."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        _char_spans,
+        charspan_index_query,
+    )
+
+    manifest_dir = os.path.join(index_path, "manifest")
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        marker = os.path.join(manifest_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        batch_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            fresh = spark.read.parquet(batch_dir)
+        else:
+            batch = batch.dropDuplicates(["text"])
+            if os.path.exists(os.path.join(index_path, "spans")):
+                hot = (
+                    charspan_index_query(spark, batch, index_path)
+                    .where(F.col("coverage") >= max_coverage)
+                    .select("doc_id")
+                )
+                fresh = batch.join(hot, "doc_id", "left_anti")
+            else:
+                fresh = batch
+            fresh.write.mode("overwrite").parquet(batch_dir)
+            fresh = spark.read.parquet(batch_dir)
+        (
+            _char_spans(fresh, with_pos=False)
+            .select("h")
+            .distinct()
+            .write.mode("append")
+            .parquet(index_path + "/spans")
+        )
+        os.makedirs(manifest_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return stream.writeStream.foreachBatch(gate)

@@ -81,6 +81,10 @@ def main() -> None:
     qs = all_queries()
 
     def run(name, sf):
+        # warm once (bench.py's discipline): Python-boundary ops pay
+        # worker-pool startup and scratch writes on first execution —
+        # one-time costs that would otherwise masquerade as scaling
+        qs[name](spark, sf).write.format("noop").mode("overwrite").save()
         t = time.time()
         qs[name](spark, sf).write.format("noop").mode("overwrite").save()
         return time.time() - t

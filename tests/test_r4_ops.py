@@ -121,3 +121,96 @@ def test_survey_kinds_match_registry():
             assert name not in ors, f"{row} {name}: SURVEY says R, registry has an oracle"
         checked += 1
     assert checked > 120, f"only matched {checked} rows — regex drifted from SURVEY format"
+
+
+# --------------------------------------- D20 char-span index + E32 gate
+def test_charspan_index_query_coverage(spark, tmp_path):
+    """Index the corpus slice, then probe: an exact copy of an
+    indexed document reads coverage 1.0, a novel document 0.0, and a
+    half-spliced document in between — the exact-membership notion
+    strip_dup_chars uses, served from the persisted artifact."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.shaping import (
+        charspan_index_build,
+        charspan_index_query,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].where(
+        "doc_id < 100 and length(text) >= 120"
+    )
+    idx = str(tmp_path / "idx")
+    stats = charspan_index_build(docs, idx)
+    assert stats["n_spans"] > 0
+
+    src = docs.orderBy("doc_id").limit(2).collect()
+    novel = "".join(f"q{i}x{i * 3 % 7}z" for i in range(60))
+    half = src[0]["text"][:100] + novel[:100]
+    probe = spark.createDataFrame(
+        [(9001, src[1]["text"]), (9002, novel), (9003, half)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in charspan_index_query(spark, probe, idx).collect()
+    }
+    assert got[9001]["coverage"] == 1.0
+    assert got[9002]["coverage"] == 0.0
+    assert 0.0 < got[9003]["coverage"] < 1.0
+    assert got[9001]["n_covered"] == got[9001]["n_chars"]
+
+
+def test_stream_charspan_gate_drops_covered_docs(spark, tmp_path):
+    """The gate bootstraps a fresh index from batch 1, drops a batch-2
+    document mostly composed of batch-1 text (coverage >= threshold),
+    admits novel text, and replays idempotently after a deleted
+    marker (the crash-before-commit retry)."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_charspan_gate,
+    )
+
+    from tests.conftest import await_stream_done
+
+    base1 = "".join(f"a{i}b{i * 5 % 13}c" for i in range(80))
+    base2 = "".join(f"d{i}e{i * 7 % 11}f" for i in range(80))
+    novel = "".join(f"z{i}y{i * 3 % 17}w" for i in range(80))
+    batch1 = [(1, base1), (2, base2)]
+    batch2 = [
+        (3, base1[:300] + "TAIL"),  # ~98% covered by doc 1 -> drop
+        (4, novel),  # admit
+    ]
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(batch1, "doc_id long, text string").repartition(
+        1
+    ).write.parquet(drop)
+    spark.createDataFrame(batch2, "doc_id long, text string").repartition(
+        1
+    ).write.mode("append").parquet(drop)
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_charspan_gate(stream, idx, out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+
+    run(str(tmp_path / "ckpt"))
+    admitted = set(spark.read.parquet(out).toPandas().doc_id)
+    assert admitted == {1, 2, 4}, admitted
+
+    for m in os.listdir(os.path.join(idx, "manifest")):
+        os.remove(os.path.join(idx, "manifest", m))
+    run(str(tmp_path / "ckpt2"))
+    replayed = spark.read.parquet(out).toPandas()
+    assert set(replayed.doc_id) == {1, 2, 4}
+    assert replayed.doc_id.is_unique
