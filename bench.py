@@ -51,6 +51,10 @@ HEADLINE = [
     # r4 additions
     "strip_dup_chars",
     "hybrid_retrieval_rrf",
+    # r4 second-session additions
+    "copurchase_pagerank",
+    "mmr_diversify",
+    "count_min_words",
 ]
 
 

@@ -537,3 +537,110 @@ def cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.min("theta"), 6).alias("theta"),
     )
+
+
+# ---------------------------------------------------------------- C103
+# Count-Min sketch with an EXPLICIT polynomial hash (Horner fold over
+# character codes, mod 1000003) so the DuckDB oracle can reproduce the
+# sketch bit-for-bit — unlike the xxhash-based rows-only sketches.
+_CMS_BASES = (31, 37, 41, 43)
+_CMS_WIDTH = 256
+_CMS_MOD = 1000003
+
+
+def _cms_hash_spark(col: str, base: int) -> F.Column:
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({col})), i ->"
+        f" ascii(substring({col}, i, 1))), 0L,"
+        f" (acc, x) -> (acc * {base} + x) % {_CMS_MOD}) % {_CMS_WIDTH}"
+    )
+
+
+def _cms_hash_sql(col: str, base: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"range(1, len({col}) + 1), i -> ascii({col}[i]))),"
+        f" (acc, x) -> (acc * {base} + x) % {_CMS_MOD}) % {_CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH w AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> '' GROUP BY w
+),
+h AS (
+  SELECT word, n,
+    {", ".join(f"{_cms_hash_sql('word', b)} AS b{i}" for i, b in enumerate(_CMS_BASES))}
+  FROM w
+),
+cms AS (
+  SELECT row_id, bucket, SUM(n) AS total FROM (
+    {" UNION ALL ".join(f"SELECT {i} AS row_id, b{i} AS bucket, n FROM h" for i in range(len(_CMS_BASES)))}
+  ) GROUP BY row_id, bucket
+)
+SELECT h.word, CAST(h.n AS BIGINT) AS exact_n,
+  CAST(LEAST({", ".join(f"c{i}.total" for i in range(len(_CMS_BASES)))}) AS BIGINT)
+    AS cms_estimate,
+  CAST(LEAST({", ".join(f"c{i}.total" for i in range(len(_CMS_BASES)))}) - h.n AS BIGINT)
+    AS overestimate
+FROM h
+{" ".join(f"JOIN cms c{i} ON c{i}.row_id = {i} AND c{i}.bucket = h.b{i}" for i in range(len(_CMS_BASES)))}
+ORDER BY exact_n DESC, word
+LIMIT 20
+"""
+
+
+@register("count_min_words", oracle=_CMS_ORACLE)
+def count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch word frequencies, reported against exact
+    counts for the top-20 words (estimate >= exact always; the gap is
+    the hash-collision overestimate the d x w geometry bounds).
+
+    The sketch is the mergeable shape that matters at 100 TB: each
+    executor's partial counts collapse into d*w = 1024 cells
+    regardless of vocabulary size, the cell table broadcasts, and the
+    probe side is a per-word constant-time lookup. The polynomial
+    hash is deliberately explicit (Horner over character codes) so
+    the DuckDB oracle replays the identical sketch — integer
+    arithmetic end-to-end, zero tolerance."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    h = wc.select(
+        "word",
+        "n",
+        *[
+            _cms_hash_spark("word", b).alias(f"b{i}")
+            for i, b in enumerate(_CMS_BASES)
+        ],
+    )
+    stacked = None
+    for i in range(len(_CMS_BASES)):
+        part = h.select(
+            F.lit(i).alias("row_id"), F.col(f"b{i}").alias("bucket"), F.col("n")
+        )
+        stacked = part if stacked is None else stacked.unionAll(part)
+    cms = stacked.groupBy("row_id", "bucket").agg(F.sum("n").alias("total"))
+    out = h
+    for i in range(len(_CMS_BASES)):
+        c = cms.where(F.col("row_id") == i).select(
+            F.col("bucket").alias(f"bk{i}"), F.col("total").alias(f"t{i}")
+        )
+        out = out.join(F.broadcast(c), F.col(f"b{i}") == F.col(f"bk{i}"))
+    est = F.least(*[F.col(f"t{i}") for i in range(len(_CMS_BASES))])
+    return (
+        out.select(
+            "word",
+            F.col("n").cast("bigint").alias("exact_n"),
+            est.cast("bigint").alias("cms_estimate"),
+            (est - F.col("n")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "word")
+        .limit(20)
+    )

@@ -1039,3 +1039,109 @@ def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_PATH_TOP_N)
     )
+
+
+# ---------------------------------------------------------------- B92
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, hr,
+         COUNT(*) AS n_days,
+         SUM(n) AS s1, SUM(n * n) AS s2
+  FROM hourly GROUP BY 1, 2
+),
+scored AS (
+  SELECT h.event_type, h.day, h.hr, h.n,
+         CAST(b.s1 AS DOUBLE) / b.n_days AS mean_n,
+         SQRT(CAST(b.s2 AS DOUBLE) / b.n_days
+              - (CAST(b.s1 AS DOUBLE) / b.n_days)
+                * (CAST(b.s1 AS DOUBLE) / b.n_days)) AS std_n,
+         b.n_days
+  FROM hourly h JOIN base b ON b.event_type = h.event_type AND b.hr = h.hr
+)
+SELECT event_type, day, CAST(hr AS INTEGER) AS hour,
+  CAST(n AS BIGINT) AS n_events,
+  ROUND(mean_n, 6) AS baseline_mean,
+  ROUND(std_n, 6) AS baseline_std,
+  ROUND((n - mean_n) / std_n, 4) AS z
+FROM scored
+WHERE n_days >= 3 AND std_n > 0 AND ABS(n - mean_n) > 2 * std_n
+ORDER BY event_type, day, hour
+"""
+
+
+def hourly_cells(e: DataFrame) -> DataFrame:
+    """(event_type, day, hr, n) hourly count cells — the unit both
+    the batch detector and the streaming gate score."""
+    return e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+
+
+def hourly_baseline(e: DataFrame) -> DataFrame:
+    """Per (event_type, hour-of-day) baseline from exact integer sums
+    (n_days, sum, sum of squares): tiny (types x 24 rows), broadcast
+    by every consumer, and mergeable — s1/s2/n_days add across
+    partitions and across corpus increments."""
+    return hourly_cells(e).groupBy("event_type", "hr").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+
+
+def score_cells(cells: DataFrame, base: DataFrame) -> DataFrame:
+    """Score hourly cells against a baseline; emit cells beyond
+    2 sigma with their z-score. Shared verbatim by the batch operator
+    and ``stream_anomaly_gate`` so live and backfill flags cannot
+    diverge. Population mean/std derive from the integer sums in
+    float expressions the DuckDB oracle mirrors exactly."""
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    std = F.sqrt(F.col("s2").cast("double") / F.col("n_days") - mean * mean)
+    scored = cells.join(F.broadcast(base), ["event_type", "hr"]).select(
+        "event_type", "day", "hr", "n",
+        mean.alias("mean_n"), std.alias("std_n"), "n_days",
+    )
+    return (
+        scored.where(
+            (F.col("n_days") >= 3)
+            & (F.col("std_n") > 0)
+            & (F.abs(F.col("n") - F.col("mean_n")) > 2 * F.col("std_n"))
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("hr").cast("int").alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("mean_n", 6).alias("baseline_mean"),
+            F.round("std_n", 6).alias("baseline_std"),
+            F.round((F.col("n") - F.col("mean_n")) / F.col("std_n"), 4).alias("z"),
+        )
+    )
+
+
+@register("seasonal_anomaly", oracle=_SEASONAL_ORACLE)
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly detection: each (event_type, day,
+    hour) cell's event count is scored against that type's same-hour
+    baseline across all days (population mean/std from exact integer
+    sums, so the float math mirrors DuckDB with zero tolerance); cells
+    beyond 2 sigma are flagged with their z-score — the traffic-spike /
+    outage detector behind ops dashboards.
+
+    Two map-side-combinable aggregations (cells, then baselines keyed
+    by the far smaller (type, hour) key) and one broadcast-size join
+    back; no windows, no per-row state — the same plan at 100 TB, and
+    the streaming twin (``stream_anomaly_gate``) scores micro-batches
+    against this exact baseline artifact via the shared
+    :func:`score_cells` path."""
+    e = _events(spark, sf_dir)
+    return score_cells(hourly_cells(e), hourly_baseline(e)).orderBy(
+        "event_type", "day", "hour"
+    )

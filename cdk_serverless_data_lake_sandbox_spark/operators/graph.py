@@ -1,0 +1,336 @@
+"""Graph analytics over tables the lake already holds.
+
+The reference exposes joins over relational zones (demo_stack.py's
+two-table Athena join); this module covers the graph-shaped questions
+the same data answers once you treat co-occurrence as edges — the
+"customers also bought" / influence-ranking family. The flagship is a
+fully deterministic PageRank whose float-sensitive sums accumulate in
+DECIMAL so a DuckDB oracle can reproduce it hash-exactly (the same
+trick ``semantic_dedup``'s oracle uses for k-means centroids).
+
+Scale notes: the co-purchase edge build shuffles on orderkey once
+(per-order part lists are tiny, so the in-order pair expansion is
+bounded); each PageRank iteration is the standard two-shuffle
+contribute/collect plan — shuffle on src to join ranks, shuffle on
+dst to sum contributions. Degree is folded into the edge list once so
+iterations never re-join it. Nothing collects to the driver except
+the broadcast node-count scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.registry import register
+
+_DAMP = 0.85
+_ITERS = 5
+_TOP = 25
+# Exact decimal accumulator for the per-node contribution sum: decimal
+# addition is associative, so the distributed sum is order-independent
+# and matches DuckDB bit-for-bit after the cast back to double.
+_DEC = "decimal(28,14)"
+# Below this node count the per-iteration rank table broadcasts;
+# above it the joins run co-partitioned on the src-hashed edges.
+_BCAST_NODES = 5_000_000
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges: parts that appear in the same
+    order, deduplicated, symmetrized, with the source node's degree
+    attached (``src``, ``dst``, ``src_deg``).
+
+    Build shape: per-order part sets (one map-side-combinable
+    aggregation — per-order sets are tiny, so the in-row pair
+    expansion is bounded), symmetric pairs expanded INSIDE the row
+    (no self-join), one distinct, then degree via a count window over
+    src — which doubles as the hash-partition-by-src step the
+    PageRank iterations reuse, so the materialized edge list needs no
+    extra repartition. Three shuffles total, each load-bearing."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    sym = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    w = Window.partitionBy("src")
+    # On a cluster this is persist(MEMORY_AND_DISK) / a bucketed
+    # staging table; locally localCheckpoint is the same contract.
+    return sym.withColumn(
+        "src_deg", F.count("*").over(w)
+    ).localCheckpoint()
+
+
+def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:
+    """Deterministic PageRank over a symmetrized edge list that
+    already carries ``src_deg``. Returns (node, rank, deg).
+
+    Every node in a symmetrized graph has in- and out-edges, so there
+    is no dangling mass to redistribute; rank_{t+1}(v) =
+    (1-d)/N + d * sum_{u->v} rank_t(u)/deg(u). The inner sum
+    accumulates in DECIMAL(28,14) (exact, order-independent) and only
+    then casts back to double, which is what lets the unrolled DuckDB
+    oracle match with zero tolerance."""
+    # nodes is read by every iteration (contribution join AND rank
+    # rebuild); materialize it once instead of replaying the distinct
+    # five times, and truncate the rank lineage per iteration — the
+    # standard persist-per-iteration shape for iterative algorithms
+    # (on a cluster: persist(MEMORY_AND_DISK) + unpersist of t-1).
+    nodes = (
+        edges.select(F.col("src").alias("node"), F.col("src_deg").alias("deg"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # one bounded driver scalar (the node count) picks the join tier:
+    # the rank table is one row per node, so up to millions of nodes
+    # it BROADCASTS into the partitioned edge list (one shuffle per
+    # iteration: the dst aggregation); past that the join falls back
+    # to the co-partitioned path the src-hashed edge checkpoint
+    # already supports. Checkpointed frames report no size stats, so
+    # AQE cannot make this call — we make it from n explicitly.
+    n = nodes.count()
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    for _ in range(iters):
+        r_side = F.broadcast(ranks) if n <= _BCAST_NODES else ranks
+        contrib = (
+            edges.join(r_side, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("src_deg")).cast(_DEC).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.join(nodes, "node").select("node", "rank", "deg")
+
+
+def _pagerank_oracle(damping: float = _DAMP, iters: int = _ITERS, top: int = _TOP) -> str:
+    """Unrolled-CTE DuckDB oracle mirroring :func:`pagerank` exactly:
+    same decimal contribution accumulation, same double arithmetic,
+    same literal casts (DuckDB numeric literals are DECIMAL, so every
+    constant is cast to DOUBLE explicitly to match Spark)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "edges AS (SELECT pa AS src, pb AS dst FROM und UNION ALL SELECT pb, pa FROM und)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS (SELECT node, {one} / nn.n AS rank FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""r{i + 1} AS (
+  SELECT dg.node,
+         ({one} - {d}) / nn.n
+           + {d} * COALESCE(CAST(s.m AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+  FROM deg dg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(r.rank / dgu.deg AS DECIMAL(28,14))) AS m
+    FROM edges e
+    JOIN r{i} r ON r.node = e.src
+    JOIN deg dgu ON dgu.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = dg.node
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(r.node AS BIGINT) AS part_key,
+       ROUND(r.rank, 12) AS rank,
+       CAST(dg.deg AS BIGINT) AS n_copurchase
+FROM r{iters} r JOIN deg dg ON dg.node = r.node
+ORDER BY r.rank DESC, r.node
+LIMIT {top}
+"""
+    )
+
+
+_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+@register("copurchase_pagerank", oracle=_PAGERANK_ORACLE)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence ranking over the part co-purchase graph ("customers
+    who bought X also bought"): PageRank, damping 0.85, 5 fixed
+    iterations, top parts by final rank. The iterative Spark loop and
+    the DuckDB oracle agree hash-exactly because contribution sums
+    accumulate in DECIMAL on both sides (see :func:`pagerank`).
+
+    Reference analog: the sandbox's Athena named queries join two
+    relational zones (demo_stack.py:243-295); this is the same lake
+    data asked a graph question — no separate graph store needed."""
+    edges = copurchase_edges(spark, sf_dir)
+    pr = pagerank(edges, _DAMP, _ITERS)
+    return (
+        pr.select(
+            F.col("node").cast("bigint").alias("part_key"),
+            F.round(F.col("rank"), 12).alias("rank"),
+            F.col("deg").cast("bigint").alias("n_copurchase"),
+        )
+        .orderBy(F.desc("rank"), "part_key")
+        .limit(_TOP)
+    )
+
+
+# --------------------------------------------------------------- B94
+_PPR_BRAND = "Brand#4"
+_PPR_TOP = 25
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, damping: float, iters: int
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport mass returns
+    to the SEED set instead of uniformly, so rank measures proximity
+    to the seeds — the "customers who bought these also buy" walk.
+    ``seeds`` is a (node) frame; rank starts and teleports at
+    1/|seeds| per seed. Same decimal-sum determinism contract as
+    :func:`pagerank`."""
+    nodes = edges.select(
+        F.col("src").alias("node"), F.col("src_deg").alias("deg")
+    ).distinct()
+    seeded = nodes.join(
+        seeds.select(F.col("node").alias("snode"), F.lit(1).alias("is_seed")),
+        nodes.node == F.col("snode"),
+        "left",
+    ).select(
+        "node", "deg", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+    ).localCheckpoint()
+    # |S| counts seeds PRESENT IN THE GRAPH (a seed part never
+    # co-purchased contributes no teleport mass on either side);
+    # bounded driver scalars, same join-tier logic as pagerank()
+    ns = seeded.agg(F.sum("is_seed")).collect()[0][0]
+    n = seeded.count()
+    teleport = F.col("is_seed").cast("double") / F.lit(ns)
+    ranks = seeded.select("node", teleport.alias("rank"))
+    base = seeded.select("node", "deg", "is_seed", teleport.alias("tele"))
+    for _ in range(iters):
+        r_side = F.broadcast(ranks) if n <= _BCAST_NODES else ranks
+        contrib = (
+            edges.join(r_side, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("src_deg")).cast(_DEC).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("m"))
+        )
+        ranks = base.join(contrib, base.node == contrib.dst, "left").select(
+            "node",
+            (
+                (F.lit(1.0) - F.lit(damping)) * F.col("tele")
+                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint()
+    return ranks.join(base.select("node", "deg", "is_seed"), "node")
+
+
+def _ppr_oracle(damping: float = _DAMP, iters: int = _ITERS, top: int = _PPR_TOP) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "edges AS (SELECT pa AS src, pb AS dst FROM und UNION ALL SELECT pb, pa FROM und)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"""sd AS (
+  SELECT dg.node, dg.deg,
+         CASE WHEN p.p_partkey IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM deg dg LEFT JOIN (
+    SELECT p_partkey FROM part WHERE p_brand = '{_PPR_BRAND}'
+  ) p ON p.p_partkey = dg.node
+)""",
+        "ns AS (SELECT SUM(is_seed) AS ns FROM sd)",
+        f"""r0 AS (
+  SELECT node, CAST(is_seed AS DOUBLE) / ns.ns AS rank FROM sd CROSS JOIN ns
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""r{i + 1} AS (
+  SELECT sd.node,
+         ({one} - {d}) * (CAST(sd.is_seed AS DOUBLE) / ns.ns)
+           + {d} * COALESCE(CAST(s.m AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+  FROM sd CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(r.rank / dgu.deg AS DECIMAL(28,14))) AS m
+    FROM edges e
+    JOIN r{i} r ON r.node = e.src
+    JOIN deg dgu ON dgu.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = sd.node
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(r.node AS BIGINT) AS part_key,
+       ROUND(r.rank, 12) AS rank,
+       CAST(sd.deg AS BIGINT) AS n_copurchase
+FROM r{iters} r JOIN sd ON sd.node = r.node
+WHERE sd.is_seed = 0 AND r.rank > 0
+ORDER BY r.rank DESC, r.node
+LIMIT {top}
+"""
+    )
+
+
+_PPR_ORACLE = _ppr_oracle()
+
+
+@register("brand_recommendations", oracle=_PPR_ORACLE)
+def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers who buy this brand also buy': personalized PageRank
+    on the co-purchase graph with teleport pinned to one brand's
+    parts; the top-ranked NON-seed parts are the recommendation list.
+    Same two-shuffle-per-iteration plan and decimal-sum determinism
+    as ``copurchase_pagerank``; the seed join is a broadcast (one
+    brand's parts are a sliver of the part dim)."""
+    edges = copurchase_edges(spark, sf_dir)
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    seeds = (
+        part.where(F.col("p_brand") == _PPR_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    pr = personalized_pagerank(edges, seeds, _DAMP, _ITERS)
+    return (
+        pr.where((F.col("is_seed") == 0) & (F.col("rank") > 0))
+        .select(
+            F.col("node").cast("bigint").alias("part_key"),
+            F.round(F.col("rank"), 12).alias("rank"),
+            F.col("deg").cast("bigint").alias("n_copurchase"),
+        )
+        .orderBy(F.desc("rank"), "part_key")
+        .limit(_PPR_TOP)
+    )

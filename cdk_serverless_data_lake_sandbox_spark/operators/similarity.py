@@ -1696,3 +1696,178 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOP_K)
     )
+
+
+# ---------------------------------------------------------------- C104
+_MMR_CAND = 25
+_MMR_K = 8
+# independent literals on BOTH sides (1.0 - 0.7 in double arithmetic
+# is 0.30000000000000004, so the complement must never be derived)
+_MMR_LAM = 0.7
+_MMR_MU = 0.3
+
+
+def _mmr_oracle(cand: int = _MMR_CAND, k: int = _MMR_K) -> str:
+    """Unrolled greedy-MMR oracle: one CTE trio (remaining, max-sim
+    to selected, argmax pick) per selection step, mirroring the Spark
+    iteration's float expressions exactly."""
+    lam = f"CAST({_MMR_LAM} AS DOUBLE)"
+    mu = f"CAST({_MMR_MU} AS DOUBLE)"
+    dot_qc = _SQL_DOT.format(a="q.embedding", b="c.embedding")
+    dot_rs = _SQL_DOT.format(a="r.emb", b="s.emb")
+    nrm = _SQL_NORM.format(a="embedding")
+    ctes = [
+        f"q AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings"
+        f" WHERE vec_id < {_N_QUERIES})",
+        f"c AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)",
+        f"""scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.embedding AS emb, c.nrm AS nrm,
+         {dot_qc} / (q.nrm * c.nrm) AS rel
+  FROM q JOIN c ON c.vec_id <> q.vec_id
+)""",
+        f"""cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, emb, nrm, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rel DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {cand}
+)""",
+        f"""sel1 AS (
+  SELECT query_id, neighbor_id, emb, nrm, rel, {lam} * rel AS score,
+         1 AS mmr_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY {lam} * rel DESC, neighbor_id) AS rn2
+    FROM cand
+  ) WHERE rn2 = 1
+)""",
+        "selall1 AS MATERIALIZED (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(f"""rem{i} AS (
+  SELECT cd.* FROM cand cd
+  LEFT JOIN selall{i - 1} s
+    ON s.query_id = cd.query_id AND s.neighbor_id = cd.neighbor_id
+  WHERE s.neighbor_id IS NULL
+)""")
+        ctes.append(f"""ms{i} AS (
+  SELECT r.query_id, r.neighbor_id,
+         MAX({dot_rs} / (r.nrm * s.nrm)) AS maxsim
+  FROM rem{i} r JOIN selall{i - 1} s ON s.query_id = r.query_id
+  GROUP BY r.query_id, r.neighbor_id
+)""")
+        ctes.append(f"""sel{i} AS (
+  SELECT query_id, neighbor_id, emb, nrm, rel, score, {i} AS mmr_rank
+  FROM (
+    SELECT r.query_id, r.neighbor_id, r.emb, r.nrm, r.rel,
+           {lam} * r.rel - {mu} * m.maxsim AS score,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+               ORDER BY {lam} * r.rel - {mu} * m.maxsim DESC,
+                        r.neighbor_id) AS rn3
+    FROM rem{i} r JOIN ms{i} m
+      ON m.query_id = r.query_id AND m.neighbor_id = r.neighbor_id
+  ) WHERE rn3 = 1
+)""")
+        ctes.append(
+            f"selall{i} AS MATERIALIZED (SELECT * FROM selall{i - 1}"
+            f" UNION ALL SELECT * FROM sel{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       ROUND(rel, 6) AS relevance, ROUND(score, 6) AS mmr_score
+FROM selall{k}
+ORDER BY query_id, mmr_rank
+"""
+    )
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
+@register("mmr_diversify", oracle=_MMR_ORACLE)
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of the exact top
+    candidates: greedily select k results per query maximizing
+    lam * relevance - mu * (max similarity to already-selected) —
+    the diversification step between retrieval and a RAG context
+    window, so near-duplicate passages don't crowd out coverage.
+
+    The greedy loop is expressed as k DataFrame iterations in which
+    EVERY query advances one selection step per pass (anti-join the
+    selected set, max-sim join, per-query window argmax) — a constant
+    number of bounded shuffles regardless of query count, so a
+    million-query re-rank runs as 8 joins over the cluster rather
+    than a driver loop. The candidate frame is localCheckpointed once
+    and reused by all steps. DuckDB oracle: the same greedy unrolled
+    step-by-step (hash-exact; ties broken by neighbor_id on both
+    sides)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        _norm("embedding").alias("nq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb"),
+        _norm("embedding").alias("nrm"),
+    )
+    rel = _dot("eq", "emb") / (F.col("nq") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "emb", "nrm", rel.alias("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MMR_CAND)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    lam, mu = F.lit(_MMR_LAM), F.lit(_MMR_MU)
+    wpick = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    sel = (
+        cand.withColumn("score", lam * F.col("rel"))
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("mmr_rank", F.lit(1))
+    )
+    for step in range(2, _MMR_K + 1):
+        rem = cand.join(
+            sel.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        s = sel.select(
+            F.col("query_id").alias("sq"),
+            F.col("emb").alias("semb"),
+            F.col("nrm").alias("snrm"),
+        )
+        sim = _dot("emb", "semb") / (F.col("nrm") * F.col("snrm"))
+        ms = (
+            rem.join(s, rem.query_id == s.sq)
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max(sim).alias("maxsim"))
+        )
+        pick = (
+            rem.join(ms, ["query_id", "neighbor_id"])
+            .withColumn("score", lam * F.col("rel") - mu * F.col("maxsim"))
+            .drop("maxsim")
+            .withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("mmr_rank", F.lit(step))
+        )
+        # sel feeds both the anti-join and the sim join next step, so
+        # without truncation the lineage doubles per iteration --
+        # checkpoint the (<= steps * n_queries)-row frame each pass.
+        sel = sel.unionAll(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        "neighbor_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        F.round("rel", 6).alias("relevance"),
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("query_id", "mmr_rank")

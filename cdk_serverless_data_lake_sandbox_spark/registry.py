@@ -36,6 +36,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # nothing is dropped, only reordered.
 _VERIFY_FIRST = [
     # new / changed this session (r4)
+    "copurchase_pagerank",
+    "brand_recommendations",
+    "count_min_words",
+    "seasonal_anomaly",
+    "mmr_diversify",
     "strip_dup_chars",
     "hybrid_retrieval_rrf",
     "semantic_dedup",
@@ -127,6 +132,7 @@ def _load_modules() -> None:
         dedup,
         etl,
         events,
+        graph,
         multimodal,
         pipeline,
         quality,

@@ -1083,3 +1083,63 @@ def stream_charspan_gate(
             fh.write("committed")
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E33
+def stream_anomaly_gate(
+    stream: DataFrame,
+    baseline: DataFrame,
+    out_dir: str,
+):
+    """Live traffic-anomaly routing: every micro-batch's hourly
+    (event_type, day, hour) cells are scored against a STATIC
+    hour-of-day baseline via the exact code path of the batch
+    ``seasonal_anomaly`` detector (operators/events.py
+    ``score_cells``), so live and backfill flags cannot diverge.
+    Rows in flagged cells are quarantined; the rest are accepted —
+    the spike/outage circuit-breaker in front of a training-data
+    ingest, keeping a bot flood or an instrumentation bug from
+    polluting the corpus while the normal tail keeps flowing.
+
+    Per-batch cost: one aggregation of the batch (cells), one
+    broadcast join against the tiny (types x 24) baseline, and one
+    broadcast semi/anti join to route rows — no streaming state at
+    all, because the baseline is static and cells are scored
+    batch-locally. Outputs land under ``accepted/``, ``quarantine/``
+    and the per-cell ``anomalies/`` monitor feed, each tagged with
+    the batch id; exactly-once replay hardening would wrap the writes
+    in the ``idempotent_sink`` marker recipe."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import (
+        hourly_cells,
+        score_cells,
+    )
+
+    b = baseline.localCheckpoint()
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        flagged = score_cells(hourly_cells(batch), b).localCheckpoint()
+        flagged.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(out_dir, "anomalies"))
+        keyed = batch.withColumn(
+            "day", F.date_trunc("day", F.col("ts"))
+        ).withColumn("hour", F.hour("ts"))
+        cells = flagged.select("event_type", "day", "hour")
+        tagged = lambda df: df.drop("day", "hour").withColumn(  # noqa: E731
+            "batch_id", F.lit(batch_id)
+        )
+        tagged(
+            keyed.join(F.broadcast(cells), ["event_type", "day", "hour"], "left_semi")
+        ).write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
+        tagged(
+            keyed.join(F.broadcast(cells), ["event_type", "day", "hour"], "left_anti")
+        ).write.mode("append").parquet(os.path.join(out_dir, "accepted"))
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(gate)
+        .trigger(availableNow=True)
+        .start()
+    )
