@@ -592,6 +592,64 @@ LIMIT 20
 """
 
 
+def word_counts(docs: DataFrame) -> DataFrame:
+    """(word, n) exact token counts — map-side-combinable groupBy."""
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_cells(wc: DataFrame) -> DataFrame:
+    """Collapse (word, n) counts into the d x w Count-Min cell table
+    (row_id, bucket, total). Cells are MERGEABLE: summing two cell
+    tables by (row_id, bucket) equals building one table over the
+    union of their inputs — the property the streaming maintainer
+    (E34) and any map-side partial rely on."""
+    h = wc.select(
+        "n",
+        *[
+            _cms_hash_spark("word", b).alias(f"b{i}")
+            for i, b in enumerate(_CMS_BASES)
+        ],
+    )
+    stacked = None
+    for i in range(len(_CMS_BASES)):
+        part = h.select(
+            F.lit(i).alias("row_id"), F.col(f"b{i}").alias("bucket"), F.col("n")
+        )
+        stacked = part if stacked is None else stacked.unionAll(part)
+    return stacked.groupBy("row_id", "bucket").agg(F.sum("n").alias("total"))
+
+
+def cms_probe(wc: DataFrame, cells: DataFrame) -> DataFrame:
+    """Estimate each word's count from a cell table: min over the d
+    rows of that word's bucket totals (broadcast lookups — the cell
+    table is d*w rows regardless of corpus size)."""
+    out = wc.select(
+        "word",
+        "n",
+        *[
+            _cms_hash_spark("word", b).alias(f"b{i}")
+            for i, b in enumerate(_CMS_BASES)
+        ],
+    )
+    for i in range(len(_CMS_BASES)):
+        c = cells.where(F.col("row_id") == i).select(
+            F.col("bucket").alias(f"bk{i}"), F.col("total").alias(f"t{i}")
+        )
+        out = out.join(F.broadcast(c), F.col(f"b{i}") == F.col(f"bk{i}"))
+    est = F.least(*[F.col(f"t{i}") for i in range(len(_CMS_BASES))])
+    return out.select(
+        "word",
+        F.col("n").cast("bigint").alias("exact_n"),
+        est.cast("bigint").alias("cms_estimate"),
+        (est - F.col("n")).cast("bigint").alias("overestimate"),
+    )
+
+
 @register("count_min_words", oracle=_CMS_ORACLE)
 def count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch word frequencies, reported against exact
@@ -606,41 +664,9 @@ def count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays the identical sketch — integer
     arithmetic end-to-end, zero tolerance."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    wc = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
-    h = wc.select(
-        "word",
-        "n",
-        *[
-            _cms_hash_spark("word", b).alias(f"b{i}")
-            for i, b in enumerate(_CMS_BASES)
-        ],
-    )
-    stacked = None
-    for i in range(len(_CMS_BASES)):
-        part = h.select(
-            F.lit(i).alias("row_id"), F.col(f"b{i}").alias("bucket"), F.col("n")
-        )
-        stacked = part if stacked is None else stacked.unionAll(part)
-    cms = stacked.groupBy("row_id", "bucket").agg(F.sum("n").alias("total"))
-    out = h
-    for i in range(len(_CMS_BASES)):
-        c = cms.where(F.col("row_id") == i).select(
-            F.col("bucket").alias(f"bk{i}"), F.col("total").alias(f"t{i}")
-        )
-        out = out.join(F.broadcast(c), F.col(f"b{i}") == F.col(f"bk{i}"))
-    est = F.least(*[F.col(f"t{i}") for i in range(len(_CMS_BASES))])
+    wc = word_counts(docs)
     return (
-        out.select(
-            "word",
-            F.col("n").cast("bigint").alias("exact_n"),
-            est.cast("bigint").alias("cms_estimate"),
-            (est - F.col("n")).cast("bigint").alias("overestimate"),
-        )
+        cms_probe(wc, cms_cells(wc))
         .orderBy(F.desc("exact_n"), "word")
         .limit(20)
     )

@@ -785,3 +785,76 @@ def bloom_filtered_read(
             .where(F.col(column).isin(values))
         )
     return spark.read.parquet(*files).where(F.col(column).isin(values))
+
+
+# ---------------------------------------------------------------- D21
+def sorted_export(
+    df: DataFrame,
+    target_path: str,
+    sort_cols: list[str],
+    files: int = 8,
+) -> None:
+    """Globally-sorted export: range-repartition on the sort key then
+    sort within partitions, so file i's rows all precede file i+1's —
+    a total order across files WITHOUT a single-reducer global sort
+    (the sampling pass that picks range bounds is the only extra
+    cost; it's how ORDER BY writes scale to any size). Alongside the
+    data, ``_manifest.json`` records each file's row count and min/max
+    sort key, which is what lets a downstream merge-reader (or a
+    binary-searching point lookup) open only the file that can
+    contain a key."""
+    (
+        df.repartitionByRange(files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(target_path)
+    )
+    spark = df.sparkSession
+    out = spark.read.parquet(target_path)
+    key0 = sort_cols[0]
+    stats = (
+        out.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(key0).alias("min_key"),
+            F.max(key0).alias("max_key"),
+        )
+        .collect()
+    )
+    manifest = sorted(
+        (
+            {
+                "file": os.path.basename(r._file),
+                "n_rows": r.n_rows,
+                "min_key": r.min_key,
+                "max_key": r.max_key,
+            }
+            for r in stats
+        ),
+        key=lambda m: m["min_key"],
+    )
+    with open(os.path.join(target_path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, default=str)
+
+
+def sorted_point_read(
+    spark: SparkSession, table_path: str, key_col: str, value
+) -> DataFrame:
+    """Point lookup through the sorted-export manifest: open ONLY the
+    files whose [min_key, max_key] range can contain the key — the
+    poor man's index every sorted lake table carries for free."""
+    with open(os.path.join(table_path, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    hits = [
+        os.path.join(table_path, m["file"])
+        for m in manifest
+        if str(m["min_key"]) <= str(value) <= str(m["max_key"])
+        or (
+            not isinstance(value, str)
+            and m["min_key"] <= value <= m["max_key"]
+        )
+    ]
+    if not hits:
+        return spark.read.parquet(table_path).where(F.lit(False))
+    return spark.read.parquet(*hits).where(F.col(key_col) == value)

@@ -1143,3 +1143,54 @@ def stream_anomaly_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E34
+def stream_cms_monitor(stream: DataFrame, cells_dir: str):
+    """Incremental Count-Min maintenance at ingest: each micro-batch's
+    token counts collapse into a d x w cell table written under its
+    ``batch_id=N`` partition — nothing else is touched, so a crash
+    retry dynamically re-overwrites exactly its own partition
+    (``ledger_ingest``'s idempotency recipe) and there is NO
+    read-modify-write race on shared state. Because Count-Min cells
+    are MERGEABLE (cell-wise sums), the reader (:func:`read_cms`)
+    folds all batch partitions into the corpus sketch — identical,
+    cell for cell, to rebuilding from scratch (the test pins this) —
+    which is how a sketch over an unbounded stream stays d*w-sized
+    while supporting exact-merge semantics across batches, backfills,
+    and replays."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
+        cms_cells,
+        word_counts,
+    )
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                cms_cells(word_counts(batch))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(cells_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, cells_dir: str) -> DataFrame:
+    """Fold the per-batch cell partitions into the corpus CMS."""
+    return (
+        spark.read.parquet(cells_dir)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("total").alias("total"))
+    )

@@ -310,3 +310,92 @@ def test_brand_recommendations_excludes_seed_brand(spark):
     }
     assert all(r.part_key not in seed_keys for r in recs)
     assert all(r.rank > 0 for r in recs)
+
+
+# --------------------------------------------------- sorted export (D21)
+def test_sorted_export_global_order_and_manifest(spark, tmp_path):
+    """Files are globally ordered (file i's max < file i+1's min up to
+    boundary ties), the manifest matches the data, and the point read
+    opens only candidate files yet returns exactly the right rows."""
+    import json
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        sorted_export,
+        sorted_point_read,
+    )
+
+    o = load_tables(spark, SF_SMALL, ("orders",))["orders"]
+    tgt = str(tmp_path / "sorted")
+    sorted_export(o, tgt, ["o_orderkey"], files=6)
+    with open(os.path.join(tgt, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert sum(m["n_rows"] for m in manifest) == o.count()
+    # global order across files: ranges are disjoint and ascending
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["max_key"] <= b["min_key"]
+    # within-file order + manifest min/max correct, per file
+    for m in manifest:
+        rows = [
+            r.o_orderkey
+            for r in spark.read.parquet(os.path.join(tgt, m["file"])).collect()
+        ]
+        assert rows == sorted(rows)
+        assert rows[0] == m["min_key"] and rows[-1] == m["max_key"]
+    # point lookup: exact rows, pruned scan
+    key = manifest[2]["min_key"]
+    got = sorted_point_read(spark, tgt, "o_orderkey", key)
+    want = o.where(F.col("o_orderkey") == key)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    scanned = {
+        os.path.basename(r.f)
+        for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert scanned <= {
+        m["file"] for m in manifest if m["min_key"] <= key <= m["max_key"]
+    }
+    assert len(scanned) < len(manifest)
+
+
+# ----------------------------------------------------- streaming CMS (E34)
+def test_stream_cms_merge_equals_batch_rebuild(spark, tmp_path):
+    """Mergeability end-to-end: cells accumulated per micro-batch and
+    folded by read_cms must equal cms_cells built over the whole
+    corpus in one pass — cell for cell."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
+        cms_cells,
+        cms_probe,
+        word_counts,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        read_cms,
+        stream_cms_monitor,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    drop = str(tmp_path / "docs_drop")
+    docs.select(*DOCS_STREAM_SCHEMA.fieldNames()).repartition(6).write.parquet(drop)
+    cells_dir = str(tmp_path / "cms_cells")
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drop)
+    )
+    q = stream_cms_monitor(stream, cells_dir)
+    await_stream_done(q)
+
+    merged = read_cms(spark, cells_dir)
+    n_batches = (
+        spark.read.parquet(cells_dir).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2, "expected multiple micro-batches"
+    batch = cms_cells(word_counts(docs))
+    got = {(r.row_id, r.bucket): r.total for r in merged.collect()}
+    want = {(r.row_id, r.bucket): r.total for r in batch.collect()}
+    assert got == want
+    # and the merged sketch answers probes identically to the batch one
+    wc = word_counts(docs)
+    a = {r.word: r.cms_estimate for r in cms_probe(wc, merged).collect()}
+    b = {r.word: r.cms_estimate for r in cms_probe(wc, batch).collect()}
+    assert a == b
