@@ -670,3 +670,144 @@ def count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------- C105
+# HyperLogLog with the same explicit-hash discipline as C103: Horner
+# polynomial over the key's decimal digits, mod the Mersenne prime
+# 2^31-1; low 8 bits pick one of m=256 registers, the remaining 23
+# bits feed the leading-zero rank. Registers are MAX-mergeable.
+_HLL_M = 256
+_HLL_BASE = 131
+_HLL_MOD = 2147483647  # 2^31 - 1
+
+
+def _hll_hash_spark(col: str) -> F.Column:
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({col})), i ->"
+        f" ascii(substring({col}, i, 1))), 0L,"
+        f" (acc, x) -> (acc * {_HLL_BASE} + x) % {_HLL_MOD})"
+    )
+
+
+def _hll_hash_sql(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"range(1, len({col}) + 1), i -> ascii({col}[i]))),"
+        f" (acc, x) -> (acc * {_HLL_BASE} + x) % {_HLL_MOD})"
+    )
+
+
+# rho = leading zeros of the 23-bit word + 1; bin() drops leading
+# zeros in both engines, so rho = 24 - len(bin(w)) (24 when w = 0).
+_RHO_SQL = "CASE WHEN w = 0 THEN 24 ELSE 24 - LENGTH(bin(w)) END"
+# alpha_m for m >= 128, spelled as the same double expression on both
+# sides rather than a rounded literal
+_ALPHA_SQL = (
+    "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))"
+)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, {_hll_hash_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+hb AS (SELECT event_type, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+rg AS (
+  SELECT event_type, bucket, MAX({_RHO_SQL}) AS m_j
+  FROM hb GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+    COUNT(*) AS present,
+    SUM(CAST(1 AS DOUBLE) / CAST((1 << m_j) AS DOUBLE)) AS s_present
+  FROM rg GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+    {_HLL_M} - present AS v_zero,
+    ({_ALPHA_SQL}) * {_HLL_M} * {_HLL_M}
+      / (s_present + CAST({_HLL_M} - present AS DOUBLE)) AS e_raw
+  FROM agg
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events
+  GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(x.exact_users AS BIGINT) AS exact_users,
+  ROUND(CASE WHEN e.e_raw <= 2.5 * {_HLL_M} AND e.v_zero > 0
+        THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / e.v_zero)
+        ELSE e.e_raw END, 4) AS hll_estimate,
+  CAST(e.v_zero AS INTEGER) AS zero_registers
+FROM est e JOIN ex x ON x.event_type = e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("hll_distinct_users", oracle=_HLL_ORACLE)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimation per event type, reported
+    against the exact count. The register build is the scale story:
+    one map-side-combinable MAX aggregation into m=256 registers per
+    type — no distinct shuffle at all (the exact column here is the
+    diagnostic, not the plan) — and registers merge by MAX across
+    executors, batches, or days.
+
+    Oracle-exactness is engineered, not lucky: the hash is an
+    explicit Horner polynomial both engines replay; each register
+    term 2^-M_j is an exact power of two (integer shiftleft then
+    divide), so the register sum is exactly representable in double
+    and order-independent; the only transcendental (ln, in the
+    linear-counting branch) is rounded to 4 decimals on both
+    sides."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    h = e.select(
+        "event_type",
+        "user_id",
+        _hll_hash_spark("CAST(user_id AS STRING)").alias("hv"),
+    )
+    hb = h.select(
+        "event_type",
+        "user_id",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    rg = (
+        hb.withColumn("rho", F.expr(_RHO_SQL))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = rg.groupBy("event_type").agg(
+        F.count("*").alias("present"),
+        F.sum(
+            F.lit(1.0) / F.expr("CAST(shiftleft(1L, m_j) AS DOUBLE)")
+        ).alias("s_present"),
+    )
+    alpha = F.expr(_ALPHA_SQL)
+    est = agg.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("present")).alias("v_zero"),
+        (
+            alpha * _HLL_M * _HLL_M
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("present")).cast("double"))
+        ).alias("e_raw"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    hll = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.round(hll, 4).alias("hll_estimate"),
+            F.col("v_zero").cast("int").alias("zero_registers"),
+        )
+        .orderBy("event_type")
+    )

@@ -39,6 +39,7 @@ _VERIFY_FIRST = [
     "copurchase_pagerank",
     "brand_recommendations",
     "count_min_words",
+    "hll_distinct_users",
     "seasonal_anomaly",
     "mmr_diversify",
     "strip_dup_chars",

@@ -399,3 +399,46 @@ def test_stream_cms_merge_equals_batch_rebuild(spark, tmp_path):
     a = {r.word: r.cms_estimate for r in cms_probe(wc, merged).collect()}
     b = {r.word: r.cms_estimate for r in cms_probe(wc, batch).collect()}
     assert a == b
+
+
+# ------------------------------------------------------------- HLL (C105)
+def test_hll_estimate_accuracy_and_merge(spark):
+    """m=256 gives ~1.04/sqrt(m) ~ 6.5% standard error — assert a
+    loose 20% bound per type; and registers MAX-merged from two
+    disjoint halves equal the whole-corpus registers (mergeability)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
+        _HLL_M,
+        _RHO_SQL,
+        _hll_hash_spark,
+        hll_distinct_users,
+    )
+
+    rows = hll_distinct_users(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hll_estimate - r.exact_users) / r.exact_users < 0.20, r
+
+    e = load_tables(spark, SF_SMALL, ("events",))["events"]
+
+    def registers(df):
+        hb = df.select(
+            _hll_hash_spark("CAST(user_id AS STRING)").alias("hv")
+        ).select(
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(f"hv div {_HLL_M}").alias("w"),
+        )
+        return {
+            (r.bucket): r.m_j
+            for r in hb.withColumn("rho", F.expr(_RHO_SQL))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m_j"))
+            .collect()
+        }
+
+    whole = registers(e)
+    ha = registers(e.where(F.col("event_id") % 2 == 0))
+    hb_ = registers(e.where(F.col("event_id") % 2 == 1))
+    merged = {
+        b: max(ha.get(b, 0), hb_.get(b, 0)) for b in set(ha) | set(hb_)
+    }
+    assert merged == whole
