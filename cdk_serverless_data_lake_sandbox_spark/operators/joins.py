@@ -50,3 +50,61 @@ def salted_join(
         how,
     )
     return joined.drop("_salt")
+
+
+def auto_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    hot_threshold: int = 100_000,
+    sample_frac: float = 0.02,
+    max_hot: int = 1_000,
+    how: str = "inner",
+) -> DataFrame:
+    """:func:`salted_join` with automatic hot-key detection, salting
+    ONLY the keys that need it: a sampled count estimates per-key
+    cardinality (the same cheap-probe-decides-the-plan contract as
+    the dedup family's hot-posting guard), keys whose estimated count
+    clears ``hot_threshold`` take the salted path, everything else
+    joins plain — so the small side replicates |hot| * n_salts rows
+    instead of |small| * n_salts, which is what makes salting
+    affordable when the dimension is large.
+
+    The hot set is a bounded driver list (<= max_hot; real skew means
+    FEW dominant keys — if the sample surfaces more than max_hot hot
+    keys the distribution isn't skewed, it's just big, and plain
+    shuffle parallelism already handles it). Detection cost is one
+    sample-aggregate over ~sample_frac of the big side. Same
+    inner/left restriction as salted_join, for the same replica-
+    duplication reason."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"auto_salted_join supports inner/left, not {how!r}"
+        )
+    est = (
+        big.sample(fraction=sample_frac, seed=7)
+        .groupBy(big_key)
+        .count()
+        .where(F.col("count") >= hot_threshold * sample_frac)
+        .orderBy(F.desc("count"))
+        .limit(max_hot)
+        .collect()
+    )
+    hot = [r[big_key] for r in est if r[big_key] is not None]
+    if not hot:
+        return big.join(small, big[big_key] == small[small_key], how)
+    big_hot = big.where(F.col(big_key).isin(hot))
+    # null big keys survive a left join; ~isin() would drop them, so
+    # route them (and every cold key) through the plain path
+    cold_pred = ~F.col(big_key).isin(hot)
+    if how != "inner":
+        cold_pred = cold_pred | F.col(big_key).isNull()
+    big_cold = big.where(cold_pred)
+    salted = salted_join(
+        big_hot, small.where(F.col(small_key).isin(hot)), big_key, small_key,
+        n_salts=n_salts, how=how,
+    )
+    plain = big_cold.join(small, big_cold[big_key] == small[small_key], how)
+    return salted.unionByName(plain)

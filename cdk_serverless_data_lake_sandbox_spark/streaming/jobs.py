@@ -1194,3 +1194,95 @@ def read_cms(spark: SparkSession, cells_dir: str) -> DataFrame:
         .groupBy("row_id", "bucket")
         .agg(F.sum("total").alias("total"))
     )
+
+
+# ---------------------------------------------------------------- E35
+def stream_ivf_ingest(stream: DataFrame, index_dir: str):
+    """Incremental IVF vector-index maintenance at ingest — the
+    embedding-side completion of the persisted-index maintainer
+    family (bloom E29, minhash E31, charspan E32, CMS E34): each
+    micro-batch of (vec_id, embedding) rows is assigned to its
+    nearest stored coarse centroid and appended to the hive-
+    partitioned member set, so ``ivf_index_query`` serves the fresh
+    vectors immediately with the same partition-pruned probe reads.
+
+    Bootstrap: when no quantizer exists yet, the first batch elects
+    its lowest-vec_id vectors as centroids (the same deterministic
+    seeding ``ivf_index_build`` uses) and every later batch quantizes
+    against that frozen codebook — standard IVF practice: the coarse
+    quantizer is trained once, membership grows forever; re-training
+    is an offline rebuild, not an ingest-path concern.
+
+    Replay safety without markers: members land under their own
+    ``batch_id=N`` partition with DYNAMIC overwrite, so a crash-retry
+    of batch N re-overwrites exactly batch N's partitions
+    (``ledger_ingest``'s recipe); the assignment of a replayed batch
+    is deterministic, so the rewrite is byte-equivalent. Queries
+    prune on the ``cell`` partition level exactly as against a
+    batch-built index."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _dot,
+        _norm,
+    )
+
+    cents_dir = os.path.join(index_dir, "centroids")
+    members_dir = os.path.join(index_dir, "members")
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(["vec_id"])
+        if not os.path.exists(os.path.join(cents_dir, "_SUCCESS")):
+            (
+                batch.orderBy("vec_id")
+                .limit(_N_CENTROIDS)
+                .select(
+                    F.col("vec_id").alias("cent_id"),
+                    F.col("embedding").alias("ce"),
+                )
+                .write.mode("overwrite")
+                .parquet(cents_dir)
+            )
+        cents = spark.read.parquet(cents_dir)
+        cos_c = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+        assign = (
+            batch.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cent_id", cos_c.alias("c_cos"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("nid")),
+                ).alias("cell"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                assign.select(
+                    "vec_id",
+                    "embedding",
+                    _norm("embedding").alias("nrm"),
+                    F.lit(batch_id).alias("batch_id"),
+                    "cell",
+                )
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("batch_id", "cell")
+                .parquet(members_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )

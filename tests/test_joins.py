@@ -66,3 +66,61 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_auto_salted_join_equals_plain_and_salts_only_hot(spark):
+    """Auto detection: the planted hot key (60% of rows) takes the
+    salted path, cold keys join plain, and the union equals the plain
+    join row-for-row."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.joins import (
+        auto_salted_join,
+    )
+
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 6, F.lit(7)).otherwise(F.col("id") % 500).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(500).select(
+        F.col("id").alias("k2"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    plain = big.join(small, big["k"] == small["k2"]).select("payload", "v")
+    auto = auto_salted_join(
+        big, small, "k", "k2", n_salts=4,
+        hot_threshold=5000, sample_frac=0.05,
+    ).select("payload", "v")
+    assert auto.count() == plain.count()
+    assert auto.exceptAll(plain).count() == 0
+    assert plain.exceptAll(auto).count() == 0
+
+
+def test_auto_salted_join_no_hot_falls_through(spark):
+    """Uniform keys: detection finds nothing hot and the call IS the
+    plain join (no salted branch in the plan)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.joins import (
+        auto_salted_join,
+    )
+
+    big = spark.range(5000).select((F.col("id") % 500).alias("k"), "id")
+    small = spark.range(500).select(F.col("id").alias("k2"), F.lit("x").alias("v"))
+    out = auto_salted_join(big, small, "k", "k2", hot_threshold=100_000)
+    assert "_salt" not in out.columns
+    assert out.count() == 5000
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+
+
+def test_auto_salted_left_join_keeps_null_and_unmatched(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.joins import (
+        auto_salted_join,
+    )
+
+    rows = [(7, i) for i in range(3000)] + [(None, -1), (999, -2)]
+    big = spark.createDataFrame(rows, "k int, payload long")
+    small = spark.createDataFrame([(7, "hot"), (1, "cold")], "k2 int, v string")
+    out = auto_salted_join(
+        big, small, "k", "k2", how="left",
+        hot_threshold=1000, sample_frac=0.5,
+    )
+    assert out.count() == 3002
+    nulls = out.where(F.col("payload") < 0).collect()
+    assert {r.payload: r.v for r in nulls} == {-1: None, -2: None}

@@ -442,3 +442,131 @@ def test_hll_estimate_accuracy_and_merge(spark):
         b: max(ha.get(b, 0), hb_.get(b, 0)) for b in set(ha) | set(hb_)
     }
     assert merged == whole
+
+
+# --------------------------------------------------- streaming IVF (E35)
+def test_stream_ivf_ingest_query_parity_and_replay(spark, tmp_path):
+    """The streamed index must serve ivf_index_query identically to a
+    batch index sharing its centroids, and a replayed micro-batch
+    must not duplicate members (dynamic-overwrite idempotence)."""
+    import os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _dot,
+        _norm,
+        ivf_index_query,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    e = load_tables(spark, SF_SMALL, ("embeddings",))["embeddings"]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    drop = str(tmp_path / "vec_drop")
+    e.repartition(5).write.parquet(drop)
+    idx = str(tmp_path / "ivf_stream")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drop)
+    )
+    q = stream_ivf_ingest(stream.select("vec_id", "embedding"), idx)
+    await_stream_done(q)
+
+    members = spark.read.parquet(idx + "/members")
+    assert members.count() == e.count()
+    assert members.select("vec_id").distinct().count() == e.count()
+    n_batches = members.select("batch_id").distinct().count()
+    assert n_batches >= 2
+
+    # assignment parity: every member sits in the cell a batch
+    # assignment against the SAME centroids would choose
+    cents = spark.read.parquet(idx + "/centroids")
+    cos_c = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+    want = {
+        (r.vec_id, r.cell)
+        for r in e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cos_c.alias("c_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("nid"))
+            ).alias("cell")
+        )
+        .collect()
+    }
+    got = {(r.vec_id, r.cell) for r in members.select("vec_id", "cell").collect()}
+    assert got == want
+
+    # query parity vs a batch-written index with the same centroids
+    batch_idx = str(tmp_path / "ivf_batch")
+    os.makedirs(batch_idx)
+    cents.write.parquet(batch_idx + "/centroids")
+    (
+        members.select("vec_id", "embedding", "nrm", "cell")
+        .write.partitionBy("cell")
+        .parquet(batch_idx + "/members")
+    )
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ivf_index_query(spark, idx, queries).collect()))
+    b = sorted(map(tuple, ivf_index_query(spark, batch_idx, queries).collect()))
+    assert a == b and len(a) > 0
+
+    # replay: re-running one batch's ingest must leave members unchanged
+    bid = members.select("batch_id").distinct().orderBy("batch_id").collect()[0][0]
+    replay_rows = members.where(F.col("batch_id") == bid).select(
+        "vec_id", "embedding"
+    )
+    # faithful replay: the retry re-runs the same deterministic
+    # assignment and dynamic-overwrites the same batch_id partitions
+    before = sorted(
+        map(tuple, spark.read.parquet(idx + "/members").select("vec_id", "cell").collect())
+    )
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            replay_rows.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cent_id", cos_c.alias("c_cos"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("nid")),
+                ).alias("cell"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                _norm("embedding").alias("nrm"),
+                F.lit(bid).alias("batch_id"),
+                "cell",
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cell")
+            .parquet(idx + "/members")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    after = sorted(
+        map(tuple, spark.read.parquet(idx + "/members").select("vec_id", "cell").collect())
+    )
+    assert after == before
