@@ -1286,3 +1286,63 @@ def stream_ivf_ingest(stream: DataFrame, index_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E36
+def stream_hll_monitor(stream: DataFrame, registers_dir: str):
+    """Incremental HyperLogLog maintenance at ingest: each
+    micro-batch's per-type registers land under their ``batch_id=N``
+    partition (dynamic overwrite — idempotent on retry, no shared
+    read-modify-write), and the reader folds them by MAX — HLL's
+    merge operator — into registers identical to a one-pass build.
+    Pairs with E34's Count-Min maintainer: between them, the two
+    engineered-oracle sketches (C103, C105) both run continuously at
+    ingest with exact-merge semantics."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
+        _HLL_M,
+        _RHO_SQL,
+        _hll_hash_spark,
+    )
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch.select(
+                    "event_type",
+                    _hll_hash_spark("CAST(user_id AS STRING)").alias("hv"),
+                )
+                .select(
+                    "event_type",
+                    (F.col("hv") % _HLL_M).alias("bucket"),
+                    F.expr(f"hv div {_HLL_M}").alias("w"),
+                )
+                .withColumn("rho", F.expr(_RHO_SQL))
+                .groupBy("event_type", "bucket")
+                .agg(F.max("rho").alias("m_j"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(registers_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
+    """Fold per-batch register partitions by MAX into the corpus
+    registers (event_type, bucket, m_j)."""
+    return (
+        spark.read.parquet(registers_dir)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )

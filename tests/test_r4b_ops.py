@@ -570,3 +570,47 @@ def test_stream_ivf_ingest_query_parity_and_replay(spark, tmp_path):
         map(tuple, spark.read.parquet(idx + "/members").select("vec_id", "cell").collect())
     )
     assert after == before
+
+
+# --------------------------------------------------- streaming HLL (E36)
+def test_stream_hll_merge_equals_batch_registers(spark, tmp_path):
+    """Registers MAX-folded across micro-batches equal a one-pass
+    build over the whole corpus — HLL's merge law, end-to-end."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
+        _HLL_M,
+        _RHO_SQL,
+        _hll_hash_spark,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        read_event_stream,
+        read_hll_registers,
+        stream_hll_monitor,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    src = str(tmp_path / "src")
+    ev.repartition(6).write.parquet(src)
+    regs = str(tmp_path / "hll_regs")
+    q = stream_hll_monitor(read_event_stream(spark, src, max_files_per_trigger=2), regs)
+    await_stream_done(q)
+    assert spark.read.parquet(regs).select("batch_id").distinct().count() >= 2
+    got = {
+        (r.event_type, r.bucket): r.m_j
+        for r in read_hll_registers(spark, regs).collect()
+    }
+    want = {
+        (r.event_type, r.bucket): r.m_j
+        for r in ev.select(
+            "event_type", _hll_hash_spark("CAST(user_id AS STRING)").alias("hv")
+        )
+        .select(
+            "event_type",
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(f"hv div {_HLL_M}").alias("w"),
+        )
+        .withColumn("rho", F.expr(_RHO_SQL))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .collect()
+    }
+    assert got == want
