@@ -904,3 +904,63 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.select("metric", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------- C106
+_MI_ORACLE = """
+WITH j AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS t FROM j),
+ml AS (SELECT lang, SUM(n) AS nl FROM j GROUP BY lang),
+ms AS (SELECT source, SUM(n) AS ns FROM j GROUP BY source)
+SELECT j.lang, j.source, CAST(j.n AS BIGINT) AS n,
+  ROUND(LN((CAST(j.n AS DOUBLE) / tot.t)
+        / ((CAST(ml.nl AS DOUBLE) / tot.t) * (CAST(ms.ns AS DOUBLE) / tot.t))), 6)
+    AS pmi,
+  ROUND((CAST(j.n AS DOUBLE) / tot.t)
+        * LN((CAST(j.n AS DOUBLE) / tot.t)
+        / ((CAST(ml.nl AS DOUBLE) / tot.t) * (CAST(ms.ns AS DOUBLE) / tot.t))), 6)
+    AS mi_contribution
+FROM j CROSS JOIN tot
+JOIN ml ON ml.lang = j.lang
+JOIN ms ON ms.source = j.source
+ORDER BY j.lang, j.source
+"""
+
+
+@register("corpus_mi_profile", oracle=_MI_ORACLE)
+def corpus_mi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x source dependence profile: per-cell pointwise mutual
+    information and its MI contribution (the contributions sum to the
+    corpus's lang/source mutual information). High-|pmi| cells are
+    where the corpus's language mix is source-specific — exactly what
+    a mixing/rebalancing pass needs to know before reweighting
+    sources, since MI ~ 0 means language targets can be hit by
+    source weights alone, while strong dependence means per-(source,
+    lang) quotas.
+
+    One cell aggregation (langs x sources rows) plus broadcast
+    marginal joins; identical double expressions on both sides, ln
+    rounded to 6."""
+    d = _docs(spark, sf_dir)
+    j = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = j.agg(F.sum("n").alias("t"))
+    ml = j.groupBy("lang").agg(F.sum("n").alias("nl"))
+    ms = j.groupBy("source").agg(F.sum("n").alias("ns"))
+    pj = F.col("n").cast("double") / F.col("t")
+    ratio = pj / (
+        (F.col("nl").cast("double") / F.col("t"))
+        * (F.col("ns").cast("double") / F.col("t"))
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+            F.round(pj * F.log(ratio), 6).alias("mi_contribution"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -40,6 +40,7 @@ _VERIFY_FIRST = [
     "brand_recommendations",
     "count_min_words",
     "hll_distinct_users",
+    "corpus_mi_profile",
     "seasonal_anomaly",
     "mmr_diversify",
     "strip_dup_chars",

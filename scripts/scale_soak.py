@@ -36,6 +36,9 @@ EXCLUDED = {
 }
 
 EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
+    "hll_distinct_users",
+    "brand_recommendations",
+    "seasonal_anomaly",
     "unigram_entropy",
     "phrase_search",
     "global_shuffle",

@@ -614,3 +614,31 @@ def test_stream_hll_merge_equals_batch_registers(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------- MI (C106)
+def test_corpus_mi_nonnegative_and_zero_under_independence(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        corpus_mi_profile,
+    )
+
+    rows = corpus_mi_profile(spark, SF_SMALL).collect()
+    mi = sum(r.mi_contribution for r in rows)
+    assert mi >= -1e-6  # MI is non-negative (rounding slack)
+    # independence: lang assigned round-robin against source -> MI ~ 0
+    synth = spark.createDataFrame(
+        [
+            (i, "t", ["en", "de"][i % 2], ["web", "book"][(i // 2) % 2], 1)
+            for i in range(400)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    j = synth.groupBy("lang", "source").count().collect()
+    assert all(r["count"] == 100 for r in j)  # perfectly balanced
+    import math
+
+    contrib = []
+    for r in j:
+        p = r["count"] / 400
+        contrib.append(p * math.log(p / (0.5 * 0.5)))
+    assert abs(sum(contrib)) < 1e-12
