@@ -334,3 +334,107 @@ def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "part_key")
         .limit(_PPR_TOP)
     )
+
+
+# --------------------------------------------------------------- B95
+_TRI_TOP = 20
+
+_TRI_ORACLE = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT pa AS node FROM und UNION ALL SELECT pb FROM und
+  ) GROUP BY node
+),
+tri AS (
+  SELECT a.pa AS x, a.pb AS y, b.pb AS z
+  FROM und a
+  JOIN und b ON b.pa = a.pa AND b.pb > a.pb
+  JOIN und c ON c.pa = a.pb AND c.pb = b.pb
+),
+pernode AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS part_key,
+  CAST(d.deg AS BIGINT) AS n_copurchase,
+  CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+  ROUND(CAST(2 AS DOUBLE) * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+    AS clustering_coef
+FROM deg d LEFT JOIN pernode p ON p.node = d.node
+WHERE d.deg > 1
+ORDER BY n_triangles DESC, part_key
+LIMIT {_TRI_TOP}
+"""
+
+
+@register("copurchase_triangles", oracle=_TRI_ORACLE)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient on the
+    co-purchase graph: how clique-ish each part's neighborhood is
+    (bundle-detection — parts whose co-buyers also co-buy each
+    other). Spark enumerates each triangle exactly once from its
+    DEGREE-ORDERED orientation — every edge points from the lower
+    (degree, id) endpoint to the higher, so wedge expansion at a node
+    is bounded by its ORIENTED out-degree (O(m^1.5) total work, the
+    standard bound; a raw wedge join would be sum(deg^2) and die on
+    hubs at 100 TB). The closing-edge probe joins wedges back to the
+    canonical undirected edge set on (min, max).
+
+    Integer counts end-to-end; the DuckDB oracle enumerates the same
+    triangle set from the canonical x<y<z orientation."""
+    edges = copurchase_edges(spark, sf_dir)
+    nodes = edges.select(
+        F.col("src").alias("node"), F.col("src_deg").alias("deg")
+    ).distinct()
+    dd = nodes.select(F.col("node").alias("dn"), F.col("deg").alias("dst_deg"))
+    oriented = (
+        edges.join(dd, edges.dst == dd.dn)
+        .where(
+            (F.col("src_deg") < F.col("dst_deg"))
+            | ((F.col("src_deg") == F.col("dst_deg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    b = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("w"))
+    wedges = (
+        oriented.join(b, oriented.src == b.src2)
+        .where(F.col("dst") < F.col("w"))
+        .select("src", F.col("dst").alias("v"), "w")
+    )
+    canon = oriented.select(
+        F.least("src", "dst").alias("ca"), F.greatest("src", "dst").alias("cb")
+    )
+    tri = wedges.join(
+        canon,
+        (F.least("v", "w") == F.col("ca")) & (F.greatest("v", "w") == F.col("cb")),
+    ).select("src", "v", "w")
+    pernode = (
+        tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        nodes.join(pernode, "node", "left")
+        .where(F.col("deg") > 1)
+        .select(
+            F.col("node").cast("bigint").alias("part_key"),
+            F.col("deg").cast("bigint").alias("n_copurchase"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+        .orderBy(F.desc("n_triangles"), "part_key")
+        .limit(_TRI_TOP)
+    )

@@ -38,6 +38,7 @@ _VERIFY_FIRST = [
     # new / changed this session (r4)
     "copurchase_pagerank",
     "brand_recommendations",
+    "copurchase_triangles",
     "count_min_words",
     "hll_distinct_users",
     "corpus_mi_profile",

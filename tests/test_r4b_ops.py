@@ -642,3 +642,29 @@ def test_corpus_mi_nonnegative_and_zero_under_independence(spark):
         p = r["count"] / 400
         contrib.append(p * math.log(p / (0.5 * 0.5)))
     assert abs(sum(contrib)) < 1e-12
+
+
+# ----------------------------------------------------- triangles (B95)
+def test_triangles_on_known_graph(spark):
+    """One order with 4 parts = a 4-clique: every node has 3
+    triangles and clustering coefficient 1.0; an attached pendant
+    edge contributes none."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        copurchase_triangles,
+    )
+    import cdk_serverless_data_lake_sandbox_spark.operators.graph as G
+
+    rows = [(1, p) for p in (10, 11, 12, 13)] + [(2, 13), (2, 99)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    orig = G.load_tables
+    G.load_tables = lambda spark_, sf_dir, names: {"lineitem": li}
+    try:
+        out = {r.part_key: r for r in copurchase_triangles(spark, "ignored").collect()}
+    finally:
+        G.load_tables = orig
+    for p in (10, 11, 12):
+        assert out[p].n_triangles == 3 and out[p].clustering_coef == 1.0
+    assert out[13].n_triangles == 3 and out[13].n_copurchase == 4
+    # pendant node 99 has deg 1 -> excluded by the deg > 1 filter
+    assert 99 not in out
