@@ -55,6 +55,8 @@ HEADLINE = [
     "copurchase_pagerank",
     "mmr_diversify",
     "count_min_words",
+    "copurchase_triangles",
+    "hll_distinct_users",
 ]
 
 

