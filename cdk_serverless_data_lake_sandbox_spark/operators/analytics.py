@@ -664,7 +664,10 @@ def count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays the identical sketch — integer
     arithmetic end-to-end, zero tolerance."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    wc = word_counts(docs)
+    # wc feeds 8 plan branches (4 sketch rows + 4 probe joins); a
+    # vocabulary-sized materialization collapses them to ONE token
+    # scan instead of relying on exchange reuse across the fan-out
+    wc = word_counts(docs).localCheckpoint()
     return (
         cms_probe(wc, cms_cells(wc))
         .orderBy(F.desc("exact_n"), "word")
