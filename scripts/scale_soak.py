@@ -36,7 +36,6 @@ EXCLUDED = {
 }
 
 EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
-    "hll_distinct_users",
     "brand_recommendations",
     "seasonal_anomaly",
     "unigram_entropy",
