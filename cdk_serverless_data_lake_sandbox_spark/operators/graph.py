@@ -443,3 +443,131 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part_key")
         .limit(_TRI_TOP)
     )
+
+
+# --------------------------------------------------------------- B96
+_BFS_SEED_BRAND = "Brand#4"
+_BFS_HOPS = 4
+_BFS_TOP = 30
+
+
+def _bfs_oracle(hops: int = _BFS_HOPS, top: int = _BFS_TOP) -> str:
+    """Unrolled BFS oracle: one min-distance CTE per hop. Pure
+    integer propagation — no float anywhere, so the mirror is exact
+    by construction."""
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "edges AS (SELECT pa AS src, pb AS dst FROM und UNION ALL SELECT pb, pa FROM und)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"""d0 AS (
+  SELECT dg.node,
+         CASE WHEN p.p_partkey IS NULL THEN NULL ELSE 0 END AS dist
+  FROM deg dg LEFT JOIN (
+    SELECT p_partkey FROM part WHERE p_brand = '{_BFS_SEED_BRAND}'
+  ) p ON p.p_partkey = dg.node
+)""",
+    ]
+    for i in range(hops):
+        ctes.append(f"""d{i + 1} AS (
+  SELECT d.node,
+         LEAST(
+           COALESCE(d.dist, {hops + 1}),
+           COALESCE(r.reach + 1, {hops + 1})
+         ) AS dist0,
+         CASE WHEN LEAST(COALESCE(d.dist, {hops + 1}),
+                         COALESCE(r.reach + 1, {hops + 1})) = {hops + 1}
+              THEN NULL
+              ELSE LEAST(COALESCE(d.dist, {hops + 1}),
+                         COALESCE(r.reach + 1, {hops + 1})) END AS dist
+  FROM d{i} d
+  LEFT JOIN (
+    SELECT e.dst AS node, MIN(s.dist) AS reach
+    FROM edges e JOIN d{i} s ON s.node = e.src AND s.dist IS NOT NULL
+    GROUP BY e.dst
+  ) r ON r.node = d.node
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(d.node AS BIGINT) AS part_key,
+       CAST(d.dist AS INTEGER) AS hop_distance,
+       CAST(dg.deg AS BIGINT) AS n_copurchase
+FROM d{hops} d JOIN deg dg ON dg.node = d.node
+WHERE d.dist IS NOT NULL AND d.dist > 0
+ORDER BY d.dist, d.node
+LIMIT {top}
+"""
+    )
+
+
+_BFS_ORACLE = _bfs_oracle()
+
+
+@register("copurchase_distance", oracle=_BFS_ORACLE)
+def copurchase_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from one brand's parts over the co-purchase
+    graph — "how many co-purchase hops does it take to reach this
+    part from the brand's ecosystem", the reachability/market-adjacency
+    question behind assortment planning. Frontier expansion is the
+    textbook iterative min-join (hop h's reachable set joins the edge
+    list, MIN-merges into the distance table); distances are pure
+    integers, so Spark and the unrolled-CTE oracle agree exactly with
+    no float discipline needed. Same materialize-per-iteration shape
+    as :func:`pagerank`; each hop is one edges-sized join plus a
+    node-sized MIN-merge. Nearest ``_BFS_TOP`` non-seed parts by
+    (distance, part key)."""
+    edges = copurchase_edges(spark, sf_dir)
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    nodes = (
+        edges.select(F.col("src").alias("node"), F.col("src_deg").alias("deg"))
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = part.where(F.col("p_brand") == _BFS_SEED_BRAND).select(
+        F.col("p_partkey").alias("snode"), F.lit(0).alias("seed_dist")
+    )
+    unreached = _BFS_HOPS + 1
+    dist = nodes.join(seeds, nodes.node == F.col("snode"), "left").select(
+        "node", F.col("seed_dist").alias("dist")
+    )
+    n = nodes.count()
+    for _ in range(_BFS_HOPS):
+        d_side = dist if n > _BCAST_NODES else F.broadcast(dist)
+        reach = (
+            edges.join(
+                d_side.where(F.col("dist").isNotNull()),
+                edges.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.min("dist").alias("reach"))
+        )
+        merged = F.least(
+            F.coalesce(F.col("dist"), F.lit(unreached)),
+            F.coalesce(F.col("reach") + 1, F.lit(unreached)),
+        )
+        dist = (
+            dist.join(reach, dist.node == reach.dst, "left")
+            .select(
+                "node",
+                F.when(merged == unreached, F.lit(None).cast("int"))
+                .otherwise(merged)
+                .alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        dist.join(nodes, "node")
+        .where(F.col("dist").isNotNull() & (F.col("dist") > 0))
+        .select(
+            F.col("node").cast("bigint").alias("part_key"),
+            F.col("dist").cast("int").alias("hop_distance"),
+            F.col("deg").cast("bigint").alias("n_copurchase"),
+        )
+        .orderBy("hop_distance", "part_key")
+        .limit(_BFS_TOP)
+    )

@@ -39,6 +39,7 @@ _VERIFY_FIRST = [
     "copurchase_pagerank",
     "brand_recommendations",
     "copurchase_triangles",
+    "copurchase_distance",
     "count_min_words",
     "hll_distinct_users",
     "corpus_mi_profile",

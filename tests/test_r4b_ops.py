@@ -668,3 +668,27 @@ def test_triangles_on_known_graph(spark):
     assert out[13].n_triangles == 3 and out[13].n_copurchase == 4
     # pendant node 99 has deg 1 -> excluded by the deg > 1 filter
     assert 99 not in out
+
+
+# ---------------------------------------------------------- BFS (B96)
+def test_bfs_distances_on_chain(spark):
+    """Chain 1-2-3-4-5 via pairwise orders, seed at part 1: distances
+    are 1,2,3,4; a disconnected pair stays unreached (absent)."""
+    import cdk_serverless_data_lake_sandbox_spark.operators.graph as G
+
+    rows = [(o, p) for o, (a, b) in enumerate([(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)])
+            for p in (a, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(1, G._BFS_SEED_BRAND), (2, "Brand#X"), (8, "Brand#X")],
+        "p_partkey long, p_brand string",
+    )
+    orig = G.load_tables
+    G.load_tables = lambda spark_, sf_dir, names: (
+        {"lineitem": li} if names == ("lineitem",) else {"part": part}
+    )
+    try:
+        out = {r.part_key: r.hop_distance for r in G.copurchase_distance(spark, "x").collect()}
+    finally:
+        G.load_tables = orig
+    assert out == {2: 1, 3: 2, 4: 3, 5: 4}
