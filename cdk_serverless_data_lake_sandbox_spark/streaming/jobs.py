@@ -1346,3 +1346,57 @@ def read_hll_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("m_j").alias("m_j"))
     )
+
+
+# ---------------------------------------------------------------- E37
+def stream_baseline_monitor(stream: DataFrame, cells_dir: str):
+    """Continuously-maintained anomaly baseline: each micro-batch's
+    hourly (event_type, day, hr, n) cells land under their
+    ``batch_id=N`` partition (dynamic overwrite — idempotent replay);
+    cells SUM-merge across batches (a batch split across two
+    micro-batches contributes two partial cells that fold into the
+    true count), and :func:`read_hourly_baseline` derives the
+    (event_type, hr) mean/std baseline from the folded cells — proven
+    equal to the batch ``hourly_baseline`` over the same events. With
+    E33 this closes the anomaly loop end-to-end in streaming: the
+    baseline grows with every batch, the gate scores against any
+    snapshot of it."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import hourly_cells
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                hourly_cells(batch)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(cells_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hourly_baseline(spark: SparkSession, cells_dir: str) -> DataFrame:
+    """Fold per-batch hourly cells (SUM over batch partials), then
+    derive the per-(event_type, hour) baseline exactly as the batch
+    ``hourly_baseline`` does from its one-pass cells."""
+    cells = (
+        spark.read.parquet(cells_dir)
+        .groupBy("event_type", "day", "hr")
+        .agg(F.sum("n").alias("n"))
+    )
+    return cells.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )

@@ -692,3 +692,49 @@ def test_bfs_distances_on_chain(spark):
     finally:
         G.load_tables = orig
     assert out == {2: 1, 3: 2, 4: 3, 5: 4}
+
+
+# ------------------------------------------- streaming baseline (E37)
+def test_stream_baseline_equals_batch_and_feeds_gate(spark, tmp_path):
+    """Cells folded across micro-batches derive the SAME baseline as
+    the one-pass batch build — even though hourly cells are split
+    across batch boundaries — and that baseline drives score_cells to
+    identical flags."""
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        read_event_stream,
+        read_hourly_baseline,
+        stream_baseline_monitor,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    src = str(tmp_path / "src")
+    # repartition randomly so hours straddle micro-batches
+    ev.repartition(6).write.parquet(src)
+    cells = str(tmp_path / "base_cells")
+    q = stream_baseline_monitor(
+        read_event_stream(spark, src, max_files_per_trigger=2), cells
+    )
+    await_stream_done(q)
+    assert spark.read.parquet(cells).select("batch_id").distinct().count() >= 2
+
+    got = {
+        (r.event_type, r.hr): (r.n_days, r.s1, r.s2)
+        for r in read_hourly_baseline(spark, cells).collect()
+    }
+    want = {
+        (r.event_type, r.hr): (r.n_days, r.s1, r.s2)
+        for r in hourly_baseline(ev).collect()
+    }
+    assert got == want
+
+    flags_stream = {
+        (r.event_type, r.day, r.hour)
+        for r in score_cells(
+            hourly_cells(ev), read_hourly_baseline(spark, cells)
+        ).collect()
+    }
+    flags_batch = {
+        (r.event_type, r.day, r.hour)
+        for r in score_cells(hourly_cells(ev), hourly_baseline(ev)).collect()
+    }
+    assert flags_stream == flags_batch and flags_batch
