@@ -738,3 +738,126 @@ def test_stream_baseline_equals_batch_and_feeds_gate(spark, tmp_path):
         for r in score_cells(hourly_cells(ev), hourly_baseline(ev)).collect()
     }
     assert flags_stream == flags_batch and flags_batch
+
+
+# ------------------------------------------- property tests: graph ops
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _mk_edges(spark, pairs):
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    deg = {}
+    for s_, _ in sym:
+        deg[s_] = deg.get(s_, 0) + 1
+    rows = [(s_, d_, deg[s_]) for s_, d_ in sym]
+    return (
+        spark.createDataFrame(rows, "src long, dst long, src_deg long"),
+        und,
+        deg,
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(pairs=_edge_lists)
+def test_pagerank_matches_pure_python(spark, pairs):
+    """Spark PageRank == a pure-Python power iteration on random
+    graphs (1e-9 tolerance: the decimal accumulation differs from
+    Python float sums only at rounding)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import pagerank
+
+    edges_df, und, deg = _mk_edges(spark, pairs)
+    got = {r.node: r.rank for r in pagerank(edges_df, 0.85, 5).collect()}
+
+    nodes = sorted(deg)
+    n = len(nodes)
+    adj = {u: [] for u in nodes}
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(5):
+        contrib = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v in adj[u]:
+                contrib[v] += rank[u] / deg[u]
+        rank = {u: 0.15 / n + 0.85 * contrib[u] for u in nodes}
+    assert set(got) == set(rank)
+    for u in nodes:
+        assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
+
+
+@settings(max_examples=6, deadline=None)
+@given(pairs=_edge_lists, seed_ix=st.integers(0, 100))
+def test_bfs_matches_pure_python(spark, pairs, seed_ix):
+    """The BFS frontier loop == a pure-Python BFS from the same seed,
+    for every reachable node within the hop budget."""
+    import collections
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        _BFS_HOPS,
+    )
+    from pyspark.sql import functions as FF
+
+    edges_df, und, deg = _mk_edges(spark, pairs)
+    nodes_l = sorted(deg)
+    seed = nodes_l[seed_ix % len(nodes_l)]
+
+    # pure python
+    distp = {seed: 0}
+    dq = collections.deque([seed])
+    adj = {u: [] for u in nodes_l}
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    while dq:
+        u = dq.popleft()
+        if distp[u] >= _BFS_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in distp:
+                distp[v] = distp[u] + 1
+                dq.append(v)
+
+    # spark: reuse the iteration body via the registered operator's
+    # internals (same expressions, seeded directly)
+    nodes = edges_df.select(
+        FF.col("src").alias("node"), FF.col("src_deg").alias("deg")
+    ).distinct()
+    unreached = _BFS_HOPS + 1
+    dist = nodes.select(
+        "node",
+        FF.when(FF.col("node") == seed, FF.lit(0)).alias("dist"),
+    )
+    for _ in range(_BFS_HOPS):
+        reach = (
+            edges_df.join(
+                FF.broadcast(dist.where(FF.col("dist").isNotNull())),
+                edges_df.src == FF.col("node"),
+            )
+            .groupBy("dst")
+            .agg(FF.min("dist").alias("reach"))
+        )
+        merged = FF.least(
+            FF.coalesce(FF.col("dist"), FF.lit(unreached)),
+            FF.coalesce(FF.col("reach") + 1, FF.lit(unreached)),
+        )
+        dist = (
+            dist.join(reach, dist.node == reach.dst, "left")
+            .select(
+                "node",
+                FF.when(merged == unreached, FF.lit(None).cast("int"))
+                .otherwise(merged)
+                .alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    got = {r.node: r.dist for r in dist.collect() if r.dist is not None}
+    assert got == distp
