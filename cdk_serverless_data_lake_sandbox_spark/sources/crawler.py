@@ -79,3 +79,20 @@ def crawl_json(spark: SparkSession, path: str) -> DataFrame:
 
 def crawl_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def crawl_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC zone support (native in Spark — no extra package): ORC
+    files carry their own typed schema like parquet, so crawling is a
+    schema read, and Spark pushes filters/column pruning into the ORC
+    reader the same way. Glue crawlers classify ORC natively; this is
+    that path."""
+    return spark.read.orc(path)
+
+
+def orc_write(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """ORC zone writer (snappy, partitioned like the parquet zones)."""
+    w = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

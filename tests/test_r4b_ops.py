@@ -861,3 +861,41 @@ def test_bfs_matches_pure_python(spark, pairs, seed_ix):
         )
     got = {r.node: r.dist for r in dist.collect() if r.dist is not None}
     assert got == distp
+
+
+# ------------------------------------------------------------ ORC zone
+def test_orc_roundtrip_schema_and_pushdown(spark, tmp_path):
+    """ORC write/crawl round-trips data + types; a filtered read
+    shows ORC pushed filters in the scan (same contract the parquet
+    plan tests pin)."""
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import (
+        crawl_orc,
+        orc_write,
+    )
+
+    o = load_tables(spark, SF_SMALL, ("orders",))["orders"]
+    tgt = str(tmp_path / "orders_orc")
+    orc_write(o, tgt, partition_by=("o_orderstatus",))
+    back = crawl_orc(spark, tgt)
+    assert set(back.columns) == set(o.columns)
+    assert back.count() == o.count()
+    got = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in back.select("o_orderkey", "o_totalprice").collect()
+    }
+    want = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in o.select("o_orderkey", "o_totalprice").collect()
+    }
+    assert got == want
+    q = back.where(F.col("o_orderkey") == 7).select("o_orderkey", "o_totalprice")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1].split("]")[0]
+    # partition pruning on the partition column
+    p = back.where(F.col("o_orderstatus") == "F")
+    pplan = p._sc._jvm.PythonSQLUtils.explainString(
+        p._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in pplan
