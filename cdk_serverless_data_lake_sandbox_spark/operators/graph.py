@@ -571,3 +571,40 @@ def copurchase_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hop_distance", "part_key")
         .limit(_BFS_TOP)
     )
+
+
+# --------------------------------------------------------------- D23
+def graph_edges_build(spark: SparkSession, sf_dir: str, graph_dir: str) -> dict:
+    """Materialize the co-purchase graph as a LAKE ARTIFACT: the
+    symmetrized, degree-annotated edge list written as parquet
+    bucketed-by-convention on ``src`` (hash-partitioned files via
+    repartition, one file per src partition), plus the node/degree
+    table. Every graph query (PageRank, PPR, triangles, BFS) builds
+    this same edge list inline; at production scale you build it
+    once per snapshot and serve all graph workloads from it — the
+    same write-once contract as the IVF/MinHash/char-span index
+    artifacts (C86/D19/D20).
+
+    Returns {nodes, edges} counts for the caller's audit."""
+    import os
+
+    edges = copurchase_edges(spark, sf_dir)
+    nodes = edges.select(
+        F.col("src").alias("node"), F.col("src_deg").alias("deg")
+    ).distinct()
+    edges.repartition(F.col("src")).write.mode("overwrite").parquet(
+        os.path.join(graph_dir, "edges")
+    )
+    nodes.write.mode("overwrite").parquet(os.path.join(graph_dir, "nodes"))
+    return {
+        "nodes": spark.read.parquet(os.path.join(graph_dir, "nodes")).count(),
+        "edges": spark.read.parquet(os.path.join(graph_dir, "edges")).count(),
+    }
+
+
+def graph_edges_load(spark: SparkSession, graph_dir: str) -> DataFrame:
+    """Serve the persisted edge list (src, dst, src_deg) — drop-in
+    for :func:`copurchase_edges` in any graph routine."""
+    import os
+
+    return spark.read.parquet(os.path.join(graph_dir, "edges"))

@@ -899,3 +899,26 @@ def test_orc_roundtrip_schema_and_pushdown(spark, tmp_path):
         p._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in pplan
+
+
+# ----------------------------------------------------- graph artifact (D23)
+def test_graph_artifact_serves_identical_pagerank(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        copurchase_edges,
+        graph_edges_build,
+        graph_edges_load,
+        pagerank,
+    )
+
+    gd = str(tmp_path / "graph")
+    stats = graph_edges_build(spark, SF_SMALL, gd)
+    assert stats["edges"] > 0 and stats["nodes"] > 0
+    inline = {
+        r.node: r.rank
+        for r in pagerank(copurchase_edges(spark, SF_SMALL), 0.85, 5).collect()
+    }
+    served = {
+        r.node: r.rank
+        for r in pagerank(graph_edges_load(spark, gd), 0.85, 5).collect()
+    }
+    assert served == inline  # decimal sums -> bit-identical, not approx
