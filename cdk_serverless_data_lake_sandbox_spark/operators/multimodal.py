@@ -843,11 +843,12 @@ _REAL_MEDIA_SCHEMA = StructType(
 
 def attach_real_media(docs: DataFrame) -> DataFrame:
     """Synthesize REAL media from documents, deterministic per doc_id:
-    modality cycles png/jpeg/wav by ``doc_id % 3``. All three payloads
-    are complete valid files with decodable content — PNG and JPEG
-    images with known pixel patterns (the JPEG entropy-coded with the
-    all-ones quantization table, so decoded pixels pin to the pattern
-    within DCT rounding), WAV PCM clips. Encoding runs in
+    modality cycles png/jpeg/wav/gif by ``doc_id % 4``. All four
+    payloads are complete valid files with decodable content — PNG,
+    JPEG, and GIF images with known pixel patterns (the JPEG
+    entropy-coded with the all-ones quantization table, so decoded
+    pixels pin to the pattern within DCT rounding; the GIF LZW
+    round-trips exactly), WAV PCM clips. Encoding runs in
     ``mapInPandas`` (one Python crossing per Arrow batch) — this is
     the test-data synthesizer, not a hot path; a real ingest lands
     bytes from upstream."""
@@ -860,7 +861,7 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 16 + d % 16, 16 + (d * 7) % 16
-                kind = d % 3
+                kind = d % 4
                 if kind == 0:
                     x, y = np.meshgrid(np.arange(w), np.arange(h))
                     media = png_encode((x + y * 3 + d) % 256)
@@ -869,6 +870,10 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
                     x, y = np.meshgrid(np.arange(w), np.arange(h))
                     media = jpeg_encode((x * 2 + y * 5 + d) % 256)
                     meta = ("jpeg", w, h, 0)
+                elif kind == 3:
+                    x, y = np.meshgrid(np.arange(w), np.arange(h))
+                    media = gif_encode((x * 5 + y * 2 + d) % 256)
+                    meta = ("gif", w, h, 0)
                 else:
                     n = 64 + d % 64
                     t = np.arange(n)
@@ -902,6 +907,8 @@ def decode_real_media(media: DataFrame) -> DataFrame:
     bytes per payload inside one ``mapInPandas`` pass:
 
     - PNG -> full pixel decode; features = 8-bin pixel histogram.
+    - GIF -> full LZW pixel decode (:func:`gif_decode`); features =
+      8-bin pixel histogram.
     - WAV -> PCM sample decode; features = 8-bin histogram over the
       normalized sample range.
     - JPEG -> full baseline pixel decode (Huffman + dequant + IDCT,
@@ -951,6 +958,12 @@ def decode_real_media(media: DataFrame) -> DataFrame:
                             body = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
                             n, mean, feats = 0, float(body.mean()), hist8(body)
                         ok = w == meta["width"] and h == meta["height"]
+                    elif data[:4] == b"GIF8":
+                        mod = "gif"
+                        w, h, px = gif_decode(data)
+                        flat = px.ravel().astype(np.float64)
+                        n, mean, feats = flat.size, float(flat.mean()), hist8(flat)
+                        ok = w == meta["width"] and h == meta["height"]
                     elif data[:4] == b"RIFF":
                         mod = "wav"
                         rate, samples = wav_decode(data)
@@ -999,19 +1012,21 @@ _MAGIC = {
     "jpeg": "FFD8FF",
     "png": "89504E47",
     "wav": "52494646",  # 'RIFF'
+    "gif": "47494638",  # 'GIF8'
 }
 
 
 def attach_fake_media_mixed(docs: DataFrame) -> DataFrame:
     """Fake-media synthesis with REAL magic bytes: each doc's payload
-    starts with the genuine JPEG/PNG/RIFF signature (modality cycles
-    by doc_id % 3) followed by the deterministic md5 body — so
+    starts with the genuine JPEG/PNG/RIFF/GIF signature (modality
+    cycles by doc_id % 4) followed by the deterministic md5 body — so
     header-sniffing code paths exercise the same byte patterns real
     ingest would see, while staying codec-free."""
     sig = (
-        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.unhex(F.lit(_MAGIC["jpeg"])))
-        .when(F.pmod("doc_id", F.lit(3)) == 1, F.unhex(F.lit(_MAGIC["png"])))
-        .otherwise(F.unhex(F.lit(_MAGIC["wav"])))
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.unhex(F.lit(_MAGIC["jpeg"])))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.unhex(F.lit(_MAGIC["png"])))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.unhex(F.lit(_MAGIC["wav"])))
+        .otherwise(F.unhex(F.lit(_MAGIC["gif"])))
     )
     body = F.expr("repeat(unhex(md5(text)), 1 + pmod(doc_id, 4))").cast("binary")
     return docs.select(
@@ -1022,7 +1037,8 @@ def attach_fake_media_mixed(docs: DataFrame) -> DataFrame:
 @register("modality_profile")  # binary sniffing -> rows-only
 def modality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What's actually in the blob column: modality detection from
-    magic bytes (JPEG FFD8FF / PNG 89504E47 / RIFF-WAV 52494646 —
+    magic bytes (JPEG FFD8FF / PNG 89504E47 / RIFF-WAV 52494646 /
+    GIF 47494638 —
     the first real question against an opaque 100 TB binary column,
     answered WITHOUT decoding a single payload). Sniffing is
     hex(substring(media, 1, 4)) prefix matching — pure JVM
@@ -1038,6 +1054,7 @@ def modality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(head.startswith(_MAGIC["jpeg"]), "jpeg")
         .when(head.startswith(_MAGIC["png"]), "png")
         .when(head.startswith(_MAGIC["wav"]), "wav")
+        .when(head.startswith(_MAGIC["gif"]), "gif")
         .otherwise("unknown")
     )
     return (
@@ -1050,3 +1067,188 @@ def modality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").cast("bigint").alias("max_bytes"),
         )
     )
+
+
+# ------------------------------------------------------------- GIF
+# Real GIF89a codec (stdlib+numpy, like the PNG/JPEG/WAV codecs):
+# 8-bit grayscale palette, one image, REAL variable-width LZW with
+# clear-code dictionary resets — the actual compression the format
+# mandates, not a stored-data shortcut.
+
+
+def _gif_lzw_compress(data: bytes, min_code: int = 8) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code, width = end + 1, min_code + 1
+    acc = nacc = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear, width)
+    buf = b""
+    for ch in data:
+        nxt = buf + bytes([ch])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code, width = end + 1, min_code + 1
+        buf = bytes([ch])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, min_code: int = 8) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    acc = nacc = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal acc, nacc, pos
+        while nacc < width:
+            if pos >= len(data):
+                return end
+            acc |= data[pos] << nacc
+            nacc += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+            # the decoder trails the encoder by one entry, so it must
+            # widen one code EARLIER than the encoder's 2^width point
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def gif_encode(arr) -> bytes:
+    """Minimal REAL GIF89a encoder: grayscale 256-entry palette, one
+    image, real LZW. Output opens in any viewer."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _gif_lzw_compress(arr.tobytes())
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_decode(data: bytes):
+    """REAL GIF decode: header + logical screen descriptor, global
+    color table, extension skip, image descriptor, LZW decompress,
+    palette lookup to grayscale. Returns (width, height, 2-D uint8
+    array). Raises ValueError on malformed bytes or unsupported
+    variants (interlace, local color table)."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 ** ((flags & 0x07) + 1)
+        palette = np.frombuffer(data[pos : pos + 3 * size], dtype=np.uint8).reshape(
+            size, 3
+        )
+        pos += 3 * size
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _ix, _iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                raise ValueError("unsupported GIF: local color table")
+            if lflags & 0x40:
+                raise ValueError("unsupported GIF: interlaced image")
+            if palette is None:
+                raise ValueError("unsupported GIF: no global color table")
+            min_code = data[pos]
+            pos += 1
+            blocks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                blocks.append(data[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            idx = np.frombuffer(
+                _gif_lzw_decompress(b"".join(blocks), min_code), dtype=np.uint8
+            )
+            if len(idx) != iw * ih:
+                raise ValueError("GIF pixel count mismatch")
+            # grayscale: take the red channel of the palette entry
+            px = palette[idx, 0].reshape(ih, iw)
+            return iw, ih, px
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"corrupt GIF: unexpected block 0x{b0:02x}")
+    raise ValueError("GIF contains no image")

@@ -129,7 +129,7 @@ def test_resample_audio_lengths_and_determinism(spark):
 
 def test_modality_profile_detects_all_signatures(spark):
     """Magic-byte sniffing must classify every synthesized payload
-    to its ground-truth modality (doc_id % 3 cycle) with zero
+    to its ground-truth modality (doc_id % 4 cycle) with zero
     unknowns, and totals must cover the corpus."""
     from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
 
@@ -140,14 +140,14 @@ def test_modality_profile_detects_all_signatures(spark):
         for r in all_queries()["modality_profile"](spark, SF_SMALL).collect()
     }
     assert "unknown" not in out
-    assert set(out) == {"jpeg", "png", "wav"}
+    assert set(out) == {"jpeg", "png", "wav", "gif"}
     import collections
 
     from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
 
     docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
     counts = collections.Counter(
-        ("jpeg", "png", "wav")[r.doc_id % 3]
+        ("jpeg", "png", "wav", "gif")[r.doc_id % 4]
         for r in docs.select("doc_id").collect()
     )
     assert sum(r.n_payloads for r in out.values()) == sum(counts.values())
@@ -315,8 +315,8 @@ def test_decode_real_media_end_to_end(spark):
     rows = decoded.collect()
     assert len(rows) == 60
     assert all(r.header_ok for r in rows), [r for r in rows if not r.header_ok][:3]
-    mods = {r.doc_id % 3: r.modality for r in rows}
-    assert mods == {0: "png", 1: "jpeg", 2: "wav"}
+    mods = {r.doc_id % 4: r.modality for r in rows}
+    assert mods == {0: "png", 1: "jpeg", 2: "wav", 3: "gif"}
     import numpy as np
 
     for r in rows:
@@ -326,6 +326,15 @@ def test_decode_real_media_end_to_end(spark):
             assert abs(sum(r.features) - 1.0) < 1e-9
         elif r.modality == "wav":
             assert r.sample_rate == 16000 and r.n_values >= 64
+        elif r.modality == "gif":
+            w, h = 16 + r.doc_id % 16, 16 + (r.doc_id * 7) % 16
+            assert (r.width, r.height) == (w, h)
+            assert r.n_values == w * h > 0
+            # GIF LZW is lossless: the decoded mean is EXACT
+            x, y = np.meshgrid(np.arange(w), np.arange(h))
+            want = float(((x * 5 + y * 2 + r.doc_id) % 256).mean())
+            assert abs(r.mean_value - want) < 1e-9, (r.doc_id, r.mean_value, want)
+            assert abs(sum(r.features) - 1.0) < 1e-9
         else:
             w, h = 16 + r.doc_id % 16, 16 + (r.doc_id * 7) % 16
             assert (r.width, r.height) == (w, h)
@@ -354,17 +363,18 @@ def test_decode_real_media_flags_corruption(spark):
 
     docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].limit(30)
     media = attach_real_media(docs)
-    # lie about every width, and truncate wav payloads mid-header
+    # lie about every width AND sample rate, truncate wav payloads
+    # mid-header (wav ignores width, so the rate lie catches it)
     corrupted = media.select(
         "doc_id",
-        F2.when(F2.pmod("doc_id", F2.lit(3)) == 2, F2.expr("substring(media, 1, 10)"))
+        F2.when(F2.pmod("doc_id", F2.lit(4)) == 2, F2.expr("substring(media, 1, 10)"))
         .otherwise(F2.col("media"))
         .alias("media"),
         F2.struct(
             F2.col("meta.format").alias("format"),
             (F2.col("meta.width") + 1).alias("width"),
             F2.col("meta.height").alias("height"),
-            F2.col("meta.sample_rate").alias("sample_rate"),
+            (F2.col("meta.sample_rate") + 1).alias("sample_rate"),
         ).alias("meta"),
     )
     rows = decode_real_media(corrupted).collect()
@@ -378,6 +388,43 @@ def test_media_decode_profile_registered(spark):
     from tests.conftest import SF_SMALL
 
     out = {r.modality: r for r in all_queries()["media_decode_profile"](spark, SF_SMALL).collect()}
-    assert set(out) == {"png", "jpeg", "wav"}
+    assert set(out) == {"png", "jpeg", "wav", "gif"}
     for m, r in out.items():
         assert r.n_header_ok == r.n_payloads, m
+
+
+def test_gif_codec_roundtrip_and_variants():
+    """Real LZW: random images round-trip exactly (including the
+    variable code-width growth and the 4096-entry dictionary reset),
+    and unsupported variants raise cleanly."""
+    import numpy as np
+    import pytest as pt
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+    )
+
+    for seed in range(4):
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, (rng.randint(4, 70), rng.randint(4, 70))).astype(
+            np.uint8
+        )
+        w, h, out = gif_decode(gif_encode(arr))
+        assert (h, w) == arr.shape and (out == arr).all()
+    # dictionary reset path: > 4096 distinct sequences
+    rng = np.random.RandomState(42)
+    big = rng.randint(0, 256, (200, 200)).astype(np.uint8)
+    assert (gif_decode(gif_encode(big))[2] == big).all()
+    # degenerate constant image (maximal LZW runs)
+    const = np.full((50, 50), 7, dtype=np.uint8)
+    assert (gif_decode(gif_encode(const))[2] == const).all()
+    with pt.raises(ValueError):
+        gif_decode(b"NOTGIF" + b"\x00" * 20)
+    # interlace flag set -> clean refusal
+    good = bytearray(gif_encode(const))
+    ix = 13 + 256 * 3  # image descriptor sits right after the GCT
+    assert good[ix] == 0x2C
+    good[ix + 9] |= 0x40
+    with pt.raises(ValueError):
+        gif_decode(bytes(good))
