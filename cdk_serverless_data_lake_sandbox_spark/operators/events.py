@@ -1145,3 +1145,54 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_cells(hourly_cells(e), hourly_baseline(e)).orderBy(
         "event_type", "day", "hour"
     )
+
+
+# ---------------------------------------------------------------- B98
+_SPLIT_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+lab AS (
+  SELECT e.event_type, e.ts,
+    CASE WHEN e.ts >= mx.tmax - INTERVAL 7 DAY THEN 'test'
+         WHEN e.ts >= mx.tmax - INTERVAL 8 DAY THEN 'embargo'
+         ELSE 'train' END AS split
+  FROM events e CROSS JOIN mx
+)
+SELECT split, event_type, COUNT(*) AS n_events,
+  MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM lab GROUP BY split, event_type
+ORDER BY split, event_type
+"""
+
+
+@register("temporal_split_embargo", oracle=_SPLIT_ORACLE)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with an EMBARGO buffer: the last 7
+    days are test, the day before them is embargoed (dropped from
+    both sides), everything earlier trains — the split protocol for
+    temporally-autocorrelated data, where a hash split (C67
+    dataset_split) leaks near-boundary information between train and
+    test. Emits per-split/type counts and time ranges for audit;
+    the same labeling expression applied row-wise materializes the
+    actual splits. One scan + the broadcast max-timestamp scalar —
+    the same plan at any scale."""
+    e = _events(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("tmax"))
+    lab = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "ts",
+        F.when(
+            F.col("ts") >= F.expr("tmax - INTERVAL 7 DAY"), F.lit("test")
+        )
+        .when(F.col("ts") >= F.expr("tmax - INTERVAL 8 DAY"), F.lit("embargo"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return (
+        lab.groupBy("split", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("split", "event_type")
+    )

@@ -608,3 +608,97 @@ def graph_edges_load(spark: SparkSession, graph_dir: str) -> DataFrame:
     import os
 
     return spark.read.parquet(os.path.join(graph_dir, "edges"))
+
+
+# --------------------------------------------------------------- B97
+_III_TOP = 20
+
+_III_ORACLE = f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+n1 AS (SELECT part, COUNT(*) AS n FROM cp GROUP BY part),
+nc AS (SELECT COUNT(DISTINCT cust) AS n_cust FROM cp),
+pairs AS (
+  SELECT a.part AS pa, b.part AS pb, COUNT(*) AS n_ab
+  FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY a.part, b.part
+)
+SELECT CAST(p.pa AS BIGINT) AS part_a, CAST(p.pb AS BIGINT) AS part_b,
+  CAST(p.n_ab AS BIGINT) AS n_both,
+  ROUND(CAST(p.n_ab AS DOUBLE) / SQRT(CAST(na.n AS DOUBLE) * nb.n), 6)
+    AS cosine,
+  ROUND(CAST(p.n_ab AS DOUBLE) * nc.n_cust
+        / (CAST(na.n AS DOUBLE) * nb.n), 6) AS lift
+FROM pairs p
+JOIN n1 na ON na.part = p.pa
+JOIN n1 nb ON nb.part = p.pb
+CROSS JOIN nc
+ORDER BY cosine DESC, part_a, part_b
+LIMIT {_III_TOP}
+"""
+
+
+@register("item_item_similarity", oracle=_III_ORACLE)
+def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering scores: for part pairs
+    bought by the same customers, co-purchase cosine
+    (n_ab / sqrt(n_a * n_b)) and lift (n_ab * N / (n_a * n_b)) —
+    the scored "customers who bought X also bought Y" behind
+    recommendation shelves, complementing the PageRank walk (B93/94)
+    with a direct set-overlap measure.
+
+    Scale shape: per-customer part sets aggregate map-side (bounded
+    per customer), pairs expand IN-ROW from each set (the same
+    no-self-join trick as the edge build — pair work is sum of
+    per-customer set sizes squared, bounded by the heaviest customer,
+    not the corpus), then one groupBy. Per-part counts broadcast into
+    the score projection; top-k is TakeOrdered. Integer counts +
+    mirrored double expressions; hash-exact oracle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    cp = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    n1 = cp.groupBy("part").agg(F.count("*").alias("n"))
+    n_cust = cp.select("cust").distinct().count()
+    sets = cp.groupBy("cust").agg(F.collect_set("part").alias("ps"))
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y > x), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    na = n1.select(F.col("part").alias("pa"), F.col("n").alias("n_a"))
+    nb = n1.select(F.col("part").alias("pb"), F.col("n").alias("n_b"))
+    cosine = F.col("n_ab").cast("double") / F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * n_cust
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(na), "pa")
+        .join(F.broadcast(nb), "pb")
+        .select(
+            F.col("pa").cast("bigint").alias("part_a"),
+            F.col("pb").cast("bigint").alias("part_b"),
+            F.col("n_ab").cast("bigint").alias("n_both"),
+            F.round(cosine, 6).alias("cosine"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(_III_TOP)
+    )

@@ -43,6 +43,8 @@ _VERIFY_FIRST = [
     "count_min_words",
     "hll_distinct_users",
     "corpus_mi_profile",
+    "item_item_similarity",
+    "temporal_split_embargo",
     "seasonal_anomaly",
     "mmr_diversify",
     "strip_dup_chars",

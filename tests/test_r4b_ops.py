@@ -922,3 +922,39 @@ def test_graph_artifact_serves_identical_pagerank(spark, tmp_path):
         for r in pagerank(graph_edges_load(spark, gd), 0.85, 5).collect()
     }
     assert served == inline  # decimal sums -> bit-identical, not approx
+
+
+# ------------------------------------------- item-item + temporal split
+def test_item_item_similarity_bounds(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        item_item_similarity,
+    )
+
+    rows = item_item_similarity(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.cosine <= 1.0 + 1e-9
+        assert r.n_both >= 1 and r.lift > 0
+        assert r.part_a < r.part_b
+
+
+def test_temporal_split_partitions_and_embargo_gap(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import (
+        temporal_split_embargo,
+    )
+
+    rows = temporal_split_embargo(spark, SF_SMALL).collect()
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    assert sum(r.n_events for r in rows) == ev.count()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r)
+    assert set(by_split) == {"train", "embargo", "test"}
+    train_max = max(r.max_ts for r in by_split["train"])
+    emb_min = min(r.min_ts for r in by_split["embargo"])
+    emb_max = max(r.max_ts for r in by_split["embargo"])
+    test_min = min(r.min_ts for r in by_split["test"])
+    assert train_max < emb_min or train_max < test_min
+    assert emb_max < test_min or emb_min > train_max
+    # the embargo really separates train from test by >= 1 day
+    assert (test_min - train_max).total_seconds() >= 24 * 3600
