@@ -702,3 +702,127 @@ def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "part_a", "part_b")
         .limit(_III_TOP)
     )
+
+
+# --------------------------------------------------------------- B99
+def _wpr_oracle(damping: float = _DAMP, iters: int = _ITERS, top: int = _TOP) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """wund AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)""",
+        "edges AS (SELECT pa AS src, pb AS dst, w FROM wund"
+        " UNION ALL SELECT pb, pa, w FROM wund)",
+        "wsum AS (SELECT src AS node, SUM(w) AS ws FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM wsum)",
+        f"r0 AS (SELECT node, {one} / nn.n AS rank FROM wsum CROSS JOIN nn)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""r{i + 1} AS (
+  SELECT dg.node,
+         ({one} - {d}) / nn.n
+           + {d} * COALESCE(CAST(s.m AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+  FROM wsum dg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(r.rank * e.w / ws.ws AS DECIMAL(28,14))) AS m
+    FROM edges e
+    JOIN r{i} r ON r.node = e.src
+    JOIN wsum ws ON ws.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = dg.node
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(r.node AS BIGINT) AS part_key,
+       ROUND(r.rank, 12) AS rank,
+       CAST(dg.ws AS BIGINT) AS copurchase_weight
+FROM r{iters} r JOIN wsum dg ON dg.node = r.node
+ORDER BY r.rank DESC, r.node
+LIMIT {top}
+"""
+    )
+
+
+_WPR_ORACLE = _wpr_oracle()
+
+
+@register("copurchase_pagerank_weighted", oracle=_WPR_ORACLE)
+def copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: edges carry co-purchase MULTIPLICITY (how
+    many orders contained the pair), and each node distributes rank
+    proportionally to edge weight (rank * w / strength) — repeat
+    co-purchases count for more than one-off baskets, the usual
+    refinement once the unweighted walk (B93) is in place. Same
+    decimal-sum determinism, materialization, and broadcast-tier
+    shape; weights and strengths are integers, so only the mirrored
+    rank arithmetic is float."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    sets = lp.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    wund = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y > x), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .groupBy("e.pa", "e.pb")
+        .agg(F.count("*").alias("w"))
+    )
+    edges = wund.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionAll(wund.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("ws"))
+    nparts = int(li.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        edges.join(wsum.select(F.col("src").alias("wn"), "ws"), edges.src == F.col("wn"))
+        .select("src", "dst", "w", "ws")
+        .repartition(nparts, "src")
+        .localCheckpoint()
+    )
+    nodes = edges.select(
+        F.col("src").alias("node"), F.col("ws").alias("strength")
+    ).distinct().localCheckpoint()
+    n = nodes.count()
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    for _ in range(_ITERS):
+        r_side = F.broadcast(ranks) if n <= _BCAST_NODES else ranks
+        contrib = (
+            edges.join(r_side, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("rank") * F.col("w") / F.col("ws")).cast(_DEC).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(_DAMP)) / F.lit(n)
+                    + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.join(nodes, "node")
+        .select(
+            F.col("node").cast("bigint").alias("part_key"),
+            F.round(F.col("rank"), 12).alias("rank"),
+            F.col("strength").cast("bigint").alias("copurchase_weight"),
+        )
+        .orderBy(F.desc("rank"), "part_key")
+        .limit(_TOP)
+    )

