@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "temporal_split_embargo",
     "seasonal_anomaly",
     "mmr_diversify",
+    "ann_ivf_pq",
     "strip_dup_chars",
     "hybrid_retrieval_rrf",
     "semantic_dedup",
