@@ -1517,3 +1517,129 @@ def join_size_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("out_rows").desc(), "join_key")
         .limit(_JOINSIZE_TOPK)
     )
+
+
+# ---------------------------------------------------------------- B100
+_RFM_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+base AS (
+  SELECT o.o_custkey AS cust,
+    DATEDIFF('day', MAX(o.o_orderdate), mx.dmax) AS recency_days,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders o CROSS JOIN mx
+  GROUP BY o.o_custkey, mx.dmax
+),
+cuts AS (
+  SELECT
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r25,
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.50) AS r50,
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r75,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.50) AS f50,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+    quantile_cont(monetary, 0.25) AS m25,
+    quantile_cont(monetary, 0.50) AS m50,
+    quantile_cont(monetary, 0.75) AS m75
+  FROM base
+),
+scored AS (
+  SELECT b.cust, b.recency_days, b.frequency, b.monetary,
+    1 + CAST(b.recency_days > c.r25 AS INT) + CAST(b.recency_days > c.r50 AS INT)
+      + CAST(b.recency_days > c.r75 AS INT) AS r_score,
+    1 + CAST(b.frequency < c.f75 AS INT) + CAST(b.frequency < c.f50 AS INT)
+      + CAST(b.frequency < c.f25 AS INT) AS f_score,
+    1 + CAST(b.monetary < c.m75 AS INT) + CAST(b.monetary < c.m50 AS INT)
+      + CAST(b.monetary < c.m25 AS INT) AS m_score
+  FROM base b CROSS JOIN cuts c
+)
+SELECT CONCAT(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS segment,
+  COUNT(*) AS n_customers,
+  CAST(ROUND(AVG(recency_days), 4) AS DOUBLE) AS avg_recency_days,
+  CAST(ROUND(AVG(frequency), 4) AS DOUBLE) AS avg_frequency,
+  CAST(ROUND(AVG(monetary), 2) AS DOUBLE) AS avg_monetary
+FROM scored
+GROUP BY 1 ORDER BY segment
+"""
+
+
+@register("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since
+    last order against the corpus max date), frequency (order count),
+    monetary (decimal-exact lifetime spend); each dimension scored
+    1-4 (1 = best) against its exact quartile VALUE cuts, customers
+    grouped into the up-to-64 'RFM' cells marketing teams target.
+
+    Scale shape: scoring by value-quantile cuts (three broadcast
+    scalars per dimension, exact linear-interpolated percentiles that
+    DuckDB's quantile_cont mirrors bit-for-bit) instead of a global
+    row NTILE — a row-ntile needs a total order over every customer,
+    a single-reducer sort at 100 TB; the value cuts need one
+    percentile aggregation and per-row comparisons. Equal values
+    share a score (the honest consequence of value-based cuts); the
+    fact-table aggregation is map-side combinable."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("cust"), "dmax")
+        .agg(
+            F.datediff(F.first("dmax"), F.max("o_orderdate")).alias("_r"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select("cust", F.col("_r").alias("recency_days"), "frequency", "monetary")
+    )
+    cuts = base.agg(
+        *[
+            F.expr(f"percentile(CAST({c} AS DOUBLE), {p})").alias(f"{a}{int(p * 100)}")
+            for c, a in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+    b = base.crossJoin(F.broadcast(cuts))
+    one = F.lit(1)
+    r_score = (
+        one
+        + (F.col("recency_days") > F.col("r25")).cast("int")
+        + (F.col("recency_days") > F.col("r50")).cast("int")
+        + (F.col("recency_days") > F.col("r75")).cast("int")
+    )
+    f_score = (
+        one
+        + (F.col("frequency") < F.col("f75")).cast("int")
+        + (F.col("frequency") < F.col("f50")).cast("int")
+        + (F.col("frequency") < F.col("f25")).cast("int")
+    )
+    m_score = (
+        one
+        + (F.col("monetary") < F.col("m75")).cast("int")
+        + (F.col("monetary") < F.col("m50")).cast("int")
+        + (F.col("monetary") < F.col("m25")).cast("int")
+    )
+    return (
+        b.select(
+            F.concat(
+                r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
+            ).alias("segment"),
+            "recency_days",
+            "frequency",
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+            F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )

@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "corpus_mi_profile",
     "item_item_similarity",
     "temporal_split_embargo",
+    "rfm_segments",
     "seasonal_anomaly",
     "mmr_diversify",
     "ann_ivf_pq",

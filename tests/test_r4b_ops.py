@@ -1024,3 +1024,21 @@ def test_ivf_pq_recall_dominates_plain_pq(spark):
     # to plain PQ by more than one neighbor overall
     total = sum(len(v) for v in exact_sets.values())
     assert r_ivfpq >= r_pq - 1.0 / total, (r_ivfpq, r_pq)
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import rfm_segments
+
+    rows = rfm_segments(spark, SF_SMALL).collect()
+    o = load_tables(spark, SF_SMALL, ("orders",))["orders"]
+    assert sum(r.n_customers for r in rows) == o.select("o_custkey").distinct().count()
+    for r in rows:
+        assert len(r.segment) == 3 and all(c in "1234" for c in r.segment)
+    # best-recency segments must have lower average recency than worst
+    best = [r for r in rows if r.segment.startswith("1")]
+    worst = [r for r in rows if r.segment.startswith("4")]
+    assert best and worst
+    import statistics
+    assert statistics.mean(r.avg_recency_days for r in best) < statistics.mean(
+        r.avg_recency_days for r in worst
+    )
