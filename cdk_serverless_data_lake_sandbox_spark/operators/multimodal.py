@@ -1252,3 +1252,138 @@ def gif_decode(data: bytes):
         else:
             raise ValueError(f"corrupt GIF: unexpected block 0x{b0:02x}")
     raise ValueError("GIF contains no image")
+
+
+# ---------------------------------------------------------------- C108
+def attach_image_variants(docs: DataFrame, group_size: int = 3) -> DataFrame:
+    """Synthesize cross-format near-duplicate images: documents in
+    the same ``doc_id // group_size`` group share ONE pixel pattern,
+    re-encoded per member as PNG / GIF / baseline JPEG — the
+    situation image dedup exists for (the same picture crawled from
+    three sites in three formats). PNG and GIF are lossless (pixel-
+    identical); JPEG differs by <= 1 per pixel (ones-quant table)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // group_size
+                rng = np.random.RandomState(g)
+                h, w = 24 + g % 9, 24 + (g * 5) % 9
+                px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+                kind = d % 3
+                if kind == 0:
+                    media = png_encode(px)
+                elif kind == 1:
+                    media = gif_encode(px)
+                else:
+                    media = jpeg_encode(px)
+                rows.append((d, g, media))
+            yield pd.DataFrame(rows, columns=["doc_id", "group_id", "media"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("group_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """64-bit difference hash per image payload: decode (PNG / GIF /
+    baseline JPEG via the stdlib codecs), sample to a 9x8 grid, bit =
+    left pixel < right neighbor. dHash survives re-encoding and mild
+    noise (a JPEG round-trip flips a bit only where neighbors differ
+    by <= the compression error), which is what makes it the standard
+    cheap perceptual key for image dedup. Runs in one mapInPandas
+    pass; undecodable payloads yield NULL hashes for DLQ routing."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dhash(px: "np.ndarray") -> int:
+            h, w = px.shape
+            ri = np.round(np.linspace(0, h - 1, 8)).astype(int)
+            ci = np.round(np.linspace(0, w - 1, 9)).astype(int)
+            g = px[np.ix_(ri, ci)].astype(np.int32)
+            bits = (g[:, :-1] < g[:, 1:]).ravel()
+            v = 0
+            for i, b in enumerate(bits):
+                if b:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(raw)
+                hv = None
+                try:
+                    if data[:8] == _PNG_SIG:
+                        _, _, px = png_decode(data)
+                    elif data[:4] == b"GIF8":
+                        _, _, px = gif_decode(data)
+                    elif data[:2] == b"\xff\xd8":
+                        _, _, px = jpeg_decode(data)
+                    else:
+                        px = None
+                    if px is not None:
+                        hv = dhash(px)
+                except Exception:
+                    hv = None
+                rows.append((int(doc_id), hv))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("dhash", LongType())]
+    )
+    return media.select("doc_id", "media").mapInPandas(proc, schema)
+
+
+_DHASH_HAMMING_MAX = 8
+
+
+@register("image_dhash_dedup")  # perceptual hash -> rows-only check
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format near-duplicate IMAGE detection: dHash each
+    payload, band the 64-bit hashes into four 16-bit chunks (same
+    candidate scheme as text SimHash — guaranteed for hamming <= 3,
+    near-certain for the <= 8 emitted here), score candidates by
+    exact hamming via bit_count(xor). Finds the same picture
+    re-encoded as PNG/GIF/JPEG without ever comparing pixels across
+    documents — the image-side exact/near dedup a multimodal training
+    corpus runs next to text MinHash. Decode cost is one linear
+    mapInPandas pass; everything after is JVM bit math."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = attach_image_variants(docs)
+    sigs = image_dhash(media).where(F.col("dhash").isNotNull())
+    chunks = ", ".join(
+        f"named_struct('chunk', {c}, 'key', shiftright(dhash, {c * 16}) & 65535)"
+        for c in range(4)
+    )
+    banded = sigs.select(
+        "doc_id", "dhash", F.explode(F.expr(f"array({chunks})")).alias("b")
+    ).select("doc_id", "dhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
+    buckets = (
+        banded.groupBy("chunk", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "dhash"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_expr = """
+      flatten(transform(ms, (x, i) ->
+        transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+          named_struct('a', x.doc_id, 'b', y.doc_id,
+                       'hamming', bit_count(x.dhash ^ y.dhash)))))
+    """
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
+        .where(F.col("hamming") <= _DHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("a", "b")
+    )

@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "seasonal_anomaly",
     "mmr_diversify",
     "ann_ivf_pq",
+    "image_dhash_dedup",
     "strip_dup_chars",
     "hybrid_retrieval_rrf",
     "semantic_dedup",

@@ -428,3 +428,40 @@ def test_gif_codec_roundtrip_and_variants():
     good[ix + 9] |= 0x40
     with pt.raises(ValueError):
         gif_decode(bytes(good))
+
+
+def test_image_dhash_dedup_cross_format(spark):
+    """Every content group's three format variants must pair up
+    (PNG-GIF at hamming 0 — lossless twins; JPEG within the noise
+    budget), and cross-group false pairs stay negligible."""
+    from pyspark.sql import functions as F2
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    pairs = all_queries()["image_dhash_dedup"](spark, SF_SMALL).collect()
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    groups = {}
+    for d in ids:
+        groups.setdefault(d // 3, []).append(d)
+    want_pairs = set()
+    for g, members in groups.items():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                want_pairs.add((a, b))
+    got = {(r.a, r.b): r.hamming for r in pairs}
+    found = want_pairs & set(got)
+    assert len(found) / len(want_pairs) >= 0.95, (len(found), len(want_pairs))
+    # lossless twins (png doc_id%3==0 vs gif %3==1 in one group) hash identically
+    for g, members in groups.items():
+        png = [d for d in members if d % 3 == 0]
+        gif = [d for d in members if d % 3 == 1]
+        if png and gif:
+            key = (min(png[0], gif[0]), max(png[0], gif[0]))
+            if key in got:
+                assert got[key] == 0, (key, got[key])
+    cross = [p for p in got if p not in want_pairs]
+    assert len(cross) <= max(2, len(want_pairs) // 50), cross[:5]
