@@ -1400,3 +1400,98 @@ def read_hourly_baseline(spark: SparkSession, cells_dir: str) -> DataFrame:
         F.sum("n").alias("s1"),
         F.sum(F.col("n") * F.col("n")).alias("s2"),
     )
+
+
+# ---------------------------------------------------------------- E38
+def stream_image_dedup_gate(
+    stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    hamming_max: int = 8,
+):
+    """Near-duplicate IMAGE ingest gate: each micro-batch's payloads
+    are dHashed (real PNG/GIF/JPEG decode), probed against the
+    persisted hash index with the SimHash 16-bit-chunk band scheme
+    (exact chunk match -> candidate, bit_count(xor) exact score), and
+    admitted only when no indexed image sits within ``hamming_max``;
+    admitted hashes append to the index under the batch's own
+    ``batch_id=N`` partition (dynamic overwrite — idempotent retry,
+    the E31/E34 recipe). The image-side member of the dedup-gate
+    family: E12 exact text, E31 MinHash text, E32 char-span text —
+    this one catches the same PICTURE re-encoded in another format,
+    which no byte-level gate can. Within a batch, exact duplicate
+    hashes collapse first (lowest doc_id wins)."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sigs = image_dhash(batch).where(F.col("dhash").isNotNull())
+        # collapse exact-hash dups within the batch (keep lowest id)
+        sigs = (
+            sigs.groupBy("dhash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "dhash")
+        )
+        chunk_expr = ", ".join(
+            f"named_struct('chunk', {c}, 'key', shiftright(dhash, {c * 16}) & 65535)"
+            for c in range(4)
+        )
+        probe = sigs.select(
+            "doc_id", "dhash", F.explode(F.expr(f"array({chunk_expr})")).alias("b")
+        ).select("doc_id", "dhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
+        idx_path = os.path.join(index_dir, "bands")
+        dup_ids = None
+        if os.path.exists(os.path.join(idx_path, "_SUCCESS")) or any(
+            p.startswith("batch_id=") for p in (os.listdir(idx_path) if os.path.isdir(idx_path) else [])
+        ):
+            idx = spark.read.parquet(idx_path)
+            dup_ids = (
+                probe.join(
+                    idx.select(
+                        F.col("chunk").alias("ic"),
+                        F.col("key").alias("ik"),
+                        F.col("dhash").alias("ih"),
+                    ),
+                    (F.col("chunk") == F.col("ic")) & (F.col("key") == F.col("ik")),
+                )
+                .where(F.expr(f"bit_count(dhash ^ ih) <= {hamming_max}"))
+                .select("doc_id")
+                .distinct()
+            )
+        fresh = sigs if dup_ids is None else sigs.join(dup_ids, "doc_id", "left_anti")
+        admitted = batch.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            admitted.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(os.path.join(out_dir, "admitted"))
+            (
+                fresh.select(
+                    "doc_id", "dhash",
+                    F.explode(F.expr(f"array({chunk_expr})")).alias("b"),
+                )
+                .select(
+                    "doc_id", "dhash",
+                    F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(idx_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(gate)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1042,3 +1042,52 @@ def test_rfm_segments_cover_all_customers(spark):
     assert statistics.mean(r.avg_recency_days for r in best) < statistics.mean(
         r.avg_recency_days for r in worst
     )
+
+
+# --------------------------------------------- streaming image gate (E38)
+def test_stream_image_gate_drops_cross_format_redelivery(spark, tmp_path):
+    """An image admitted in batch 1 must block its OTHER-FORMAT twin
+    in batch 2 (same pixels, different codec); novel images pass."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        attach_image_variants,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_image_dedup_gate,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].limit(60)
+    media = attach_image_variants(docs).select("doc_id", "media")
+    # batch 1: the PNG member of each group; batch 2: GIF+JPEG twins
+    first = media.where(F.col("doc_id") % 3 == 0)
+    second = media.where(F.col("doc_id") % 3 != 0)
+    src = str(tmp_path / "drop")
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+    out, idx = str(tmp_path / "gate"), str(tmp_path / "idx")
+    q = stream_image_dedup_gate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        out, idx,
+    )
+    await_stream_done(q)
+    admitted = {r.doc_id for r in spark.read.parquet(out + "/admitted").collect()}
+    ids = {r.doc_id for r in media.select("doc_id").collect()}
+    pngs = {d for d in ids if d % 3 == 0}
+    twins = {d for d in ids if d % 3 != 0 and d // 3 in {p // 3 for p in pngs}}
+    # every PNG original admitted; every same-group twin dropped
+    assert pngs <= admitted
+    assert not (twins & admitted), sorted(twins & admitted)[:5]
+    # groups whose PNG member was absent (doc_id cut by limit) admit
+    # exactly one representative of the remaining twins
+    orphan_groups = {d // 3 for d in ids if d % 3 != 0} - {p // 3 for p in pngs}
+    for g in orphan_groups:
+        members = {d for d in ids if d // 3 == g and d % 3 != 0}
+        assert len(members & admitted) >= 1
