@@ -1387,3 +1387,145 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------- C109
+def attach_audio_variants(docs: DataFrame, group_size: int = 3) -> DataFrame:
+    """Synthesize near-duplicate audio: documents in the same
+    ``doc_id // group_size`` group share ONE waveform, re-delivered
+    per member as (a) the original 16 kHz clip, (b) an
+    amplitude-scaled copy (0.5x gain — same content, different
+    loudness), (c) a linear-resampled 11.025 kHz copy — the three
+    ways the same recording shows up twice in a crawled corpus."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // group_size
+                rng = np.random.RandomState(g)
+                n = 2048
+                t = np.arange(n)
+                wave_f = sum(
+                    rng.uniform(200, 4000) ** 0
+                    * np.sin(2 * np.pi * rng.uniform(0.002, 0.05) * t + rng.uniform(0, 6))
+                    * rng.uniform(0.2, 1.0)
+                    for _ in range(4)
+                )
+                base = (wave_f / np.abs(wave_f).max() * 12000).astype(np.int64)
+                kind = d % 3
+                if kind == 0:
+                    samples, rate = base, 16000
+                elif kind == 1:
+                    samples, rate = base // 2, 16000  # gain change
+                else:
+                    idx = np.linspace(0, n - 1, int(n * 11025 / 16000))
+                    lo = np.floor(idx).astype(int)
+                    hi = np.minimum(lo + 1, n - 1)
+                    frac = idx - lo
+                    samples = (base[lo] * (1 - frac) + base[hi] * frac).astype(
+                        np.int64
+                    )
+                    rate = 11025
+                media = wav_encode(samples.astype("<i2"), rate)
+                rows.append((d, g, media))
+            yield pd.DataFrame(rows, columns=["doc_id", "group_id", "media"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("group_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit audio fingerprint: decode WAV, split the clip into 65
+    equal-TIME frames (time-relative framing makes the print
+    sample-rate-invariant), mean absolute energy per frame, bit i =
+    energy[i] < energy[i+1]. Difference coding makes it GAIN-
+    invariant by construction (scaling all samples preserves every
+    comparison); resampling perturbs frame energies only slightly, so
+    a resampled copy lands a few hamming bits away — the audio analog
+    of the image dHash, same banded candidate scheme downstream."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def fp(samples: "np.ndarray") -> int:
+            e = np.abs(samples.astype(np.float64))
+            edges = np.linspace(0, len(e), 66).astype(int)
+            frames = np.array(
+                [e[a:b].mean() if b > a else 0.0 for a, b in zip(edges, edges[1:])]
+            )
+            bits = frames[:-1] < frames[1:]
+            v = 0
+            for i, b in enumerate(bits):
+                if b:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media"]):
+                hv = None
+                try:
+                    _, samples = wav_decode(bytes(raw))
+                    if len(samples) >= 66:
+                        hv = fp(samples)
+                except Exception:
+                    hv = None
+                rows.append((int(doc_id), hv))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("afp", LongType())]
+    )
+    return media.select("doc_id", "media").mapInPandas(proc, schema)
+
+
+_AFP_HAMMING_MAX = 10
+
+
+@register("audio_fingerprint_dedup")  # perceptual hash -> rows-only check
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection: the same recording re-delivered
+    at another gain or sample rate pairs up by its 64-bit energy-
+    envelope fingerprint (gain-exact by difference coding; resampling
+    costs a few hamming bits), banded and scored exactly like the
+    image dHash (16-bit chunks, bit_count(xor) in JVM bit math).
+    Completes the perceptual-dedup pair: C108 images, this for
+    audio — next to the text-side MinHash/char-span family."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = attach_audio_variants(docs)
+    sigs = audio_fingerprint(media).where(F.col("afp").isNotNull())
+    chunks = ", ".join(
+        f"named_struct('chunk', {c}, 'key', shiftright(afp, {c * 16}) & 65535)"
+        for c in range(4)
+    )
+    banded = sigs.select(
+        "doc_id", "afp", F.explode(F.expr(f"array({chunks})")).alias("b")
+    ).select("doc_id", "afp", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
+    buckets = (
+        banded.groupBy("chunk", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "afp"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_expr = """
+      flatten(transform(ms, (x, i) ->
+        transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+          named_struct('a', x.doc_id, 'b', y.doc_id,
+                       'hamming', bit_count(x.afp ^ y.afp)))))
+    """
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
+        .where(F.col("hamming") <= _AFP_HAMMING_MAX)
+        .distinct()
+        .orderBy("a", "b")
+    )

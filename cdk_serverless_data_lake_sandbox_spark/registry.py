@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "mmr_diversify",
     "ann_ivf_pq",
     "image_dhash_dedup",
+    "audio_fingerprint_dedup",
     "strip_dup_chars",
     "hybrid_retrieval_rrf",
     "semantic_dedup",

@@ -465,3 +465,37 @@ def test_image_dhash_dedup_cross_format(spark):
                 assert got[key] == 0, (key, got[key])
     cross = [p for p in got if p not in want_pairs]
     assert len(cross) <= max(2, len(want_pairs) // 50), cross[:5]
+
+
+def test_audio_fingerprint_dedup_gain_and_resample(spark):
+    """Gain-scaled copies fingerprint IDENTICALLY (difference coding);
+    resampled copies land within the hamming budget; recall over
+    content groups >= 95% with negligible cross-group pairs."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    pairs = all_queries()["audio_fingerprint_dedup"](spark, SF_SMALL).collect()
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    groups = {}
+    for d in ids:
+        groups.setdefault(d // 3, []).append(d)
+    want = set()
+    for members in groups.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                want.add((a, b))
+    got = {(r.a, r.b): r.hamming for r in pairs}
+    assert len(want & set(got)) / len(want) >= 0.95
+    # original vs half-gain: exact same fingerprint
+    for members in groups.values():
+        orig = [d for d in members if d % 3 == 0]
+        gain = [d for d in members if d % 3 == 1]
+        if orig and gain:
+            key = (min(orig[0], gain[0]), max(orig[0], gain[0]))
+            if key in got:
+                assert got[key] == 0, key
+    cross = [p for p in got if p not in want]
+    assert len(cross) <= max(2, len(want) // 50)
