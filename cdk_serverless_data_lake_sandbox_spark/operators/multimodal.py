@@ -1529,3 +1529,186 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------- C110
+_VID_MAGIC = b"VID0"
+
+
+def video_encode(frames) -> bytes:
+    """Minimal length-prefixed frame container: ``VID0`` magic,
+    uint16 frame count, then per frame uint32 length + an encoded
+    image payload (any codec this module decodes). A stand-in for a
+    real container's frame access layer — the Spark-side plumbing
+    (schema, batching, per-frame decode loop) is what matters."""
+    import struct
+
+    out = bytearray(_VID_MAGIC)
+    out += struct.pack("<H", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def video_decode_frames(data: bytes) -> list:
+    """Split a VID0 container into its encoded frame payloads."""
+    import struct
+
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack("<H", data[4:6])
+    pos, frames = 6, []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[pos : pos + 4])
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+def attach_video_variants(docs: DataFrame, group_size: int = 3) -> DataFrame:
+    """Synthesize near-duplicate videos: each ``doc_id //
+    group_size`` group shares six frames; members are (a) the
+    original PNG-framed clip, (b) the same pixels re-encoded
+    GIF-per-frame (a transcode — lossless, so frame hashes match
+    exactly), (c) a TRIMMED copy keeping the first four frames (the
+    clipped re-upload case)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // group_size
+                rng = np.random.RandomState(10_000 + g)
+                frames_px = [
+                    rng.randint(0, 256, (24, 24)).astype(np.uint8) for _ in range(6)
+                ]
+                kind = d % 3
+                if kind == 0:
+                    payload = video_encode([png_encode(p) for p in frames_px])
+                elif kind == 1:
+                    payload = video_encode([gif_encode(p) for p in frames_px])
+                else:
+                    payload = video_encode([png_encode(p) for p in frames_px[:4]])
+                rows.append((d, g, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "group_id", "media"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("group_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """Per-video distinct frame dHash set (doc_id, frame_hashes):
+    container split + per-frame image decode + dHash, one mapInPandas
+    pass. The video becomes a SET of 64-bit perceptual keys — which
+    turns video near-dup into set similarity, the problem the text
+    dedup family already solves at scale."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dhash(px: "np.ndarray") -> int:
+            h, w = px.shape
+            ri = np.round(np.linspace(0, h - 1, 8)).astype(int)
+            ci = np.round(np.linspace(0, w - 1, 9)).astype(int)
+            g = px[np.ix_(ri, ci)].astype(np.int32)
+            bits = (g[:, :-1] < g[:, 1:]).ravel()
+            v = 0
+            for i, b in enumerate(bits):
+                if b:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media"]):
+                hs = []
+                try:
+                    for fb in video_decode_frames(bytes(raw)):
+                        if fb[:8] == _PNG_SIG:
+                            _, _, px = png_decode(fb)
+                        elif fb[:4] == b"GIF8":
+                            _, _, px = gif_decode(fb)
+                        elif fb[:2] == b"\xff\xd8":
+                            _, _, px = jpeg_decode(fb)
+                        else:
+                            continue
+                        hs.append(dhash(px))
+                except Exception:
+                    hs = []
+                rows.append((int(doc_id), sorted(set(hs))))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_hashes"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_hashes", ArrayType(LongType())),
+        ]
+    )
+    return media.select("doc_id", "media").mapInPandas(proc, schema)
+
+
+_VID_JACCARD_TAU = 0.5
+
+
+@register("video_framehash_dedup")  # perceptual hash -> rows-only check
+def video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection, completing the perceptual
+    family across all four modalities (text MinHash / image dHash /
+    audio envelope / this): videos become distinct frame-dHash sets,
+    candidates come from an inverted index on frame hash (videos
+    sharing ANY frame key — no pairwise scan), and candidates score
+    by exact set Jaccard from the shared-frame count. A transcode
+    (same pixels, different frame codec) scores 1.0; a trimmed copy
+    scores |kept|/|union|; unrelated videos share no frame keys and
+    are never even candidates. The inverted-index + count shape is
+    the text n-gram Jaccard plan applied to frame keys — linear, not
+    O(n^2)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sigs = video_frame_hashes(attach_video_variants(docs)).where(
+        F.size("frame_hashes") > 0
+    )
+    sized = sigs.select(
+        "doc_id", "frame_hashes", F.size("frame_hashes").alias("n_frames")
+    )
+    posting = sized.select(
+        "doc_id", "n_frames", F.explode("frame_hashes").alias("fh")
+    )
+    a = posting.select(
+        F.col("fh"),
+        F.col("doc_id").alias("a"),
+        F.col("n_frames").alias("na"),
+    )
+    b = posting.select(
+        F.col("fh"),
+        F.col("doc_id").alias("b"),
+        F.col("n_frames").alias("nb"),
+    )
+    shared = (
+        a.join(b, "fh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.select(
+            "a",
+            "b",
+            F.col("n_shared").cast("bigint").alias("n_shared_frames"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _VID_JACCARD_TAU)
+        .orderBy("a", "b")
+    )

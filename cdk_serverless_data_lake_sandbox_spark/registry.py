@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "ann_ivf_pq",
     "image_dhash_dedup",
     "audio_fingerprint_dedup",
+    "video_framehash_dedup",
     "strip_dup_chars",
     "hybrid_retrieval_rrf",
     "semantic_dedup",

@@ -499,3 +499,35 @@ def test_audio_fingerprint_dedup_gain_and_resample(spark):
                 assert got[key] == 0, key
     cross = [p for p in got if p not in want]
     assert len(cross) <= max(2, len(want) // 50)
+
+
+def test_video_framehash_dedup_transcode_and_trim(spark):
+    """Transcoded clips (PNG vs GIF frames, same pixels) score
+    Jaccard exactly 1.0; trimmed copies score 4/6; unrelated videos
+    never pair (no shared frame keys)."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    pairs = all_queries()["video_framehash_dedup"](spark, SF_SMALL).collect()
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    got = {(r.a, r.b): (r.jaccard, r.n_shared_frames) for r in pairs}
+    groups = {}
+    for d in ids:
+        groups.setdefault(d // 3, []).append(d)
+    for g, members in groups.items():
+        orig = [d for d in members if d % 3 == 0]
+        gif = [d for d in members if d % 3 == 1]
+        trim = [d for d in members if d % 3 == 2]
+        if orig and gif:
+            key = (min(orig[0], gif[0]), max(orig[0], gif[0]))
+            assert got.get(key, (0, 0))[0] == 1.0, (key, got.get(key))
+        if orig and trim:
+            key = (min(orig[0], trim[0]), max(orig[0], trim[0]))
+            j, n = got.get(key, (0, 0))
+            assert n == 4 and abs(j - 4 / 6) < 1e-6, (key, j, n)
+    # no cross-group pairs at all (distinct random frames never collide)
+    for (pa, pb) in got:
+        assert pa // 3 == pb // 3, (pa, pb)
