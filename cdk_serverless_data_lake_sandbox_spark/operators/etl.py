@@ -858,3 +858,35 @@ def sorted_point_read(
     if not hits:
         return spark.read.parquet(table_path).where(F.lit(False))
     return spark.read.parquet(*hits).where(F.col(key_col) == value)
+
+
+# ---------------------------------------------------------------- D24
+def repartition_layout(
+    spark: SparkSession,
+    src_path: str,
+    target_path: str,
+    src_col: str,
+    expr: str,
+    new_col: str,
+) -> dict:
+    """Partition-layout migration: rewrite a table partitioned on one
+    derivation of a column into a coarser/finer layout (e.g. daily
+    ``event_date`` -> monthly ``event_month``) — the maintenance op
+    behind "our daily partitions are too small now". The rewrite is
+    one scan + one partitioned write; per-partition file counts drop
+    by the fan-in, and queries filtered on the NEW column prune at
+    the directory level. Returns {rows, partitions_before,
+    partitions_after} — the caller's invariant check (row counts must
+    match; the test also pins pruning on the new layout)."""
+    df = spark.read.parquet(src_path)
+    before = df.select(src_col).distinct().count()
+    out = df.withColumn(new_col, F.expr(expr))
+    out.repartition(F.col(new_col)).write.mode("overwrite").partitionBy(
+        new_col
+    ).parquet(target_path)
+    back = spark.read.parquet(target_path)
+    return {
+        "rows": back.count(),
+        "partitions_before": before,
+        "partitions_after": back.select(new_col).distinct().count(),
+    }

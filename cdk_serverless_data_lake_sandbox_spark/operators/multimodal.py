@@ -1712,3 +1712,64 @@ def video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _VID_JACCARD_TAU)
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------- C111
+@register("modality_dedup_report")  # composite over perceptual ops -> rows-only
+def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-screen duplication posture across every perceptual-dedup
+    modality: near-dup pair counts, distinct documents involved, and
+    the implied duplicate rate for images (C108), audio (C109), and
+    video (C110), next to the text corpus's exact-hash dup rate —
+    the dataset-card row a multimodal corpus publishes. Composes the
+    registered operators; each is its own linear plan."""
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    qs = all_queries()
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = docs.count()
+    parts = []
+    for name, mod in (
+        ("image_dhash_dedup", "image"),
+        ("audio_fingerprint_dedup", "audio"),
+        ("video_framehash_dedup", "video"),
+    ):
+        pairs = qs[name](spark, sf_dir)
+        involved = (
+            pairs.select(F.col("a").alias("d"))
+            .unionAll(pairs.select(F.col("b").alias("d")))
+            .distinct()
+        )
+        parts.append(
+            pairs.agg(F.count("*").alias("n_pairs")).crossJoin(
+                involved.agg(F.count("*").alias("n_docs_involved"))
+            ).select(
+                F.lit(mod).alias("modality"),
+                "n_pairs",
+                "n_docs_involved",
+                F.round(F.col("n_docs_involved") / F.lit(n_docs), 6).alias(
+                    "dup_doc_rate"
+                ),
+            )
+        )
+    text_dups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs_involved"),
+        )
+        .select(
+            F.lit("text_exact").alias("modality"),
+            "n_pairs",
+            "n_docs_involved",
+            F.round(F.col("n_docs_involved") / F.lit(n_docs), 6).alias("dup_doc_rate"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:] + [text_dups]:
+        out = out.unionByName(p)
+    return out.orderBy("modality")

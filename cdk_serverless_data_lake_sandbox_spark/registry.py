@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "image_dhash_dedup",
     "audio_fingerprint_dedup",
     "video_framehash_dedup",
+    "modality_dedup_report",
     "strip_dup_chars",
     "hybrid_retrieval_rrf",
     "semantic_dedup",

@@ -1091,3 +1091,36 @@ def test_stream_image_gate_drops_cross_format_redelivery(spark, tmp_path):
     for g in orphan_groups:
         members = {d for d in ids if d // 3 == g and d % 3 != 0}
         assert len(members & admitted) >= 1
+
+
+# ------------------------------------------- partition migration (D24)
+def test_repartition_layout_daily_to_monthly(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        repartition_layout,
+    )
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    daily = str(tmp_path / "daily")
+    ev.withColumn("event_date", F.to_date("ts")).repartition(
+        F.col("event_date")
+    ).write.partitionBy("event_date").parquet(daily)
+    monthly = str(tmp_path / "monthly")
+    stats = repartition_layout(
+        spark, daily, monthly,
+        src_col="event_date",
+        expr="date_format(event_date, 'yyyy-MM')",
+        new_col="event_month",
+    )
+    assert stats["rows"] == ev.count()
+    assert stats["partitions_after"] < stats["partitions_before"]
+    back = spark.read.parquet(monthly)
+    some_month = back.select("event_month").first()[0]
+    q = back.where(F.col("event_month") == some_month)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "event_month" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # per-row content preserved
+    assert back.select("event_id").distinct().count() == ev.count()
