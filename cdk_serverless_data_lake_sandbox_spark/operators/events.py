@@ -1196,3 +1196,215 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "event_type")
     )
+
+
+# ---------------------------------------------------------------- B101
+_ATTR_WINDOW_HOURS = 24
+
+_ATTR_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.pid, p.amount, e.event_type AS touch_type, e.event_id AS tid
+  FROM purchases p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type IN ('click', 'view', 'signup')
+   AND e.ts < p.pts
+   AND e.ts >= p.pts - INTERVAL {_ATTR_WINDOW_HOURS} HOUR
+),
+sized AS (
+  SELECT pid, amount, touch_type, tid,
+         COUNT(*) OVER (PARTITION BY pid) AS n_touches
+  FROM touches
+)
+SELECT touch_type,
+  COUNT(*) AS n_touches,
+  COUNT(DISTINCT pid) AS n_purchases_touched,
+  CAST(ROUND(SUM(CAST(amount / n_touches AS DECIMAL(18,6))), 2) AS DOUBLE)
+    AS attributed_revenue
+FROM sized
+GROUP BY touch_type ORDER BY touch_type
+"""
+
+
+@register("attribution_weights", oracle=_ATTR_ORACLE)
+def attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue splits
+    equally across the user's qualifying touches (click/view/signup)
+    in the prior 24 hours; per touch-type totals are the channel-
+    credit numbers a marketing dashboard reports. The touch join is
+    the stream-stream interval-join shape run in batch (user equi-key
+    + bounded time predicate — state/scan bounded by the window, the
+    property that makes it survive at scale); credit shares are
+    summed in DECIMAL so distributed accumulation is order-free and
+    the oracle matches exactly. The per-purchase touch count is a
+    purchase-keyed window — partitioned by pid, never global."""
+    e = _events(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("amount"),
+    )
+    t = e.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("tid"),
+    )
+    touches = p.join(
+        t,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.expr(f"pts - INTERVAL {_ATTR_WINDOW_HOURS} HOUR")),
+    )
+    w = Window.partitionBy("pid")
+    sized = touches.withColumn("n_touches", F.count("*").over(w))
+    return (
+        sized.groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.count_distinct("pid").alias("n_purchases_touched"),
+            F.sum(
+                (F.col("amount") / F.col("n_touches")).cast("decimal(18,6)")
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("_rev"),
+        )
+        .select(
+            "touch_type",
+            "n_touches",
+            "n_purchases_touched",
+            F.round("_rev", 2).alias("attributed_revenue"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# ---------------------------------------------------------------- B102
+_KM_ORACLE = """
+WITH purch AS (
+  SELECT user_id, ts,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT MAX(ts) AS tmax FROM events),
+subj AS (
+  SELECT p1.user_id,
+    CASE WHEN p2.ts IS NOT NULL
+         THEN DATEDIFF('day', p1.ts, p2.ts)
+         ELSE DATEDIFF('day', p1.ts, mx.tmax) END AS t,
+    CASE WHEN p2.ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM purch p1
+  LEFT JOIN purch p2 ON p2.user_id = p1.user_id AND p2.rn = 2
+  CROSS JOIN mx
+  WHERE p1.rn = 1
+),
+n_total AS (SELECT COUNT(*) AS n FROM subj),
+daily AS (
+  SELECT t, SUM(ev) AS d, COUNT(*) AS leaving FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+    nt.n - COALESCE(SUM(leaving) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM daily CROSS JOIN n_total nt
+),
+km AS (
+  SELECT t, d, n_risk,
+    CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+              OVER (ORDER BY t) = 1
+         THEN CAST(0 AS DOUBLE)
+         ELSE EXP(SUM(CASE WHEN d < n_risk
+                           THEN LN(1 - CAST(d AS DOUBLE) / n_risk)
+                           ELSE CAST(0 AS DOUBLE) END)
+                  OVER (ORDER BY t)) END AS s
+  FROM risk WHERE d > 0
+)
+SELECT CAST(t AS INTEGER) AS day_offset,
+  CAST(n_risk AS BIGINT) AS n_at_risk,
+  CAST(d AS BIGINT) AS n_repurchases,
+  ROUND(s, 6) AS survival
+FROM km ORDER BY day_offset
+"""
+
+
+@register("repurchase_survival", oracle=_KM_ORACLE)
+def repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Kaplan-Meier survival of time-to-second-purchase:
+    each first-time purchaser either repurchases after t days (event)
+    or is right-CENSORED at the corpus horizon — the estimator that
+    handles censoring correctly where a naive average of observed
+    intervals is biased toward fast repurchasers. S(t) =
+    prod_{u<=t}(1 - d_u/n_u), computed as exp of a running sum of
+    logs so the cumulative product is a window aggregate; the two
+    day-keyed windows run over the days-of-history frame (calendar-
+    bounded, the mom_growth class — the audit's reviewed list), while
+    every subject-level step is a keyed aggregation. Survival
+    analysis joins the analytics families; oracle mirrors the exact
+    ln/exp chain, rounded to 6."""
+    e = _events(spark, sf_dir)
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wp))
+    )
+    p1 = purch.where(F.col("rn") == 1).select("user_id", F.col("ts").alias("t1"))
+    p2 = purch.where(F.col("rn") == 2).select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("t2")
+    )
+    mx = e.agg(F.max("ts").alias("tmax"))
+    subj = (
+        p1.join(p2, p1.user_id == p2.u2, "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(), F.datediff(F.col("t2"), F.col("t1"))
+            )
+            .otherwise(F.datediff(F.col("tmax"), F.col("t1")))
+            .alias("t"),
+            F.when(F.col("t2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+        )
+    )
+    n_total = subj.count()
+    daily = subj.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("leaving")
+    )
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = daily.withColumn(
+        "n_risk",
+        F.lit(n_total) - F.coalesce(F.sum("leaving").over(w_prior), F.lit(0)),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the terminal day can have d == n_risk (everyone at risk
+    # repurchases): that factor is exactly 0 and ln() is undefined, so
+    # survival pins to 0 from that row on instead of entering the sum
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    km = (
+        risk.where(F.col("d") > 0)
+        .withColumn(
+            "s",
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(ln_term).over(w_cum))
+            ),
+        )
+    )
+    return km.select(
+        F.col("t").cast("int").alias("day_offset"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_repurchases"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("day_offset")

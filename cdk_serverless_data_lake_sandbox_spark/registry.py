@@ -47,6 +47,8 @@ _VERIFY_FIRST = [
     "item_item_similarity",
     "temporal_split_embargo",
     "rfm_segments",
+    "attribution_weights",
+    "repurchase_survival",
     "seasonal_anomaly",
     "mmr_diversify",
     "ann_ivf_pq",

@@ -1124,3 +1124,53 @@ def test_repartition_layout_daily_to_monthly(spark, tmp_path):
     )[1].split("]")[0]
     # per-row content preserved
     assert back.select("event_id").distinct().count() == ev.count()
+
+
+# --------------------------------------- attribution + survival (B101/102)
+def test_attribution_conserves_revenue(spark):
+    """Attributed revenue summed over touch types equals total
+    revenue of TOUCHED purchases (linear credit is conservative)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import (
+        _ATTR_WINDOW_HOURS,
+        attribution_weights,
+    )
+
+    rows = attribution_weights(spark, SF_SMALL).collect()
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"), F.col("value").alias("amount"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tts")
+    )
+    touched = (
+        p.join(
+            t,
+            (F.col("tu") == F.col("pu"))
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.expr(f"pts - INTERVAL {_ATTR_WINDOW_HOURS} HOUR")),
+            "left_semi",
+        )
+        .agg(F.sum("amount"))
+        .collect()[0][0]
+    )
+    assert abs(sum(r.attributed_revenue for r in rows) - touched) < 0.05
+
+
+def test_km_survival_monotone_and_bounded(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import (
+        repurchase_survival,
+    )
+
+    rows = repurchase_survival(spark, SF_SMALL).collect()
+    assert rows
+    s_prev = 1.0
+    n_prev = None
+    for r in rows:
+        assert 0.0 <= r.survival <= s_prev + 1e-9
+        s_prev = r.survival
+        if n_prev is not None:
+            assert r.n_at_risk <= n_prev  # risk set only shrinks
+        n_prev = r.n_at_risk
+        assert r.n_repurchases >= 1
