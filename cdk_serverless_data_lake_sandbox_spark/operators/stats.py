@@ -1643,3 +1643,210 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------- B103
+_SES_ALPHA = 0.3
+
+_SES_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+    list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+  FROM daily GROUP BY event_type
+),
+sm AS (
+  SELECT event_type, xs, len(xs) AS n_days,
+    list_reduce(xs, (acc, x) ->
+      CAST({_SES_ALPHA} AS DOUBLE) * x
+      + (CAST(1 AS DOUBLE) - CAST({_SES_ALPHA} AS DOUBLE)) * acc) AS level
+  FROM series
+),
+err AS (
+  SELECT s.event_type, s.n_days, s.level, s.xs,
+    list_sum(list_transform(
+      list_zip(s.xs[2:], list_transform(
+        range(1, len(s.xs)), i ->
+          list_reduce(s.xs[1:i], (acc, x) ->
+            CAST({_SES_ALPHA} AS DOUBLE) * x
+            + (CAST(1 AS DOUBLE) - CAST({_SES_ALPHA} AS DOUBLE)) * acc))),
+      p -> ABS(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+      / (s.n_days - 1) AS mae
+  FROM sm s
+)
+SELECT event_type,
+  CAST(n_days AS INTEGER) AS n_days,
+  CAST(xs[len(xs)] AS DOUBLE) AS last_actual,
+  ROUND(level, 6) AS forecast_next,
+  ROUND(mae, 6) AS one_step_mae
+FROM err ORDER BY event_type
+"""
+
+
+@register("ses_forecast", oracle=_SES_ORACLE)
+def ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step demand forecast per event type by simple exponential
+    smoothing (level_t = a*x_t + (1-a)*level_{t-1}, seeded at x_1),
+    with the in-sample one-step MAE as the honesty metric. The
+    sequential recurrence — poison for distributed execution if done
+    as a row-ordered window — runs IN-ROW: each type's bounded
+    day-series (calendar days, not data-sized) collects into one
+    array and the fold executes as a JVM ``aggregate`` lambda, which
+    DuckDB's list_reduce replays exactly. One shuffle to the daily
+    grid, one to the per-type series; forecasting joins the analytics
+    families with a hash-exact oracle."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> CAST(s.n AS DOUBLE))"
+        ).alias("xs")
+    )
+    a = _SES_ALPHA
+    fold = (
+        f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+        f" (acc, x) -> CAST({a} AS DOUBLE) * x"
+        f" + (CAST(1 AS DOUBLE) - CAST({a} AS DOUBLE)) * acc)"
+    )
+    # one-step errors: level after prefix i forecasts x_{i+1}
+    prefix_fold = (
+        f"aggregate(slice(xs, 2, i - 1), element_at(xs, 1),"
+        f" (acc, x) -> CAST({a} AS DOUBLE) * x"
+        f" + (CAST(1 AS DOUBLE) - CAST({a} AS DOUBLE)) * acc)"
+    )
+    mae = (
+        f"aggregate(transform(sequence(1, size(xs) - 1),"
+        f" i -> abs(element_at(xs, i + 1) - {prefix_fold})),"
+        f" 0.0d, (s, v) -> s + v) / (size(xs) - 1)"
+    )
+    return (
+        series.select(
+            "event_type",
+            F.size("xs").cast("int").alias("n_days"),
+            F.expr("element_at(xs, size(xs))").alias("last_actual"),
+            F.round(F.expr(fold), 6).alias("forecast_next"),
+            F.round(F.expr(mae), 6).alias("one_step_mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- B104
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+  FROM daily GROUP BY event_type
+),
+st AS (
+  SELECT event_type, xs, len(xs) AS nd,
+    list_sum(xs) / len(xs) AS mu
+  FROM series
+),
+cs AS (
+  SELECT event_type, xs, nd, mu,
+    list_transform(range(1, nd + 1), i ->
+      list_sum(list_transform(xs[1:i], x -> x - mu))) AS s
+  FROM st
+),
+mx AS (
+  SELECT event_type, nd, mu, s,
+    list_max(list_transform(s, v -> ABS(v))) AS stat
+  FROM cs
+),
+sd AS (
+  SELECT c.event_type, c.nd, c.s, m.stat,
+    SQRT(list_sum(list_transform(c.xs, x -> (x - c.mu) * (x - c.mu))) / c.nd)
+      AS sigma
+  FROM cs c JOIN mx m ON m.event_type = c.event_type
+)
+SELECT event_type,
+  CAST(nd AS INTEGER) AS n_days,
+  ROUND(stat, 6) AS cusum_stat,
+  CAST(list_position(list_transform(s, v -> ABS(v)), stat) AS INTEGER)
+    AS changepoint_day,
+  CASE WHEN sigma = 0 THEN CAST(0 AS DOUBLE)
+       ELSE ROUND(stat / (sigma * SQRT(CAST(nd AS DOUBLE))), 6) END
+    AS normalized_stat
+FROM sd ORDER BY event_type
+"""
+
+
+@register("cusum_changepoint", oracle=_CUSUM_ORACLE)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: cumulative sums of
+    mean-adjusted daily counts peak (in absolute value) at the most
+    likely level-shift day; the peak height normalized by
+    sigma*sqrt(n) is the standard CUSUM statistic (values well above
+    ~1.3 indicate a genuine shift rather than noise). Same in-row
+    bounded-series pattern as ``ses_forecast`` — day series collect
+    per type, prefix sums and the argmax run as array lambdas inside
+    codegen; nothing sequential ever crosses rows."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> CAST(s.n AS DOUBLE))"
+        ).alias("xs")
+    )
+    st = series.select(
+        "event_type",
+        "xs",
+        F.size("xs").alias("nd"),
+        (F.expr("aggregate(xs, 0.0d, (a, x) -> a + x)") / F.size("xs")).alias("mu"),
+    )
+    cs = st.select(
+        "event_type",
+        "xs",
+        "nd",
+        "mu",
+        F.expr(
+            "transform(sequence(1, nd), i ->"
+            " aggregate(transform(slice(xs, 1, i), x -> x - mu),"
+            " 0.0d, (a, v) -> a + v))"
+        ).alias("s"),
+    )
+    sd = cs.select(
+        "event_type",
+        "nd",
+        "s",
+        F.expr("array_max(transform(s, v -> abs(v)))").alias("stat"),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(xs, x -> (x - mu) * (x - mu)),"
+                " 0.0d, (a, v) -> a + v)"
+            )
+            / F.col("nd")
+        ).alias("sigma"),
+    )
+    return sd.select(
+        "event_type",
+        F.col("nd").cast("int").alias("n_days"),
+        F.round("stat", 6).alias("cusum_stat"),
+        F.expr("array_position(transform(s, v -> abs(v)), stat)")
+        .cast("int")
+        .alias("changepoint_day"),
+        # a perfectly constant series has sigma = 0 AND stat = 0: the
+        # normalized statistic is 0 by definition, not a division
+        F.when(F.col("sigma") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("stat")
+                / (F.col("sigma") * F.sqrt(F.col("nd").cast("double"))),
+                6,
+            )
+        )
+        .alias("normalized_stat"),
+    ).orderBy("event_type")

@@ -49,6 +49,8 @@ _VERIFY_FIRST = [
     "rfm_segments",
     "attribution_weights",
     "repurchase_survival",
+    "ses_forecast",
+    "cusum_changepoint",
     "seasonal_anomaly",
     "mmr_diversify",
     "ann_ivf_pq",

@@ -1174,3 +1174,70 @@ def test_km_survival_monotone_and_bounded(spark):
             assert r.n_at_risk <= n_prev  # risk set only shrinks
         n_prev = r.n_at_risk
         assert r.n_repurchases >= 1
+
+
+# --------------------------------------------- forecasting (B103/B104)
+def test_ses_forecast_constant_series_is_exact(spark):
+    """On a constant daily series SES must forecast the constant with
+    zero one-step error; on the real data MAE is finite and the
+    forecast sits inside the observed range."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import ses_forecast
+
+    rows = ses_forecast(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 3
+        assert r.one_step_mae >= 0
+        assert r.forecast_next > 0
+
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    const = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=i // 7, minutes=i % 7), "steady")
+            for i in range(7 * 30)
+        ],
+        "event_id long, ts timestamp, event_type string",
+    )
+    import cdk_serverless_data_lake_sandbox_spark.operators.stats as S
+
+    orig = S.load_tables
+    S.load_tables = lambda sp, sf, names: {"events": const}
+    try:
+        out = ses_forecast(spark, "x").collect()
+    finally:
+        S.load_tables = orig
+    assert len(out) == 1
+    assert out[0].forecast_next == 7.0 and out[0].one_step_mae == 0.0
+
+
+def test_cusum_flags_injected_level_shift(spark):
+    """A series that jumps from 5/day to 15/day at day 20 must put
+    the changepoint at the shift and score far above a steady
+    series."""
+    import datetime
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.stats as S
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for d in range(40):
+        n = 5 if d < 20 else 15
+        for i in range(n):
+            rows.append((len(rows), base + datetime.timedelta(days=d, minutes=i), "shift"))
+    for d in range(40):
+        for i in range(10):
+            rows.append((len(rows), base + datetime.timedelta(days=d, minutes=i), "steady"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    orig = S.load_tables
+    S.load_tables = lambda sp, sf, names: {"events": ev}
+    try:
+        out = {r.event_type: r for r in cusum_changepoint(spark, "x").collect()}
+    finally:
+        S.load_tables = orig
+    assert out["shift"].changepoint_day == 20
+    assert out["shift"].normalized_stat > 3 * max(out["steady"].normalized_stat, 0.01)
