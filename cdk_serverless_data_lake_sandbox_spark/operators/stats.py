@@ -1850,3 +1850,79 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("normalized_stat"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------- B105
+_ELASTICITY_ORACLE = """
+WITH pts AS (
+  SELECT p.p_brand AS brand,
+    LN(1 - CAST(l.l_discount AS DOUBLE)) AS x,
+    LN(CAST(l.l_quantity AS DOUBLE)) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_discount > 0
+),
+sums AS (
+  SELECT brand, COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(28,15))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE) AS sxx
+  FROM pts GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n_lines,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS intercept
+FROM sums
+WHERE n >= 30 AND (n * sxx - sx * sx) > 0
+ORDER BY brand
+"""
+
+
+@register("price_elasticity", oracle=_ELASTICITY_ORACLE)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: OLS slope of
+    ln(quantity) on ln(effective price factor 1-discount) over
+    discounted line items — the log-log regression whose slope reads
+    directly as "percent quantity change per percent price change".
+    Closed-form slope from the five sufficient sums (n, Sx, Sy, Sxy,
+    Sxx), all map-side combinable — the regression never materializes
+    points, which is the at-scale shape for any GLM-style sufficient-
+    statistic fit. Degenerate brands (single discount level ->
+    zero x-variance) are excluded on both sides."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    pts = (
+        t["lineitem"]
+        .where(F.col("l_discount") > 0)
+        .join(t["part"], t["lineitem"].l_partkey == t["part"].p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.lit(1) - F.col("l_discount").cast("double")).alias("x"),
+            F.log(F.col("l_quantity").cast("double")).alias("y"),
+        )
+    )
+    # sufficient sums accumulate in DECIMAL: double sums are
+    # accumulation-order-dependent across partitions, decimal sums
+    # are exact and order-free (the repo-wide float discipline)
+    dec = "decimal(28,15)"
+    sums = pts.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    return (
+        sums.where((F.col("n") >= 30) & (det > 0))
+        .select(
+            "brand",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.round(slope, 6).alias("elasticity"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("brand")
+    )

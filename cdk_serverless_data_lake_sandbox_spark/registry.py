@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "repurchase_survival",
     "ses_forecast",
     "cusum_changepoint",
+    "price_elasticity",
     "seasonal_anomaly",
     "mmr_diversify",
     "ann_ivf_pq",
