@@ -1926,3 +1926,101 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------- B106
+_HOLT_A = 0.3  # level smoothing
+_HOLT_B = 0.2  # trend smoothing
+
+# Constants appear as explicit double literals on BOTH sides (0.7 is
+# NOT bit-equal to 1.0-0.3 in doubles), and the state is a 2-element
+# ARRAY, not a struct: DuckDB's list_reduce evaluates struct fields
+# sequentially against the half-updated accumulator (the 'b' field
+# would see the new 'l'), while list literals build atomically — the
+# mirror only holds with array state. The trend recurrence is written
+# without repeating the level subexpression:
+# b' = beta*(alpha*(x-l) + (1-alpha)*b) + (1-beta)*b.
+
+_HOLT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+  FROM daily GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, len(xs) AS n_days,
+    list_reduce(
+      list_prepend(
+        [xs[2], xs[2] - xs[1]],
+        list_transform(xs[3:], v -> [v, CAST(0 AS DOUBLE)])),
+      (acc, x) -> [
+        CAST(0.3 AS DOUBLE) * x[1] + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+        CAST(0.2 AS DOUBLE) * (CAST(0.3 AS DOUBLE) * (x[1] - acc[1])
+          + CAST(0.7 AS DOUBLE) * acc[2])
+          + CAST(0.8 AS DOUBLE) * acc[2]]) AS st
+  FROM series WHERE len(xs) >= 3
+)
+SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+  ROUND(st[1], 6) AS level,
+  ROUND(st[2], 6) AS trend,
+  ROUND(st[1] + st[2], 6) AS forecast_1d,
+  ROUND(st[1] + 7 * st[2], 6) AS forecast_7d
+FROM fit ORDER BY event_type
+"""
+
+
+@register("holt_forecast", oracle=_HOLT_ORACLE)
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast per event type (double
+    exponential smoothing: level + trend states), initialized the
+    textbook way (l=x2, b=x2-x1) and folded IN-ROW over the bounded
+    calendar-day series with a 2-element ARRAY accumulator — the
+    struct form is a trap: DuckDB evaluates struct fields against the
+    half-updated accumulator, arrays build atomically on both
+    engines, so the two-state recurrence mirrors hash-exactly like
+    B103's single-state fold. Emits 1-day and 7-day-ahead forecasts;
+    trend is what SES structurally cannot express."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> CAST(s.n AS DOUBLE))"
+        ).alias("xs")
+    )
+    fold = (
+        "aggregate(slice(xs, 3, greatest(size(xs) - 2, 0)),"
+        " array(element_at(xs, 2), element_at(xs, 2) - element_at(xs, 1)),"
+        " (acc, x) -> array("
+        "CAST(0.3 AS DOUBLE) * x"
+        " + CAST(0.7 AS DOUBLE) * (element_at(acc, 1) + element_at(acc, 2)),"
+        " CAST(0.2 AS DOUBLE) * (CAST(0.3 AS DOUBLE) * (x - element_at(acc, 1))"
+        " + CAST(0.7 AS DOUBLE) * element_at(acc, 2))"
+        " + CAST(0.8 AS DOUBLE) * element_at(acc, 2)))"
+    )
+    return (
+        series.where(F.size("xs") >= 3)
+        .select(
+            "event_type",
+            F.size("xs").cast("int").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.expr("element_at(st, 1)"), 6).alias("level"),
+            F.round(F.expr("element_at(st, 2)"), 6).alias("trend"),
+            F.round(F.expr("element_at(st, 1) + element_at(st, 2)"), 6).alias(
+                "forecast_1d"
+            ),
+            F.round(
+                F.expr("element_at(st, 1) + 7 * element_at(st, 2)"), 6
+            ).alias("forecast_7d"),
+        )
+        .orderBy("event_type")
+    )

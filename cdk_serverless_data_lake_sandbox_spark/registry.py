@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "ses_forecast",
     "cusum_changepoint",
     "price_elasticity",
+    "holt_forecast",
     "seasonal_anomaly",
     "mmr_diversify",
     "ann_ivf_pq",

@@ -1241,3 +1241,60 @@ def test_cusum_flags_injected_level_shift(spark):
         S.load_tables = orig
     assert out["shift"].changepoint_day == 20
     assert out["shift"].normalized_stat > 3 * max(out["steady"].normalized_stat, 0.01)
+
+
+def test_price_elasticity_recovers_planted_slope(spark):
+    """Synthetic lines with qty = (1-d)^(-2) exactly must fit
+    elasticity -2.0."""
+    import math
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.stats as S
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        price_elasticity,
+    )
+
+    rows = []
+    for i in range(200):
+        d = [0.02, 0.05, 0.08, 0.10][i % 4]
+        qty = math.exp(-2.0 * math.log(1 - d))
+        rows.append((i, 1, d, qty))
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_discount double, l_quantity double"
+    )
+    part = spark.createDataFrame([(1, "Brand#T")], "p_partkey long, p_brand string")
+    orig = S.load_tables
+    S.load_tables = lambda sp, sf, names: {"lineitem": li, "part": part}
+    try:
+        out = price_elasticity(spark, "x").collect()
+    finally:
+        S.load_tables = orig
+    assert len(out) == 1
+    assert abs(out[0].elasticity - (-2.0)) < 1e-6
+
+
+def test_holt_tracks_linear_trend_exactly(spark):
+    """On a perfectly linear daily series Holt locks on: level = last
+    value, trend = daily step, so the h-step forecast is exact."""
+    import datetime
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.stats as S
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import holt_forecast
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for d in range(30):
+        n = 10 + 2 * d  # linear growth
+        for i in range(n):
+            rows.append((len(rows), base + datetime.timedelta(days=d, seconds=i), "lin"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    orig = S.load_tables
+    S.load_tables = lambda sp, sf, names: {"events": ev}
+    try:
+        out = holt_forecast(spark, "x").collect()
+    finally:
+        S.load_tables = orig
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r.level - (10 + 2 * 29)) < 1e-6
+    assert abs(r.trend - 2.0) < 1e-6
+    assert abs(r.forecast_7d - (10 + 2 * 29 + 14)) < 1e-5
