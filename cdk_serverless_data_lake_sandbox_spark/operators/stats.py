@@ -2024,3 +2024,70 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- B107
+_WEEKDAY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT event_type, dayofweek(day) AS dow, n FROM daily
+),
+overall AS (
+  SELECT event_type, SUM(n) AS st, COUNT(*) AS ct FROM keyed GROUP BY event_type
+)
+SELECT k.event_type, CAST(k.dow AS INTEGER) AS dow,
+  COUNT(*) AS n_days,
+  ROUND(CAST(SUM(k.n) AS DOUBLE) / COUNT(*), 4) AS mean_daily,
+  ROUND((CAST(SUM(k.n) AS DOUBLE) / COUNT(*))
+        / (CAST(o.st AS DOUBLE) / o.ct), 6) AS seasonal_index
+FROM keyed k JOIN overall o ON o.event_type = k.event_type
+GROUP BY k.event_type, k.dow, o.st, o.ct
+ORDER BY k.event_type, dow
+"""
+
+
+@register("weekday_seasonality", oracle=_WEEKDAY_ORACLE)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal profile per event type: mean daily volume per
+    day-of-week and its seasonal index (weekday mean / overall daily
+    mean — the multiplicative factor a weekday-aware forecast or a
+    staffing plan multiplies in). Two map-side-combinable
+    aggregations + a broadcast join on the (type)-keyed totals.
+    Day-of-week is normalized to DuckDB's 0=Sunday convention
+    (Spark's dayofweek is 1-based), the one calendar-function
+    mismatch between the engines."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    keyed = daily.select(
+        "event_type", (F.dayofweek("day") - 1).alias("dow"), "n"
+    )
+    overall = keyed.groupBy("event_type").agg(
+        F.sum("n").alias("st"), F.count("*").alias("ct")
+    )
+    return (
+        keyed.groupBy("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").alias("sn"),
+        )
+        .join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round(F.col("sn").cast("double") / F.col("n_days"), 4).alias(
+                "mean_daily"
+            ),
+            F.round(
+                (F.col("sn").cast("double") / F.col("n_days"))
+                / (F.col("st").cast("double") / F.col("ct")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

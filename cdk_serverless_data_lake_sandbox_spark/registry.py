@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "cusum_changepoint",
     "price_elasticity",
     "holt_forecast",
+    "weekday_seasonality",
     "seasonal_anomaly",
     "mmr_diversify",
     "ann_ivf_pq",
