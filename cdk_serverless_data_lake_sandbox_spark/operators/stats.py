@@ -1558,7 +1558,8 @@ SELECT CONCAT(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
   COUNT(*) AS n_customers,
   CAST(ROUND(AVG(recency_days), 4) AS DOUBLE) AS avg_recency_days,
   CAST(ROUND(AVG(frequency), 4) AS DOUBLE) AS avg_frequency,
-  CAST(ROUND(AVG(monetary), 2) AS DOUBLE) AS avg_monetary
+  CAST(ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*), 2) AS DOUBLE) AS avg_monetary
 FROM scored
 GROUP BY 1 ORDER BY segment
 """
@@ -1639,7 +1640,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
             F.round(F.avg("frequency"), 4).alias("avg_frequency"),
-            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+            # decimal-exact mean: a double AVG is accumulation-order
+            # dependent and flips the 2-decimal round at boundaries
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                2,
+            ).alias("avg_monetary"),
         )
         .orderBy("segment")
     )
