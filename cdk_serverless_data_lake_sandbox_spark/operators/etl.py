@@ -822,16 +822,21 @@ def sorted_export(
         )
         .collect()
     )
-    manifest = sorted(
-        (
-            {
-                "file": os.path.basename(r._file),
-                "n_rows": r.n_rows,
-                "min_key": r.min_key,
-                "max_key": r.max_key,
-            }
-            for r in stats
-        ),
+    entries = [
+        {
+            "file": os.path.basename(r._file),
+            "n_rows": r.n_rows,
+            "min_key": r.min_key,
+            "max_key": r.max_key,
+        }
+        for r in stats
+    ]
+    # Null sort keys range-partition into the first file(s), giving them a
+    # null min_key that Python's sort cannot compare — order those first
+    # explicitly (matching the range partitioner's nulls-first placement).
+    null_min = [m for m in entries if m["min_key"] is None]
+    manifest = null_min + sorted(
+        (m for m in entries if m["min_key"] is not None),
         key=lambda m: m["min_key"],
     )
     with open(os.path.join(target_path, "_manifest.json"), "w") as fh:
@@ -846,14 +851,42 @@ def sorted_point_read(
     poor man's index every sorted lake table carries for free."""
     with open(os.path.join(table_path, "_manifest.json")) as fh:
         manifest = json.load(fh)
+
+    # The manifest was written with json.dump(default=str), so sort keys JSON
+    # has no native type for (dates, timestamps, Decimals) come back as
+    # strings. Parse them back to the lookup value's type when possible;
+    # only compare lexicographically as a last resort (ISO date/time strings
+    # order correctly that way; a failed parse never raises a TypeError).
+    import datetime
+    import decimal
+
+    def _parse_like(stored):
+        if stored is None or isinstance(value, str) or not isinstance(stored, str):
+            return stored
+        try:
+            if isinstance(value, decimal.Decimal):
+                return decimal.Decimal(stored)
+            if isinstance(value, datetime.datetime):
+                return datetime.datetime.fromisoformat(stored)
+            if isinstance(value, datetime.date):
+                return datetime.date.fromisoformat(stored)
+            return type(value)(stored)
+        except (ValueError, TypeError, decimal.InvalidOperation):
+            return stored
+
+    def _may_contain(m):
+        lo, hi = _parse_like(m["min_key"]), _parse_like(m["max_key"])
+        if hi is None:  # all-null file: cannot contain a concrete key
+            return False
+        try:
+            return (lo is None or lo <= value) and value <= hi
+        except TypeError:
+            # Unparseable stored type: fall back to the default=str domain.
+            sv = str(value)
+            return (lo is None or str(lo) <= sv) and sv <= str(hi)
+
     hits = [
-        os.path.join(table_path, m["file"])
-        for m in manifest
-        if str(m["min_key"]) <= str(value) <= str(m["max_key"])
-        or (
-            not isinstance(value, str)
-            and m["min_key"] <= value <= m["max_key"]
-        )
+        os.path.join(table_path, m["file"]) for m in manifest if _may_contain(m)
     ]
     if not hits:
         return spark.read.parquet(table_path).where(F.lit(False))

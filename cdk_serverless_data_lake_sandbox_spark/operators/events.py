@@ -1223,8 +1223,8 @@ sized AS (
 SELECT touch_type,
   COUNT(*) AS n_touches,
   COUNT(DISTINCT pid) AS n_purchases_touched,
-  CAST(ROUND(SUM(CAST(amount / n_touches AS DECIMAL(18,6))), 2) AS DOUBLE)
-    AS attributed_revenue
+  ROUND(CAST(CAST(SUM(CAST(amount / n_touches AS DECIMAL(18,6)))
+    AS DECIMAL(38,6)) AS DOUBLE), 2) AS attributed_revenue
 FROM sized
 GROUP BY touch_type ORDER BY touch_type
 """

@@ -1450,7 +1450,14 @@ def stream_image_dedup_gate(
         if os.path.exists(os.path.join(idx_path, "_SUCCESS")) or any(
             p.startswith("batch_id=") for p in (os.listdir(idx_path) if os.path.isdir(idx_path) else [])
         ):
-            idx = spark.read.parquet(idx_path)
+            # Probe only STRICTLY EARLIER batches: a crash-replayed batch N
+            # must not see its own prior partial batch_id=N rows (every doc
+            # matches itself at hamming 0, shrinking `fresh`, and the dynamic
+            # overwrite would then silently drop previously admitted docs).
+            # batch_id is the partition column, so this is a pruned read.
+            idx = spark.read.parquet(idx_path).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
             dup_ids = (
                 probe.join(
                     idx.select(
