@@ -2098,3 +2098,147 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------- B108
+_HW_A = 0.3  # level
+_HW_B = 0.2  # trend
+_HW_G = 0.1  # seasonal
+_HW_M = 7  # weekly period
+
+# The 9-element ARRAY accumulator is [level, trend, s_oldest..s_newest]
+# (the seasonal queue holds the last 7 seasonal values, oldest first,
+# so s_{t-m} is acc[3] and the post-update queue slides left). l' is
+# needed inside b' and s_new; with no let-binding in either engine's
+# lambda language it is INLINED — the identical expression tree
+# evaluates identically, which is what keeps the mirror hash-exact.
+# All smoothing constants appear as explicit double literals on both
+# sides (0.7 is not bit-equal to 1.0-0.3 in doubles).
+
+_HW_LP = (
+    "CAST(0.3 AS DOUBLE) * (x[1] - acc[3])"
+    " + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])"
+)
+
+_HW_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+  FROM daily GROUP BY event_type
+),
+init AS (
+  SELECT event_type, xs, len(xs) AS n_days,
+    (xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7]) / CAST(7 AS DOUBLE) AS m1,
+    (xs[8]+xs[9]+xs[10]+xs[11]+xs[12]+xs[13]+xs[14]) / CAST(7 AS DOUBLE) AS m2
+  FROM series WHERE len(xs) >= 15
+),
+fit AS (
+  SELECT event_type, n_days,
+    list_reduce(
+      list_prepend(
+        [m1, (m2 - m1) / CAST(7 AS DOUBLE),
+         xs[1]-m1, xs[2]-m1, xs[3]-m1, xs[4]-m1, xs[5]-m1, xs[6]-m1, xs[7]-m1],
+        list_transform(xs[8:], v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+      (acc, x) -> [
+        {_HW_LP},
+        CAST(0.2 AS DOUBLE) * (({_HW_LP}) - acc[1])
+          + CAST(0.8 AS DOUBLE) * acc[2],
+        acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+        CAST(0.1 AS DOUBLE) * (x[1] - ({_HW_LP}))
+          + CAST(0.9 AS DOUBLE) * acc[3]]) AS st
+  FROM init
+)
+SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+  ROUND(st[1], 6) AS level,
+  ROUND(st[2], 6) AS trend,
+  ROUND(st[1] + st[2] + st[3], 6) AS forecast_1d,
+  ROUND(st[1] + 7 * st[2] + st[9], 6) AS forecast_7d
+FROM fit ORDER BY event_type
+"""
+
+
+@register("holt_winters_forecast", oracle=_HW_ORACLE)
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing per event
+    type (level + trend + weekly seasonal states) — the member of the
+    forecasting family (B103 SES, B106 Holt) that models the weekday
+    cycle B107 measures instead of averaging over it. Textbook
+    two-week initialization (l0 = week-1 mean, b0 = (week-2 mean -
+    week-1 mean)/7, s_i = x_i - l0), then the three-state recurrence
+    folds IN-ROW over the bounded calendar-day series with a
+    9-element ARRAY accumulator whose tail is the sliding seasonal
+    queue; DuckDB's list_reduce replays the identical expression tree
+    hash-exactly (array literals build atomically — the struct trap
+    B106 documents). Forecast x_{{t+h}} = l + h*b + s_{{t+h-m}}: the
+    1-day-ahead forecast reads the queue's oldest slot, the
+    7-day-ahead its newest. Series are the observed-day sequences; a
+    production run densifies gaps with zeros first so the seasonal
+    queue stays dow-aligned."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> CAST(s.n AS DOUBLE))"
+        ).alias("xs")
+    )
+    m1 = (
+        "(element_at(xs,1)+element_at(xs,2)+element_at(xs,3)+element_at(xs,4)"
+        "+element_at(xs,5)+element_at(xs,6)+element_at(xs,7))"
+        " / CAST(7 AS DOUBLE)"
+    )
+    m2 = (
+        "(element_at(xs,8)+element_at(xs,9)+element_at(xs,10)+element_at(xs,11)"
+        "+element_at(xs,12)+element_at(xs,13)+element_at(xs,14))"
+        " / CAST(7 AS DOUBLE)"
+    )
+    lp = (
+        "CAST(0.3 AS DOUBLE) * (x - element_at(acc,3))"
+        " + CAST(0.7 AS DOUBLE) * (element_at(acc,1) + element_at(acc,2))"
+    )
+    fold = (
+        f"aggregate(slice(xs, 8, greatest(size(xs) - 7, 0)),"
+        f" array({m1}, ({m2} - {m1}) / CAST(7 AS DOUBLE),"
+        f"  element_at(xs,1) - {m1}, element_at(xs,2) - {m1},"
+        f"  element_at(xs,3) - {m1}, element_at(xs,4) - {m1},"
+        f"  element_at(xs,5) - {m1}, element_at(xs,6) - {m1},"
+        f"  element_at(xs,7) - {m1}),"
+        f" (acc, x) -> array("
+        f"  {lp},"
+        f"  CAST(0.2 AS DOUBLE) * (({lp}) - element_at(acc,1))"
+        f"   + CAST(0.8 AS DOUBLE) * element_at(acc,2),"
+        f"  element_at(acc,4), element_at(acc,5), element_at(acc,6),"
+        f"  element_at(acc,7), element_at(acc,8), element_at(acc,9),"
+        f"  CAST(0.1 AS DOUBLE) * (x - ({lp}))"
+        f"   + CAST(0.9 AS DOUBLE) * element_at(acc,3)))"
+    )
+    return (
+        series.where(F.size("xs") >= 15)
+        .select(
+            "event_type",
+            F.size("xs").cast("int").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.expr("element_at(st,1)"), 6).alias("level"),
+            F.round(F.expr("element_at(st,2)"), 6).alias("trend"),
+            F.round(
+                F.expr("element_at(st,1) + element_at(st,2) + element_at(st,3)"),
+                6,
+            ).alias("forecast_1d"),
+            F.round(
+                F.expr("element_at(st,1) + 7 * element_at(st,2) + element_at(st,9)"),
+                6,
+            ).alias("forecast_7d"),
+        )
+        .orderBy("event_type")
+    )

@@ -35,7 +35,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the ledger). Everything else follows in registration order --
 # nothing is dropped, only reordered.
 _VERIFY_FIRST = [
-    # new / changed this session (r4)
+    # new / changed this session (r5)
+    "winnowing_fingerprints",
+    "winnowing_pairs",
+    "holt_winters_forecast",
+    "attribution_weights",
+    # new / changed last session (r4)
     "copurchase_pagerank",
     "brand_recommendations",
     "copurchase_triangles",
@@ -47,8 +52,7 @@ _VERIFY_FIRST = [
     "item_item_similarity",
     "temporal_split_embargo",
     "rfm_segments",
-    "attribution_weights",
-    "repurchase_survival",
+        "repurchase_survival",
     "ses_forecast",
     "cusum_changepoint",
     "price_elasticity",
@@ -152,6 +156,7 @@ def _load_modules() -> None:
         dedup,
         etl,
         events,
+        fingerprint,
         graph,
         multimodal,
         pipeline,

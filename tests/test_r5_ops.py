@@ -1,0 +1,139 @@
+"""Round-5 operators: winnowing fingerprints, Holt-Winters.
+
+Oracle parity for every registered query runs in test_oracle_parity;
+these tests pin the semantic properties the oracles can't express —
+the winnowing guarantee and Holt-Winters' exact lock on a pure
+seasonal series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from cdk_serverless_data_lake_sandbox_spark.operators.fingerprint import (
+    _K,
+    _W,
+    _fingerprints,
+)
+
+
+# ------------------------------------------------------------ winnowing
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al.'s two properties: (1) any shared substring of
+    >= k + w - 1 chars yields at least one shared fingerprint hash;
+    (2) selection density is near the expected 2/(w+1)."""
+    t = _K + _W - 1
+    boiler = "The quick brown fox jumps over the lazy dog near the bank."
+    assert len(boiler) >= t
+    rows = [
+        (1, f"alpha document one {boiler} trailing text here 123"),
+        (2, f"completely different beginning {boiler} and another ending"),
+        (3, "no overlap with the others at all; just plain filler words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = _fingerprints(docs)
+    by_doc = {
+        r.doc_id: set(r.hs)
+        for r in fp.groupBy("doc_id").agg(F.collect_set("h").alias("hs")).collect()
+    }
+    # guarantee: docs 1 and 2 share the boilerplate sentence
+    assert by_doc[1] & by_doc[2], "shared >=t-char substring must share a fingerprint"
+    # doc 3 shares nothing that long with either
+    assert not (by_doc[3] & by_doc[1])
+    assert not (by_doc[3] & by_doc[2])
+
+    # density: selected/windows stays in a loose band around 2/(w+1)
+    prof = (
+        fp.groupBy("doc_id")
+        .agg(F.max("n_grams").alias("ng"), F.count("*").alias("nf"))
+        .collect()
+    )
+    for r in prof:
+        density = r.nf / r.ng
+        assert 1 / _W <= density <= 4 / (_W + 1), (r.doc_id, density)
+
+
+def test_winnowing_pairs_ranks_the_mirrored_doc_first(spark, monkeypatch):
+    """A lightly-edited mirror (long shared run, small edits) must
+    out-rank unrelated docs in shared-fingerprint count."""
+    base = (
+        "Subscribe to our newsletter for updates. "
+        "This article was originally published on the example blog. "
+        "All rights reserved by the original author of this text."
+    )
+    rows = [
+        (10, "intro words " + base + " outro words"),
+        (11, "different intro " + base + " different outro"),
+        (12, "unrelated content about gardening and the weather today " * 3),
+        (13, "another unrelated piece of text on cooking pasta dishes " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import cdk_serverless_data_lake_sandbox_spark.operators.fingerprint as fpm
+
+    monkeypatch.setattr(fpm, "load_tables", lambda s, d, t: {"documents": docs})
+    out = fpm.winnowing_pairs(spark, "ignored").collect()
+    assert out, "mirror pair must be detected"
+    top = out[0]
+    assert (top.doc_a, top.doc_b) == (10, 11)
+    assert top.overlap_coef > 0.3
+
+
+# ----------------------------------------------------------- Holt-Winters
+def test_holt_winters_locks_pure_weekly_series(spark, monkeypatch):
+    """On x_t = c + s_{t mod 7} (zero-sum weekly profile, no trend)
+    the textbook init is exact and every update is a fixed point:
+    forecast_1d equals the true next value, trend stays 0."""
+    import datetime
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.stats as st
+
+    season = [30, -10, -20, 5, 15, -25, 5]  # sums to 0
+    c = 100
+    rows = []
+    eid = 0
+    d0 = datetime.datetime(2024, 1, 1)
+    n_days = 28
+    for day in range(n_days):
+        n_events = c + season[day % 7]
+        for _ in range(n_events):
+            rows.append(("t", d0 + datetime.timedelta(days=day), eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long")
+    monkeypatch.setattr(st, "load_tables", lambda s, d, t: {"events": ev})
+    out = st.holt_winters_forecast(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == n_days
+    assert abs(r.level - c) < 1e-9
+    assert abs(r.trend) < 1e-9
+    # day n_days (0-based) is day index 28 -> season[0]
+    assert abs(r.forecast_1d - (c + season[n_days % 7])) < 1e-9
+    assert abs(r.forecast_7d - (c + season[(n_days + 6) % 7])) < 1e-9
+
+
+def test_holt_winters_tracks_trend(spark, monkeypatch):
+    """With a linear trend added, the fitted trend approaches the true
+    slope (init gives it exactly; updates keep it close)."""
+    import datetime
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.stats as st
+
+    season = [10, -5, -5, 0, 5, -10, 5]
+    slope = 3
+    rows = []
+    eid = 0
+    d0 = datetime.datetime(2024, 3, 1)
+    n_days = 28
+    for day in range(n_days):
+        n_events = 50 + slope * day + season[day % 7]
+        for _ in range(n_events):
+            rows.append(("t", d0 + datetime.timedelta(days=day), eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long")
+    monkeypatch.setattr(st, "load_tables", lambda s, d, t: {"events": ev})
+    r = st.holt_winters_forecast(spark, "ignored").collect()[0]
+    assert abs(r.trend - slope) < 1.0
+    true_next = 50 + slope * n_days + season[n_days % 7]
+    assert abs(r.forecast_1d - true_next) / true_next < 0.1
