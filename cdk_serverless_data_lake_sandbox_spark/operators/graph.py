@@ -826,3 +826,145 @@ def copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "part_key")
         .limit(_TOP)
     )
+
+
+# ---------------------------------------------------------------- B109
+_CORE_ROUNDS = 24  # >= observed convergence (19 at sf0.01) + margin;
+#                    extra rounds are no-ops (the iteration is monotone)
+
+
+def coreness_frame(
+    edges: DataFrame, max_rounds: int = _CORE_ROUNDS
+) -> DataFrame:
+    """Per-node coreness (the largest k such that the node survives
+    k-core peeling) via the distributed H-index iteration (Montresor,
+    De Pellegrini & Miorandi 2011, "Distributed k-core
+    decomposition"): start from c0(v) = deg(v) and repeat
+    c(v) <- min(c(v), H({c(u) : u ~ v})) where H is the H-index of
+    the neighbor estimates — monotone non-increasing, fixpoint =
+    exact coreness. The sequential min-heap peel (Batagelj-Zaversnik)
+    is inherently serial; the H-index form is one join + one
+    map-side-combinable aggregation per round, the shape that
+    distributes.
+
+    Each round: neighbor estimates shuffle on dst, collect per node
+    (bounded by max degree — for web-scale hub degrees the in-row
+    list becomes a count-bucket H-index, same contract), H-index
+    computed IN-ROW over the sorted list, state lineage truncated per
+    round like :func:`pagerank`. Early-stops via observe() when no
+    value changed, so converged graphs never pay the full round
+    budget; ``max_rounds`` keeps the unrolled oracle replayable."""
+    from pyspark.sql import Observation
+
+    cur = (
+        edges.select(F.col("src").alias("node"), F.col("src_deg").alias("c"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hidx = (
+        "aggregate(sequence(1, size(cs)), CAST(0 AS BIGINT),"
+        " (a, j) -> greatest(a, least(element_at(cs, j), CAST(j AS BIGINT))))"
+    )
+    for _ in range(max_rounds):
+        nb = (
+            edges.join(cur, edges.dst == cur.node)
+            .groupBy("src")
+            .agg(F.sort_array(F.collect_list("c"), asc=False).alias("cs"))
+            .select(F.col("src").alias("hn"), F.expr(hidx).alias("h"))
+        )
+        obs = Observation()
+        stepped = (
+            cur.join(nb, cur.node == F.col("hn"))
+            .select(
+                "node",
+                F.least(F.col("c"), F.col("h")).alias("new_c"),
+                F.col("c").alias("_old"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("new_c") != F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .select("node", F.col("new_c").alias("c"))
+        )
+        cur = stepped.localCheckpoint(eager=True)
+        if (obs.get["changed"] or 0) == 0:
+            break
+    return cur
+
+
+def _coreness_oracle(rounds: int = _CORE_ROUNDS) -> str:
+    """Unrolled H-index iteration: one (neighbor-list, H, min) CTE
+    pair per round. Pure integer arithmetic — exact by construction.
+    ``rounds`` exceeds the measured convergence round count, and the
+    iteration is idempotent at the fixpoint, so the unrolled depth
+    does not need to match Spark's early-stop round count."""
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM und UNION ALL SELECT pb, pa FROM und)",
+        "r0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src)",
+    ]
+    # every r{i} is referenced twice (the neighbor-list build and the
+    # min-merge) and edges by every round: MATERIALIZED or the default
+    # inlining re-expands the whole upstream chain per reference (the
+    # exponential-CTE trap the mmr_diversify oracle documents).
+    for i in range(rounds):
+        ctes.append(f"""nb{i} AS MATERIALIZED (
+  SELECT e.src AS node, list(c.c ORDER BY c.c DESC) AS cs
+  FROM edges e JOIN r{i} c ON c.node = e.dst GROUP BY e.src
+)""")
+        ctes.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT r.node, LEAST(r.c, list_max(list_transform(
+    generate_series(1, len(nb.cs)), j -> LEAST(nb.cs[j], j)))) AS c
+  FROM r{i} r JOIN nb{i} nb ON nb.node = r.node
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(c AS INTEGER) AS coreness,
+  COUNT(*) AS n_parts,
+  CAST(MIN(node) AS BIGINT) AS min_part,
+  CAST(MAX(node) AS BIGINT) AS max_part
+FROM r{rounds}
+GROUP BY c ORDER BY coreness DESC
+"""
+    )
+
+
+_CORENESS_ORACLE = _coreness_oracle()
+
+
+@register("copurchase_kcore", oracle=_CORENESS_ORACLE)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph: the coreness
+    histogram (how many parts survive to each peeling depth, with
+    min/max part keys per level as deterministic witnesses). Coreness
+    separates parts embedded in a densely cross-selling assortment
+    from parts whose high degree is an artifact of a few big orders —
+    the robustness signal degree alone cannot give (a hub connected
+    to leaves has high degree and coreness 1). Runs the H-index
+    iteration of :func:`coreness_frame`; the oracle unrolls the same
+    integer recurrence, so the match is exact, not tolerance-based."""
+    edges = copurchase_edges(spark, sf_dir)
+    core = coreness_frame(edges)
+    return (
+        core.groupBy("c")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+        )
+        .select(
+            F.col("c").cast("int").alias("coreness"),
+            F.col("n_parts"),
+            F.col("min_part").cast("bigint").alias("min_part"),
+            F.col("max_part").cast("bigint").alias("max_part"),
+        )
+        .orderBy(F.desc("coreness"))
+    )

@@ -39,6 +39,7 @@ _VERIFY_FIRST = [
     "winnowing_fingerprints",
     "winnowing_pairs",
     "holt_winters_forecast",
+    "copurchase_kcore",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",

@@ -137,3 +137,34 @@ def test_holt_winters_tracks_trend(spark, monkeypatch):
     assert abs(r.trend - slope) < 1.0
     true_next = 50 + slope * n_days + season[n_days % 7]
     assert abs(r.forecast_1d - true_next) / true_next < 0.1
+
+
+# ---------------------------------------------------------- coreness
+def test_coreness_on_known_graph(spark):
+    """K5 (coreness 4 each) bridged to a path (coreness 1), plus a
+    triangle pendant (coreness 2): the H-index iteration must converge
+    to the exact peeling corenesses Batagelj-Zaversnik would emit."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        coreness_frame,
+    )
+
+    und = (
+        # K5 over 1..5
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        # chain 5-10-11-12 (anchored both ends -> survives the 2-core)
+        + [(5, 10), (10, 11), (11, 12)]
+        # triangle 12-13-14
+        + [(12, 13), (13, 14), (12, 14)]
+        # pendant leaf: the only coreness-1 node
+        + [(14, 20)]
+    )
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    from collections import Counter
+
+    deg = Counter(x for x, _ in rows)
+    edges = spark.createDataFrame(
+        [(a, b, deg[a]) for a, b in rows], "src long, dst long, src_deg long"
+    )
+    got = {r.node: r.c for r in coreness_frame(edges).collect()}
+    want = {1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 10: 2, 11: 2, 12: 2, 13: 2, 14: 2, 20: 1}
+    assert got == want
