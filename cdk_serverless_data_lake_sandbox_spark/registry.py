@@ -40,6 +40,8 @@ _VERIFY_FIRST = [
     "winnowing_pairs",
     "holt_winters_forecast",
     "copurchase_kcore",
+    "k_anonymity_check",
+    "dp_count_release",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",
@@ -53,7 +55,7 @@ _VERIFY_FIRST = [
     "item_item_similarity",
     "temporal_split_embargo",
     "rfm_segments",
-        "repurchase_survival",
+    "repurchase_survival",
     "ses_forecast",
     "cusum_changepoint",
     "price_elasticity",
@@ -160,6 +162,7 @@ def _load_modules() -> None:
         fingerprint,
         graph,
         multimodal,
+        privacy,
         pipeline,
         quality,
         shaping,

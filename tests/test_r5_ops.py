@@ -168,3 +168,54 @@ def test_coreness_on_known_graph(spark):
     got = {r.node: r.c for r in coreness_frame(edges).collect()}
     want = {1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 10: 2, 11: 2, 12: 2, 13: 2, 14: 2, 20: 1}
     assert got == want
+
+
+# ------------------------------------------------------------- privacy
+def test_k_anonymity_flags_known_cells(spark, monkeypatch):
+    import cdk_serverless_data_lake_sandbox_spark.operators.privacy as pv
+
+    rows = []
+    # nation 1, band 0: 10 rows, 3 segments -> clean
+    for i in range(10):
+        rows.append((1, 100.0, ["A", "B", "C"][i % 3]))
+    # nation 2, band 0: 2 rows -> k-violation
+    rows += [(2, 100.0, "A"), (2, 200.0, "B")]
+    # nation 3, band 1: 6 rows all same segment -> l-violation only
+    rows += [(3, 2500.0, "A")] * 6
+    c = spark.createDataFrame(
+        rows, "c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    monkeypatch.setattr(pv, "load_tables", lambda s, d, t: {"customer": c})
+    out = {(r.nation_key, r.bal_band): r for r in pv.k_anonymity_check(spark, "x").collect()}
+    assert set(out) == {(2, 0), (3, 1)}
+    assert out[(2, 0)].k_violation and out[(2, 0)].l_violation
+    assert (not out[(3, 1)].k_violation) and out[(3, 1)].l_violation
+
+
+def test_dp_release_noise_properties(spark):
+    """The released counts differ from the truth (noise is actually
+    applied), stay within the 99.9% Laplace envelope for eps=1
+    (|noise| <= ln(1000) ~ 6.9), and are bit-reproducible."""
+    import math
+
+    from tests.conftest import SF_SMALL
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.privacy import (
+        dp_count_release,
+    )
+
+    c = load_tables(spark, SF_SMALL, ("customer",))["customer"]
+    truth = {
+        r.segment: r.n
+        for r in c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rel1 = {r.segment: r.released_count for r in dp_count_release(spark, SF_SMALL).collect()}
+    rel2 = {r.segment: r.released_count for r in dp_count_release(spark, SF_SMALL).collect()}
+    assert rel1 == rel2  # reproducible under the fixed seed
+    assert set(rel1) == set(truth)
+    diffs = [abs(rel1[s] - truth[s]) for s in truth]
+    assert all(d <= math.log(1000.0) for d in diffs)
+    assert any(d > 1e-6 for d in diffs), "noise must actually perturb"
