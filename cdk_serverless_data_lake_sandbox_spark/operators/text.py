@@ -2020,3 +2020,109 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ann_rank", F.lit(0)).cast("int").alias("ann_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------- C116
+_KN_D = 0.75  # absolute discount (Kneser-Ney's standard fixed D)
+
+_KN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+), uni AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(ws) AS word FROM w) GROUP BY word
+), bg AS (
+  SELECT doc_id,
+    UNNEST(ws[1:LEN(ws)-1]) AS w1,
+    UNNEST(ws[2:LEN(ws)]) AS w2
+  FROM w WHERE LEN(ws) >= 2
+), bgc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), fwd AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f FROM bgc GROUP BY w1
+), rev AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM bgc GROUP BY w2
+), btypes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bgc
+), stats AS (
+  SELECT bgc.w1, bgc.w2,
+    (CAST(bgc.c12 AS DOUBLE) - CAST({_KN_D} AS DOUBLE)) / u1.cnt
+      + (CAST({_KN_D} AS DOUBLE) * fwd.n1f / u1.cnt)
+        * (CAST(rev.n1r AS DOUBLE) / (SELECT b FROM btypes)) AS p
+  FROM bgc
+  JOIN uni u1 ON bgc.w1 = u1.word
+  JOIN fwd ON fwd.w1 = bgc.w1
+  JOIN rev ON rev.w2 = bgc.w2
+)
+SELECT bg.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(-LOG2(stats.p)), 4) AS bits_per_bigram
+FROM bg JOIN stats ON bg.w1 = stats.w1 AND bg.w2 = stats.w2
+GROUP BY bg.doc_id
+"""
+
+
+@register("kneser_ney_logprob", oracle=_KN_ORACLE)
+def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document (Kneser &
+    Ney 1995; Chen & Goodman 1999's benchmark winner and the
+    smoothing KenLM defaults to): P(w2|w1) = (c12 - D)/c1 +
+    (D*N1+(w1,.)/c1) * N1+(.,w2)/B. The back-off weight redistributes
+    exactly the discounted mass, and the CONTINUATION probability
+    N1+(.,w2)/B replaces the raw unigram — "Francisco" is frequent
+    but follows almost nothing except "San", so KN scores it low in
+    novel contexts where JM (C83) overrates it. Scoring the training
+    corpus itself means every scored bigram is observed, so every
+    term is well-defined with no floor hacks; the model is proper
+    (sums to 1 over the vocabulary — pinned by test).
+
+    Plan shape is C83's with two extra vocabulary-sized count
+    aggregations (distinct continuations per left and right word):
+    the pre-joined (w1,w2)->p stats table keeps the corpus stream at
+    exactly one skewed join, AQE-split on the Zipf key."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    tok = w.select("doc_id", F.explode_outer("ws").alias("word")).where(
+        F.col("word").isNotNull()
+    )
+    uni = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    bg = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    fwd = bgc.groupBy("w1").agg(F.count("*").cast("bigint").alias("n1f"))
+    rev = bgc.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1r"))
+    btypes = bgc.agg(F.count("*").cast("bigint").alias("b"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("cnt").alias("c1"))
+    p = (
+        (F.col("c12").cast("double") - F.lit(_KN_D).cast("double"))
+        / F.col("c1")
+        + (F.lit(_KN_D).cast("double") * F.col("n1f") / F.col("c1"))
+        * (F.col("n1r").cast("double") / F.col("b"))
+    )
+    stats = (
+        bgc.join(u1, "w1")
+        .join(fwd, "w1")
+        .join(rev, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select("w1", "w2", p.alias("p"))
+    )
+    return (
+        bg.join(stats, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log2("p")), 4).alias("bits_per_bigram"),
+        )
+    )

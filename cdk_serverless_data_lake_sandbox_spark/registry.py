@@ -42,6 +42,7 @@ _VERIFY_FIRST = [
     "copurchase_kcore",
     "k_anonymity_check",
     "dp_count_release",
+    "kneser_ney_logprob",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",

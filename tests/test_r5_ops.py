@@ -219,3 +219,56 @@ def test_dp_release_noise_properties(spark):
     diffs = [abs(rel1[s] - truth[s]) for s in truth]
     assert all(d <= math.log(1000.0) for d in diffs)
     assert any(d > 1e-6 for d in diffs), "noise must actually perturb"
+
+
+# ---------------------------------------------------------- Kneser-Ney
+def test_kneser_ney_matches_pure_python_and_is_proper(spark, monkeypatch):
+    """bits_per_bigram matches an independent pure-Python KN
+    implementation per doc, and the model is PROPER: for every
+    context w1, P(.|w1) sums to 1 over the whole vocabulary
+    (observed bigrams + back-off mass on unseen ones)."""
+    import math
+    from collections import Counter
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.text as tx
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "a cat and a dog met in san francisco",
+        4: "san francisco fog rolls over the bay",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    monkeypatch.setattr(tx, "_docs", lambda s, d: docs)
+    got = {r.doc_id: (r.n_bigrams, r.bits_per_bigram)
+           for r in tx.kneser_ney_logprob(spark, "x").collect()}
+
+    # pure-Python reference
+    D = 0.75
+    toks = {k: v.split() for k, v in corpus.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    bgc = Counter(
+        (ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 1)
+    )
+    n1f = Counter(w1 for (w1, _) in bgc)
+    n1r = Counter(w2 for (_, w2) in bgc)
+    B = len(bgc)
+
+    def pkn(w1, w2):
+        disc = max(bgc.get((w1, w2), 0) - D, 0.0) / uni[w1]
+        lam = D * n1f[w1] / uni[w1]
+        return disc + lam * (n1r.get(w2, 0) / B)
+
+    for k, ws in toks.items():
+        bits = [-math.log2(pkn(ws[i], ws[i + 1])) for i in range(len(ws) - 1)]
+        want = round(sum(bits) / len(bits), 4)
+        assert got[k][0] == len(bits)
+        assert abs(got[k][1] - want) < 2e-4, (k, got[k][1], want)
+
+    # properness: sum over FULL vocab (unseen w2 via back-off) == 1
+    vocab = set(uni)
+    for w1 in {"the", "san", "a"}:
+        total = sum(pkn(w1, w2) for w2 in vocab)
+        assert abs(total - 1.0) < 1e-9, (w1, total)
