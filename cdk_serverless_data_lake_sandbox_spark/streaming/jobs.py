@@ -1502,3 +1502,109 @@ def stream_image_dedup_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E39
+def stream_graph_edges(stream: DataFrame, graph_dir: str):
+    """Incremental co-purchase GRAPH maintenance at ingest — the
+    graph-side member of the persisted-index maintainer family
+    (bloom E29, minhash E31, charspan E32, CMS E34, IVF E35, HLL
+    E36): each micro-batch of lineitem rows contributes (a) its own
+    distinct (order, part) memberships, stored under ``lp/
+    batch_id=N``, and (b) the EDGE DELTAS it creates — pairs among
+    the batch's parts within an order plus pairs between batch parts
+    and previously-stored parts of the SAME order (orders legally
+    straddle micro-batches), stored under ``edges/batch_id=N``. Both
+    writes are dynamic partition overwrites and the membership probe
+    reads only ``batch_id < N`` (the E38 replay rule), so a crash
+    retry recomputes byte-identical deltas and re-overwrites exactly
+    its own partitions.
+
+    The within-batch pairs expand IN-ROW from per-order part sets
+    (the ``copurchase_edges`` build); the cross-batch pairs are one
+    order-keyed join against the stored membership table — matching
+    orders only, the join a runtime filter prunes to the batch's
+    order set at scale. :func:`read_stream_graph` serves the same
+    (src, dst, src_deg) contract as the batch build and is proven
+    edge-identical to it (tested, including across a replay)."""
+    import os
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        lp_new = (
+            batch.select(
+                F.col("l_orderkey").alias("okey"),
+                F.col("l_partkey").alias("pkey"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        sets = lp_new.groupBy("okey").agg(F.collect_set("pkey").alias("ps"))
+        within = (
+            sets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, x -> transform("
+                        "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
+        lp_dir = os.path.join(graph_dir, "lp")
+        deltas = within
+        if os.path.isdir(lp_dir) and any(
+            p.startswith("batch_id=") for p in os.listdir(lp_dir)
+        ):
+            lp_old = (
+                spark.read.parquet(lp_dir)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .select("okey", F.col("pkey").alias("old_pkey"))
+            )
+            cross = (
+                lp_new.join(lp_old, "okey")
+                .where(F.col("pkey") != F.col("old_pkey"))
+                .select(F.col("pkey").alias("src"), F.col("old_pkey").alias("dst"))
+            )
+            deltas = within.unionByName(cross).unionByName(
+                cross.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            deltas.distinct().withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(os.path.join(graph_dir, "edges"))
+            lp_new.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(lp_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_graph(spark: SparkSession, graph_dir: str) -> DataFrame:
+    """Serve the streamed graph with the batch build's contract:
+    distinct symmetrized edges with the source degree attached. Edge
+    deltas may repeat across batches (the same pair can arise from
+    different orders, and replays rewrite partitions); the distinct
+    is the fold, exactly as summing folds the CMS cells."""
+    import os
+
+    from pyspark.sql import Window
+
+    edges = (
+        spark.read.parquet(os.path.join(graph_dir, "edges"))
+        .select("src", "dst")
+        .distinct()
+    )
+    w = Window.partitionBy("src")
+    return edges.withColumn("src_deg", F.count("*").over(w))

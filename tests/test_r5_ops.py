@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, await_stream_done
 
 from cdk_serverless_data_lake_sandbox_spark.operators.fingerprint import (
     _K,
@@ -198,7 +198,7 @@ def test_dp_release_noise_properties(spark):
     (|noise| <= ln(1000) ~ 6.9), and are bit-reproducible."""
     import math
 
-    from tests.conftest import SF_SMALL
+    from tests.conftest import SF_SMALL, await_stream_done
 
     from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
     from cdk_serverless_data_lake_sandbox_spark.operators.privacy import (
@@ -272,3 +272,57 @@ def test_kneser_ney_matches_pure_python_and_is_proper(spark, monkeypatch):
     for w1 in {"the", "san", "a"}:
         total = sum(pkn(w1, w2) for w2 in vocab)
         assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+# ------------------------------------------------- streaming graph (E39)
+def test_stream_graph_edges_matches_batch_build_and_replays(spark, tmp_path):
+    """Edges served from the incrementally-maintained artifact equal
+    the batch copurchase_edges build exactly — including when orders
+    straddle micro-batches — and a full replay (fresh stream, same
+    batch ids) leaves the served graph unchanged."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        copurchase_edges,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        read_stream_graph,
+        stream_graph_edges,
+    )
+
+    li = load_tables(spark, SF_SMALL, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    # split so ~half of each order's lines land in a different file:
+    # orders straddle micro-batches by construction
+    src = str(tmp_path / "li")
+    a = li.sample(0.5, seed=7)
+    b = li.exceptAll(a)
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    schema = StructType(
+        [StructField("l_orderkey", LongType()), StructField("l_partkey", LongType())]
+    )
+    gdir = str(tmp_path / "graph")
+
+    def run():
+        q = stream_graph_edges(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            gdir,
+        )
+        await_stream_done(q)
+
+    run()
+    want = {
+        (r.src, r.dst, r.src_deg)
+        for r in copurchase_edges(spark, SF_SMALL).collect()
+    }
+    got = {(r.src, r.dst, r.src_deg) for r in read_stream_graph(spark, gdir).collect()}
+    assert got == want
+
+    run()  # replay: fresh temp checkpoint -> same batch ids re-delivered
+    again = {(r.src, r.dst, r.src_deg) for r in read_stream_graph(spark, gdir).collect()}
+    assert again == want
