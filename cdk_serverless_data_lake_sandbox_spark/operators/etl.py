@@ -923,3 +923,131 @@ def repartition_layout(
         "partitions_before": before,
         "partitions_after": back.select(new_col).distinct().count(),
     }
+
+
+# ---------------------------------------------------------------- D25
+def dv_delete(spark: SparkSession, table_path: str, predicate: str) -> dict:
+    """MERGE-ON-READ delete via deletion vectors (the Delta/Iceberg
+    v2 "position delete" mechanism): instead of rewriting every file
+    that contains a matching row (D10's copy-on-write price), record
+    the (file, row position) pairs the predicate hits under the
+    table's ``_dv/`` sidecar and leave the data files untouched.
+    Positions come from the parquet reader's own ``_metadata.file_path
+    / row_index`` columns — no key column or uniqueness assumption
+    needed, and the delete costs one scan of the PREDICATE-pruned
+    files regardless of table size. Repeating a delete is idempotent
+    (vectors are per-position, the reader applies them set-wise).
+    The ``_dv`` prefix keeps the sidecar invisible to any plain
+    parquet reader of the table directory (Spark hides ``_``-paths),
+    so non-DV-aware readers see the pre-delete snapshot — exactly the
+    contract table formats document. Returns {rows_deleted(new),
+    files_touched}."""
+    base = spark.read.parquet(table_path).select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    hits = base.where(F.expr(predicate)).select(
+        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+    )
+    dv_dir = os.path.join(table_path, "_dv")
+    try:
+        existing = spark.read.parquet(dv_dir)
+        fresh = hits.join(existing, ["file", "pos"], "left_anti")
+    except Exception:  # first delete: no sidecar yet
+        fresh = hits
+    fresh = fresh.localCheckpoint()
+    n_new = fresh.count()
+    if n_new:
+        fresh.write.mode("append").parquet(dv_dir)
+    files = fresh.select("file").distinct().count()
+    return {"rows_deleted": n_new, "files_touched": files}
+
+
+def dv_read(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the table MINUS its deletion vectors: one anti-join of
+    the scan (carrying its own file/position metadata) against the
+    ``_dv`` sidecar — the merge-on-read cost every DV-aware reader
+    pays until compaction folds the deletes in. The sidecar is
+    (file, pos) pairs, tiny next to the data, so the join broadcasts;
+    with no sidecar the plan is the plain scan."""
+    base = spark.read.parquet(table_path).select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    try:
+        dv = spark.read.parquet(os.path.join(table_path, "_dv"))
+    except Exception:
+        return base.drop("_dv_file", "_dv_pos")
+    return (
+        base.join(
+            F.broadcast(
+                dv.select(
+                    F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+                )
+            ),
+            ["_dv_file", "_dv_pos"],
+            "left_anti",
+        )
+        .drop("_dv_file", "_dv_pos")
+    )
+
+
+def dv_compact(spark: SparkSession, table_path: str) -> dict:
+    """Fold accumulated deletion vectors into the data (the
+    copy-on-write step deferred until it is worth paying): rewrite
+    ONLY the files that carry deletions, leave untouched files'
+    bytes alone, drop the sidecar, and swap atomically via a staging
+    directory. After compaction a plain reader and :func:`dv_read`
+    agree again. Returns {files_rewritten, files_kept,
+    rows_dropped}."""
+    import shutil
+
+    dv_dir = os.path.join(table_path, "_dv")
+    try:
+        dv = spark.read.parquet(dv_dir)
+    except Exception:
+        return {"files_rewritten": 0, "files_kept": 0, "rows_dropped": 0}
+    touched = [r.file for r in dv.select("file").distinct().collect()]
+    base = spark.read.parquet(table_path).select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    dirty = base.where(F.col("_dv_file").isin(touched))
+    before = dirty.count()
+    clean_rows = (
+        dirty.join(
+            F.broadcast(
+                dv.select(
+                    F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+                )
+            ),
+            ["_dv_file", "_dv_pos"],
+            "left_anti",
+        )
+        .drop("_dv_file", "_dv_pos")
+    )
+    clean_rows = clean_rows.localCheckpoint()
+    after = clean_rows.count()
+    staged = table_path + "_dv_staged"
+    clean_rows.write.mode("overwrite").parquet(staged)
+    import glob as _glob
+
+    kept = 0
+    for f in _glob.glob(os.path.join(table_path, "*.parquet")):
+        if ("file:" + f) in touched or f in touched:
+            os.remove(f)
+        else:
+            kept += 1
+            shutil.move(
+                f, os.path.join(staged, "kept-" + os.path.basename(f))
+            )
+    shutil.rmtree(table_path)
+    shutil.move(staged, table_path)
+    return {
+        "files_rewritten": len(touched),
+        "files_kept": kept,
+        "rows_dropped": before - after,
+    }

@@ -968,3 +968,111 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("coreness"))
     )
+
+
+# ---------------------------------------------------------------- B110
+_LPA_ROUNDS = 4
+
+
+def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie rule: every node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label —
+    synchronous updates plus a total tie order make the run a pure
+    function of the graph (classic LPA's random update order is
+    irreproducible, useless for an oracle-checked engine). A fixed
+    round count bounds work and keeps the unrolled mirror replayable;
+    communities denser than their surroundings stabilize in a few
+    rounds (two bridged cliques label themselves by round 2, tested).
+    Per round: one join (labels onto edge dsts), one (src, label)
+    count aggregation, one per-src max_by argmax — all map-side
+    combinable, lineage truncated per round."""
+    cur = (
+        edges.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(cur, edges.dst == cur.node)
+            .groupBy("src", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        stepped = (
+            votes.groupBy("src")
+            .agg(
+                F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
+            )
+            .select(F.col("src").alias("node"), "lbl")
+        )
+        cur = stepped.localCheckpoint(eager=True)
+    return cur
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """und AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM und UNION ALL SELECT pb, pa FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges)",
+    ]
+    for i in range(rounds):
+        ctes.append(f"""v{i} AS MATERIALIZED (
+  SELECT e.src, c.lbl, COUNT(*) AS cnt
+  FROM edges e JOIN l{i} c ON c.node = e.dst GROUP BY e.src, c.lbl
+)""")
+        ctes.append(f"""l{i + 1} AS MATERIALIZED (
+  SELECT src AS node, lbl FROM (
+    SELECT src, lbl,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(lbl AS BIGINT) AS community,
+  COUNT(*) AS n_parts,
+  CAST(MIN(node) AS BIGINT) AS min_part,
+  CAST(MAX(node) AS BIGINT) AS max_part
+FROM l{rounds}
+GROUP BY lbl ORDER BY n_parts DESC, community
+"""
+    )
+
+
+_LPA_ORACLE = _lpa_oracle()
+
+
+@register("copurchase_communities", oracle=_LPA_ORACLE)
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph by deterministic
+    synchronous label propagation: the community histogram (label,
+    member count, min/max part keys). On an assortment with real
+    cross-sell clusters the labels split along them; a densely
+    interconnected catalog collapses toward few communities — itself
+    the finding (no substructure to merchandise against). The
+    unrolled oracle replays the same integer votes and tie rule, so
+    the match is exact even when synchronous LPA has not stabilized
+    within the fixed rounds."""
+    edges = copurchase_edges(spark, sf_dir)
+    labels = lpa_labels(edges)
+    return (
+        labels.groupBy("lbl")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+        )
+        .select(
+            F.col("lbl").cast("bigint").alias("community"),
+            "n_parts",
+            F.col("min_part").cast("bigint").alias("min_part"),
+            F.col("max_part").cast("bigint").alias("max_part"),
+        )
+        .orderBy(F.desc("n_parts"), "community")
+    )

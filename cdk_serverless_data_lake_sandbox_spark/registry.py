@@ -43,6 +43,7 @@ _VERIFY_FIRST = [
     "k_anonymity_check",
     "dp_count_release",
     "kneser_ney_logprob",
+    "copurchase_communities",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",

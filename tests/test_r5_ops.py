@@ -326,3 +326,88 @@ def test_stream_graph_edges_matches_batch_build_and_replays(spark, tmp_path):
     run()  # replay: fresh temp checkpoint -> same batch ids re-delivered
     again = {(r.src, r.dst, r.src_deg) for r in read_stream_graph(spark, gdir).collect()}
     assert again == want
+
+
+# ------------------------------------------------- deletion vectors (D25)
+def test_deletion_vectors_merge_on_read_and_compact(spark, tmp_path):
+    """dv_delete records positions without touching data files
+    (non-DV readers still see the pre-delete snapshot), dv_read
+    excludes exactly the deleted rows, repeat deletes are idempotent,
+    and dv_compact rewrites only dirty files then reconciles the
+    plain and DV-aware views."""
+    import glob
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        dv_compact,
+        dv_delete,
+        dv_read,
+    )
+
+    o = load_tables(spark, SF_SMALL, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = str(tmp_path / "orders")
+    o.repartition(6).write.parquet(tbl)
+    files_before = sorted(glob.glob(os.path.join(tbl, "*.parquet")))
+    sizes_before = {f: os.path.getsize(f) for f in files_before}
+    total = o.count()
+    n_f = spark.read.parquet(tbl).where("o_orderstatus = 'F'").count()
+
+    stats = dv_delete(spark, tbl, "o_orderstatus = 'F'")
+    assert stats["rows_deleted"] == n_f > 0
+    # data files untouched, byte for byte
+    assert {
+        f: os.path.getsize(f) for f in sorted(glob.glob(os.path.join(tbl, "*.parquet")))
+    } == sizes_before
+    # plain reader: pre-delete snapshot; DV reader: post-delete view
+    assert spark.read.parquet(tbl).count() == total
+    assert dv_read(spark, tbl).count() == total - n_f
+    assert dv_read(spark, tbl).where("o_orderstatus = 'F'").count() == 0
+
+    # idempotent repeat
+    stats2 = dv_delete(spark, tbl, "o_orderstatus = 'F'")
+    assert stats2["rows_deleted"] == 0
+    # second predicate accumulates
+    n_big = dv_read(spark, tbl).where("o_totalprice > 300000").count()
+    dv_delete(spark, tbl, "o_totalprice > 300000")
+    want_left = total - n_f - n_big
+    assert dv_read(spark, tbl).count() == want_left
+
+    cstats = dv_compact(spark, tbl)
+    assert cstats["rows_dropped"] == n_f + n_big
+    assert not os.path.isdir(os.path.join(tbl, "_dv"))
+    assert spark.read.parquet(tbl).count() == want_left
+    assert dv_read(spark, tbl).count() == want_left
+    # untouched files preserved by identity (if any file had no hits)
+    if cstats["files_kept"]:
+        kept_now = [
+            f for f in glob.glob(os.path.join(tbl, "*.parquet"))
+            if os.path.basename(f).startswith("kept-")
+        ]
+        assert len(kept_now) == cstats["files_kept"]
+
+
+# ---------------------------------------------------- LPA communities
+def test_lpa_separates_bridged_cliques(spark):
+    """Two K5 cliques joined by a single bridge edge must label as two
+    communities (each clique's min node id); the bridge is not enough
+    mass to merge them under the most-frequent-neighbor rule."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.graph import (
+        lpa_labels,
+    )
+
+    c1 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    c2 = [(a, b) for a in range(11, 16) for b in range(a + 1, 16)]
+    und = c1 + c2 + [(5, 11)]
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    from collections import Counter
+
+    deg = Counter(x for x, _ in rows)
+    edges = spark.createDataFrame(
+        [(a, b, deg[a]) for a, b in rows], "src long, dst long, src_deg long"
+    )
+    got = {r.node: r.lbl for r in lpa_labels(edges).collect()}
+    assert {got[n] for n in range(1, 6)} == {1}
+    assert {got[n] for n in range(11, 16)} == {11}
