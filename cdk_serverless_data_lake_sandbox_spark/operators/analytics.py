@@ -814,3 +814,86 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- B111
+_SKY_BUCKET = 100.0  # fixed price-bucket width for the prune stage
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey AS part_key, p.p_retailprice AS retail_price,
+  CAST(p.p_size AS BIGINT) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY retail_price, part_key
+"""
+
+
+@register("part_skyline", oracle=_SKYLINE_ORACLE)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over parts — minimize retail
+    price, maximize size: the parts no other part beats on both
+    dimensions, the multi-criteria shortlist behind "cheapest for its
+    size class". The naive formulation is a quadratic NOT EXISTS self
+    join (the oracle runs exactly that); the Spark plan is the
+    standard PRUNE-THEN-VERIFY skyline shape that survives scale:
+
+    1. fixed-width price buckets -> per-bucket max size (one
+       map-side-combinable aggregation, bucket-count rows);
+    2. running max over the strictly-cheaper buckets (a window over
+       the CONSTANT-bounded bucket table, never the parts);
+    3. keep only rows at least as large as every strictly-cheaper
+       bucket's best — for bucket width w this eliminates everything
+       dominated by a row more than w cheaper, so survivors are
+       frontier-sized;
+    4. exact strict-domination anti-join among the broadcast-sized
+       survivors (catches within-bucket and near-tie cases the prune
+       cannot decide).
+
+    The prune is lossless: a skyline row can never be removed (its
+    size is >= any cheaper row's size by definition), so stage 4 on
+    the survivors returns exactly the quadratic answer."""
+    p = load_tables(spark, sf_dir, ("part",))["part"].select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    bucketed = p.withColumn(
+        "bkt", F.floor(F.col("retail_price") / F.lit(_SKY_BUCKET))
+    )
+    per_bkt = bucketed.groupBy("bkt").agg(F.max("size").alias("mx"))
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prior = per_bkt.withColumn(
+        "best_below", F.max("mx").over(w)
+    ).select("bkt", "best_below")
+    survivors = (
+        bucketed.join(F.broadcast(prior), "bkt")
+        .where(
+            F.col("best_below").isNull()
+            | (F.col("size") >= F.col("best_below"))
+        )
+        .select("part_key", "retail_price", "size")
+        .localCheckpoint()
+    )
+    q = survivors.select(
+        F.col("retail_price").alias("q_price"), F.col("size").alias("q_size")
+    )
+    dominated = (
+        survivors.join(
+            F.broadcast(q),
+            (F.col("q_price") <= F.col("retail_price"))
+            & (F.col("q_size") >= F.col("size"))
+            & (
+                (F.col("q_price") < F.col("retail_price"))
+                | (F.col("q_size") > F.col("size"))
+            ),
+            "left_semi",
+        )
+    )
+    return (
+        survivors.join(dominated, ["part_key"], "left_anti")
+        .orderBy("retail_price", "part_key")
+    )

@@ -44,6 +44,7 @@ _VERIFY_FIRST = [
     "dp_count_release",
     "kneser_ney_logprob",
     "copurchase_communities",
+    "part_skyline",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",

@@ -411,3 +411,45 @@ def test_lpa_separates_bridged_cliques(spark):
     got = {r.node: r.lbl for r in lpa_labels(edges).collect()}
     assert {got[n] for n in range(1, 6)} == {1}
     assert {got[n] for n in range(11, 16)} == {11}
+
+
+# ------------------------------------------------------------- skyline
+def test_skyline_prune_is_lossless_property(spark, monkeypatch):
+    """Hypothesis-style randomized pin (fixed seeds, no RNG at test
+    time): the prune-then-verify plan returns exactly the quadratic
+    skyline on arbitrary (price, size) clouds, including ties and
+    cross-bucket near-ties."""
+    import random
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.analytics as an
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        pts = [
+            (
+                i,
+                round(rng.uniform(0, 450.0), 2),
+                rng.randint(1, 50),
+            )
+            for i in range(200)
+        ]
+        # inject exact ties across bucket boundaries
+        pts += [(500, 100.0, 30), (501, 99.99, 30), (502, 100.0, 30)]
+        part = spark.createDataFrame(
+            [(i, p, s) for i, p, s in pts],
+            "p_partkey long, p_retailprice double, p_size long",
+        )
+        monkeypatch.setattr(an, "load_tables", lambda s, d, t: {"part": part})
+        got = {
+            (r.part_key, r.retail_price, r.size)
+            for r in an.part_skyline(spark, "x").collect()
+        }
+        want = {
+            (i, p, s)
+            for (i, p, s) in pts
+            if not any(
+                (q <= p and t >= s and (q < p or t > s))
+                for (_, q, t) in pts
+            )
+        }
+        assert got == want, f"seed {seed}: {got ^ want}"
