@@ -959,7 +959,12 @@ def dv_delete(spark: SparkSession, table_path: str, predicate: str) -> dict:
     fresh = fresh.localCheckpoint()
     n_new = fresh.count()
     if n_new:
-        fresh.write.mode("append").parquet(dv_dir)
+        # one partitioned sidecar layout, shared with the streaming
+        # erasure maintainer (E40 writes under its own batch_id);
+        # ad-hoc deletes append into the batch_id=-1 partition
+        fresh.withColumn("batch_id", F.lit(-1)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(dv_dir)
     files = fresh.select("file").distinct().count()
     return {"rows_deleted": n_new, "files_touched": files}
 

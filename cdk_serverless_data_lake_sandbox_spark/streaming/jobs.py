@@ -1608,3 +1608,60 @@ def read_stream_graph(spark: SparkSession, graph_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("src")
     return edges.withColumn("src_deg", F.count("*").over(w))
+
+
+# ---------------------------------------------------------------- E40
+def stream_key_erasure(
+    requests: DataFrame, table_path: str, key_col: str
+):
+    """Streaming right-to-erasure on DELETION VECTORS: each
+    micro-batch of erasure requests (rows carrying ``key_col``)
+    marks the matching positions of the static table in its ``_dv/``
+    sidecar instead of rewriting data files — D10's anti-join rewrite
+    deferred to ``dv_compact``, which is how a 100 TB table absorbs a
+    daily trickle of GDPR requests without daily rewrites. DV entries
+    land under ``_dv/batch_id=N`` with dynamic overwrite, so a crash
+    replay re-overwrites exactly its own partition (byte-identical:
+    positions are a pure function of table + keys); duplicate
+    (file, pos) pairs across batches are harmless by construction —
+    the reader applies vectors set-wise. An audit row (batch id,
+    keys requested, positions marked) appends per batch — the
+    compliance log an erasure pipeline must keep."""
+    import os
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        keys = batch.select(F.col(key_col)).distinct()
+        base = spark.read.parquet(table_path).select(
+            F.col(key_col),
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        hits = base.join(F.broadcast(keys), key_col, "left_semi").select(
+            "file", "pos"
+        )
+        hits = hits.localCheckpoint()
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            hits.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(os.path.join(table_path, "_dv"))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        audit = spark.createDataFrame(
+            [(batch_id, keys.count(), hits.count())],
+            "batch_id long, n_keys long, n_positions long",
+        )
+        audit.coalesce(1).write.mode("append").parquet(
+            os.path.join(table_path, "_erasure_audit")
+        )
+
+    return (
+        requests.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .trigger(availableNow=True)
+        .start()
+    )

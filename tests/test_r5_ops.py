@@ -453,3 +453,64 @@ def test_skyline_prune_is_lossless_property(spark, monkeypatch):
             )
         }
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+# --------------------------------------------- streaming erasure (E40)
+def test_stream_key_erasure_marks_dv_and_replays(spark, tmp_path):
+    """Erasure requests streamed in two batches mark deletion vectors
+    (plain readers unchanged, DV reads exclude the keys), a replay
+    leaves the state identical, and compaction folds the erasures."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        dv_compact,
+        dv_read,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_key_erasure,
+    )
+
+    o = load_tables(spark, SF_SMALL, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tbl = str(tmp_path / "orders")
+    o.repartition(4).write.parquet(tbl)
+    total = o.count()
+
+    all_keys = [r.o_orderkey for r in o.select("o_orderkey").limit(40).collect()]
+    req_dir = str(tmp_path / "req")
+    spark.createDataFrame([(k,) for k in all_keys[:20]], "o_orderkey long").coalesce(
+        1
+    ).write.parquet(req_dir)
+    spark.createDataFrame([(k,) for k in all_keys[20:]], "o_orderkey long").coalesce(
+        1
+    ).write.mode("append").parquet(req_dir)
+    schema = StructType([StructField("o_orderkey", LongType())])
+
+    def run():
+        q = stream_key_erasure(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(req_dir),
+            tbl,
+            "o_orderkey",
+        )
+        await_stream_done(q)
+
+    run()
+    assert spark.read.parquet(tbl).count() == total  # plain snapshot intact
+    left = dv_read(spark, tbl)
+    assert left.count() == total - len(all_keys)
+    assert left.where(F.col("o_orderkey").isin(all_keys)).count() == 0
+    # audit log: one row per batch, positions total = erased rows
+    audit = spark.read.parquet(tbl + "/_erasure_audit")
+    assert audit.count() == 2
+    assert audit.agg(F.sum("n_positions")).first()[0] == len(all_keys)
+
+    run()  # replay: same batch ids -> dynamic overwrite, state unchanged
+    assert dv_read(spark, tbl).count() == total - len(all_keys)
+
+    stats = dv_compact(spark, tbl)
+    assert stats["rows_dropped"] == len(all_keys)
+    assert spark.read.parquet(tbl).count() == total - len(all_keys)
