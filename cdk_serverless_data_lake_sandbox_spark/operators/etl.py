@@ -1056,3 +1056,67 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
         "files_kept": kept,
         "rows_dropped": before - after,
     }
+
+
+# ---------------------------------------------------------------- D26
+def cdc_envelope_apply(
+    spark: SparkSession,
+    target_path: str,
+    envelopes: DataFrame,
+    key_col: str,
+    value_schema: str,
+) -> dict:
+    """Apply a Debezium-style CDC envelope batch to a parquet table:
+    each change record is JSON carrying ``op`` (c/u/d), ``before``,
+    ``after``, and a total-order position ``lsn``. The apply is ONE
+    declarative plan — parse, keep each key's LATEST change by lsn
+    (max_by over the envelope batch, so a key updated then deleted
+    within the batch nets out to the delete), then merge: surviving
+    upserts replace current rows by key, deletes anti-join them away.
+    Late/duplicate envelope replays are absorbed by the lsn ordering
+    (an older change for a key already superseded in the batch never
+    wins). The rewrite swaps in atomically via the staging dir like
+    :func:`merge_upsert`; on a transactional table format the same
+    plan is MERGE WHEN MATCHED [AND op='d' THEN DELETE]. Returns
+    {inserts_updates, deletes, rows_after}."""
+    import shutil
+
+    parsed = envelopes.select(
+        F.from_json(
+            F.col("value"),
+            f"op string, lsn bigint, before struct<{value_schema}>, "
+            f"after struct<{value_schema}>",
+        ).alias("e")
+    ).select("e.op", "e.lsn", "e.before", "e.after")
+    latest = (
+        parsed.withColumn(
+            "k",
+            F.coalesce(F.col(f"after.{key_col}"), F.col(f"before.{key_col}")),
+        )
+        .groupBy("k")
+        .agg(F.expr("max_by(struct(op, after), lsn)").alias("w"))
+        .select("k", F.col("w.op").alias("op"), F.col("w.after").alias("after"))
+    )
+    latest = latest.localCheckpoint()
+    upserts = latest.where(F.col("op") != "d").select("after.*")
+    delete_keys_df = latest.where(F.col("op") == "d").select(
+        F.col("k").alias(key_col)
+    )
+    n_up = upserts.count()
+    n_del = delete_keys_df.count()
+    try:
+        current = spark.read.parquet(target_path)
+        kept = current.join(
+            latest.select(F.col("k").alias(key_col)), key_col, "left_anti"
+        )
+        merged = kept.unionByName(upserts)
+    except Exception:  # first batch: target does not exist yet
+        merged = upserts
+    merged.write.mode("overwrite").parquet(target_path + "_staged")
+    shutil.rmtree(target_path, ignore_errors=True)
+    shutil.move(target_path + "_staged", target_path)
+    return {
+        "inserts_updates": n_up,
+        "deletes": n_del,
+        "rows_after": spark.read.parquet(target_path).count(),
+    }

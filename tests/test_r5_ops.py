@@ -514,3 +514,54 @@ def test_stream_key_erasure_marks_dv_and_replays(spark, tmp_path):
     stats = dv_compact(spark, tbl)
     assert stats["rows_dropped"] == len(all_keys)
     assert spark.read.parquet(tbl).count() == total - len(all_keys)
+
+
+# --------------------------------------------------- CDC envelopes (D26)
+def test_cdc_envelope_apply_nets_out_and_orders_by_lsn(spark, tmp_path):
+    """create -> update -> delete sequences net out per key by lsn:
+    within-batch supersession, cross-batch replays of older lsns, and
+    delete-then-nothing all land on the right final state."""
+    import json
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        cdc_envelope_apply,
+    )
+
+    tbl = str(tmp_path / "accounts")
+    schema = "id bigint, name string, bal double"
+
+    def env(op, lsn, before=None, after=None):
+        return (json.dumps({"op": op, "lsn": lsn, "before": before, "after": after}),)
+
+    b1 = spark.createDataFrame(
+        [
+            env("c", 1, after={"id": 1, "name": "a", "bal": 10.0}),
+            env("c", 2, after={"id": 2, "name": "b", "bal": 20.0}),
+            env("u", 3, before={"id": 1, "name": "a", "bal": 10.0},
+                after={"id": 1, "name": "a2", "bal": 15.0}),
+            env("c", 4, after={"id": 3, "name": "c", "bal": 30.0}),
+            env("d", 5, before={"id": 2, "name": "b", "bal": 20.0}),
+        ],
+        "value string",
+    )
+    stats = cdc_envelope_apply(spark, tbl, b1, "id", schema)
+    assert stats == {"inserts_updates": 2, "deletes": 1, "rows_after": 2}
+    got = {r.id: (r.name, r.bal) for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: ("a2", 15.0), 3: ("c", 30.0)}
+
+    # batch 2: an out-of-order replay of an OLD change for id 1 plus a
+    # genuine newer update for id 3 — the stale lsn must lose within
+    # its batch; id 2 is re-created after its delete
+    b2 = spark.createDataFrame(
+        [
+            env("u", 2, after={"id": 1, "name": "stale", "bal": 0.0}),
+            env("u", 6, after={"id": 1, "name": "a3", "bal": 18.0}),
+            env("u", 7, after={"id": 3, "name": "c2", "bal": 33.0}),
+            env("c", 8, after={"id": 2, "name": "b2", "bal": 21.0}),
+        ],
+        "value string",
+    )
+    stats2 = cdc_envelope_apply(spark, tbl, b2, "id", schema)
+    assert stats2 == {"inserts_updates": 3, "deletes": 0, "rows_after": 3}
+    got2 = {r.id: (r.name, r.bal) for r in spark.read.parquet(tbl).collect()}
+    assert got2 == {1: ("a3", 18.0), 2: ("b2", 21.0), 3: ("c2", 33.0)}
