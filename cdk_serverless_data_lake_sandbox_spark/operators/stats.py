@@ -2242,3 +2242,148 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- B112
+_BURST_S = 2.0  # burst-state rate multiplier
+_BURST_GAM = 5.0  # state-entry cost (Kleinberg's gamma)
+
+# Viterbi over Kleinberg's 2-state automaton runs as ONE in-row fold:
+# the accumulator [c0, c1, b0, b1] carries the min cost of ending the
+# prefix in base/burst state and the number of burst days along each
+# best path. Day costs are the Poisson negative log-likelihoods with
+# the state-independent ln(x!) term dropped (it cancels in every
+# comparison). All comparisons use strict '<' with a stay-preference
+# tie rule, and r0 derives from the EXACT integer day-count sum, so
+# the whole recurrence is a pure function both engines replay
+# bit-identically.
+
+_BURST_C0 = "(r0 - x * LN(r0))"
+_BURST_C1 = "(r1 - x * LN(r1))"
+
+
+def _burst_fold_spark() -> str:
+    gam = f"CAST({_BURST_GAM} AS DOUBLE)"
+    return f"""aggregate(
+      slice(xs, 2, greatest(size(xs) - 1, 0)),
+      array(
+        r0 - element_at(xs, 1) * ln(r0),
+        {gam} + r1 - element_at(xs, 1) * ln(r1),
+        CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)),
+      (acc, x) -> array(
+        IF(element_at(acc, 2) < element_at(acc, 1),
+           element_at(acc, 2), element_at(acc, 1)) + (r0 - x * ln(r0)),
+        IF(element_at(acc, 1) + {gam} < element_at(acc, 2),
+           element_at(acc, 1) + {gam}, element_at(acc, 2)) + (r1 - x * ln(r1)),
+        IF(element_at(acc, 2) < element_at(acc, 1),
+           element_at(acc, 4), element_at(acc, 3)),
+        IF(element_at(acc, 1) + {gam} < element_at(acc, 2),
+           element_at(acc, 3), element_at(acc, 4)) + CAST(1 AS DOUBLE)))"""
+
+
+_BURST_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs,
+    CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nd
+  FROM daily GROUP BY event_type
+),
+rates AS (
+  SELECT event_type, xs, nd,
+    CAST(total AS DOUBLE) / nd AS r0,
+    CAST({_BURST_S} AS DOUBLE) * (CAST(total AS DOUBLE) / nd) AS r1
+  FROM series WHERE nd >= 2
+),
+fit AS (
+  SELECT event_type, nd, r0, r1,
+    list_reduce(
+      list_prepend(
+        [r0 - xs[1] * LN(r0),
+         CAST({_BURST_GAM} AS DOUBLE) + r1 - xs[1] * LN(r1),
+         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)],
+        list_transform(xs[2:], v -> [v, CAST(0 AS DOUBLE),
+          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+      (acc, x) -> [
+        CASE WHEN acc[2] < acc[1] THEN acc[2] ELSE acc[1] END
+          + (r0 - x[1] * LN(r0)),
+        CASE WHEN acc[1] + CAST({_BURST_GAM} AS DOUBLE) < acc[2]
+             THEN acc[1] + CAST({_BURST_GAM} AS DOUBLE) ELSE acc[2] END
+          + (r1 - x[1] * LN(r1)),
+        CASE WHEN acc[2] < acc[1] THEN acc[4] ELSE acc[3] END,
+        CASE WHEN acc[1] + CAST({_BURST_GAM} AS DOUBLE) < acc[2]
+             THEN acc[3] ELSE acc[4] END + CAST(1 AS DOUBLE)]) AS st
+  FROM rates
+)
+SELECT event_type, CAST(nd AS INTEGER) AS n_days,
+  CAST(CASE WHEN st[2] < st[1] THEN st[4] ELSE st[3] END AS BIGINT)
+    AS burst_days,
+  ROUND(CASE WHEN st[2] < st[1] THEN st[2] ELSE st[1] END, 6) AS path_cost,
+  ROUND(r0, 6) AS base_rate
+FROM fit ORDER BY event_type
+"""
+
+
+@register("burst_detection", oracle=_BURST_ORACLE)
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection per event type (Kleinberg 2002,
+    "Bursty and Hierarchical Structure in Streams", 2-state batched
+    variant): a base state emitting at the observed mean daily rate
+    and a burst state at {s}x, entering burst costs gamma={g} — the
+    Viterbi-optimal state path's burst-day count separates sustained
+    elevated activity from one-day noise a z-score flags. The whole
+    dynamic program runs as ONE in-row fold over each type's bounded
+    calendar-day series (the accumulator carries both states' best
+    costs AND their paths' burst-day counts), so nothing sequential
+    crosses rows — the B103/104/106/108 family's shape, now for an
+    argmin-with-statistics recurrence. Exact-integer mean, strict-<
+    stay-preferring ties, and identical expression trees keep the
+    DuckDB list_reduce mirror hash-exact; the burst-day count is
+    pinned against a pure-Python Viterbi with backtracking on an
+    injected burst window (tested).""".format(s=_BURST_S, g=_BURST_GAM)
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> CAST(s.n AS DOUBLE))"
+        ).alias("xs"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").alias("nd"),
+    )
+    rates = series.where(F.col("nd") >= 2).select(
+        "event_type",
+        "xs",
+        "nd",
+        (F.col("total").cast("double") / F.col("nd")).alias("r0"),
+        (
+            F.lit(_BURST_S).cast("double")
+            * (F.col("total").cast("double") / F.col("nd"))
+        ).alias("r1"),
+    )
+    fit = rates.select(
+        "event_type",
+        "nd",
+        "r0",
+        F.expr(_burst_fold_spark()).alias("st"),
+    )
+    return fit.select(
+        "event_type",
+        F.col("nd").cast("int").alias("n_days"),
+        F.expr(
+            "CAST(IF(element_at(st, 2) < element_at(st, 1),"
+            " element_at(st, 4), element_at(st, 3)) AS BIGINT)"
+        ).alias("burst_days"),
+        F.round(
+            F.expr(
+                "IF(element_at(st, 2) < element_at(st, 1),"
+                " element_at(st, 2), element_at(st, 1))"
+            ),
+            6,
+        ).alias("path_cost"),
+        F.round("r0", 6).alias("base_rate"),
+    ).orderBy("event_type")

@@ -45,6 +45,7 @@ _VERIFY_FIRST = [
     "kneser_ney_logprob",
     "copurchase_communities",
     "part_skyline",
+    "burst_detection",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",

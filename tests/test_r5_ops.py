@@ -565,3 +565,58 @@ def test_cdc_envelope_apply_nets_out_and_orders_by_lsn(spark, tmp_path):
     assert stats2 == {"inserts_updates": 3, "deletes": 0, "rows_after": 3}
     got2 = {r.id: (r.name, r.bal) for r in spark.read.parquet(tbl).collect()}
     assert got2 == {1: ("a3", 18.0), 2: ("b2", 21.0), 3: ("c2", 33.0)}
+
+
+# ------------------------------------------------------ burst detection
+def test_burst_detection_matches_viterbi_backtrack(spark, monkeypatch):
+    """The fold's burst-day count equals a pure-Python Viterbi WITH
+    backtracking on a series with an injected burst window, and the
+    burst days land on (a superset containing) the injected window."""
+    import datetime
+    import math
+
+    import cdk_serverless_data_lake_sandbox_spark.operators.stats as st
+
+    base, burst_lift = 20, 40
+    n_days, b_start, b_end = 30, 12, 18  # burst on days 12..17
+    counts = [
+        base + (burst_lift if b_start <= d < b_end else 0) for d in range(n_days)
+    ]
+    rows = []
+    eid = 0
+    d0 = datetime.datetime(2024, 5, 1)
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(("t", d0 + datetime.timedelta(days=d), eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long")
+    monkeypatch.setattr(st, "load_tables", lambda s, d, t: {"events": ev})
+    r = st.burst_detection(spark, "ignored").collect()[0]
+
+    # pure-Python 2-state Viterbi with backtracking
+    S, GAM = st._BURST_S, st._BURST_GAM
+    r0 = sum(counts) / len(counts)
+    r1 = S * r0
+    c = lambda x, rr: rr - x * math.log(rr)  # noqa: E731
+    costs = [(c(counts[0], r0), GAM + c(counts[0], r1))]
+    back = [(0, 0)]
+    for x in counts[1:]:
+        p0, p1 = costs[-1]
+        from0 = p1 < p0  # stay-preferring strict <
+        n0 = (p1 if from0 else p0) + c(x, r0)
+        enter = p0 + GAM < p1
+        n1 = (p0 + GAM if enter else p1) + c(x, r1)
+        costs.append((n0, n1))
+        back.append((1 if from0 else 0, 0 if enter else 1))
+    state = 1 if costs[-1][1] < costs[-1][0] else 0
+    path = [state]
+    for t in range(len(counts) - 1, 0, -1):
+        state = back[t][state]
+        path.append(state)
+    path.reverse()
+    want_burst_days = sum(path)
+
+    assert r.burst_days == want_burst_days
+    # the injected window is detected (all burst window days in path)
+    assert all(path[d] == 1 for d in range(b_start, b_end))
+    assert r.n_days == n_days
