@@ -228,3 +228,91 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("score"), 6).alias("mean_score"),
         )
     )
+
+
+# ---------------------------------------------------------------- C117
+def _decile_lift_oracle() -> str:
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _qc_score_sql,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _GOPHER_ORACLE,
+    )
+
+    cuts = ", ".join(
+        f"quantile_cont(score, {q / 10}) AS d{q}" for q in range(1, 10)
+    )
+    decile = " + ".join(f"CAST(s.score > c.d{q} AS INT)" for q in range(1, 10))
+    return f"""
+WITH s AS ({_qc_score_sql()}), g AS ({_GOPHER_ORACLE}),
+cuts AS (SELECT {cuts} FROM s),
+scored AS (
+  SELECT s.doc_id, s.score, g.keep, 1 + {decile} AS decile
+  FROM s JOIN g USING (doc_id) CROSS JOIN cuts c
+),
+tot AS (SELECT CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS base_rate FROM scored)
+SELECT CAST(decile AS INTEGER) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+  ROUND((CAST(SUM(keep) AS DOUBLE) / COUNT(*)) / t.base_rate, 6) AS lift,
+  ROUND(AVG(score), 6) AS mean_score
+FROM scored CROSS JOIN tot t
+GROUP BY decile, t.base_rate
+ORDER BY decile
+"""
+
+
+@register("quality_decile_lift", oracle=_decile_lift_oracle())
+def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-lift calibration table for the quality classifier: docs
+    bucketed by exact score deciles (nine broadcast quantile cuts —
+    the RFM recipe, never a global NTILE), each decile's Gopher-rule
+    keep rate and its lift over the corpus base rate. This is the
+    gain chart read before trusting a learned quality score to rank
+    a corpus: a well-calibrated score shows keep-rate rising
+    monotonically with decile; a flat table means the classifier adds
+    nothing over the rules. Two linear scoring passes joined on
+    doc_id + one 9-scalar broadcast; constant 10-row output."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        quality_classifier_score,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        gopher_quality_filter,
+    )
+
+    s = quality_classifier_score(spark, sf_dir).select("doc_id", "score")
+    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    cuts = s.agg(
+        *[
+            F.percentile("score", q / 10).alias(f"d{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = sum(
+        (F.col("score") > F.col(f"d{q}")).cast("int") for q in range(1, 10)
+    ) + F.lit(1)
+    scored = (
+        s.join(g, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select("doc_id", "score", "keep", decile.alias("decile"))
+    )
+    tot = scored.agg(
+        (F.sum("keep").cast("double") / F.count("*")).alias("base_rate")
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.sum("keep").cast("double") / F.count("*")).alias("_kr"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            F.round(F.col("_kr"), 6).alias("keep_rate"),
+            F.round(F.col("_kr") / F.col("base_rate"), 6).alias("lift"),
+            "mean_score",
+        )
+        .orderBy("decile")
+    )

@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "copurchase_communities",
     "part_skyline",
     "burst_detection",
+    "quality_decile_lift",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",
