@@ -51,27 +51,36 @@ def _fingerprints(docs: DataFrame, k: int = _K, w: int = _W) -> DataFrame:
     """Distinct selected fingerprints per document:
     (doc_id, n_grams, h, p). Extraction is fully in-row; the distinct
     is the first shuffle (selected sets are ~2/(w+1) of gram count)."""
-    grams = F.expr(
-        f"""transform(sequence(1, greatest(length(text) - {k - 1}, 0)),
+    grams = f"""transform(sequence(1, greatest(length(text) - {k - 1}, 0)),
               i -> struct(i - 1 AS p,
                 CAST(conv(substring(md5(substring(text, i, {k})), 1, 12),
                           16, 10) AS BIGINT) AS h))"""
-    )
     # Rightmost-min per window: a left-to-right fold where a tie
     # (x.h <= acc.h) advances to the later position — the paper's
     # robust-winnowing tie rule, which makes the selection a pure
     # function of the text (no RNG, stable under partitioning).
+    #
+    # The gram array is LET-BOUND via a single-element transform
+    # (``transform(array(<grams>), gs -> ...)[0]``): as separate
+    # projections, CollapseProject inlines the gram-building
+    # expression into EVERY window's slice — md5 work goes from
+    # O(chars) to O(chars * windows) per document (measured: minutes
+    # instead of seconds at sf0.01). The lambda binding forces one
+    # evaluation per row.
     sel = F.expr(
-        f"""transform(
-              sequence(1, greatest(size(gs) - {w - 1}, 0)),
-              j -> aggregate(slice(gs, j, {w}),
-                     struct(CAST(-1 AS INT) AS p, CAST(NULL AS BIGINT) AS h),
-                     (acc, x) -> IF(acc.h IS NULL OR x.h <= acc.h, x, acc)))"""
+        f"""element_at(transform(array({grams}), gs ->
+              struct(size(gs) AS n,
+                transform(
+                  sequence(1, greatest(size(gs) - {w - 1}, 0)),
+                  j -> aggregate(slice(gs, j, {w}),
+                         struct(CAST(-1 AS INT) AS p, CAST(NULL AS BIGINT) AS h),
+                         (acc, x) -> IF(acc.h IS NULL OR x.h <= acc.h, x, acc)))
+                AS fps)), 1)"""
     )
     return (
         docs.where(F.length("text") >= k + w - 1)
-        .select("doc_id", grams.alias("gs"))
-        .select("doc_id", F.size("gs").alias("n_grams"), sel.alias("fps"))
+        .select("doc_id", sel.alias("s"))
+        .select("doc_id", F.col("s.n").alias("n_grams"), F.col("s.fps").alias("fps"))
         .select("doc_id", "n_grams", F.explode("fps").alias("f"))
         .select(
             "doc_id",
