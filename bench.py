@@ -57,6 +57,14 @@ HEADLINE = [
     "count_min_words",
     "copurchase_triangles",
     "hll_distinct_users",
+    # r5 additions (copurchase_kcore/communities are tracked by the
+    # scale soak instead — their iterative round counts dominate at
+    # bench SF and would swamp the per-query lines)
+    "winnowing_fingerprints",
+    "winnowing_pairs",
+    "kneser_ney_logprob",
+    "part_skyline",
+    "burst_detection",
 ]
 
 
