@@ -1773,3 +1773,108 @@ def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:] + [text_dups]:
         out = out.unionByName(p)
     return out.orderBy("modality")
+
+
+# ---------------------------------------------------------------- C118
+def video_frame_hash_seq(media: DataFrame) -> DataFrame:
+    """ORDERED per-frame dHash sequence per video (doc_id,
+    frame_seq): the temporal twin of :func:`video_frame_hashes`
+    (which deliberately collapses to a set for dedup) — scene
+    analysis needs the timeline. Same one-pass container split +
+    real per-frame decode."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dhash(px: "np.ndarray") -> int:
+            h, w = px.shape
+            ri = np.round(np.linspace(0, h - 1, 8)).astype(int)
+            ci = np.round(np.linspace(0, w - 1, 9)).astype(int)
+            g = px[np.ix_(ri, ci)].astype(np.int32)
+            bits = (g[:, :-1] < g[:, 1:]).ravel()
+            v = 0
+            for i, b in enumerate(bits):
+                if b:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media"]):
+                hs = []
+                try:
+                    for fb in video_decode_frames(bytes(raw)):
+                        if fb[:8] == _PNG_SIG:
+                            _, _, px = png_decode(fb)
+                        elif fb[:4] == b"GIF8":
+                            _, _, px = gif_decode(fb)
+                        elif fb[:2] == b"\xff\xd8":
+                            _, _, px = jpeg_decode(fb)
+                        else:
+                            continue
+                        hs.append(dhash(px))
+                except Exception:
+                    hs = []
+                rows.append((int(doc_id), hs))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_seq"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_seq", ArrayType(LongType())),
+        ]
+    )
+    return media.select("doc_id", "media").mapInPandas(proc, schema)
+
+
+_SCENE_CUT_HAMMING = 16  # consecutive-frame hamming distance above -> cut
+
+
+@register("video_scene_cuts")  # real decode -> rows-only check
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/scene-boundary detection per video: consecutive-frame
+    dHash hamming deltas (``bit_count(xor)`` — JVM bit math over the
+    decoded sequence, the only Python being the Arrow-batched frame
+    decode), a cut wherever the delta clears the threshold — the
+    frame-SAMPLING planner's input (sample per scene, not per second,
+    the standard budget trick for video training data). Emits frame
+    count, cut count, the cut positions, and the mean/max deltas; an
+    injected mid-video content change is localized to the exact frame
+    index and a transcode reports identical cuts (tested)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    seqs = video_frame_hash_seq(attach_video_variants(docs)).where(
+        F.size("frame_seq") >= 2
+    )
+    deltas = F.expr(
+        "transform(sequence(2, size(frame_seq)), i -> "
+        "bit_count(element_at(frame_seq, i) ^ element_at(frame_seq, i - 1)))"
+    )
+    cuts = F.expr(
+        f"filter(transform(ds, (d, i) -> IF(d > {_SCENE_CUT_HAMMING},"
+        f" i + 1, -1)), x -> x >= 0)"
+    )
+    return (
+        seqs.select("doc_id", F.size("frame_seq").alias("n_frames"), deltas.alias("ds"))
+        .select(
+            "doc_id",
+            "n_frames",
+            cuts.alias("cut_positions"),
+            F.round(
+                F.expr(
+                    "aggregate(ds, CAST(0 AS BIGINT), (a, x) -> a + x)"
+                ).cast("double")
+                / F.size("ds"),
+                4,
+            ).alias("mean_delta"),
+            F.expr("array_max(ds)").cast("int").alias("max_delta"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.size("cut_positions").cast("int").alias("n_cuts"),
+            "cut_positions",
+            "mean_delta",
+            "max_delta",
+        )
+        .orderBy("doc_id")
+    )

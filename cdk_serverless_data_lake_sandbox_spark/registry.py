@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     "part_skyline",
     "burst_detection",
     "quality_decile_lift",
+    "video_scene_cuts",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",

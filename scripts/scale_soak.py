@@ -45,6 +45,12 @@ EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
     "quality_classifier_score",
     "dataset_card",
     "cuped_lift",
+    # r5 iterative graph ops (kept out of the bench: round counts
+    # dominate at bench SF; the soak is where their scaling is read)
+    "copurchase_kcore",
+    "copurchase_communities",
+    "quality_decile_lift",
+    "k_anonymity_check",
 ]
 
 DEFAULT_OPS = [q for q in HEADLINE if q not in EXCLUDED] + EXTRA_OPS

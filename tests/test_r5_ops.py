@@ -620,3 +620,58 @@ def test_burst_detection_matches_viterbi_backtrack(spark, monkeypatch):
     # the injected window is detected (all burst window days in path)
     assert all(path[d] == 1 for d in range(b_start, b_end))
     assert r.n_days == n_days
+
+
+# ------------------------------------------------- video scene cuts
+def test_video_scene_cuts_localize_injected_change(spark):
+    """A video whose pixel pattern flips at frame 4 (0-based index 3)
+    must report exactly one cut at position 4 (1-based boundary
+    frame); a PNG->GIF transcode of the same frames reports identical
+    cuts; a static video reports none."""
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        _SCENE_CUT_HAMMING,
+        gif_encode,
+        png_encode,
+        video_encode,
+        video_frame_hash_seq,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = np.random.RandomState(3)
+    # scene A: smooth horizontal gradient; scene B: vertical stripes
+    a = np.tile(np.linspace(0, 255, 32).astype(np.uint8), (24, 1))
+    b = np.zeros((24, 32), dtype=np.uint8)
+    b[:, ::2] = 255
+    frames = [a] * 3 + [b] * 3
+    vid_png = video_encode([png_encode(f) for f in frames])
+    vid_gif = video_encode([gif_encode(f) for f in frames])
+    static = video_encode([png_encode(a)] * 5)
+    media = spark.createDataFrame(
+        [(1, bytearray(vid_png)), (2, bytearray(vid_gif)), (3, bytearray(static))],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    seqs = video_frame_hash_seq(media)
+    deltas = {
+        r.doc_id: [
+            bin((r.frame_seq[i] ^ r.frame_seq[i - 1]) & ((1 << 64) - 1)).count("1")
+            for i in range(1, len(r.frame_seq))
+        ]
+        for r in seqs.collect()
+    }
+    cuts = {
+        d: [i + 1 for i, x in enumerate(ds) if x > _SCENE_CUT_HAMMING]
+        for d, ds in deltas.items()
+    }
+    assert cuts[1] == [3]
+    assert cuts[2] == cuts[1]  # transcode: identical boundaries
+    assert cuts[3] == []
