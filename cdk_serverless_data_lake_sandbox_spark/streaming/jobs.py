@@ -1665,3 +1665,48 @@ def stream_key_erasure(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E41
+def stream_cdc_apply(
+    envelopes: DataFrame, target_path: str, key_col: str, value_schema: str
+):
+    """Streaming CDC apply: each micro-batch of Debezium-style
+    envelopes runs :func:`operators.etl.cdc_envelope_apply` against
+    the target table — upserts replace by key, deletes anti-join
+    away, lsn ordering nets within-batch churn. E5's upsert_sink
+    handles the insert/update half; this is the full op set including
+    DELETES, which an append-only sink cannot express. Replay safety
+    is twofold: a committed batch short-circuits on its marker file
+    (the E21 recipe), and even a crash BETWEEN swap and marker is
+    safe because the apply is a state OVERWRITE by key — re-applying
+    the same envelopes reproduces the identical table (keys set to
+    the same values, deletes already absent), unlike an increment
+    sink where replay double-counts."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        cdc_envelope_apply,
+    )
+
+    marker_dir = target_path + "_markers"
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+        cdc_envelope_apply(
+            batch.sparkSession, target_path, batch, key_col, value_schema
+        )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("done")
+
+    return (
+        envelopes.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .trigger(availableNow=True)
+        .start()
+    )

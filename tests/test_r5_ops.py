@@ -675,3 +675,52 @@ def test_video_scene_cuts_localize_injected_change(spark):
     assert cuts[1] == [3]
     assert cuts[2] == cuts[1]  # transcode: identical boundaries
     assert cuts[3] == []
+
+
+# ------------------------------------------------- streaming CDC (E41)
+def test_stream_cdc_apply_with_deletes_and_replay(spark, tmp_path):
+    import json
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_cdc_apply,
+    )
+
+    schema = "id bigint, name string, bal double"
+
+    def env(op, lsn, before=None, after=None):
+        return (json.dumps({"op": op, "lsn": lsn, "before": before, "after": after}),)
+
+    b1 = [
+        env("c", 1, after={"id": 1, "name": "a", "bal": 10.0}),
+        env("c", 2, after={"id": 2, "name": "b", "bal": 20.0}),
+    ]
+    b2 = [
+        env("u", 3, after={"id": 1, "name": "a2", "bal": 11.0}),
+        env("d", 4, before={"id": 2, "name": "b", "bal": 20.0}),
+        env("c", 5, after={"id": 3, "name": "c", "bal": 30.0}),
+    ]
+    src = str(tmp_path / "env")
+    spark.createDataFrame(b1, "value string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, "value string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    tbl = str(tmp_path / "accounts")
+
+    def run():
+        q = stream_cdc_apply(
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl,
+            "id",
+            schema,
+        )
+        await_stream_done(q)
+
+    run()
+    got = {r.id: (r.name, r.bal) for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: ("a2", 11.0), 3: ("c", 30.0)}
+
+    run()  # replay everything: markers + overwrite-by-key keep it stable
+    got2 = {r.id: (r.name, r.bal) for r in spark.read.parquet(tbl).collect()}
+    assert got2 == got
