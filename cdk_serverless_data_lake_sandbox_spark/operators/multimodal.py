@@ -1878,3 +1878,101 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- C119
+_VAD_FRAME_MS = 20  # analysis frame length
+_VAD_REL_THRESHOLD = 0.1  # active if frame RMS > this fraction of clip peak RMS
+
+
+def audio_energy_frames(media: DataFrame) -> DataFrame:
+    """Per-clip RMS energy sequence over fixed 20 ms frames (doc_id,
+    sample_rate, rms ARRAY<DOUBLE>): real WAV decode, one Arrow pass;
+    TIME-fixed framing (frame length scales with the sample rate) so
+    a resampled copy produces the same number of frames with matching
+    energies — the representation every VAD/segmentation pass starts
+    from."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media"]):
+                sr, rms = None, []
+                try:
+                    sr, samples = wav_decode(bytes(raw))
+                    n = max(1, int(sr * _VAD_FRAME_MS / 1000))
+                    x = samples.astype("float64")
+                    m = len(x) // n
+                    if m:
+                        fr = x[: m * n].reshape(m, n)
+                        rms = list(np.sqrt((fr * fr).mean(axis=1)))
+                except Exception:
+                    sr, rms = None, []
+                rows.append((int(doc_id), sr, rms))
+            yield pd.DataFrame(rows, columns=["doc_id", "sample_rate", "rms"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("rms", ArrayType(DoubleType())),
+        ]
+    )
+    return media.select("doc_id", "media").mapInPandas(proc, schema)
+
+
+def activity_segments_frame(frames: DataFrame) -> DataFrame:
+    """Segment stats from an energy-frame table (doc_id, sample_rate,
+    rms): the in-row run-merging fold, shared by the registered query
+    and tests over synthetic clips."""
+    segs = F.expr(
+        f"""aggregate(
+          transform(rms, r -> IF(r > array_max(rms) * {_VAD_REL_THRESHOLD},
+                                 1, 0)),
+          struct(CAST(0 AS INT) AS nseg, CAST(0 AS INT) AS act,
+                 CAST(0 AS INT) AS run, CAST(0 AS INT) AS best,
+                 CAST(0 AS INT) AS prev),
+          (st, a) -> struct(
+            st.nseg + IF(a = 1 AND st.prev = 0, 1, 0),
+            st.act + a,
+            IF(a = 1, st.run + 1, 0),
+            greatest(st.best, IF(a = 1, st.run + 1, 0)),
+            a))"""
+    )
+    return (
+        frames.select(
+            "doc_id", "sample_rate", F.size("rms").alias("n_frames"), segs.alias("s")
+        )
+        .select(
+            "doc_id",
+            "sample_rate",
+            "n_frames",
+            F.col("s.nseg").alias("n_segments"),
+            F.round(
+                F.col("s.act").cast("double") / F.col("n_frames"), 4
+            ).alias("active_ratio"),
+            F.col("s.best").alias("longest_run_frames"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("audio_activity_segments")  # real decode -> rows-only check
+def audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based activity segmentation per clip (the VAD shape
+    without a learned model): frames are ACTIVE when their RMS clears
+    a fraction of the clip's peak frame RMS (relative threshold —
+    gain-invariant by construction, a rescaled copy segments
+    identically, tested); consecutive active frames merge into
+    segments entirely IN-ROW (the interval-fold trick from
+    strip_dup_chars). Emits per-clip frame/segment counts, active
+    ratio, and the longest run — the audio-side budget planner
+    (sample active segments, skip silence) next to C118's per-scene
+    video sampling."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = audio_energy_frames(attach_audio_variants(docs)).where(
+        F.size("rms") > 0
+    )
+    return activity_segments_frame(frames)

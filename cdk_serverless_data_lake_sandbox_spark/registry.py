@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "burst_detection",
     "quality_decile_lift",
     "video_scene_cuts",
+    "audio_activity_segments",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",

@@ -724,3 +724,69 @@ def test_stream_cdc_apply_with_deletes_and_replay(spark, tmp_path):
     run()  # replay everything: markers + overwrite-by-key keep it stable
     got2 = {r.id: (r.name, r.bal) for r in spark.read.parquet(tbl).collect()}
     assert got2 == got
+
+
+# ---------------------------------------------- audio segmentation
+def test_audio_segments_gain_invariant_and_localized(spark):
+    """Known silence/tone/silence/tone layout segments into exactly 2
+    active runs; a 0.25x-gain copy segments identically (relative
+    threshold); all-silence yields zero segments."""
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        audio_energy_frames,
+        _VAD_REL_THRESHOLD,
+        wav_encode,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sr = 16000
+    f = int(sr * 0.02)
+    def tone(nf): return (np.sin(np.linspace(0, 440 * nf, f * nf)) * 8000).astype(np.int16)
+    def silence(nf): return np.zeros(f * nf, dtype=np.int16)
+    clip = np.concatenate([silence(5), tone(10), silence(5), tone(7), silence(3)])
+    quiet = (clip * 0.25).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav_encode(clip, sr))),
+            (2, bytearray(wav_encode(quiet, sr))),
+            (3, bytearray(wav_encode(silence(20), sr))),
+        ],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    fr = {r.doc_id: r.rms for r in audio_energy_frames(media).collect()}
+
+    def count_segs(rms):
+        thr = max(rms) * _VAD_REL_THRESHOLD
+        segs, prev = 0, 0
+        for r in rms:
+            a = 1 if r > thr else 0
+            if a and not prev:
+                segs += 1
+            prev = a
+        return segs
+
+    assert count_segs(fr[1]) == 2
+    assert count_segs(fr[2]) == 2  # gain-invariant
+
+    # the registered plan's in-row fold on the same clips
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        activity_segments_frame,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in activity_segments_frame(audio_energy_frames(media)).collect()
+    }
+    assert got[1].n_segments == 2
+    assert got[2].n_segments == 2  # 0.25x gain copy: identical segmentation
+    assert got[1].longest_run_frames == got[2].longest_run_frames == 10
+    assert got[3].n_segments == 0  # all-silence: peak 0, nothing clears it
+    assert 0.0 <= got[1].active_ratio <= 1.0
