@@ -951,10 +951,13 @@ def dv_delete(spark: SparkSession, table_path: str, predicate: str) -> dict:
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )
     dv_dir = os.path.join(table_path, "_dv")
-    try:
+    if os.path.isdir(dv_dir):
+        # a sidecar that exists but fails to read must RAISE — treating
+        # it as absent would over-report rows_deleted and duplicate
+        # vector entries
         existing = spark.read.parquet(dv_dir)
         fresh = hits.join(existing, ["file", "pos"], "left_anti")
-    except Exception:  # first delete: no sidecar yet
+    else:  # first delete: no sidecar yet
         fresh = hits
     fresh = fresh.localCheckpoint()
     n_new = fresh.count()
@@ -981,10 +984,12 @@ def dv_read(spark: SparkSession, table_path: str) -> DataFrame:
         F.col("_metadata.file_path").alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
-    try:
-        dv = spark.read.parquet(os.path.join(table_path, "_dv"))
-    except Exception:
+    dv_dir = os.path.join(table_path, "_dv")
+    if not os.path.isdir(dv_dir):
         return base.drop("_dv_file", "_dv_pos")
+    # an unreadable sidecar must RAISE: silently falling back to the
+    # plain scan would resurrect deleted (possibly GDPR-erased) rows
+    dv = spark.read.parquet(dv_dir)
     return (
         base.join(
             F.broadcast(
@@ -1010,10 +1015,9 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
     import shutil
 
     dv_dir = os.path.join(table_path, "_dv")
-    try:
-        dv = spark.read.parquet(dv_dir)
-    except Exception:
+    if not os.path.isdir(dv_dir):
         return {"files_rewritten": 0, "files_kept": 0, "rows_dropped": 0}
+    dv = spark.read.parquet(dv_dir)
     touched = [r.file for r in dv.select("file").distinct().collect()]
     base = spark.read.parquet(table_path).select(
         "*",
@@ -1094,23 +1098,39 @@ def cdc_envelope_apply(
             F.coalesce(F.col(f"after.{key_col}"), F.col(f"before.{key_col}")),
         )
         .groupBy("k")
-        .agg(F.expr("max_by(struct(op, after), lsn)").alias("w"))
-        .select("k", F.col("w.op").alias("op"), F.col("w.after").alias("after"))
+        .agg(F.expr("max_by(struct(op, before, after), lsn)").alias("w"))
+        .select(
+            "k",
+            F.col("w.op").alias("op"),
+            F.col(f"w.before.{key_col}").alias("old_k"),
+            F.col("w.after").alias("after"),
+        )
     )
     latest = latest.localCheckpoint()
     upserts = latest.where(F.col("op") != "d").select("after.*")
     delete_keys_df = latest.where(F.col("op") == "d").select(
         F.col("k").alias(key_col)
     )
+    # Keys to clear from the current table: every netted key PLUS the
+    # BEFORE-key of updates whose primary key changed (without it the
+    # stale old-key row would survive next to the re-keyed insert).
+    clear_keys = latest.select(F.col("k").alias(key_col)).unionByName(
+        latest.where(
+            (F.col("op") == "u")
+            & F.col("old_k").isNotNull()
+            & (F.col("old_k") != F.col("k"))
+        ).select(F.col("old_k").alias(key_col))
+    )
     n_up = upserts.count()
     n_del = delete_keys_df.count()
-    try:
+    if os.path.isdir(target_path):
+        # A failing read of an EXISTING target must raise, never be
+        # mistaken for first-load: the except-and-overwrite form would
+        # replace the whole table with just this batch's upserts.
         current = spark.read.parquet(target_path)
-        kept = current.join(
-            latest.select(F.col("k").alias(key_col)), key_col, "left_anti"
-        )
+        kept = current.join(clear_keys, key_col, "left_anti")
         merged = kept.unionByName(upserts)
-    except Exception:  # first batch: target does not exist yet
+    else:  # first batch: target does not exist yet
         merged = upserts
     merged.write.mode("overwrite").parquet(target_path + "_staged")
     shutil.rmtree(target_path, ignore_errors=True)

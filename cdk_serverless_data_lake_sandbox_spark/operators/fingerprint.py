@@ -34,7 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    materialize_lazy,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _K = 8  # noise threshold: matches shorter than _K chars are never seen
@@ -76,7 +78,7 @@ def _fingerprints(docs: DataFrame, k: int = _K, w: int = _W) -> DataFrame:
     # The gram array is LET-BOUND via a single-element transform
     # (``transform(array(<grams>), gs -> ...)[0]``): as separate
     # projections, CollapseProject inlines the gram-building
-    # expression into EVERY window's slice — md5 work goes from
+    # expression into EVERY window's slice — hash work goes from
     # O(chars) to O(chars * windows) per document (measured: minutes
     # instead of seconds at sf0.01). The lambda binding forces one
     # evaluation per row.
@@ -116,8 +118,8 @@ def _fingerprints(docs: DataFrame, k: int = _K, w: int = _W) -> DataFrame:
     )
 
 
-# Both oracles share the fingerprint CTEs (DuckDB replays the same md5
-# windowed-min selection; list_distinct over structs is unimplemented
+# Both oracles share the fingerprint CTEs (DuckDB replays the same
+# polynomial-hash windowed-min selection; list_distinct over structs is unimplemented
 # there, so the distinct happens after UNNEST — same set either way).
 _FP_CTES = f"""
 cc AS (
@@ -175,18 +177,20 @@ ORDER BY doc_id
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint profile: how many k-gram
     hashes the document produced, how many the window selection kept
-    (the paper's expected density is 2/(w+1) ≈ {dens:.3f} here), and
+    (the paper's expected density is 2/(w+1), ~0.154 at w=12), and
     what fraction of its distinct fingerprint hashes also occur in at
     least one other document — the per-doc overlap exposure a corpus
     audit reads before running pair detection. One corpus scan with
     in-row extraction, a distinct, one posting aggregation, one join
-    back; every aggregation map-side combinable.""".format(
-        dens=2 / (_W + 1)
-    )
+    back; every aggregation map-side combinable."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # fp feeds two plan branches (posting counts + the join back) and
-    # the pairs query: materialize the extraction once per corpus
-    fp = materialize(_fingerprints(docs), key=f"winnow:{sf_dir}")
+    # the pairs query: materialize the extraction once per corpus.
+    # materialize_lazy skips even the frame CONSTRUCTION on a cache
+    # hit (_fingerprints probes partition counts on the driver).
+    fp = materialize_lazy(
+        spark, f"winnow:{sf_dir}", lambda: _fingerprints(docs)
+    )
     post = fp.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     per_doc = (
         fp.join(post, "h")
@@ -249,15 +253,13 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate IN-POSTING (per shared hash, from the sorted in-row doc
     list — never a corpus self-join) and hot boilerplate hashes with
     postings above ``_MAX_POSTING`` docs are excluded on both engines,
-    bounding the expansion at |posting|² ≤ {mp}². The guarantee
-    threshold means any ≥{t}-char shared substring produces at least
+    bounding the expansion at |posting|^2 <= 50^2. The guarantee
+    threshold means any >=19-char shared substring produces at least
     one shared fingerprint, so lightly-edited mirrors surface here
-    even when exact-hash dedup misses them.""".format(
-        mp=_MAX_POSTING, t=_K + _W - 1
-    )
+    even when exact-hash dedup misses them."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     dh = (
-        materialize(_fingerprints(docs), key=f"winnow:{sf_dir}")
+        materialize_lazy(spark, f"winnow:{sf_dir}", lambda: _fingerprints(docs))
         .select("doc_id", "h")
         .distinct()
     )

@@ -1927,10 +1927,13 @@ def activity_segments_frame(frames: DataFrame) -> DataFrame:
     """Segment stats from an energy-frame table (doc_id, sample_rate,
     rms): the in-row run-merging fold, shared by the registered query
     and tests over synthetic clips."""
+    # the clip-peak threshold is LET-BOUND (single-element transform,
+    # the fingerprint.py idiom): inside the lambda, array_max(rms)
+    # would re-scan the whole array per frame — O(frames^2) on a long
+    # clip
     segs = F.expr(
-        f"""aggregate(
-          transform(rms, r -> IF(r > array_max(rms) * {_VAD_REL_THRESHOLD},
-                                 1, 0)),
+        f"""element_at(transform(array(array_max(rms)), mx -> aggregate(
+          transform(rms, r -> IF(r > mx * {_VAD_REL_THRESHOLD}, 1, 0)),
           struct(CAST(0 AS INT) AS nseg, CAST(0 AS INT) AS act,
                  CAST(0 AS INT) AS run, CAST(0 AS INT) AS best,
                  CAST(0 AS INT) AS prev),
@@ -1939,7 +1942,7 @@ def activity_segments_frame(frames: DataFrame) -> DataFrame:
             st.act + a,
             IF(a = 1, st.run + 1, 0),
             greatest(st.best, IF(a = 1, st.run + 1, 0)),
-            a))"""
+            a))), 1)"""
     )
     return (
         frames.select(

@@ -59,12 +59,12 @@ ORDER BY nation_key, bal_band
 def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity + l-diversity audit of the customer table under a
     (nation, account-balance band) quasi-identifier: every cell with
-    fewer than k={k} members (re-identifiable by linkage) or fewer
-    than l={l} distinct market segments (attribute-disclosable even
+    fewer than k=5 members (re-identifiable by linkage) or fewer
+    than l=3 distinct market segments (attribute-disclosable even
     when k holds — the homogeneity attack l-diversity exists for) is
     reported for suppression or generalization. One aggregation pass;
     the violation report is cell-bounded, so the audit costs the same
-    scan at any row count.""".format(k=_K_ANON, l=_L_DIV)
+    scan at any row count."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     cells = c.groupBy(
         F.col("c_nationkey").alias("nation_key"),

@@ -2258,9 +2258,6 @@ _BURST_GAM = 5.0  # state-entry cost (Kleinberg's gamma)
 # the whole recurrence is a pure function both engines replay
 # bit-identically.
 
-_BURST_C0 = "(r0 - x * LN(r0))"
-_BURST_C1 = "(r1 - x * LN(r1))"
-
 
 def _burst_fold_spark() -> str:
     gam = f"CAST({_BURST_GAM} AS DOUBLE)"
@@ -2331,7 +2328,7 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg burst detection per event type (Kleinberg 2002,
     "Bursty and Hierarchical Structure in Streams", 2-state batched
     variant): a base state emitting at the observed mean daily rate
-    and a burst state at {s}x, entering burst costs gamma={g} — the
+    and a burst state at 2x, entering burst costs gamma=5 — the
     Viterbi-optimal state path's burst-day count separates sustained
     elevated activity from one-day noise a z-score flags. The whole
     dynamic program runs as ONE in-row fold over each type's bounded

@@ -1649,15 +1649,18 @@ def stream_key_erasure(
             hits.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "overwrite"
             ).partitionBy("batch_id").parquet(os.path.join(table_path, "_dv"))
+            # audit rows share the batch_id-partition dynamic-overwrite
+            # discipline: a crash replay re-overwrites its own row
+            # instead of appending a duplicate to the compliance log
+            audit = spark.createDataFrame(
+                [(keys.count(), hits.count(), batch_id)],
+                "n_keys long, n_positions long, batch_id long",
+            )
+            audit.coalesce(1).write.mode("overwrite").partitionBy(
+                "batch_id"
+            ).parquet(os.path.join(table_path, "_erasure_audit"))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-        audit = spark.createDataFrame(
-            [(batch_id, keys.count(), hits.count())],
-            "batch_id long, n_keys long, n_positions long",
-        )
-        audit.coalesce(1).write.mode("append").parquet(
-            os.path.join(table_path, "_erasure_audit")
-        )
 
     return (
         requests.writeStream.outputMode("append")

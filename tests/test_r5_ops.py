@@ -790,3 +790,38 @@ def test_audio_segments_gain_invariant_and_localized(spark):
     assert got[1].longest_run_frames == got[2].longest_run_frames == 10
     assert got[3].n_segments == 0  # all-silence: peak 0, nothing clears it
     assert 0.0 <= got[1].active_ratio <= 1.0
+
+
+def test_cdc_envelope_pk_changing_update_clears_old_key(spark, tmp_path):
+    """An update that CHANGES the primary key must remove the old-key
+    row (before-key cleared too), not leave the entity duplicated."""
+    import json
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        cdc_envelope_apply,
+    )
+
+    schema = "id bigint, name string, bal double"
+
+    def env(op, lsn, before=None, after=None):
+        return (json.dumps({"op": op, "lsn": lsn, "before": before, "after": after}),)
+
+    tbl = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [env("c", 1, after={"id": 1, "name": "a", "bal": 10.0})], "value string"
+    )
+    cdc_envelope_apply(spark, tbl, b1, "id", schema)
+    b2 = spark.createDataFrame(
+        [
+            env(
+                "u",
+                2,
+                before={"id": 1, "name": "a", "bal": 10.0},
+                after={"id": 9, "name": "a", "bal": 10.0},
+            )
+        ],
+        "value string",
+    )
+    cdc_envelope_apply(spark, tbl, b2, "id", schema)
+    got = {r.id for r in spark.read.parquet(tbl).collect()}
+    assert got == {9}, got
