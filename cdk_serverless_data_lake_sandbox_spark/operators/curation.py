@@ -964,3 +964,88 @@ def corpus_mi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------- C120
+_PREF_MIN_GAP = 0.05
+
+_PREF_ORACLE_TMPL = """
+WITH s AS ({qc}),
+d AS (
+  SELECT doc.doc_id, doc.lang, doc.source, s.score
+  FROM documents doc JOIN s ON s.doc_id = doc.doc_id
+),
+rk AS (
+  SELECT lang, source, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY lang, source
+                       ORDER BY score DESC, doc_id ASC) AS rn_hi,
+    ROW_NUMBER() OVER (PARTITION BY lang, source
+                       ORDER BY score ASC, doc_id ASC) AS rn_lo,
+    COUNT(*) OVER (PARTITION BY lang, source) AS n_docs
+  FROM d
+),
+ranked AS (
+  SELECT h.lang, h.source,
+    h.doc_id AS chosen_id, h.score AS chosen_score,
+    l.doc_id AS rejected_id, l.score AS rejected_score,
+    h.n_docs
+  FROM (SELECT * FROM rk WHERE rn_hi = 1) h
+  JOIN (SELECT * FROM rk WHERE rn_lo = 1) l
+    ON h.lang = l.lang AND h.source = l.source
+)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+  chosen_id, rejected_id,
+  ROUND(chosen_score - rejected_score, 6) AS score_gap
+FROM ranked
+WHERE n_docs >= 2 AND chosen_score - rejected_score >= {gap}
+ORDER BY lang, source
+"""
+
+
+def _pref_oracle() -> str:
+    return _PREF_ORACLE_TMPL.format(qc=_qc_score_sql(), gap=_PREF_MIN_GAP)
+
+
+@register("preference_pairs", oracle=_pref_oracle())
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training: per
+    (language, source) stratum, the highest- and lowest-scoring
+    documents under the quality classifier become a (chosen,
+    rejected) pair, kept only when the score gap clears a margin —
+    weak pairs teach nothing and noisy ones teach the wrong thing.
+    Stratifying keeps pairs in-domain, so the preference signal is
+    quality, not topic. Deterministic ties (min doc_id at equal
+    score) make the pair set a pure function of the corpus. One
+    scoring pass + one map-side-combinable max_by/min_by aggregation;
+    output is stratum-bounded."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        quality_classifier_score,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    s = quality_classifier_score(spark, sf_dir).select("doc_id", "score")
+    d = docs.select("doc_id", "lang", "source").join(s, "doc_id")
+    ranked = d.groupBy("lang", "source").agg(
+        F.expr("max_by(doc_id, struct(score, -doc_id))").alias("chosen_id"),
+        F.max("score").alias("chosen_score"),
+        F.expr("min_by(doc_id, struct(score, doc_id))").alias("rejected_id"),
+        F.min("score").alias("rejected_score"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        ranked.where(
+            (F.col("n_docs") >= 2)
+            & (F.col("chosen_score") - F.col("rejected_score") >= _PREF_MIN_GAP)
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "chosen_id",
+            "rejected_id",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), 6
+            ).alias("score_gap"),
+        )
+        .orderBy("lang", "source")
+    )

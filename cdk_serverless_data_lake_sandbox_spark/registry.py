@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "quality_decile_lift",
     "video_scene_cuts",
     "audio_activity_segments",
+    "preference_pairs",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",
