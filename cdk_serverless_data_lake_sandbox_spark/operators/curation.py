@@ -1018,10 +1018,6 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score) make the pair set a pure function of the corpus. One
     scoring pass + one map-side-combinable max_by/min_by aggregation;
     output is stratum-bounded."""
-    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
-        quality_classifier_score,
-    )
-
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     s = quality_classifier_score(spark, sf_dir).select("doc_id", "score")
     d = docs.select("doc_id", "lang", "source").join(s, "doc_id")

@@ -1283,3 +1283,60 @@ def minhash_index_compact(spark: SparkSession, index_path: str) -> dict:
     for part in ("sig", "bands"):
         swap_dir(os.path.join(index_path, part), os.path.join(index_path, part + "_staged"))
     return {"files_before": before, "files_after": _n_files(index_path)}
+
+
+# ---------------------------------------------------------------- C121
+_EDIT_ORACLE = f"""
+WITH base AS ({_REVIEW_ORACLE}),
+j AS (
+  SELECT b.sim_bucket, b.a_id, b.b_id, b.jaccard,
+    levenshtein(da.text, db.text) AS edit_distance,
+    GREATEST(LENGTH(da.text), LENGTH(db.text)) AS max_len
+  FROM base b
+  JOIN documents da ON da.doc_id = b.a_id
+  JOIN documents db ON db.doc_id = b.b_id
+)
+SELECT sim_bucket, a_id, b_id, jaccard,
+  CAST(edit_distance AS BIGINT) AS edit_distance,
+  ROUND(CAST(1 AS DOUBLE)
+        - CAST(edit_distance AS DOUBLE) / max_len, 6) AS edit_sim
+FROM j ORDER BY sim_bucket, a_id, b_id
+"""
+
+
+@register("near_dup_edit_distance", oracle=_EDIT_ORACLE)
+def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification tier over the near-dup REVIEW
+    SAMPLE: exact Levenshtein (and its normalized similarity
+    1 - d/max_len) for each sampled pair — the character-level ground
+    truth a reviewer compares against the shingle Jaccard when
+    calibrating the dedup threshold (high Jaccard + low edit
+    similarity exposes shingle-set aliasing; the reverse exposes
+    word-order rewrites Jaccard forgives). Levenshtein is O(len^2)
+    per pair, which is exactly why it runs on the BOUNDED md5-ranked
+    sample (<= 5 pairs x 6 deciles), never the corpus: the expensive
+    exact metric rides the cheap indexed candidates — the standard
+    verify-tier shape. Both engines ship the same built-in, so the
+    oracle is integer-exact."""
+    sample = near_dup_review_sample(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    da = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("tb"))
+    return (
+        sample.join(da, "a_id")
+        .join(db, "b_id")
+        .select(
+            "sim_bucket",
+            "a_id",
+            "b_id",
+            "jaccard",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_distance"),
+            F.round(
+                F.lit(1.0).cast("double")
+                - F.levenshtein("ta", "tb").cast("double")
+                / F.greatest(F.length("ta"), F.length("tb")),
+                6,
+            ).alias("edit_sim"),
+        )
+        .orderBy("sim_bucket", "a_id", "b_id")
+    )

@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "video_scene_cuts",
     "audio_activity_segments",
     "preference_pairs",
+    "near_dup_edit_distance",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",
