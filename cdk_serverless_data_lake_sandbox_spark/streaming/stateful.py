@@ -525,3 +525,60 @@ def tws_session_flush(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------- E42
+def tws_ttl_totals(stream: DataFrame, ttl_ms: int) -> DataFrame:
+    """Running per-user totals whose ValueState carries a TTL
+    (``getValueState(..., ttlDurationMs=...)``): state untouched for
+    longer than the TTL is expired by the store itself — the
+    DECLARATIVE form of E15's hand-rolled processing-time eviction,
+    and the last piece of the transformWithStateInPandas conformance
+    sweep over the vendored protobuf runtime (ValueState E19,
+    MapState E25, ListState E26, event-time timers E27, TTLConfig
+    here — the registration RPC now carries the ttl message). With a
+    long TTL the operator is exactly :func:`tws_user_totals`; with a
+    short one, keys quiet for a TTL restart from zero on their next
+    event — bounded state for eternal streams, enforced by the store
+    instead of user timer code.
+
+    TTL is only legal in timeMode=ProcessingTime (Spark raises
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL otherwise),
+    and under that mode an availableNow query does NOT self-terminate
+    — callers gate on their sink's semantic condition and stop() the
+    query, the same contract as the processing-time-timeout jobs
+    (E10/E15)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TtlTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", _STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, v = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._state.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TtlTotals(),
+            outputStructType=_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
