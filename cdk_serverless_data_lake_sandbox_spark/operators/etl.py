@@ -1140,3 +1140,107 @@ def cdc_envelope_apply(
         "deletes": n_del,
         "rows_after": spark.read.parquet(target_path).count(),
     }
+
+
+# ---------------------------------------------------------------- D27
+def ivm_join_build(
+    spark: SparkSession,
+    view_dir: str,
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+) -> None:
+    """Materialize an equi-join view A ⋈ B with INCREMENTAL
+    maintenance (D13's mergeable-aggregate idea extended to joins):
+    the classic delta rule ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB means an append
+    of Δ rows costs joins sized by Δ — never a recompute of |A⋈B|.
+    Layout: ``a/ b/ j/`` each hold ``v=N`` version directories with a
+    commit marker written LAST (idempotent_sink's recipe), so a crash
+    mid-version leaves an uncommitted directory that readers skip and
+    the retry overwrites — the three tables can never be observed
+    inconsistent. ``v=0`` is the base load."""
+    _ivm_write_version(view_dir, 0, a=a, b=b, j=a.join(b, key))
+
+
+def ivm_join_append(
+    spark: SparkSession,
+    view_dir: str,
+    key: str,
+    delta_a: DataFrame | None = None,
+    delta_b: DataFrame | None = None,
+) -> dict:
+    """Apply an append batch to the maintained join view. The view
+    delta joins each Δ against the OTHER side's committed state plus
+    the cross term — all Δ-sized work (broadcast when small, AQE
+    otherwise). Returns {version, delta_rows}. Re-running a failed
+    (uncommitted) version is safe: content is a pure function of the
+    committed prefix + the deltas, and the commit marker lands last."""
+    a_cur = _ivm_read(spark, view_dir, "a")
+    b_cur = _ivm_read(spark, view_dir, "b")
+    version = _ivm_next_version(view_dir)
+    sp = spark
+    empty_a = delta_a is None
+    empty_b = delta_b is None
+    parts = []
+    if not empty_a:
+        parts.append(delta_a.join(b_cur, key))
+    if not empty_b:
+        parts.append(a_cur.join(delta_b, key))
+    if not empty_a and not empty_b:
+        parts.append(delta_a.join(delta_b, key))
+    if parts:
+        dj = parts[0]
+        for p in parts[1:]:
+            dj = dj.unionByName(p)
+    else:
+        dj = None
+    dj = dj.localCheckpoint() if dj is not None else None
+    n = dj.count() if dj is not None else 0
+    _ivm_write_version(
+        view_dir, version,
+        a=delta_a, b=delta_b, j=dj,
+    )
+    return {"version": version, "delta_rows": n}
+
+
+def ivm_join_read(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The maintained view: the union of committed ``j`` versions."""
+    return _ivm_read(spark, view_dir, "j")
+
+
+def _ivm_write_version(view_dir, version, a=None, b=None, j=None) -> None:
+    import shutil
+
+    for name, df in (("a", a), ("b", b), ("j", j)):
+        vdir = os.path.join(view_dir, name, f"v={version}")
+        if df is None:
+            continue
+        shutil.rmtree(vdir, ignore_errors=True)  # uncommitted retry debris
+        df.write.parquet(vdir)
+    # marker LAST: the version exists only once all three parts do
+    with open(os.path.join(view_dir, f"_commit_v{version}"), "w") as fh:
+        fh.write("done")
+
+
+def _ivm_committed(view_dir) -> list[int]:
+    if not os.path.isdir(view_dir):
+        return []
+    return sorted(
+        int(f.split("_commit_v")[1])
+        for f in os.listdir(view_dir)
+        if f.startswith("_commit_v")
+    )
+
+
+def _ivm_next_version(view_dir) -> int:
+    vs = _ivm_committed(view_dir)
+    return (vs[-1] + 1) if vs else 1
+
+
+def _ivm_read(spark, view_dir, name) -> DataFrame:
+    paths = [
+        os.path.join(view_dir, name, f"v={v}")
+        for v in _ivm_committed(view_dir)
+        if os.path.isdir(os.path.join(view_dir, name, f"v={v}"))
+    ]
+    return spark.read.parquet(*paths)

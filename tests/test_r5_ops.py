@@ -930,3 +930,67 @@ def test_tws_ttl_totals_long_ttl_accumulates_short_ttl_expires(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# ------------------------------------------------- IVM join view (D27)
+def test_ivm_join_matches_full_recompute_and_survives_crash(spark, tmp_path):
+    """The incrementally maintained join equals a from-scratch A ⋈ B
+    after appends to either and both sides (including cross-delta
+    matches), an uncommitted (crashed) version is invisible, and the
+    retried append converges."""
+    import os
+    import shutil
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        ivm_join_append,
+        ivm_join_build,
+        ivm_join_read,
+        _ivm_read,
+    )
+
+    vd = str(tmp_path / "view")
+    a0 = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3")], "k long, av string"
+    )
+    b0 = spark.createDataFrame([(1, "b1"), (2, "b2")], "k long, bv string")
+    ivm_join_build(spark, vd, a0, b0, "k")
+
+    def check():
+        got = sorted(map(tuple, ivm_join_read(spark, vd).collect()))
+        a = _ivm_read(spark, vd, "a")
+        b = _ivm_read(spark, vd, "b")
+        want = sorted(map(tuple, a.join(b, "k").collect()))
+        assert got == want, (got, want)
+        return len(got)
+
+    assert check() == 2
+
+    # append to A only: joins existing B keys
+    da = spark.createDataFrame([(2, "a2x"), (4, "a4")], "k long, av string")
+    st = ivm_join_append(spark, vd, "k", delta_a=da)
+    assert st["delta_rows"] == 1  # only k=2 matches committed B
+    check()
+
+    # append to B only, including a key that only ΔA introduced (k=4)
+    db = spark.createDataFrame([(3, "b3"), (4, "b4")], "k long, bv string")
+    ivm_join_append(spark, vd, "k", delta_b=db)
+    check()
+
+    # both sides at once: the ΔA⋈ΔB cross term (k=7 exists nowhere else)
+    da2 = spark.createDataFrame([(7, "a7")], "k long, av string")
+    db2 = spark.createDataFrame([(7, "b7"), (1, "b1x")], "k long, bv string")
+    ivm_join_append(spark, vd, "k", delta_a=da2, delta_b=db2)
+    n_before = check()
+
+    # crash simulation: a version directory without its marker is
+    # invisible; the retried append overwrites and commits
+    da3 = spark.createDataFrame([(1, "a1y")], "k long, av string")
+    # manually fake the partial write (data, no marker)
+    os.makedirs(os.path.join(vd, "a", "v=99"), exist_ok=True)
+    da3.write.mode("overwrite").parquet(os.path.join(vd, "a", "v=99"))
+    assert check() == n_before  # uncommitted v=99 not visible
+    shutil.rmtree(os.path.join(vd, "a", "v=99"))
+    st = ivm_join_append(spark, vd, "k", delta_a=da3)
+    # k=1 now has 2 B rows (b1, b1x): delta adds 2 join rows
+    assert st["delta_rows"] == 2
+    check()
