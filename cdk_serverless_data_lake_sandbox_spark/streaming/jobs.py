@@ -1713,3 +1713,47 @@ def stream_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E43
+def stream_ivm_join(
+    stream: DataFrame, view_dir: str, key: str, side: str = "a"
+):
+    """Continuous maintenance of the D27 incremental join view: each
+    micro-batch of new ``side`` rows appends its Δ-sized view delta
+    (the other side stays committed state). D27's version-commit
+    protocol makes a crash INSIDE a version invisible; replay safety
+    ACROSS versions comes from a batch->version marker (the E21
+    recipe): a batch that already committed its version short-
+    circuits instead of appending its delta twice. With E39 this
+    closes the streaming-maintainer family over derived artifacts:
+    indexes (bloom/minhash/charspan/CMS/HLL/IVF), graphs, deletion
+    vectors, CDC tables, and now materialized join views."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        ivm_join_append,
+    )
+
+    marker_dir = os.path.join(view_dir, "_batch_markers")
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+        if side == "a":
+            ivm_join_append(batch.sparkSession, view_dir, key, delta_a=batch)
+        else:
+            ivm_join_append(batch.sparkSession, view_dir, key, delta_b=batch)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("done")
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .trigger(availableNow=True)
+        .start()
+    )

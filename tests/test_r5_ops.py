@@ -994,3 +994,60 @@ def test_ivm_join_matches_full_recompute_and_survives_crash(spark, tmp_path):
     # k=1 now has 2 B rows (b1, b1x): delta adds 2 join rows
     assert st["delta_rows"] == 2
     check()
+
+
+# ------------------------------------------------ streaming IVM (E43)
+def test_stream_ivm_join_maintains_view_and_replays(spark, tmp_path):
+    """Fact rows streamed in two micro-batches keep the materialized
+    join equal to a full recompute; a complete replay (fresh
+    checkpoint, same batch ids) changes nothing."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        _ivm_read,
+        ivm_join_build,
+        ivm_join_read,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_ivm_join,
+    )
+
+    t = load_tables(spark, SF_SMALL, ("orders", "customer"))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"), "c_name", "c_nationkey"
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 3 == 0)
+    live = orders.where(F.col("o_orderkey") % 3 != 0)
+
+    vd = str(tmp_path / "view")
+    ivm_join_build(spark, vd, base, cust, "k")
+
+    src = str(tmp_path / "live")
+    live.sample(0.5, seed=1).coalesce(1).write.parquet(src)
+    live.exceptAll(spark.read.parquet(src)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run():
+        q = stream_ivm_join(
+            spark.readStream.schema("k long, o_orderkey long, o_totalprice double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            vd,
+            "k",
+            side="a",
+        )
+        await_stream_done(q)
+
+    run()
+    got = sorted(map(tuple, ivm_join_read(spark, vd).collect()))
+    a_all = _ivm_read(spark, vd, "a")
+    want = sorted(map(tuple, a_all.join(cust, "k").collect()))
+    assert got == want
+    assert len(got) == orders.join(cust, "k").count()
+
+    run()  # replay: batch markers short-circuit
+    again = sorted(map(tuple, ivm_join_read(spark, vd).collect()))
+    assert again == got
