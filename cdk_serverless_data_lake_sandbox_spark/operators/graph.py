@@ -1076,3 +1076,83 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_parts"), "community")
     )
+
+
+# ---------------------------------------------------------------- B113
+_TREND_ORACLE = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_partkey, DATE_TRUNC('month', o.o_orderdate) AS m
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+pm AS (
+  SELECT DISTINCT a.m, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lo a JOIN lo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+firsts AS (
+  SELECT pa, pb, MIN(m) AS first_m FROM pm GROUP BY pa, pb
+)
+SELECT pm.m AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_active_edges,
+  CAST(SUM(CASE WHEN pm.m = f.first_m THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new_edges,
+  ROUND(CAST(SUM(CASE WHEN pm.m = f.first_m THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS new_frac
+FROM pm JOIN firsts f ON f.pa = pm.pa AND f.pb = pm.pb
+GROUP BY pm.m ORDER BY month
+"""
+
+
+@register("copurchase_trend", oracle=_TREND_ORACLE)
+def copurchase_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL co-purchase graph churn: per month, how many distinct
+    part pairs co-occurred in an order, and what fraction of them are
+    NEW (first month that pair ever co-occurred) — the
+    assortment-dynamics read (a maturing catalog shows new_frac
+    decaying; a spike marks a merchandising change) that the static
+    edge list cannot answer. Per-order pairs expand IN-ROW as
+    always; each pair's month list aggregates once and its new-month
+    flags come from one in-row sort + positional transform (no
+    pair-month self-join); the month rollup is map-side combinable."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    lo = t["lineitem"].join(
+        t["orders"].select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        ),
+        "l_orderkey",
+    )
+    sets = lo.groupBy("l_orderkey", "m").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pm = (
+        sets.select(
+            "m",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)),"
+                    " y -> struct(least(x, y) AS pa, greatest(x, y) AS pb))))"
+                )
+            ).alias("e"),
+        )
+        .select("m", "e.pa", "e.pb")
+        .distinct()
+    )
+    per_pair = pm.groupBy("pa", "pb").agg(
+        F.array_sort(F.collect_set("m")).alias("ms")
+    )
+    flags = per_pair.select(
+        F.posexplode("ms").alias("idx", "month")
+    ).select("month", (F.col("idx") == 0).cast("int").alias("is_new"))
+    return (
+        flags.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active_edges"),
+            F.sum("is_new").cast("bigint").alias("n_new_edges"),
+            F.round(
+                F.sum("is_new").cast("double") / F.count("*"), 6
+            ).alias("new_frac"),
+        )
+        .orderBy("month")
+    )

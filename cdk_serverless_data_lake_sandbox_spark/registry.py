@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "audio_activity_segments",
     "preference_pairs",
     "near_dup_edit_distance",
+    "copurchase_trend",
     "attribution_weights",
     # new / changed last session (r4)
     "copurchase_pagerank",
