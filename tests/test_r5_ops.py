@@ -1051,3 +1051,87 @@ def test_stream_ivm_join_maintains_view_and_replays(spark, tmp_path):
     run()  # replay: batch markers short-circuit
     again = sorted(map(tuple, ivm_join_read(spark, vd).collect()))
     assert again == got
+
+
+# ------------------------------------------------- Hilbert write (D28)
+def test_hilbert_index_is_a_true_hilbert_curve(spark):
+    """The SQL fold is a bijection on the 16x16 grid whose
+    consecutive codes are always GRID NEIGHBORS (the Hilbert
+    property Morton lacks), and it matches the classic pure-Python
+    xy2d exactly."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        hilbert_index_expr,
+    )
+
+    bits, n = 4, 16
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.d
+        for r in cells.select(
+            "x", "y", F.expr(hilbert_index_expr(bits, "x", "y")).alias("d")
+        ).collect()
+    }
+
+    def xy2d(x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    for (x, y), d in got.items():
+        assert d == xy2d(x, y), (x, y, d, xy2d(x, y))
+    # bijection
+    assert sorted(got.values()) == list(range(n * n))
+    # neighbor property: |Δx| + |Δy| == 1 between consecutive codes
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_write_clusters_both_keys(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        hilbert_write,
+    )
+
+    src = load_tables(spark, SF_SMALL, ("lineitem",))["lineitem"]
+
+    def rowgroup_span(root, col):
+        spans, lo_g, hi_g = [], None, None
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo, hi = c.statistics.min, c.statistics.max
+                        spans.append((lo, hi))
+                        lo_g = lo if lo_g is None else min(lo_g, lo)
+                        hi_g = hi if hi_g is None else max(hi_g, hi)
+        width = hi_g - lo_g
+        return sum((hi - lo) / width for lo, hi in spans) / len(spans)
+
+    plain = str(tmp_path / "plain")
+    src.repartition(8).write.parquet(plain)
+    out = str(tmp_path / "hilbert")
+    hilbert_write(src, out, "l_partkey", "l_suppkey")
+    for col in ("l_partkey", "l_suppkey"):
+        assert rowgroup_span(out, col) < 0.7 * rowgroup_span(plain, col), col
+    assert spark.read.parquet(out).count() == src.count()
