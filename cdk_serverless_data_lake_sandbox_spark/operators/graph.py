@@ -861,13 +861,19 @@ def coreness_frame(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n = cur.count()  # bounded driver scalar picks the join tier
     hidx = (
         "aggregate(sequence(1, size(cs)), CAST(0 AS BIGINT),"
         " (a, j) -> greatest(a, least(element_at(cs, j), CAST(j AS BIGINT))))"
     )
     for _ in range(max_rounds):
+        # the state table is node-sized: broadcast it EXPLICITLY —
+        # checkpointed frames carry no stats, and under a small-driver
+        # vanilla session the planner has been observed picking the
+        # EDGE side as the broadcast candidate at sf0.1 (OOM)
+        c_side = F.broadcast(cur) if n <= _BCAST_NODES else cur
         nb = (
-            edges.join(cur, edges.dst == cur.node)
+            edges.join(c_side, edges.dst == cur.node)
             .groupBy("src")
             .agg(F.sort_array(F.collect_list("c"), asc=False).alias("cs"))
             .select(F.col("src").alias("hn"), F.expr(hidx).alias("h"))
@@ -992,9 +998,12 @@ def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n = cur.count()  # bounded driver scalar picks the join tier
     for _ in range(rounds):
+        # same explicit broadcast reasoning as coreness_frame
+        c_side = F.broadcast(cur) if n <= _BCAST_NODES else cur
         votes = (
-            edges.join(cur, edges.dst == cur.node)
+            edges.join(c_side, edges.dst == cur.node)
             .groupBy("src", "lbl")
             .agg(F.count("*").alias("cnt"))
         )
