@@ -188,6 +188,25 @@ def apply_mapping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- D7
+# Shared bucketing for the clustered writers (D7 Morton, D28 Hilbert):
+# one approxQuantile sketch pass for both keys, ranks rescaled to fill
+# all ``bits`` bits — a low-cardinality key must still drive the HIGH
+# curve bits or it never clusters.
+def _quantile_rank_cols(df: DataFrame, key_a: str, key_b: str, bits: int):
+    n_buckets = 1 << bits
+    scale = n_buckets - 1
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_a, cuts_b = df.approxQuantile([key_a, key_b], qs, 0.001)
+
+    def bucket(col: str, cuts: list[float]):
+        uniq = sorted(set(cuts))
+        arr = "array(" + ",".join(f"{c!r}D" for c in uniq) + ")"
+        raw = F.expr(f"size(filter({arr}, c -> cast({col} as double) > c))")
+        return (raw * scale / max(len(uniq), 1)).cast("long")
+
+    return bucket(key_a, cuts_a), bucket(key_b, cuts_b)
+
+
 def zorder_write(
     df: DataFrame,
     target_path: str,
@@ -211,21 +230,7 @@ def zorder_write(
     per dimension (2^bits cells per axis) is plenty to separate row
     groups: layout quality needs cells smaller than a row group, not
     a total order."""
-    n_buckets = 1 << bits
-    scale = n_buckets - 1
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_a, cuts_b = df.approxQuantile([key_a, key_b], qs, 0.001)
-
-    def bucket(col: str, cuts: list[float]):
-        # Count of cut points below the value = quantile bucket index,
-        # rescaled to fill all `bits` bits — a low-cardinality key must
-        # still drive the HIGH Morton bits or it never clusters.
-        uniq = sorted(set(cuts))
-        arr = "array(" + ",".join(f"{c!r}D" for c in uniq) + ")"
-        raw = F.expr(f"size(filter({arr}, c -> cast({col} as double) > c))")
-        return (raw * scale / max(len(uniq), 1)).cast("long")
-
-    ra, rb = bucket(key_a, cuts_a), bucket(key_b, cuts_b)
+    ra, rb = _quantile_rank_cols(df, key_a, key_b, bits)
     interleave = " + ".join(
         f"(shiftleft(shiftright(_ra, {i}) & 1, {2 * i + 1}) + "
         f"shiftleft(shiftright(_rb, {i}) & 1, {2 * i}))"
@@ -1144,7 +1149,6 @@ def cdc_envelope_apply(
 
 # ---------------------------------------------------------------- D27
 def ivm_join_build(
-    spark: SparkSession,
     view_dir: str,
     a: DataFrame,
     b: DataFrame,
@@ -1168,17 +1172,30 @@ def ivm_join_append(
     key: str,
     delta_a: DataFrame | None = None,
     delta_b: DataFrame | None = None,
+    tag: str | None = None,
 ) -> dict:
     """Apply an append batch to the maintained join view. The view
     delta joins each Δ against the OTHER side's committed state plus
     the cross term — all Δ-sized work (broadcast when small, AQE
     otherwise). Returns {version, delta_rows}. Re-running a failed
     (uncommitted) version is safe: content is a pure function of the
-    committed prefix + the deltas, and the commit marker lands last."""
+    committed prefix + the deltas, and the commit marker lands last.
+
+    ``tag`` makes a RETRIED call idempotent across committed versions:
+    the tag is stored INSIDE the version's commit marker (one atomic
+    file), so a replayed batch whose previous attempt did commit is
+    recognized and skipped — there is no window where the version
+    committed but its identity didn't (the flaw of a separate
+    marker-after-commit file)."""
+    if delta_a is None and delta_b is None:
+        raise ValueError("ivm_join_append: at least one delta required")
+    if tag is not None:
+        done = _ivm_tag_version(view_dir, tag)
+        if done is not None:  # this batch already committed its version
+            return {"version": done, "delta_rows": 0, "replayed": True}
     a_cur = _ivm_read(spark, view_dir, "a")
     b_cur = _ivm_read(spark, view_dir, "b")
     version = _ivm_next_version(view_dir)
-    sp = spark
     empty_a = delta_a is None
     empty_b = delta_b is None
     parts = []
@@ -1198,7 +1215,7 @@ def ivm_join_append(
     n = dj.count() if dj is not None else 0
     _ivm_write_version(
         view_dir, version,
-        a=delta_a, b=delta_b, j=dj,
+        a=delta_a, b=delta_b, j=dj, tag=tag,
     )
     return {"version": version, "delta_rows": n}
 
@@ -1208,7 +1225,7 @@ def ivm_join_read(spark: SparkSession, view_dir: str) -> DataFrame:
     return _ivm_read(spark, view_dir, "j")
 
 
-def _ivm_write_version(view_dir, version, a=None, b=None, j=None) -> None:
+def _ivm_write_version(view_dir, version, a=None, b=None, j=None, tag=None) -> None:
     import shutil
 
     for name, df in (("a", a), ("b", b), ("j", j)):
@@ -1217,9 +1234,23 @@ def _ivm_write_version(view_dir, version, a=None, b=None, j=None) -> None:
             continue
         shutil.rmtree(vdir, ignore_errors=True)  # uncommitted retry debris
         df.write.parquet(vdir)
-    # marker LAST: the version exists only once all three parts do
+    # marker LAST: the version exists only once all three parts do;
+    # its CONTENT is the caller's idempotency tag, so committing the
+    # version and recording which batch produced it is one atomic file
     with open(os.path.join(view_dir, f"_commit_v{version}"), "w") as fh:
-        fh.write("done")
+        fh.write(tag or "done")
+
+
+def _ivm_tag_version(view_dir, tag: str) -> int | None:
+    """Version committed under ``tag``, or None."""
+    if not os.path.isdir(view_dir):
+        return None
+    for f in os.listdir(view_dir):
+        if f.startswith("_commit_v"):
+            with open(os.path.join(view_dir, f)) as fh:
+                if fh.read() == tag:
+                    return int(f.split("_commit_v")[1])
+    return None
 
 
 def _ivm_committed(view_dir) -> list[int]:
@@ -1266,20 +1297,10 @@ def hilbert_write(
     [x, y, d] array accumulator — JVM codegen bit math, no UDF.
     Bijectivity and the neighbor property of the expression are
     pinned by test against a pure-Python reference."""
-    n_buckets = 1 << bits
-    scale = n_buckets - 1
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_a, cuts_b = df.approxQuantile([key_a, key_b], qs, 0.001)
-
-    def bucket(col: str, cuts: list[float]):
-        uniq = sorted(set(cuts))
-        arr = "array(" + ",".join(f"{c!r}D" for c in uniq) + ")"
-        raw = F.expr(f"size(filter({arr}, c -> cast({col} as double) > c))")
-        return (raw * scale / max(len(uniq), 1)).cast("long")
-
+    ra, rb = _quantile_rank_cols(df, key_a, key_b, bits)
     (
-        df.withColumn("_ra", bucket(key_a, cuts_a))
-        .withColumn("_rb", bucket(key_b, cuts_b))
+        df.withColumn("_ra", ra)
+        .withColumn("_rb", rb)
         .withColumn("_h", F.expr(hilbert_index_expr(bits, "_ra", "_rb")))
         .repartitionByRange(files, "_h")
         .sortWithinPartitions("_h")

@@ -1723,9 +1723,10 @@ def stream_ivm_join(
     micro-batch of new ``side`` rows appends its Δ-sized view delta
     (the other side stays committed state). D27's version-commit
     protocol makes a crash INSIDE a version invisible; replay safety
-    ACROSS versions comes from a batch->version marker (the E21
-    recipe): a batch that already committed its version short-
-    circuits instead of appending its delta twice. With E39 this
+    ACROSS versions comes from the batch id stored inside the
+    version's own commit marker (ivm_join_append's tag) — a replayed
+    batch whose prior attempt committed is recognized and skipped,
+    with no non-atomic second marker to crash between. With E39 this
     closes the streaming-maintainer family over derived artifacts:
     indexes (bloom/minhash/charspan/CMS/HLL/IVF), graphs, deletion
     vectors, CDC tables, and now materialized join views."""
@@ -1735,21 +1736,19 @@ def stream_ivm_join(
         ivm_join_append,
     )
 
-    marker_dir = os.path.join(view_dir, "_batch_markers")
-
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        marker = os.path.join(marker_dir, f"batch-{batch_id}")
-        if os.path.exists(marker):
-            return
-        if side == "a":
-            ivm_join_append(batch.sparkSession, view_dir, key, delta_a=batch)
-        else:
-            ivm_join_append(batch.sparkSession, view_dir, key, delta_b=batch)
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("done")
+        # the batch id rides INSIDE the version's commit marker
+        # (ivm_join_append's tag), so version commit and replay guard
+        # are one atomic file — a separate marker-after-commit file
+        # would leave a crash window in which the replay re-appends
+        # the same delta under a fresh version
+        kw = {"delta_a": batch} if side == "a" else {"delta_b": batch}
+        ivm_join_append(
+            batch.sparkSession, view_dir, key,
+            tag=f"batch-{batch_id}", **kw,
+        )
 
     return (
         stream.writeStream.outputMode("append")

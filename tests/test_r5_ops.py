@@ -953,7 +953,7 @@ def test_ivm_join_matches_full_recompute_and_survives_crash(spark, tmp_path):
         [(1, "a1"), (2, "a2"), (3, "a3")], "k long, av string"
     )
     b0 = spark.createDataFrame([(1, "b1"), (2, "b2")], "k long, bv string")
-    ivm_join_build(spark, vd, a0, b0, "k")
+    ivm_join_build(vd, a0, b0, "k")
 
     def check():
         got = sorted(map(tuple, ivm_join_read(spark, vd).collect()))
@@ -1022,7 +1022,7 @@ def test_stream_ivm_join_maintains_view_and_replays(spark, tmp_path):
     live = orders.where(F.col("o_orderkey") % 3 != 0)
 
     vd = str(tmp_path / "view")
-    ivm_join_build(spark, vd, base, cust, "k")
+    ivm_join_build(vd, base, cust, "k")
 
     src = str(tmp_path / "live")
     live.sample(0.5, seed=1).coalesce(1).write.parquet(src)
@@ -1135,3 +1135,33 @@ def test_hilbert_write_clusters_both_keys(spark, tmp_path):
     for col in ("l_partkey", "l_suppkey"):
         assert rowgroup_span(out, col) < 0.7 * rowgroup_span(plain, col), col
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_ivm_append_tag_idempotent_and_noop_guard(spark, tmp_path):
+    """A retried tagged append (the crash-after-commit replay) is
+    recognized by the tag inside the commit marker and skipped; an
+    append with no deltas is rejected loudly."""
+    import pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        ivm_join_append,
+        ivm_join_build,
+        ivm_join_read,
+    )
+
+    vd = str(tmp_path / "view")
+    a0 = spark.createDataFrame([(1, "a1")], "k long, av string")
+    b0 = spark.createDataFrame([(1, "b1")], "k long, bv string")
+    ivm_join_build(vd, a0, b0, "k")
+
+    da = spark.createDataFrame([(1, "a1x")], "k long, av string")
+    st1 = ivm_join_append(spark, vd, "k", delta_a=da, tag="batch-7")
+    assert st1["delta_rows"] == 1
+    n1 = ivm_join_read(spark, vd).count()
+
+    st2 = ivm_join_append(spark, vd, "k", delta_a=da, tag="batch-7")
+    assert st2.get("replayed") and st2["version"] == st1["version"]
+    assert ivm_join_read(spark, vd).count() == n1  # no duplication
+
+    with pytest.raises(ValueError, match="at least one delta"):
+        ivm_join_append(spark, vd, "k")
