@@ -2,6 +2,12 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line with per-query
 seconds. Execution is forced with the noop sink (full compute, no
 driver collect).
+
+The 20-query prefix is the standing numeric baseline (BASELINE.md);
+check any round's output against the 2x gate mechanically with
+``python scripts/baseline_check.py BENCH_rNN.json`` and adjudicate
+per-query deltas with ``scripts/one_boot_probe.py`` before calling
+them regressions.
 """
 
 from __future__ import annotations

@@ -838,62 +838,67 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     price, maximize size: the parts no other part beats on both
     dimensions, the multi-criteria shortlist behind "cheapest for its
     size class". The naive formulation is a quadratic NOT EXISTS self
-    join (the oracle runs exactly that); the Spark plan is the
-    standard PRUNE-THEN-VERIFY skyline shape that survives scale:
+    join (the oracle runs exactly that); the Spark plan is an EXACT
+    distributed prefix-max sweep with NO pairwise stage at all — a
+    part is on the frontier iff (a) it carries its price group's max
+    size and (b) that size strictly beats the max size of every
+    strictly-cheaper price:
 
-    1. fixed-width price buckets -> per-bucket max size (one
-       map-side-combinable aggregation, bucket-count rows);
-    2. running max over the strictly-cheaper buckets (a window over
-       the CONSTANT-bounded bucket table, never the parts);
-    3. keep only rows at least as large as every strictly-cheaper
-       bucket's best — for bucket width w this eliminates everything
-       dominated by a row more than w cheaper, so survivors are
-       frontier-sized;
-    4. exact strict-domination anti-join among the broadcast-sized
-       survivors (catches within-bucket and near-tie cases the prune
-       cannot decide).
+    1. per-price group max size (one map-side-combinable aggregation
+       -> one row per DISTINCT price, so the sweep below never sees
+       ties in its ORDER BY);
+    2. running max over strictly-cheaper prices, decomposed so no
+       window ever runs on a single partition: a within-bucket
+       running max (window PARTITIONED by fixed-width price bucket)
+       plus a cross-bucket offset from the bucket-count-sized
+       per-bucket-max table (the only global window, bounded by
+       price_range / bucket_width rows);
+    3. join the price-group verdicts back to parts by price (a plain
+       shuffle join — the frontier can legitimately be table-sized
+       when size grows with price, so nothing here is broadcast) and
+       keep rows with size == group max and size > prefix max.
 
-    The prune is lossless: a skyline row can never be removed (its
-    size is >= any cheaper row's size by definition), so stage 4 on
-    the survivors returns exactly the quadratic answer."""
+    Every stage is linear in the input; the former quadratic
+    broadcast verify over survivors (which OOMed by construction on
+    monotone data where survivors approach the whole table) is gone.
+    Equal (price, size) pairs both survive — neither strictly
+    dominates the other — matching the NOT EXISTS oracle."""
     p = load_tables(spark, sf_dir, ("part",))["part"].select(
         F.col("p_partkey").alias("part_key"),
         F.col("p_retailprice").alias("retail_price"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    bucketed = p.withColumn(
-        "bkt", F.floor(F.col("retail_price") / F.lit(_SKY_BUCKET))
+    grp = (
+        p.groupBy("retail_price")
+        .agg(F.max("size").alias("grp_mx"))
+        .withColumn("bkt", F.floor(F.col("retail_price") / F.lit(_SKY_BUCKET)))
     )
-    per_bkt = bucketed.groupBy("bkt").agg(F.max("size").alias("mx"))
-    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    prior = per_bkt.withColumn(
-        "best_below", F.max("mx").over(w)
-    ).select("bkt", "best_below")
-    survivors = (
-        bucketed.join(F.broadcast(prior), "bkt")
-        .where(
-            F.col("best_below").isNull()
-            | (F.col("size") >= F.col("best_below"))
-        )
-        .select("part_key", "retail_price", "size")
-        .localCheckpoint()
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("retail_price")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    q = survivors.select(
-        F.col("retail_price").alias("q_price"), F.col("size").alias("q_size")
+    grp = grp.withColumn("run_in_bkt", F.max("grp_mx").over(wb))
+    per_bkt = grp.groupBy("bkt").agg(F.max("grp_mx").alias("bmx"))
+    wprior = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prior = per_bkt.withColumn("best_below", F.max("bmx").over(wprior)).select(
+        "bkt", "best_below"
     )
-    dominated = (
-        survivors.join(
-            F.broadcast(q),
-            (F.col("q_price") <= F.col("retail_price"))
-            & (F.col("q_size") >= F.col("size"))
-            & (
-                (F.col("q_price") < F.col("retail_price"))
-                | (F.col("q_size") > F.col("size"))
+    verdicts = (
+        grp.join(F.broadcast(prior), "bkt")
+        .withColumn(
+            "m_less",
+            F.greatest(
+                F.coalesce("run_in_bkt", F.lit(-(1 << 62))),
+                F.coalesce("best_below", F.lit(-(1 << 62))),
             ),
-            "left_semi",
         )
+        .where(F.col("grp_mx") > F.col("m_less"))
+        .select("retail_price", "grp_mx")
     )
     return (
-        survivors.join(dominated, ["part_key"], "left_anti")
+        p.join(verdicts, "retail_price")
+        .where(F.col("size") == F.col("grp_mx"))
+        .select("part_key", "retail_price", "size")
         .orderBy("retail_price", "part_key")
     )

@@ -931,6 +931,16 @@ def repartition_layout(
 
 
 # ---------------------------------------------------------------- D25
+def _dv_fname(col) -> F.Column:
+    """File BASENAME from a ``_metadata.file_path`` URI. Every dv
+    join matches on the basename, never the raw URI: the URI form
+    varies by Spark version / filesystem ('file:/p', 'file:///p',
+    raw '/p'), and basenames are unique within a parquet table (the
+    writer embeds a UUID), so basename identity survives a sidecar
+    written by a different normalization than the reader emits."""
+    return F.element_at(F.split(col, "/"), -1)
+
+
 def dv_delete(spark: SparkSession, table_path: str, predicate: str) -> dict:
     """MERGE-ON-READ delete via deletion vectors (the Delta/Iceberg
     v2 "position delete" mechanism): instead of rewriting every file
@@ -961,7 +971,14 @@ def dv_delete(spark: SparkSession, table_path: str, predicate: str) -> dict:
         # it as absent would over-report rows_deleted and duplicate
         # vector entries
         existing = spark.read.parquet(dv_dir)
-        fresh = hits.join(existing, ["file", "pos"], "left_anti")
+        fresh = hits.join(
+            existing.select(
+                _dv_fname("file").alias("_fn"), F.col("pos").alias("_fp")
+            ),
+            (_dv_fname(F.col("file")) == F.col("_fn"))
+            & (F.col("pos") == F.col("_fp")),
+            "left_anti",
+        )
     else:  # first delete: no sidecar yet
         fresh = hits
     fresh = fresh.localCheckpoint()
@@ -996,16 +1013,18 @@ def dv_read(spark: SparkSession, table_path: str) -> DataFrame:
     # plain scan would resurrect deleted (possibly GDPR-erased) rows
     dv = spark.read.parquet(dv_dir)
     return (
-        base.join(
+        base.withColumn("_dv_fn", _dv_fname("_dv_file"))
+        .join(
             F.broadcast(
                 dv.select(
-                    F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+                    _dv_fname("file").alias("_dv_fn"),
+                    F.col("pos").alias("_dv_pos"),
                 )
             ),
-            ["_dv_file", "_dv_pos"],
+            ["_dv_fn", "_dv_pos"],
             "left_anti",
         )
-        .drop("_dv_file", "_dv_pos")
+        .drop("_dv_file", "_dv_fn", "_dv_pos")
     )
 
 
@@ -1023,25 +1042,28 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
     if not os.path.isdir(dv_dir):
         return {"files_rewritten": 0, "files_kept": 0, "rows_dropped": 0}
     dv = spark.read.parquet(dv_dir)
-    touched = [r.file for r in dv.select("file").distinct().collect()]
+    # basename identity throughout (see _dv_fname): the sidecar may
+    # carry a different URI normalization than this reader emits
+    touched = [r.fn for r in dv.select(_dv_fname("file").alias("fn")).distinct().collect()]
     base = spark.read.parquet(table_path).select(
         "*",
-        F.col("_metadata.file_path").alias("_dv_file"),
+        _dv_fname(F.col("_metadata.file_path")).alias("_dv_fn"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
-    dirty = base.where(F.col("_dv_file").isin(touched))
+    dirty = base.where(F.col("_dv_fn").isin(touched))
     before = dirty.count()
     clean_rows = (
         dirty.join(
             F.broadcast(
                 dv.select(
-                    F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+                    _dv_fname("file").alias("_dv_fn"),
+                    F.col("pos").alias("_dv_pos"),
                 )
             ),
-            ["_dv_file", "_dv_pos"],
+            ["_dv_fn", "_dv_pos"],
             "left_anti",
         )
-        .drop("_dv_file", "_dv_pos")
+        .drop("_dv_fn", "_dv_pos")
     )
     clean_rows = clean_rows.localCheckpoint()
     after = clean_rows.count()
@@ -1049,9 +1071,12 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
     clean_rows.write.mode("overwrite").parquet(staged)
     import glob as _glob
 
+    # `touched` holds basenames (_dv_fname), so the local-file match
+    # is URI-normalization-proof: no dirty file is silently kept
+    # (which would duplicate its rewritten rows after the swap).
     kept = 0
     for f in _glob.glob(os.path.join(table_path, "*.parquet")):
-        if ("file:" + f) in touched or f in touched:
+        if os.path.basename(f) in touched:
             os.remove(f)
         else:
             kept += 1
@@ -1097,6 +1122,17 @@ def cdc_envelope_apply(
             f"after struct<{value_schema}>",
         ).alias("e")
     ).select("e.op", "e.lsn", "e.before", "e.after")
+    # Reject unknown/NULL ops up front: such an envelope would land
+    # its key in clear_keys (dropping the current row) while producing
+    # neither an upsert nor a counted delete — a silent data loss.
+    bad_ops = parsed.where(
+        F.col("op").isNull() | ~F.col("op").isin("c", "u", "r", "d")
+    ).count()
+    if bad_ops:
+        raise ValueError(
+            f"cdc_envelope_apply: {bad_ops} envelope(s) with op not in "
+            "('c','u','r','d'); refusing to apply the batch"
+        )
     latest = (
         parsed.withColumn(
             "k",

@@ -831,6 +831,11 @@ def copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- B109
 _CORE_ROUNDS = 24  # >= observed convergence (19 at sf0.01) + margin;
 #                    extra rounds are no-ops (the iteration is monotone)
+# Delta-iteration switch: once fewer than this fraction of nodes
+# changed last round, recompute only the affected neighborhood (two
+# cheap semi-joins) instead of the full |E| aggregation. Above it the
+# frontier covers most of the graph and the full path is cheaper.
+_DELTA_FRAC = 0.3
 
 
 def coreness_frame(
@@ -853,50 +858,79 @@ def coreness_frame(
     computed IN-ROW over the sorted list, state lineage truncated per
     round like :func:`pagerank`. Early-stops via observe() when no
     value changed, so converged graphs never pay the full round
-    budget; ``max_rounds`` keeps the unrolled oracle replayable."""
-    from pyspark.sql import Observation
+    budget; ``max_rounds`` keeps the unrolled oracle replayable.
 
+    DELTA ITERATION (r6): after any round, a node's H can differ next
+    round ONLY if some neighbor's estimate changed this round — so
+    once the changed set is small (< ``_DELTA_FRAC`` of nodes), the
+    recompute runs over the edges incident to changed nodes only:
+    candidates = srcs with a changed dst, H recomputed just for them
+    against the full current state, everyone else keeps c. The
+    per-round states are identical to full recompute by induction
+    (round 1 starts with every node changed), so the unrolled oracle
+    still matches hash-exact; equality is additionally pinned by
+    test. This pulls the long convergence tail (19+ rounds at sf0.01,
+    a ~12x sf1 soak ratio) from rounds x |E| toward
+    rounds x |E_active| — the dominant term at scale."""
     cur = (
         edges.select(F.col("src").alias("node"), F.col("src_deg").alias("c"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n = cur.count()  # bounded driver scalar picks the join tier
+    n_changed = n  # round 1: every node is "changed"
+    changed = cur.select("node")
     hidx = (
         "aggregate(sequence(1, size(cs)), CAST(0 AS BIGINT),"
         " (a, j) -> greatest(a, least(element_at(cs, j), CAST(j AS BIGINT))))"
     )
     for _ in range(max_rounds):
+        if n_changed == 0:
+            break
         # the state table is node-sized: broadcast it EXPLICITLY —
         # checkpointed frames carry no stats, and under a small-driver
         # vanilla session the planner has been observed picking the
         # EDGE side as the broadcast candidate at sf0.1 (OOM)
         c_side = F.broadcast(cur) if n <= _BCAST_NODES else cur
+        if n_changed > _DELTA_FRAC * n:
+            act_edges = edges  # full recompute: delta joins not worth it
+        else:
+            ch_side = (
+                F.broadcast(changed) if n_changed <= _BCAST_NODES else changed
+            )
+            cand = (
+                edges.join(ch_side, edges.dst == changed.node, "left_semi")
+                .select("src")
+                .distinct()
+            )
+            cand_side = F.broadcast(cand) if n <= _BCAST_NODES else cand
+            act_edges = edges.join(
+                cand_side, edges.src == cand.src, "left_semi"
+            )
         nb = (
-            edges.join(c_side, edges.dst == cur.node)
-            .groupBy("src")
+            act_edges.join(c_side, act_edges.dst == cur.node)
+            .groupBy(act_edges.src)
             .agg(F.sort_array(F.collect_list("c"), asc=False).alias("cs"))
             .select(F.col("src").alias("hn"), F.expr(hidx).alias("h"))
         )
-        obs = Observation()
+        # left join: nodes outside the candidate set keep c (their H
+        # cannot have changed); new_c != c marks next round's frontier
         stepped = (
-            cur.join(nb, cur.node == F.col("hn"))
+            cur.join(nb, cur.node == F.col("hn"), "left")
             .select(
                 "node",
-                F.least(F.col("c"), F.col("h")).alias("new_c"),
+                F.when(
+                    F.col("h").isNotNull(), F.least(F.col("c"), F.col("h"))
+                )
+                .otherwise(F.col("c"))
+                .alias("new_c"),
                 F.col("c").alias("_old"),
             )
-            .observe(
-                obs,
-                F.sum((F.col("new_c") != F.col("_old")).cast("long")).alias(
-                    "changed"
-                ),
-            )
-            .select("node", F.col("new_c").alias("c"))
+            .localCheckpoint(eager=True)
         )
-        cur = stepped.localCheckpoint(eager=True)
-        if (obs.get["changed"] or 0) == 0:
-            break
+        changed = stepped.where(F.col("new_c") != F.col("_old")).select("node")
+        n_changed = changed.count()
+        cur = stepped.select("node", F.col("new_c").alias("c"))
     return cur
 
 
@@ -992,29 +1026,65 @@ def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
     rounds (two bridged cliques label themselves by round 2, tested).
     Per round: one join (labels onto edge dsts), one (src, label)
     count aggregation, one per-src max_by argmax — all map-side
-    combinable, lineage truncated per round."""
+    combinable, lineage truncated per round.
+
+    DELTA ITERATION (r6, same argument as :func:`coreness_frame`): a
+    node's vote histogram differs from last round's ONLY if some
+    neighbor's label changed, so once the changed set drops under
+    ``_DELTA_FRAC`` of nodes the votes recompute only for srcs with a
+    changed dst; everyone else keeps their label. Synchronous updates
+    make the per-round states identical to full recompute, so the
+    unrolled oracle still matches hash-exact."""
     cur = (
         edges.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n = cur.count()  # bounded driver scalar picks the join tier
+    n_changed = n  # round 1: every node is "changed"
+    changed = cur.select("node")
     for _ in range(rounds):
+        if n_changed == 0:
+            break  # fixpoint: further synchronous rounds are no-ops
         # same explicit broadcast reasoning as coreness_frame
         c_side = F.broadcast(cur) if n <= _BCAST_NODES else cur
+        if n_changed > _DELTA_FRAC * n:
+            act_edges = edges
+        else:
+            ch_side = (
+                F.broadcast(changed) if n_changed <= _BCAST_NODES else changed
+            )
+            cand = (
+                edges.join(ch_side, edges.dst == changed.node, "left_semi")
+                .select("src")
+                .distinct()
+            )
+            cand_side = F.broadcast(cand) if n <= _BCAST_NODES else cand
+            act_edges = edges.join(
+                cand_side, edges.src == cand.src, "left_semi"
+            )
         votes = (
-            edges.join(c_side, edges.dst == cur.node)
-            .groupBy("src", "lbl")
+            act_edges.join(c_side, act_edges.dst == cur.node)
+            .groupBy(act_edges.src, "lbl")
             .agg(F.count("*").alias("cnt"))
         )
-        stepped = (
+        new_lbls = (
             votes.groupBy("src")
-            .agg(
-                F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
-            )
-            .select(F.col("src").alias("node"), "lbl")
+            .agg(F.expr("max_by(lbl, struct(cnt, -lbl))").alias("new_lbl"))
+            .select(F.col("src").alias("vn"), "new_lbl")
         )
-        cur = stepped.localCheckpoint(eager=True)
+        stepped = (
+            cur.join(new_lbls, cur.node == F.col("vn"), "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("new_lbl"),
+                F.col("lbl").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("new_lbl") != F.col("_old")).select("node")
+        n_changed = changed.count()
+        cur = stepped.select("node", F.col("new_lbl").alias("lbl"))
     return cur
 
 

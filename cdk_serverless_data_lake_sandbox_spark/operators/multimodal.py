@@ -1872,7 +1872,12 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_frames",
             F.size("cut_positions").cast("int").alias("n_cuts"),
-            "cut_positions",
+            # comma-joined STRING, not ARRAY<BIGINT>: the driver's
+            # correctness harness canonicalizes via a pandas sort and
+            # cannot hash list cells (r5 gate ERR).
+            F.expr(
+                "array_join(transform(cut_positions, x -> CAST(x AS STRING)), ',')"
+            ).alias("cut_positions"),
             "mean_delta",
             "max_delta",
         )

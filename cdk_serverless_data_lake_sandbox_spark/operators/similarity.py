@@ -355,18 +355,49 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C22
-@register("ann_topk_vectorized")  # execution-strategy twin -> rows-only
+def _exact_rescore(e: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """Rescore BLAS-selected candidate pairs with the same JVM
+    ``aggregate`` fold the bruteforce baseline uses, then take the
+    final top-k. The matmul stage is candidate SELECTION only (with a
+    2k-per-partition safety margin and a deterministic tie-break), so
+    its float-associativity noise can never reach the emitted cosine:
+    the output is bit-identical to :func:`ann_topk_bruteforce` and
+    therefore to ``_ANN_ORACLE`` — which is what lets the
+    execution-strategy twins carry the exact oracle instead of a
+    rows-only check."""
+    qj = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        _norm("embedding").alias("nq"),
+    )
+    cj = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"),
+        _norm("embedding").alias("nc"),
+    )
+    cosine = _dot("eq", "ec") / (F.col("nq") * F.col("nc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qj), "query_id")
+        .join(cj, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register("ann_topk_vectorized", oracle=_ANN_ORACLE)
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k again, but scored in an Arrow-batched pandas
     UDF: the query matrix ships to every task as a broadcast numpy
     array, each batch scores corpus vectors with one float64 matmul
-    and keeps only its local top-k per query, and a final window
-    merges the per-partition candidates. This is the shape a real
-    embedding-model scorer takes (normalize once, BLAS matmul,
-    partial top-k before any shuffle) — the shuffle carries
-    k * partitions rows, not the corpus. Results match the JVM-fold
-    baseline (tests assert recall == 1 up to float-associativity
-    ties)."""
+    and keeps only its local top-2k per query (the safety margin that
+    makes BLAS summation-order noise at the kth boundary irrelevant),
+    and the final merge RESCORES the surviving k*partitions candidate
+    pairs with the JVM fold (:func:`_exact_rescore`) so the emitted
+    cosines and ranks are bit-identical to the bruteforce baseline.
+    This is the shape a real embedding-model scorer takes (normalize
+    once, BLAS matmul, partial top-k before any shuffle) — the
+    shuffle carries candidates, not the corpus."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -392,27 +423,22 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ queries.T  # (batch, n_queries)
             nids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            out_q, out_n, out_c = [], [], []
+            out_q, out_n = [], []
             for qi, qid in enumerate(ids):
                 col = sims[:, qi]
-                mask = nids != qid
-                cand_idx = np.nonzero(mask)[0]
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                cand_idx = np.nonzero(nids != qid)[0]
+                # deterministic tie order (score desc, id asc), 2k
+                # safety margin — selection only, scores discarded
+                order = np.lexsort((nids[cand_idx], -col[cand_idx]))
+                top = cand_idx[order][: 2 * k]
                 out_q.extend([qid] * len(top))
                 out_n.extend(nids[top])
-                out_c.extend(col[top])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
-            )
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
     partial = e.select("vec_id", "embedding").mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
+        score, "query_id long, neighbor_id long"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _exact_rescore(e, partial, k)
 
 
 # ---------------------------------------------------------------- C25
@@ -569,17 +595,83 @@ def kmeans_assign(e: DataFrame, k: int, iters: int) -> DataFrame:
     )
 
 
-@register("kmeans_clusters")  # iterative -> rows-only check
+def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB oracle for :func:`kmeans_clusters`: the same unrolled
+    deterministic Lloyd's CTE chain as ``_semantic_dedup_oracle``
+    (k lowest vec_ids seed, decimal per-dim means cast to REAL,
+    argmin ties to lowest cid), finishing with the per-cluster count
+    and the DECIMAL(18,4) inertia sum over the 4dp-rounded winning
+    distances — decimal so the distributed Spark sum is
+    order-independent and the hash compare holds exactly."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.embedding, c.ce), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM emb e CROSS JOIN c{i} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT cid, list(CAST(c AS REAL) ORDER BY pos) AS ce FROM (
+    SELECT cid, pos,
+      CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        / COUNT(*) AS c
+    FROM (
+      SELECT cid, unnest(embedding) AS val,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM a{i + 1}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+    ctes.append(f"""af AS (
+  SELECT vec_id, cid AS cluster, ROUND(d2, 4) AS d2 FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM emb e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(cluster AS INTEGER) AS cluster,
+  COUNT(*) AS n_vectors,
+  CAST(ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,4))) AS DOUBLE), 2) AS DOUBLE)
+    AS inertia
+FROM af GROUP BY cluster
+"""
+    )
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle())
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means on the embeddings via ``kmeans_assign`` (fully
-    deterministic — no RNG, no mllib). Tests assert labels are stable
-    across runs and within-cluster distance never increases per
-    iteration."""
+    deterministic — no RNG, no mllib), checked hash-exact against an
+    unrolled-CTE DuckDB replay of the same iterations (the
+    semantic_dedup oracle precedent). The inertia sum accumulates in
+    DECIMAL(18,4) over the 4dp-rounded distances so the distributed
+    sum is order-independent. Tests additionally assert labels are
+    stable across runs and within-cluster distance never increases
+    per iteration."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     final = kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS)
     return final.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.sum("d2"), 2).alias("inertia"),
+        F.round(F.sum(F.col("d2").cast("decimal(18,4)")).cast("double"), 2).alias(
+            "inertia"
+        ),
     )
 
 
@@ -960,18 +1052,19 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C64
-@register("ann_topk_arrow")  # execution-strategy twin -> rows-only
+@register("ann_topk_arrow", oracle=_ANN_ORACLE)
 def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInArrow variant of the vectorized scorer: the pandas
     path pays a per-row Arrow->Python-object conversion to build its
     matrix (``.tolist()`` on the list column); here each Arrow batch's
     list column flattens STRAIGHT into a contiguous numpy buffer
     (offset-aware, zero Python objects) and reshapes to the
-    (batch, dim) matrix the BLAS matmul wants. Same partial-top-k-
-    per-batch contract, same final exact merge window — only the
-    deserialization boundary changes, which is exactly the knob
-    mapInArrow exists for. Tests pin result equality with
-    ann_topk_vectorized."""
+    (batch, dim) matrix the BLAS matmul wants. Same partial-top-2k
+    candidate-selection contract and the same JVM-fold rescore tail
+    as :func:`ann_topk_vectorized` (see :func:`_exact_rescore`), so
+    it carries the exact bruteforce oracle — only the deserialization
+    boundary changes, which is exactly the knob mapInArrow exists
+    for."""
     import numpy as np
     import pyarrow as pa
     from collections.abc import Iterator
@@ -1001,31 +1094,28 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ queries.T  # (batch, n_queries)
             nids = batch.column(0).to_numpy(zero_copy_only=False)
-            out_q, out_n, out_c = [], [], []
+            out_q, out_n = [], []
             for qi, qid in enumerate(ids):
                 col = sims[:, qi]
                 cand_idx = np.nonzero(nids != qid)[0]
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                # deterministic tie order (score desc, id asc), 2k
+                # safety margin — selection only, scores discarded
+                order = np.lexsort((nids[cand_idx], -col[cand_idx]))
+                top = cand_idx[order][: 2 * k]
                 out_q.extend([qid] * len(top))
                 out_n.extend(nids[top])
-                out_c.extend(col[top])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_q, pa.int64()),
                     pa.array(np.asarray(out_n, dtype=np.int64), pa.int64()),
-                    pa.array(np.asarray(out_c, dtype=np.float64), pa.float64()),
                 ],
-                names=["query_id", "neighbor_id", "cosine"],
+                names=["query_id", "neighbor_id"],
             )
 
     partial = e.select("vec_id", "embedding").mapInArrow(
-        score, "query_id long, neighbor_id long, cosine double"
+        score, "query_id long, neighbor_id long"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _exact_rescore(e, partial, k)
 
 
 # ---------------------------------------------------------------- C69

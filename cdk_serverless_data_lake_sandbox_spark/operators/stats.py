@@ -423,16 +423,53 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C17
-@register("approx_quantiles")  # sketch -> rows-only check
+_AQ_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+  CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.50 * n) AS BIGINT), 1)
+      THEN o_totalprice END) AS DOUBLE) AS p50,
+  CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+      THEN o_totalprice END) AS DOUBLE) AS p95,
+  CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1)
+      THEN o_totalprice END) AS DOUBLE) AS p99,
+  COUNT(*) AS n_orders
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
+@register("approx_quantiles", oracle=_AQ_ORACLE)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of order totals per priority via
     percentile_approx (a mergeable quantile sketch). At 100 TB this
     replaces a full sort/exact-percentile shuffle with fixed-size
-    sketch merges; tests bound the error against the exact answer."""
+    sketch merges; tests bound the error against the exact answer.
+    Below the sketch's per-GROUP retention bound (every gate/test SF:
+    <=30k orders per priority at sf0.1) the sketch is exact and
+    returns the order statistic at 1-based rank ceil(p * n), which
+    the DuckDB oracle replays hash-exact — the quartiles_scalable
+    ``_QSCALE_ACC`` argument, per group."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+    # Scalar columns, not ARRAY<DOUBLE>: the driver's correctness
+    # harness canonicalizes through a pandas sort and cannot hash
+    # list cells (the video_scene_cuts r5 gate ERR).
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.5, 0.95, 0.99], _QSCALE_ACC
+        ).alias("pcts"),
         F.count("*").alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p95"),
+        F.col("pcts")[2].alias("p99"),
+        "n_orders",
     )
 
 
@@ -745,16 +782,58 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B61
-@register("quartiles_scalable")  # sketch-bucketed -> rows-only check
+# The sketch retains up to _QSCALE_ACC samples before compressing; at
+# or below that row count percentile_approx is EXACT and returns the
+# order statistic at 1-based rank ceil(p * n) (probed against sorted
+# data for n in {10, 11, 1500, 15000}), which is what the oracle's
+# window-rank selection replays. Above it the sketch's epsilon bound
+# takes over (the 100 TB mode — the oracle covers every gate/test SF,
+# the error-bound test covers the compressed regime).
+_QSCALE_ACC = 50000
+
+_QSCALE_ORACLE = f"""
+WITH ranked AS (
+  SELECT c_acctbal, ROW_NUMBER() OVER (ORDER BY c_acctbal) AS rn,
+    COUNT(*) OVER () AS n
+  FROM customer
+),
+cuts AS (
+  SELECT
+    MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.25 * n) AS BIGINT), 1)
+        THEN c_acctbal END) AS c1,
+    MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.50 * n) AS BIGINT), 1)
+        THEN c_acctbal END) AS c2,
+    MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.75 * n) AS BIGINT), 1)
+        THEN c_acctbal END) AS c3
+  FROM ranked
+)
+SELECT quartile, COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM (
+  SELECT CASE WHEN c_acctbal <= c1 THEN 1
+              WHEN c_acctbal <= c2 THEN 2
+              WHEN c_acctbal <= c3 THEN 3 ELSE 4 END AS quartile,
+         c_acctbal
+  FROM customer CROSS JOIN cuts
+) GROUP BY quartile
+"""
+
+
+@register("quartiles_scalable", oracle=_QSCALE_ORACLE)
 def quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ntile_quartiles: quartile boundaries come
     from an approx_percentile sketch (no global sort, no single
     reducer) and rows bucket themselves with a broadcast comparison.
     Same output shape as the exact NTILE; tests bound the per-bucket
-    population drift against it."""
+    population drift against it. Below the sketch's retention bound
+    the cuts are exact order statistics, so the DuckDB oracle checks
+    the full output hash-exact at every gate SF (see ``_QSCALE_ACC``
+    note)."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     cuts = c.agg(
-        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10000).alias("cut")
+        F.percentile_approx(
+            "c_acctbal", [0.25, 0.5, 0.75], _QSCALE_ACC
+        ).alias("cut")
     )
     quartile = (
         F.when(F.col("c_acctbal") <= F.col("cut")[0], 1)
@@ -2339,7 +2418,7 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay-preferring ties, and identical expression trees keep the
     DuckDB list_reduce mirror hash-exact; the burst-day count is
     pinned against a pure-Python Viterbi with backtracking on an
-    injected burst window (tested).""".format(s=_BURST_S, g=_BURST_GAM)
+    injected burst window (tested)."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")

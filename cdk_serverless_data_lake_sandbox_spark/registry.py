@@ -30,118 +30,56 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Queries the driver's (possibly truncated) verification pass must see
 # first: anything whose implementation or oracle changed this session,
-# then the 60 queries that have never received a driver verdict across
-# rounds 1-3 (driver samples 50/round; CORRECTNESS_r0{1,2,3}.json are
-# the ledger). Everything else follows in registration order --
-# nothing is dropped, only reordered.
+# then every query that has never received a driver verdict across the
+# prior rounds' CORRECTNESS ledgers (driver samples 50/round).
+# Everything else follows in registration order -- nothing is dropped,
+# only reordered.
 _VERIFY_FIRST = [
-    # new / changed this session (r5)
-    "winnowing_fingerprints",
-    "winnowing_pairs",
-    "holt_winters_forecast",
-    "copurchase_kcore",
-    "k_anonymity_check",
-    "dp_count_release",
-    "kneser_ney_logprob",
-    "copurchase_communities",
-    "part_skyline",
-    "burst_detection",
-    "quality_decile_lift",
+    # r6: queries whose output or plan changed this session, then the
+    # 38 queries never driver-sampled across rounds 1-5 (VERDICT r5
+    # coverage note) so the official ledger converges on full coverage.
     "video_scene_cuts",
-    "audio_activity_segments",
-    "preference_pairs",
-    "near_dup_edit_distance",
-    "copurchase_trend",
-    "attribution_weights",
-    # new / changed last session (r4)
-    "copurchase_pagerank",
-    "brand_recommendations",
-    "copurchase_triangles",
-    "copurchase_distance",
-    "copurchase_pagerank_weighted",
-    "count_min_words",
-    "hll_distinct_users",
-    "corpus_mi_profile",
-    "item_item_similarity",
-    "temporal_split_embargo",
-    "rfm_segments",
-    "repurchase_survival",
-    "ses_forecast",
-    "cusum_changepoint",
-    "price_elasticity",
-    "holt_forecast",
-    "weekday_seasonality",
-    "seasonal_anomaly",
-    "mmr_diversify",
-    "ann_ivf_pq",
-    "image_dhash_dedup",
-    "audio_fingerprint_dedup",
-    "video_framehash_dedup",
-    "modality_dedup_report",
-    "strip_dup_chars",
-    "hybrid_retrieval_rrf",
-    "semantic_dedup",
-    # never driver-sampled through r3
-    "preview_embeddings",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q20_promo_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "lead_lag_delta",
-    "corr_stats",
-    "ordered_string_agg",
-    "first_last_event",
-    "grouping_sets_agg",
-    "regression_per_type",
-    "time_weighted_avg",
+    "part_skyline",
+    "approx_quantiles",
+    "burst_detection",
+    "ann_topk_arrow",
+    "ann_ivf",
+    "ann_label_purity",
+    "ann_lsh_bucketed",
+    "ann_topk_bruteforce",
+    "ann_topk_vectorized",
+    "bigram_collocations",
+    "brand_affinity",
+    "char_trigram_profile",
+    "daily_active_users",
+    "doc_fingerprint",
+    "dup_rate_by_source",
+    "embedding_norm_stats",
+    "federated_kv_lookup",
+    "idf_top_terms",
+    "kmeans_clusters",
+    "label_centroid_distance",
+    "lang_id",
+    "mom_growth",
+    "near_dup_embedding",
+    "null_profile",
+    "priority_transitions",
+    "quartiles_scalable",
     "rank_distribution",
-    "unpivot_measures",
+    "reading_level",
+    "region_rollup",
+    "revenue_concentration_hhi",
     "rolling_time_window",
     "salted_agg",
-    "value_outliers",
-    "mom_growth",
-    "brand_affinity",
-    "revenue_concentration_hhi",
     "segment_summary",
-    "daily_active_users",
-    "region_rollup",
-    "text_quality",
-    "token_count",
-    "lang_id",
-    "doc_fingerprint",
     "stopword_ratio",
-    "reading_level",
-    "char_trigram_profile",
-    "dup_rate_by_source",
-    "zipf_fit",
-    "null_profile",
-    "near_dup_embedding",
-    "embedding_norm_stats",
-    "label_centroid_distance",
-    "ann_label_purity",
-    "idf_top_terms",
     "stratified_sample",
-    "bigram_collocations",
+    "text_quality",
     "tfidf_doc_top_terms",
-    "federated_kv_lookup",
-    "approx_quantiles",
-    "quartiles_scalable",
-    "priority_transitions",
-    "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "ann_topk_vectorized",
-    "kmeans_clusters",
+    "token_count",
+    "unpivot_measures",
+    "value_outliers",
+    "zipf_fit",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Mechanical 2x-of-baseline gate check (BASELINE.md).
+
+Usage: python scripts/baseline_check.py BENCH_rNN.json [--factor 2.0]
+
+Reads the shared-20 baseline embedded in BASELINE.md (the
+BASELINE_JSON comment block) and the given bench artifact (either the
+raw driver capture with a JSON line inside "tail", or bench.py's own
+stdout line), then reports the shared-20 ratio and any per-query line
+exceeding the factor. Exit code 0 = within gate, 1 = over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+
+def load_baseline() -> dict:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "BASELINE.md")).read()
+    m = re.search(r"<!-- BASELINE_JSON\n(.*?)\nBASELINE_JSON -->", text, re.S)
+    if not m:
+        raise SystemExit("BASELINE.md has no BASELINE_JSON block")
+    return json.loads(m.group(1))
+
+
+def load_bench(path: str) -> dict:
+    d = json.load(open(path))
+    if "queries" in d:
+        return d
+    m = re.search(r'\{"metric".*', d.get("tail", ""))
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON line found")
+    return json.loads(m.group(0))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith("--factor"):
+            factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    base = load_baseline()
+    bench = load_bench(args[0])
+    shared = {k: v for k, v in bench["queries"].items() if k in base["queries"]}
+    total = round(sum(shared.values()), 3)
+    ratio = round(total / base["shared20_total_sec"], 3)
+    over = {
+        k: (v, base["queries"][k], round(v / base["queries"][k], 2))
+        for k, v in shared.items()
+        if v > factor * base["queries"][k]
+    }
+    print(
+        json.dumps(
+            {
+                "shared20_total_sec": total,
+                "baseline_total_sec": base["shared20_total_sec"],
+                "ratio": ratio,
+                "gate_factor": factor,
+                "within_gate": ratio <= factor,
+                "missing": sorted(set(base["queries"]) - set(shared)),
+                "per_query_over_factor": {
+                    k: {"now": a, "baseline": b, "ratio": r}
+                    for k, (a, b, r) in sorted(over.items())
+                },
+            }
+        )
+    )
+    sys.exit(0 if ratio <= factor else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,7 +92,8 @@ def test_approx_quantiles_error_bound(spark):
         .collect()
     }
     approx = {
-        r.o_orderpriority: r.pcts for r in _Q["approx_quantiles"](spark, SF_MEDIUM).collect()
+        r.o_orderpriority: [r.p50, r.p95, r.p99]
+        for r in _Q["approx_quantiles"](spark, SF_MEDIUM).collect()
     }
     assert set(approx) == set(exact)
     for k, av in approx.items():
