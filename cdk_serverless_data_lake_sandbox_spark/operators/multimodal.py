@@ -664,15 +664,199 @@ def jpeg_encode(arr, quant=None) -> bytes:
     )
 
 
+def _jpeg_quantized_blocks(arr, q):
+    """(padded_h, padded_w, [64-coef zigzag int list per block,
+    row-major]) — the shared FDCT/quantize front half of both
+    encoders."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = (
+        np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+        - 128.0
+    )
+    d = _dct_matrix()
+    seqs = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coef = d @ img[by : by + 8, bx : bx + 8] @ d.T
+            zq = np.rint(coef / q).astype(int)
+            seqs.append([int(zq[r, c]) for r, c in _ZZ])
+    return ph, pw, seqs
+
+
+# libjpeg's standard scan script for one component: DC first at Al=1,
+# the AC band split coarse-first, then the successive-approximation
+# refinements down to full precision. (Ss, Se, Ah, Al) per scan.
+_JPEG_PROG_SCANS = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+]
+
+
+def jpeg_encode_progressive(arr, quant=None) -> bytes:
+    """REAL progressive JPEG encoder (SOF2): 8-bit grayscale,
+    spectral selection + successive approximation over the standard
+    6-scan script, standard Annex K Huffman tables (EOB runs are
+    capped at 1 per block so the K.3 AC table's symbol set suffices —
+    a conforming encoder choice). DC scans use the arithmetic point
+    transform, AC scans magnitude truncation, refinement scans emit
+    interleaved correction bits exactly per T.81 G.1.2 — output
+    decodes in any JPEG viewer and in :func:`jpeg_decode`."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    q = (
+        np.ones((8, 8))
+        if quant is None
+        else np.asarray(quant, dtype=np.float64).reshape(8, 8)
+    )
+    _, _, seqs = _jpeg_quantized_blocks(arr, q)
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def enc_dc_first(bw, al):
+        prev = 0
+        for seq in seqs:
+            v = seq[0] >> al  # arithmetic shift (T.81 G.1.2.1)
+            size, bits = _jpeg_magnitude(v - prev)
+            prev = v
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            bw.write(bits, size)
+
+    def enc_dc_refine(bw, al):
+        for seq in seqs:
+            bw.write((seq[0] >> al) & 1, 1)
+
+    def enc_ac_first(bw, ss, se, al):
+        for seq in seqs:
+            run = 0
+            for k in range(ss, se + 1):
+                t = abs(seq[k]) >> al  # magnitude truncation for AC
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    bw.write(zc, zl)
+                    run -= 16
+                size, bits = _jpeg_magnitude(t if seq[k] > 0 else -t)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if run:  # trailing zero-run -> EOB (run length 1)
+                ec, el = ac_codes[0x00]
+                bw.write(ec, el)
+
+    def enc_ac_refine(bw, ss, se, al):
+        for seq in seqs:
+            run = 0
+            corr: list = []  # buffered correction bits (G.1.2.3)
+            emitted_any = False
+            for k in range(ss, se + 1):
+                t = abs(seq[k]) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRLs must be emitted BEFORE this position's bit is
+                # buffered, whichever kind it is: the decoder reads a
+                # ZRL's trailing correction bits only for
+                # history-nonzero positions INSIDE the 16-zero span,
+                # so a correction bit buffered past the span (this
+                # k's) must come after a LATER symbol (the libjpeg
+                # emit ordering; a one-bit desync otherwise).
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    bw.write(zc, zl)
+                    run -= 16
+                    for b in corr:
+                        bw.write(b, 1)
+                    corr = []
+                if t > 1:  # history-nonzero: buffer its next bit
+                    corr.append(t & 1)
+                    continue
+                # t == 1: newly nonzero at this precision
+                code, length = ac_codes[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if seq[k] > 0 else 0, 1)
+                for b in corr:
+                    bw.write(b, 1)
+                corr = []
+                run = 0
+                emitted_any = True
+            if run or corr or not emitted_any:
+                ec, el = ac_codes[0x00]  # EOB run of exactly 1
+                bw.write(ec, el)
+                for b in corr:
+                    bw.write(b, 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = bytes([0]) + bytes(int(q[r, c]) for r, c in _ZZ)
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    out = bytearray(
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, qz)
+        + seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        + seg(0xC4, dht)
+    )
+    for ss, se, ah, al in _JPEG_PROG_SCANS:
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:
+            enc_dc_first(bw, al)
+        elif ss == 0:
+            enc_dc_refine(bw, al)
+        elif ah == 0:
+            enc_ac_first(bw, ss, se, al)
+        else:
+            enc_ac_refine(bw, ss, se, al)
+        bw.flush()
+        out += seg(
+            0xDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al])
+        ) + bytes(bw.buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_entropy_end(data: bytes, start: int) -> int:
+    """Index of the first real marker after ``start`` (skipping
+    0xFF00 stuffing and fill bytes)."""
+    p = start
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and data[p + 1] != 0xFF:
+            return p
+        p += 1
+    return len(data)
+
+
 def jpeg_decode(data: bytes):
-    """REAL baseline JPEG decode for 8-bit single-component
-    (grayscale) images without restart markers: marker walk, DQT/DHT
-    tables read from the bitstream, Huffman entropy decode with byte
-    unstuffing, dequantize, de-zigzag, IDCT, level shift, crop to the
-    SOF dimensions. Returns (width, height, 2-D uint8 pixels); raises
-    ValueError on malformed bytes or an out-of-scope variant
-    (progressive, multi-component, DRI) — callers route those to the
-    header-only tier."""
+    """REAL JPEG decode for 8-bit single-component (grayscale)
+    images without restart markers — BASELINE (SOF0/SOF1) and
+    PROGRESSIVE (SOF2, spectral selection + successive approximation
+    per T.81 G.2, including EOB runs and refinement correction bits):
+    marker walk, DQT/DHT tables read from the bitstream, Huffman
+    entropy decode with byte unstuffing, coefficient accumulation
+    across scans for progressive, dequantize, de-zigzag, IDCT, level
+    shift, crop to the SOF dimensions. Returns (width, height, 2-D
+    uint8 pixels); raises ValueError on malformed bytes or an
+    out-of-scope variant (multi-component, hierarchical, DRI) —
+    callers route those to the header-only tier."""
     import struct
 
     import numpy as np
@@ -684,8 +868,130 @@ def jpeg_decode(data: bytes):
     huff: dict[tuple[int, int], dict] = {}
     dims = None
     qsel = None
-    dc_id = ac_id = 0
-    scan = None
+    progressive = False
+    coefs = None  # progressive: per-block zigzag coefficient state
+    eobrun = 0
+
+    def read_symbol(br, tab: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def decode_baseline(br, dc_tab, ac_tab, nblocks):
+        out = []
+        prev_dc = 0
+        for _ in range(nblocks):
+            seq = [0] * 64
+            size = read_symbol(br, dc_tab)
+            prev_dc += _jpeg_extend(br.read(size), size)
+            seq[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += sym >> 4
+                if i > 63:
+                    raise ValueError("AC run overflows block")
+                seq[i] = _jpeg_extend(br.read(sym & 0x0F), sym & 0x0F)
+                i += 1
+            out.append(seq)
+        return out
+
+    def prog_dc_first(br, dc_tab, al):
+        prev = 0
+        for seq in coefs:
+            size = read_symbol(br, dc_tab)
+            prev += _jpeg_extend(br.read(size), size)
+            seq[0] = prev << al
+
+    def prog_dc_refine(br, al):
+        for seq in coefs:
+            seq[0] |= br.read(1) << al
+
+    def prog_ac_first(br, ac_tab, ss, se, al):
+        nonlocal eobrun
+        for seq in coefs:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = read_symbol(br, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        eobrun -= 1  # this block is the run's first member
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                seq[k] = _jpeg_extend(br.read(s), s) << al
+                k += 1
+
+    def prog_ac_refine(br, ac_tab, ss, se, al):
+        # T.81 G.2 successive-approximation AC refinement (the
+        # libjpeg decode_mcu_AC_refine control flow): newly-nonzero
+        # coefficients arrive as (run, 1) symbols; every
+        # history-nonzero coefficient PASSED contributes one
+        # interleaved correction bit; EOB runs carry correction bits
+        # for the remainder of each covered block.
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        for seq in coefs:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = read_symbol(br, ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan with size > 1"
+                            )
+                        newval = p1 if br.read(1) else m1
+                    while k <= se:
+                        if seq[k] != 0:
+                            if br.read(1) and (seq[k] & p1) == 0:
+                                seq[k] += p1 if seq[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval and k <= se:
+                        seq[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if seq[k] != 0:
+                        if br.read(1) and (seq[k] & p1) == 0:
+                            seq[k] += p1 if seq[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+    baseline_seqs = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -713,72 +1019,83 @@ def jpeg_decode(data: bytes):
                     (length, code): sym for sym, (code, length) in codes.items()
                 }
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1, 0xC2):
             # body: precision, h(2), w(2), ncomp, then per component
             # (id, sampling, qtable-selector)
             if body[5] != 1:
-                raise ValueError("only single-component (grayscale) baseline")
+                raise ValueError("only single-component (grayscale) JPEG")
             if body[7] != 0x11:
                 raise ValueError("subsampled grayscale unsupported")
             hgt, wid = struct.unpack(">HH", body[1:5])
             dims = (wid, hgt)
             qsel = body[8]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            progressive = marker == 0xC2
+            if progressive:
+                nb = (-(-hgt // 8)) * (-(-wid // 8))
+                coefs = [[0] * 64 for _ in range(nb)]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline/progressive JPEG supported")
         elif marker == 0xDD:
             raise ValueError("restart markers unsupported")
         elif marker == 0xDA:
+            if dims is None:
+                raise ValueError("JPEG SOS before SOF")
             sel = body[2]
             dc_id, ac_id = sel >> 4, sel & 0x0F
-            scan = data[pos + 2 + seglen :]
-            break
+            ss, se, a = body[3], body[4], body[5]
+            ah, al = a >> 4, a & 0x0F
+            start = pos + 2 + seglen
+            end = _jpeg_entropy_end(data, start)
+            br = _BitReader(data[start:end])
+            if not progressive:
+                if (0, dc_id) not in huff or (1, ac_id) not in huff:
+                    raise ValueError("JPEG missing tables for scan")
+                wq, hq = dims
+                nb = (-(-hq // 8)) * (-(-wq // 8))
+                baseline_seqs = decode_baseline(
+                    br, huff[(0, dc_id)], huff[(1, ac_id)], nb
+                )
+            else:
+                eobrun = 0
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("progressive DC scan with Se != 0")
+                    if ah == 0:
+                        if (0, dc_id) not in huff:
+                            raise ValueError("JPEG missing DC table")
+                        prog_dc_first(br, huff[(0, dc_id)], al)
+                    else:
+                        prog_dc_refine(br, al)
+                else:
+                    if (1, ac_id) not in huff:
+                        raise ValueError("JPEG missing AC table")
+                    if ah == 0:
+                        prog_ac_first(br, huff[(1, ac_id)], ss, se, al)
+                    else:
+                        prog_ac_refine(br, huff[(1, ac_id)], ss, se, al)
+            pos = end
+            continue
         pos += 2 + seglen
-    if dims is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
+    if dims is None:
+        raise ValueError("JPEG missing SOF")
+    seqs = baseline_seqs if not progressive else coefs
+    if seqs is None:
+        raise ValueError("JPEG missing SOS")
     w, h = dims
-    if qsel not in qtables or (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("JPEG missing tables for scan")
+    if qsel not in qtables:
+        raise ValueError("JPEG missing quantization table")
     qz = qtables[qsel]
     qmat = np.empty((8, 8))
     for i, (r, c) in enumerate(_ZZ):
         qmat[r, c] = qz[i]
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-
-    br = _BitReader(scan)
-
-    def read_symbol(tab: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.read(1)
-            length += 1
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
-
     d = _dct_matrix()
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     out = np.empty((ph, pw), dtype=np.uint8)
-    prev_dc = 0
+    bi = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            seq = [0] * 64
-            size = read_symbol(dc_tab)
-            prev_dc += _jpeg_extend(br.read(size), size)
-            seq[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_symbol(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += sym >> 4
-                if i > 63:
-                    raise ValueError("AC run overflows block")
-                seq[i] = _jpeg_extend(br.read(sym & 0x0F), sym & 0x0F)
-                i += 1
+            seq = seqs[bi]
+            bi += 1
             coef = np.zeros((8, 8))
             for i, (r, c) in enumerate(_ZZ):
                 coef[r, c] = seq[i]
@@ -911,9 +1228,10 @@ def decode_real_media(media: DataFrame) -> DataFrame:
       8-bin pixel histogram.
     - WAV -> PCM sample decode; features = 8-bin histogram over the
       normalized sample range.
-    - JPEG -> full baseline pixel decode (Huffman + dequant + IDCT,
+    - JPEG -> full pixel decode, BASELINE and PROGRESSIVE (Huffman +
+      successive-approximation accumulation + dequant + IDCT,
       :func:`jpeg_decode`); features = 8-bin pixel histogram, same as
-      PNG. Out-of-scope variants (progressive, color, DRI) fall back
+      PNG. Out-of-scope variants (color, DRI, hierarchical) fall back
       to the header parse — dimensions and byte-level features, with
       ``header_ok`` still validating the dimensions.
 
@@ -1170,9 +1488,24 @@ def _gif_lzw_decompress(data: bytes, min_code: int = 8) -> bytes:
     return bytes(out)
 
 
-def gif_encode(arr) -> bytes:
+def _gif_interlace_order(h: int) -> list:
+    """Row storage order of an interlaced GIF (spec appendix E): four
+    passes — every 8th row from 0, every 8th from 4, every 4th from
+    2, every 2nd from 1."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def gif_encode(arr, interlace: bool = False) -> bytes:
     """Minimal REAL GIF89a encoder: grayscale 256-entry palette, one
-    image, real LZW. Output opens in any viewer."""
+    image, real LZW; optionally interlaced (rows stored in the
+    four-pass order with the descriptor flag set — synthesizes
+    genuinely interlaced media for the decoder tests). Output opens
+    in any viewer."""
     import struct
 
     import numpy as np
@@ -1183,9 +1516,12 @@ def gif_encode(arr) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
     for i in range(256):
         out += bytes((i, i, i))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
     out.append(8)  # LZW minimum code size
-    lzw = _gif_lzw_compress(arr.tobytes())
+    rows = arr[_gif_interlace_order(h)] if interlace else arr
+    lzw = _gif_lzw_compress(rows.tobytes())
     for i in range(0, len(lzw), 255):
         block = lzw[i : i + 255]
         out.append(len(block))
@@ -1197,9 +1533,10 @@ def gif_encode(arr) -> bytes:
 def gif_decode(data: bytes):
     """REAL GIF decode: header + logical screen descriptor, global
     color table, extension skip, image descriptor, LZW decompress,
-    palette lookup to grayscale. Returns (width, height, 2-D uint8
-    array). Raises ValueError on malformed bytes or unsupported
-    variants (interlace, local color table)."""
+    palette lookup to grayscale, four-pass DE-INTERLACE when the
+    descriptor flags it. Returns (width, height, 2-D uint8 array).
+    Raises ValueError on malformed bytes or unsupported variants
+    (local color table)."""
     import struct
 
     import numpy as np
@@ -1228,8 +1565,6 @@ def gif_decode(data: bytes):
             pos += 10
             if lflags & 0x80:
                 raise ValueError("unsupported GIF: local color table")
-            if lflags & 0x40:
-                raise ValueError("unsupported GIF: interlaced image")
             if palette is None:
                 raise ValueError("unsupported GIF: no global color table")
             min_code = data[pos]
@@ -1246,6 +1581,12 @@ def gif_decode(data: bytes):
                 raise ValueError("GIF pixel count mismatch")
             # grayscale: take the red channel of the palette entry
             px = palette[idx, 0].reshape(ih, iw)
+            if lflags & 0x40:  # interlaced: rows arrive in pass order
+                import numpy as _np
+
+                out_px = _np.empty_like(px)
+                out_px[_gif_interlace_order(ih)] = px
+                px = out_px
             return iw, ih, px
         elif b0 == 0x3B:
             break

@@ -291,7 +291,48 @@ _N_CENTROIDS = 16
 _N_PROBE = 4
 
 
-@register("ann_ivf")  # approximate -> rows-only check
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {_N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SQL_DOT.format(a="e.embedding", b="c.ce")}
+          / ({_SQL_NORM.format(a="e.embedding")}
+             * {_SQL_NORM.format(a="c.ce")}) DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, eq, cell FROM (
+    SELECT a.vec_id AS query_id, a.embedding AS eq, c.cent_id AS cell,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        {_SQL_DOT.format(a="a.embedding", b="c.ce")}
+          / ({_SQL_NORM.format(a="a.embedding")}
+             * {_SQL_NORM.format(a="c.ce")}) DESC, c.cent_id) AS rn
+    FROM assign a CROSS JOIN cents c
+    WHERE a.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_N_PROBE}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT p.query_id, m.vec_id AS neighbor_id,
+    {_SQL_DOT.format(a="p.eq", b="m.embedding")}
+      / ({_SQL_NORM.format(a="p.eq")}
+         * {_SQL_NORM.format(a="m.embedding")}) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+      {_SQL_DOT.format(a="p.eq", b="m.embedding")}
+        / ({_SQL_NORM.format(a="p.eq")}
+           * {_SQL_NORM.format(a="m.embedding")}) DESC, m.vec_id) AS rank
+  FROM probes p JOIN assign m ON m.cell = p.cell
+  WHERE m.vec_id <> p.query_id
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@register("ann_ivf", oracle=_IVF_ORACLE)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: the corpus is coarsely partitioned
     into _N_CENTROIDS cells around deterministic seed vectors (the
@@ -301,7 +342,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     their _N_PROBE closest cells and exact-score only those members —
     the scan per query is ~ n * probe / cells instead of n, and the
     cell assignment is a write-once ETL artifact at real scale.
-    tests measure recall@k against the brute-force baseline."""
+    Every step (seed quantizer, tie rules, fold cosines) is
+    deterministic, so the DuckDB oracle replays the whole probe
+    pipeline hash-exact; tests additionally measure recall@k against
+    the brute-force baseline."""
     e = _emb(spark, sf_dir)
     cents = (
         e.orderBy("vec_id")
@@ -1014,7 +1058,92 @@ def pq_encode(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@register("ann_topk_pq")  # quantized -> rows-only check + recall tests
+def _pq_ctes(m: int, sd: int, k: int, iters: int) -> list[str]:
+    """Shared unrolled-CTE chain replaying pq_codebooks + pq_encode
+    through the per-vector reconstruction ``recon`` (used by both the
+    plain-PQ and the IVF-PQ oracles)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(s.sv, c.ce), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    ctes = [
+        f"""sv AS MATERIALIZED (
+  SELECT vec_id, CAST(t.m AS INTEGER) AS sub,
+    embedding[t.m * {sd} + 1 : t.m * {sd} + {sd}] AS sv
+  FROM embeddings, UNNEST(generate_series(0, {m - 1})) AS t(m)
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT sub, CAST(vec_id + 1 AS INTEGER) AS cid, sv AS ce
+  FROM sv WHERE vec_id < {k}
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS MATERIALIZED (
+  SELECT vec_id, sub, sv, cid FROM (
+    SELECT s.vec_id, s.sub, s.sv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+        ORDER BY {d2}, c.cid) AS rn
+    FROM sv s JOIN c{i} c ON c.sub = s.sub
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT sub, cid, list(CAST(cc AS REAL) ORDER BY pos) AS ce FROM (
+    SELECT sub, cid, pos,
+      CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        / COUNT(*) AS cc
+    FROM (
+      SELECT sub, cid, unnest(sv) AS val,
+             unnest(range(1, len(sv) + 1)) AS pos
+      FROM a{i + 1}
+    ) GROUP BY sub, cid, pos
+  ) GROUP BY sub, cid
+)""")
+    ctes.append(f"""recon AS MATERIALIZED (
+  SELECT vec_id, flatten(list(ce ORDER BY sub)) AS re FROM (
+    SELECT vec_id, sub, ce FROM (
+      SELECT s.vec_id, s.sub, c.ce,
+        ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+          ORDER BY {d2}, c.cid) AS rn
+      FROM sv s JOIN c{iters} c ON c.sub = s.sub
+    ) WHERE rn = 1
+  ) GROUP BY vec_id
+)""")
+    return ctes
+
+
+def _pq_oracle(
+    m: int = _PQ_M, sd: int = _PQ_SUBDIM, k: int = _PQ_K, iters: int = _PQ_ITERS
+) -> str:
+    """DuckDB oracle for :func:`ann_topk_pq`: the keyed per-subspace
+    Lloyd's replayed as ONE unrolled CTE chain (subspace is a key
+    column, so all {m} codebooks train in the same CTEs — mirroring
+    pq_codebooks' single keyed job), then encode (argmin centroid,
+    ties to lowest cid), reconstruct, and asymmetric-score against
+    the true query vectors. Every float-sensitive step mirrors the
+    Spark tree (decimal means cast to REAL, double folds), the
+    semantic_dedup/kmeans precedent."""
+    return (
+        "WITH "
+        + ",\n".join(_pq_ctes(m, sd, k, iters))
+        + f"""
+SELECT query_id, neighbor_id, approx_cosine, rank FROM (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+    {_SQL_DOT.format(a="q.embedding", b="r.re")}
+      / ({_SQL_NORM.format(a="q.embedding")}
+         * {_SQL_NORM.format(a="r.re")}) AS approx_cosine,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      {_SQL_DOT.format(a="q.embedding", b="r.re")}
+        / ({_SQL_NORM.format(a="q.embedding")}
+           * {_SQL_NORM.format(a="r.re")}) DESC, r.vec_id) AS rank
+  FROM embeddings q JOIN recon r ON r.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+) WHERE rank <= 5
+"""
+    )
+
+
+@register("ann_topk_pq", oracle=_pq_oracle())
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus vectors live as {M}x4-bit PQ
     codes (trained by keyed per-subspace Lloyd's, encoded once);
@@ -1022,7 +1151,9 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance computation, the FAISS IVF-PQ recipe minus the coarse
     quantizer (compose with ann_ivf's cells for both). One broadcast
     of the 10-row query set, one scan of the encoded corpus, per-query
-    top-k window. Recall vs exact brute force is pinned by test; the
+    top-k window. The whole train/encode/score pipeline is
+    deterministic, so the DuckDB oracle (``_pq_oracle``) replays it
+    hash-exact; recall vs exact brute force is pinned by test; the
     32x index compression is the 100 TB story."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
@@ -1967,7 +2098,73 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_RERANK = 15
 
 
-@register("ann_ivf_pq")  # two-stage approximate -> rows-only check
+def _ivfpq_oracle() -> str:
+    """DuckDB oracle for :func:`ann_ivf_pq`: the PQ chain
+    (``_pq_ctes``) composed with the IVF assign/probe CTEs, the
+    PQ-scored shortlist (top ``_IVFPQ_RERANK`` per query, ties to
+    lowest neighbor), and the exact-cosine rerank — the entire
+    two-stage serving pipeline is deterministic, so the final top-k
+    replays hash-exact."""
+    ctes = _pq_ctes(_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS)
+    ctes.append(f"""cents AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {_N_CENTROIDS}
+)""")
+    ctes.append(f"""cell_assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SQL_DOT.format(a="e.embedding", b="c.ce")}
+          / ({_SQL_NORM.format(a="e.embedding")}
+             * {_SQL_NORM.format(a="c.ce")}) DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""qprobes AS MATERIALIZED (
+  SELECT query_id, eq, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS eq, c.cent_id AS cell,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_SQL_DOT.format(a="q.embedding", b="c.ce")}
+          / ({_SQL_NORM.format(a="q.embedding")}
+             * {_SQL_NORM.format(a="c.ce")}) DESC, c.cent_id) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_N_PROBE}
+)""")
+    ctes.append(f"""shortlist AS MATERIALIZED (
+  SELECT query_id, eq, neighbor_id FROM (
+    SELECT p.query_id, p.eq, r.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        {_SQL_DOT.format(a="p.eq", b="r.re")}
+          / ({_SQL_NORM.format(a="p.eq")}
+             * {_SQL_NORM.format(a="r.re")}) DESC, r.vec_id) AS r1
+    FROM qprobes p
+    JOIN cell_assign a ON a.cell = p.cell
+    JOIN recon r ON r.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id
+  ) WHERE r1 <= {_IVFPQ_RERANK}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT s.query_id, s.neighbor_id,
+    {_SQL_DOT.format(a="s.eq", b="t.embedding")}
+      / ({_SQL_NORM.format(a="s.eq")}
+         * {_SQL_NORM.format(a="t.embedding")}) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+      {_SQL_DOT.format(a="s.eq", b="t.embedding")}
+        / ({_SQL_NORM.format(a="s.eq")}
+           * {_SQL_NORM.format(a="t.embedding")}) DESC, s.neighbor_id)
+      AS rank
+  FROM shortlist s JOIN embeddings t ON t.vec_id = s.neighbor_id
+) WHERE rank <= {_TOP_K}
+"""
+    )
+
+
+@register("ann_ivf_pq", oracle=_ivfpq_oracle())
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full FAISS-style IVF-PQ pipeline, composed from the two
     pieces the repo already proves separately (C19 coarse cells, C54

@@ -43,6 +43,10 @@ _VERIFY_FIRST = [
     "approx_quantiles",
     "burst_detection",
     "ann_topk_arrow",
+    "ann_topk_pq",
+    "ann_ivf_pq",
+    "copurchase_kcore",
+    "copurchase_communities",
     "ann_ivf",
     "ann_label_purity",
     "ann_lsh_bucketed",

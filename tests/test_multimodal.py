@@ -281,7 +281,8 @@ def test_jpeg_codec_lossy_and_scope():
     err = np.abs(px.astype(int) - img.astype(int))
     assert 0 < err.mean() < 8.0  # lossy, but a faithful image
 
-    # progressive: flip the SOF0 marker to SOF2
+    # a baseline stream RELABELED as SOF2 is malformed (its single
+    # scan claims a full-band DC pass) -> clean error, not garbage
     prog = bytearray(data)
     prog[prog.index(b"\xff\xc0")+1] = 0xC2
     with _pytest.raises(ValueError):
@@ -421,13 +422,28 @@ def test_gif_codec_roundtrip_and_variants():
     assert (gif_decode(gif_encode(const))[2] == const).all()
     with pt.raises(ValueError):
         gif_decode(b"NOTGIF" + b"\x00" * 20)
-    # interlace flag set -> clean refusal
-    good = bytearray(gif_encode(const))
+    # interlaced encode (real four-pass row order + flag) round-trips
+    # exactly through the de-interleaving decoder
+    rng = np.random.RandomState(9)
+    for shape in [(24, 32), (1, 7), (9, 5), (61, 13)]:
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h, out = gif_decode(gif_encode(arr, interlace=True))
+        assert (h, w) == arr.shape and (out == arr).all()
+    # flag-flipped non-interlaced stream decodes to the PERMUTED rows
+    # (the decoder honors the descriptor bit, not our encoder's habit)
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        _gif_interlace_order,
+    )
+
+    plain = np.arange(64 * 3, dtype=np.uint8).reshape(64, 3)
+    flipped = bytearray(gif_encode(plain))
     ix = 13 + 256 * 3  # image descriptor sits right after the GCT
-    assert good[ix] == 0x2C
-    good[ix + 9] |= 0x40
-    with pt.raises(ValueError):
-        gif_decode(bytes(good))
+    assert flipped[ix] == 0x2C
+    flipped[ix + 9] |= 0x40
+    _, _, perm = gif_decode(bytes(flipped))
+    expect = np.empty_like(plain)
+    expect[_gif_interlace_order(64)] = plain
+    assert (perm == expect).all()
 
 
 def test_image_dhash_dedup_cross_format(spark):
@@ -531,3 +547,120 @@ def test_video_framehash_dedup_transcode_and_trim(spark):
     # no cross-group pairs at all (distinct random frames never collide)
     for (pa, pb) in got:
         assert pa // 3 == pb // 3, (pa, pb)
+
+
+def test_jpeg_progressive_matches_baseline_bit_exact():
+    """Progressive encode (6-scan spectral-selection + successive-
+    approximation script) decodes to EXACTLY the pixels the baseline
+    codec produces for the same image and quantization table — the
+    two entropy orderings carry identical quantized coefficients, so
+    any difference is a codec bug. Covers lossless and Annex-K lossy
+    tables, non-multiple-of-8 shapes, and structured content (the
+    gradient exercises long EOB/ZRL runs, the stripes dense high
+    bands)."""
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        _JPEG_STD_LUM_Q,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    images = [
+        rng.randint(0, 256, (rng.randint(1, 50), rng.randint(1, 50))).astype(
+            np.uint8
+        )
+        for _ in range(12)
+    ]
+    images.append(np.tile(np.linspace(0, 255, 40).astype(np.uint8), (30, 1)))
+    stripes = np.zeros((25, 33), np.uint8)
+    stripes[:, ::2] = 255
+    images.append(stripes)
+    images.append(np.full((20, 20), 128, np.uint8))
+    for img in images:
+        for q in (None, _JPEG_STD_LUM_Q):
+            wb, hb, pb = jpeg_decode(jpeg_encode(img, q))
+            wp, hp, pp = jpeg_decode(jpeg_encode_progressive(img, q))
+            assert (wb, hb) == (wp, hp) == (img.shape[1], img.shape[0])
+            assert (pb == pp).all()
+
+
+def test_jpeg_progressive_refinement_order_regression():
+    """Pin the exact bug class the codec review caught: a block whose
+    zero-run exceeds 16 BEFORE a history-nonzero coefficient and then
+    a new-nonzero (ZRL + interleaved correction bits) must decode
+    bit-exact. The crafted coefficients force run>15 with buffered
+    correction bits at each refinement level."""
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        _ZZ,
+        _dct_matrix,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    # build a pixel block whose quantized spectrum has: a large low
+    # coef, ~20 zeros, a mid "correction-only" coef, then a +/-1 tail
+    seq = [0] * 64
+    seq[0], seq[1], seq[5], seq[6] = 114, 276, 226, 160
+    seq[14], seq[15], seq[27], seq[28] = 94, 43, 12, 1
+    coef = np.zeros((8, 8))
+    for i, (r, c) in enumerate(_ZZ):
+        coef[r, c] = seq[i]
+    d = _dct_matrix()
+    img = np.clip(np.rint(d.T @ coef @ d + 128.0), 0, 255).astype(np.uint8)
+    pb = jpeg_decode(jpeg_encode(img))[2]
+    pp = jpeg_decode(jpeg_encode_progressive(img))[2]
+    assert (pb == pp).all()
+
+
+def test_decode_real_media_progressive_jpeg_full_decode(spark):
+    """A progressive payload routed through the Arrow decode pass
+    must take the FULL pixel tier (n_values > 0), not the header
+    fallback, and match the baseline twin's pixel features."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        decode_real_media,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+    from pyspark.sql import functions as F2
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    rows = [
+        (1, bytearray(jpeg_encode(img))),
+        (2, bytearray(jpeg_encode_progressive(img))),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    ).select(
+        "doc_id",
+        "media",
+        F2.struct(
+            F2.lit(32).alias("width"),
+            F2.lit(24).alias("height"),
+            F2.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    got = {r.doc_id: r for r in decode_real_media(media).collect()}
+    for did in (1, 2):
+        r = got[did]
+        assert r.modality == "jpeg" and r.header_ok
+        assert r.n_values == 24 * 32  # full decode, not the header tier
+    assert got[1].features == got[2].features
+    assert got[1].mean_value == got[2].mean_value
