@@ -913,8 +913,13 @@ def coreness_frame(
             .agg(F.sort_array(F.collect_list("c"), asc=False).alias("cs"))
             .select(F.col("src").alias("hn"), F.expr(hidx).alias("h"))
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         # left join: nodes outside the candidate set keep c (their H
-        # cannot have changed); new_c != c marks next round's frontier
+        # cannot have changed); new_c != c marks next round's frontier.
+        # The change count rides the checkpoint action via observe()
+        # instead of costing a separate per-round count job.
         stepped = (
             cur.join(nb, cur.node == F.col("hn"), "left")
             .select(
@@ -926,10 +931,16 @@ def coreness_frame(
                 .alias("new_c"),
                 F.col("c").alias("_old"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("new_c") != F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
+        n_changed = int(obs.get["changed"] or 0)
         changed = stepped.where(F.col("new_c") != F.col("_old")).select("node")
-        n_changed = changed.count()
         cur = stepped.select("node", F.col("new_c").alias("c"))
     return cur
 
@@ -1073,6 +1084,9 @@ def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
             .agg(F.expr("max_by(lbl, struct(cnt, -lbl))").alias("new_lbl"))
             .select(F.col("src").alias("vn"), "new_lbl")
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         stepped = (
             cur.join(new_lbls, cur.node == F.col("vn"), "left")
             .select(
@@ -1080,10 +1094,16 @@ def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
                 F.coalesce("new_lbl", "lbl").alias("new_lbl"),
                 F.col("lbl").alias("_old"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_lbl") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
+        n_changed = int(obs.get["changed"] or 0)
         changed = stepped.where(F.col("new_lbl") != F.col("_old")).select("node")
-        n_changed = changed.count()
         cur = stepped.select("node", F.col("new_lbl").alias("lbl"))
     return cur
 
