@@ -1122,17 +1122,23 @@ def cdc_envelope_apply(
             f"after struct<{value_schema}>",
         ).alias("e")
     ).select("e.op", "e.lsn", "e.before", "e.after")
-    # Reject unknown/NULL ops up front: such an envelope would land
-    # its key in clear_keys (dropping the current row) while producing
-    # neither an upsert nor a counted delete — a silent data loss.
-    bad_ops = parsed.where(
-        F.col("op").isNull() | ~F.col("op").isin("c", "u", "r", "d")
-    ).count()
-    if bad_ops:
-        raise ValueError(
-            f"cdc_envelope_apply: {bad_ops} envelope(s) with op not in "
-            "('c','u','r','d'); refusing to apply the batch"
-        )
+    # Reject unknown/NULL ops: such an envelope would land its key in
+    # clear_keys (dropping the current row) while producing neither an
+    # upsert nor a counted delete — silent data loss. The count rides
+    # the localCheckpoint action below via observe() so the guard
+    # costs no extra job (and no second from_json pass per batch).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    parsed = parsed.observe(
+        obs,
+        F.sum(
+            (
+                F.col("op").isNull()
+                | ~F.col("op").isin("c", "u", "r", "d")
+            ).cast("long")
+        ).alias("bad_ops"),
+    )
     latest = (
         parsed.withColumn(
             "k",
@@ -1148,6 +1154,12 @@ def cdc_envelope_apply(
         )
     )
     latest = latest.localCheckpoint()
+    bad_ops = int(obs.get["bad_ops"] or 0)
+    if bad_ops:
+        raise ValueError(
+            f"cdc_envelope_apply: {bad_ops} envelope(s) with op not in "
+            "('c','u','r','d'); refusing to apply the batch"
+        )
     upserts = latest.where(F.col("op") != "d").select("after.*")
     delete_keys_df = latest.where(F.col("op") == "d").select(
         F.col("k").alias(key_col)

@@ -606,42 +606,35 @@ def jpeg_encode(arr, quant=None) -> bytes:
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape
     q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64).reshape(8, 8)
-    # replicate-pad to full 8x8 blocks
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    img = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
-    d = _dct_matrix()
+    _, _, seqs = _jpeg_quantized_blocks(arr, q)  # shared FDCT front half
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            coef = d @ img[by : by + 8, bx : bx + 8] @ d.T
-            zq = np.rint(coef / q).astype(int)
-            seq = [zq[r, c] for r, c in _ZZ]
-            size, bits = _jpeg_magnitude(seq[0] - prev_dc)
-            prev_dc = seq[0]
-            code, length = dc_codes[size]
+    for seq in seqs:
+        size, bits = _jpeg_magnitude(seq[0] - prev_dc)
+        prev_dc = seq[0]
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if seq[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if seq[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL
+                bw.write(zc, zl)
+                run -= 16
+            size, bits = _jpeg_magnitude(seq[i])
+            code, length = ac_codes[(run << 4) | size]
             bw.write(code, length)
             bw.write(bits, size)
             run = 0
-            last_nz = max((i for i in range(1, 64) if seq[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if seq[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    bw.write(zc, zl)
-                    run -= 16
-                size, bits = _jpeg_magnitude(seq[i])
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                ec, el = ac_codes[0x00]  # EOB
-                bw.write(ec, el)
+        if last_nz < 63:
+            ec, el = ac_codes[0x00]  # EOB
+            bw.write(ec, el)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1022,6 +1015,10 @@ def jpeg_decode(data: bytes):
         elif marker in (0xC0, 0xC1, 0xC2):
             # body: precision, h(2), w(2), ncomp, then per component
             # (id, sampling, qtable-selector)
+            if body[0] != 8:
+                # SOF1/SOF2 legally allow 12-bit precision; the 8-bit
+                # Huffman/dequant path would return garbage pixels
+                raise ValueError("only 8-bit sample precision supported")
             if body[5] != 1:
                 raise ValueError("only single-component (grayscale) JPEG")
             if body[7] != 0x11:

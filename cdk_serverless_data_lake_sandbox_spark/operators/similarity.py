@@ -404,11 +404,21 @@ def _exact_rescore(e: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     ``aggregate`` fold the bruteforce baseline uses, then take the
     final top-k. The matmul stage is candidate SELECTION only (with a
     2k-per-partition safety margin and a deterministic tie-break), so
-    its float-associativity noise can never reach the emitted cosine:
+    its float-associativity noise never reaches the emitted cosine:
     the output is bit-identical to :func:`ann_topk_bruteforce` and
     therefore to ``_ANN_ORACLE`` — which is what lets the
     execution-strategy twins carry the exact oracle instead of a
-    rows-only check."""
+    rows-only check.
+
+    Margin caveat (honest limit, not a proof): exact ties are safe
+    (the lexsort id tie-break mirrors the JVM window), but the 2k
+    margin is probabilistic against NEAR-ties — if more than 2k
+    corpus vectors in ONE partition land within the BLAS-vs-fold
+    discrepancy (~1e-13 relative) of a query's kth boundary without
+    being exactly equal, a true neighbor could be dropped before the
+    rescore. Real and synthetic embedding corpora are ~12 orders of
+    magnitude away from that density; widen the margin if scoring a
+    corpus of near-identical vectors differing in low-order bits."""
     qj = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
         _norm("embedding").alias("nq"),

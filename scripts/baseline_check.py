@@ -45,6 +45,7 @@ def main() -> None:
     base = load_baseline()
     bench = load_bench(args[0])
     shared = {k: v for k, v in bench["queries"].items() if k in base["queries"]}
+    missing = sorted(set(base["queries"]) - set(shared))
     total = round(sum(shared.values()), 3)
     ratio = round(total / base["shared20_total_sec"], 3)
     over = {
@@ -52,6 +53,10 @@ def main() -> None:
         for k, v in shared.items()
         if v > factor * base["queries"][k]
     }
+    # a bench artifact that did not measure every baseline query can
+    # never pass the gate mechanically — a truncated run would
+    # otherwise "pass" by summing almost nothing
+    within = ratio <= factor and not missing
     print(
         json.dumps(
             {
@@ -59,8 +64,8 @@ def main() -> None:
                 "baseline_total_sec": base["shared20_total_sec"],
                 "ratio": ratio,
                 "gate_factor": factor,
-                "within_gate": ratio <= factor,
-                "missing": sorted(set(base["queries"]) - set(shared)),
+                "within_gate": within,
+                "missing": missing,
                 "per_query_over_factor": {
                     k: {"now": a, "baseline": b, "ratio": r}
                     for k, (a, b, r) in sorted(over.items())
@@ -68,7 +73,7 @@ def main() -> None:
             }
         )
     )
-    sys.exit(0 if ratio <= factor else 1)
+    sys.exit(0 if within else 1)
 
 
 if __name__ == "__main__":

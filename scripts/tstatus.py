@@ -36,7 +36,7 @@ COMPONENTS: dict[str, str] = {
     "C86": "ivf_index_build",
     "D1": "crawl_parquet",  # direct round-trip test added r6
     "D2": "write_bucketed",
-    "D3": "compact",
+    "D3": "compact",  # word-boundary match: dv_compact does NOT count
     "D4": "IncrementalIngest",
     "D5": "mergeSchema",
     "D6": "crawl_json",
@@ -69,7 +69,10 @@ COMPONENTS: dict[str, str] = {
     "E5": "upsert_sink",
     "E6": "stream_static_enrich",
     "E7": "stream_stream_conversions",
-    "E8": "checkpoint",
+    # E8's component is the exactly-once restart semantics, not the
+    # word "checkpoint" (which appears in dozens of unrelated tests):
+    # pin the covering test function directly.
+    "E8": "test:test_checkpointed_source_exactly_once_across_restarts",
     "E9": "stream_to_lake_versions",
     "E10": "timeout_closed_sessions",
     "E11": "curate_document_stream",
@@ -109,8 +112,19 @@ COMPONENTS: dict[str, str] = {
 
 
 def collect_tests(repo: str) -> dict[str, list[tuple[str, str]]]:
-    """symbol -> [(module, test_name)] for tests whose body mentions it."""
+    """symbol -> [(module, test_name)] for tests whose body references
+    it as a whole identifier (word-boundary regex, NOT substring:
+    'compact' must not match dv_compact, 'checkpoint' must not match
+    localCheckpoint). A "test:<name>" symbol pins an explicit test
+    function instead of searching."""
+    import re
+
     hits: dict[str, list[tuple[str, str]]] = {s: [] for s in COMPONENTS.values()}
+    pats = {
+        s: re.compile(r"(?<![A-Za-z0-9_])" + re.escape(s) + r"(?![A-Za-z0-9_])")
+        for s in hits
+        if not s.startswith("test:")
+    }
     for path in sorted(glob.glob(os.path.join(repo, "tests", "test_*.py"))):
         src = open(path).read()
         mod = os.path.splitext(os.path.basename(path))[0]
@@ -119,7 +133,10 @@ def collect_tests(repo: str) -> dict[str, list[tuple[str, str]]]:
             if isinstance(node, ast.FunctionDef) and node.name.startswith("test_"):
                 seg = ast.get_source_segment(src, node) or ""
                 for sym in hits:
-                    if sym in seg:
+                    if sym.startswith("test:"):
+                        if node.name == sym[5:]:
+                            hits[sym].append((mod, node.name))
+                    elif pats[sym].search(seg):
                         hits[sym].append((mod, node.name))
     return hits
 
