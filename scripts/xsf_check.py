@@ -21,20 +21,19 @@ from cdk_serverless_data_lake_sandbox_spark.registry import (  # noqa: E402
 )
 from tests.compare import assert_frames_match  # noqa: E402
 
-R5_NEW = [
-    "winnowing_fingerprints",
-    "winnowing_pairs",
-    "holt_winters_forecast",
+# Default sweep: the operators whose ORACLES changed most recently
+# (r6 flips + the delta-iteration graph ops), so a bare
+# `python scripts/xsf_check.py SF_DIR` re-proves the current round.
+R6_NEW = [
+    "ann_topk_vectorized",
+    "ann_topk_arrow",
+    "kmeans_clusters",
+    "quartiles_scalable",
+    "approx_quantiles",
+    "ann_ivf",
+    "ann_topk_pq",
+    "ann_ivf_pq",
     "part_skyline",
-    "burst_detection",
-    "k_anonymity_check",
-    "dp_count_release",
-    "kneser_ney_logprob",
-    "quality_decile_lift",
-    "preference_pairs",
-    "near_dup_edit_distance",
-    "copurchase_trend",
-    "attribution_weights",
     # iteratives last: minutes-scale at sf0.1
     "copurchase_communities",
     "copurchase_kcore",
@@ -43,7 +42,7 @@ R5_NEW = [
 
 def main() -> None:
     sf = sys.argv[1]
-    names = sys.argv[2:] or R5_NEW
+    names = sys.argv[2:] or R6_NEW
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
