@@ -113,30 +113,35 @@ COMPONENTS: dict[str, str] = {
 
 def collect_tests(repo: str) -> dict[str, list[tuple[str, str]]]:
     """symbol -> [(module, test_name)] for tests whose body references
-    it as a whole identifier (word-boundary regex, NOT substring:
-    'compact' must not match dv_compact, 'checkpoint' must not match
-    localCheckpoint). A "test:<name>" symbol pins an explicit test
-    function instead of searching."""
-    import re
-
+    it as a CODE identifier — AST Name/Attribute/import nodes, never
+    raw source text, so neither substrings (dv_compact vs 'compact',
+    localCheckpoint vs 'checkpoint') nor prose mentions in docstrings
+    and comments count as coverage. A "test:<name>" symbol pins an
+    explicit test function instead of searching."""
     hits: dict[str, list[tuple[str, str]]] = {s: [] for s in COMPONENTS.values()}
-    pats = {
-        s: re.compile(r"(?<![A-Za-z0-9_])" + re.escape(s) + r"(?![A-Za-z0-9_])")
-        for s in hits
-        if not s.startswith("test:")
-    }
+    syms = {s for s in hits if not s.startswith("test:")}
     for path in sorted(glob.glob(os.path.join(repo, "tests", "test_*.py"))):
         src = open(path).read()
         mod = os.path.splitext(os.path.basename(path))[0]
         tree = ast.parse(src)
         for node in ast.walk(tree):
             if isinstance(node, ast.FunctionDef) and node.name.startswith("test_"):
-                seg = ast.get_source_segment(src, node) or ""
+                idents = set()
+                for sub in ast.walk(node):
+                    if isinstance(sub, ast.Name):
+                        idents.add(sub.id)
+                    elif isinstance(sub, ast.Attribute):
+                        idents.add(sub.attr)
+                    elif isinstance(sub, (ast.Import, ast.ImportFrom)):
+                        for alias in sub.names:
+                            idents.add(alias.name.split(".")[-1])
+                            if alias.asname:
+                                idents.add(alias.asname)
                 for sym in hits:
                     if sym.startswith("test:"):
                         if node.name == sym[5:]:
                             hits[sym].append((mod, node.name))
-                    elif pats[sym].search(seg):
+                    elif sym in idents and sym in syms:
                         hits[sym].append((mod, node.name))
     return hits
 
