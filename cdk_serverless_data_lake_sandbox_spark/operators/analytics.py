@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money, money_sum
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money, money_sum, pin
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -667,7 +667,7 @@ def count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wc feeds 8 plan branches (4 sketch rows + 4 probe joins); a
     # vocabulary-sized materialization collapses them to ONE token
     # scan instead of relying on exchange reuse across the fan-out
-    wc = word_counts(docs).localCheckpoint()
+    wc = word_counts(docs).transform(pin)
     return (
         cms_probe(wc, cms_cells(wc))
         .orderBy(F.desc("exact_n"), "word")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import pin
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 from cdk_serverless_data_lake_sandbox_spark.sources.crawler import CsvClassifier, crawl_delimited
 
@@ -932,13 +933,20 @@ def repartition_layout(
 
 # ---------------------------------------------------------------- D25
 def _dv_fname(col) -> F.Column:
-    """File BASENAME from a ``_metadata.file_path`` URI. Every dv
-    join matches on the basename, never the raw URI: the URI form
-    varies by Spark version / filesystem ('file:/p', 'file:///p',
-    raw '/p'), and basenames are unique within a parquet table (the
-    writer embeds a UUID), so basename identity survives a sidecar
-    written by a different normalization than the reader emits."""
-    return F.element_at(F.split(col, "/"), -1)
+    """``parent/basename`` key from a ``_metadata.file_path`` URI.
+    Every dv join matches on this suffix, never the raw URI: the URI
+    form varies by Spark version / filesystem ('file:/p',
+    'file:///p', raw '/p'), so only the path tail is stable. The
+    basename alone would already be unique for files THIS repo writes
+    (the parquet writer embeds a UUID), but a table assembled by
+    copying part files from other tables can repeat basenames —
+    keeping the immediate parent directory in the key (ADVICE r6)
+    means one file's deletion vector can never suppress rows in a
+    same-named file elsewhere in the table."""
+    parts = F.split(col, "/")
+    return F.concat_ws(
+        "/", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
 
 
 def dv_delete(spark: SparkSession, table_path: str, predicate: str) -> dict:
@@ -981,7 +989,7 @@ def dv_delete(spark: SparkSession, table_path: str, predicate: str) -> dict:
         )
     else:  # first delete: no sidecar yet
         fresh = hits
-    fresh = fresh.localCheckpoint()
+    fresh = fresh.transform(pin)
     n_new = fresh.count()
     if n_new:
         # one partitioned sidecar layout, shared with the streaming
@@ -1042,8 +1050,8 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
     if not os.path.isdir(dv_dir):
         return {"files_rewritten": 0, "files_kept": 0, "rows_dropped": 0}
     dv = spark.read.parquet(dv_dir)
-    # basename identity throughout (see _dv_fname): the sidecar may
-    # carry a different URI normalization than this reader emits
+    # parent/basename identity throughout (see _dv_fname): the sidecar
+    # may carry a different URI normalization than this reader emits
     touched = [r.fn for r in dv.select(_dv_fname("file").alias("fn")).distinct().collect()]
     base = spark.read.parquet(table_path).select(
         "*",
@@ -1065,18 +1073,20 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
         )
         .drop("_dv_fn", "_dv_pos")
     )
-    clean_rows = clean_rows.localCheckpoint()
+    clean_rows = clean_rows.transform(pin)
     after = clean_rows.count()
     staged = table_path + "_dv_staged"
     clean_rows.write.mode("overwrite").parquet(staged)
     import glob as _glob
 
-    # `touched` holds basenames (_dv_fname), so the local-file match
-    # is URI-normalization-proof: no dirty file is silently kept
-    # (which would duplicate its rewritten rows after the swap).
+    # `touched` holds parent/basename keys (_dv_fname), so the
+    # local-file match is URI-normalization-proof: no dirty file is
+    # silently kept (which would duplicate its rewritten rows after
+    # the swap).
     kept = 0
     for f in _glob.glob(os.path.join(table_path, "*.parquet")):
-        if os.path.basename(f) in touched:
+        fkey = os.path.basename(os.path.dirname(f)) + "/" + os.path.basename(f)
+        if fkey in touched:
             os.remove(f)
         else:
             kept += 1
@@ -1125,7 +1135,7 @@ def cdc_envelope_apply(
     # Reject unknown/NULL ops: such an envelope would land its key in
     # clear_keys (dropping the current row) while producing neither an
     # upsert nor a counted delete — silent data loss. The count rides
-    # the localCheckpoint action below via observe() so the guard
+    # the pin() materialization action below via observe() so the guard
     # costs no extra job (and no second from_json pass per batch).
     from pyspark.sql import Observation
 
@@ -1153,7 +1163,7 @@ def cdc_envelope_apply(
             F.col("w.after").alias("after"),
         )
     )
-    latest = latest.localCheckpoint()
+    latest = latest.transform(pin)
     bad_ops = int(obs.get["bad_ops"] or 0)
     if bad_ops:
         raise ValueError(
@@ -1259,7 +1269,7 @@ def ivm_join_append(
             dj = dj.unionByName(p)
     else:
         dj = None
-    dj = dj.localCheckpoint() if dj is not None else None
+    dj = dj.transform(pin) if dj is not None else None
     n = dj.count() if dj is not None else 0
     _ivm_write_version(
         view_dir, version,

@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import pin
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _DAMP = 0.85
@@ -65,11 +66,11 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("src")
-    # On a cluster this is persist(MEMORY_AND_DISK) / a bucketed
-    # staging table; locally localCheckpoint is the same contract.
+    # pin(): local[*] -> localCheckpoint; cluster masters default to
+    # the reliable scratch-parquet materializer (executor-loss-safe).
     return sym.withColumn(
         "src_deg", F.count("*").over(w)
-    ).localCheckpoint()
+    ).transform(pin)
 
 
 def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:
@@ -90,7 +91,7 @@ def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:
     nodes = (
         edges.select(F.col("src").alias("node"), F.col("src_deg").alias("deg"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     # one bounded driver scalar (the node count) picks the join tier:
     # the rank table is one row per node, so up to millions of nodes
@@ -121,7 +122,7 @@ def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:
                     + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
     return ranks.join(nodes, "node").select("node", "rank", "deg")
 
@@ -223,7 +224,7 @@ def personalized_pagerank(
         "left",
     ).select(
         "node", "deg", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
-    ).localCheckpoint()
+    ).transform(pin)
     # |S| counts seeds PRESENT IN THE GRAPH (a seed part never
     # co-purchased contributes no teleport mass on either side);
     # bounded driver scalars, same join-tier logic as pagerank()
@@ -249,7 +250,7 @@ def personalized_pagerank(
                 (F.lit(1.0) - F.lit(damping)) * F.col("tele")
                 + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
             ).alias("rank"),
-        ).localCheckpoint()
+        ).transform(pin)
     return ranks.join(base.select("node", "deg", "is_seed"), "node")
 
 
@@ -402,7 +403,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("src_deg") == F.col("dst_deg")) & (F.col("src") < F.col("dst")))
         )
         .select("src", "dst")
-        .localCheckpoint()
+        .transform(pin)
     )
     b = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("w"))
     wedges = (
@@ -526,7 +527,7 @@ def copurchase_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (
         edges.select(F.col("src").alias("node"), F.col("src_deg").alias("deg"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     seeds = part.where(F.col("p_brand") == _BFS_SEED_BRAND).select(
         F.col("p_partkey").alias("snode"), F.lit(0).alias("seed_dist")
@@ -558,7 +559,7 @@ def copurchase_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(merged)
                 .alias("dist"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
     return (
         dist.join(nodes, "node")
@@ -787,11 +788,11 @@ def copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(wsum.select(F.col("src").alias("wn"), "ws"), edges.src == F.col("wn"))
         .select("src", "dst", "w", "ws")
         .repartition(nparts, "src")
-        .localCheckpoint()
+        .transform(pin)
     )
     nodes = edges.select(
         F.col("src").alias("node"), F.col("ws").alias("strength")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(pin)
     n = nodes.count()
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
     for _ in range(_ITERS):
@@ -814,7 +815,7 @@ def copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
     return (
         ranks.join(nodes, "node")
@@ -875,7 +876,7 @@ def coreness_frame(
     cur = (
         edges.select(F.col("src").alias("node"), F.col("src_deg").alias("c"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n = cur.count()  # bounded driver scalar picks the join tier
     n_changed = n  # round 1: every node is "changed"
@@ -937,7 +938,7 @@ def coreness_frame(
                     "changed"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         n_changed = int(obs.get["changed"] or 0)
         changed = stepped.where(F.col("new_c") != F.col("_old")).select("node")
@@ -1049,7 +1050,7 @@ def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
     cur = (
         edges.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n = cur.count()  # bounded driver scalar picks the join tier
     n_changed = n  # round 1: every node is "changed"
@@ -1100,7 +1101,7 @@ def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
                     (F.col("new_lbl") != F.col("_old")).cast("long")
                 ).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         n_changed = int(obs.get["changed"] or 0)
         changed = stepped.where(F.col("new_lbl") != F.col("_old")).select("node")

@@ -10,9 +10,17 @@ headers don't need one):
   the PNG spec §9), IHDR-validated dimensions, real pixel values out.
 - WAV: PCM encode/decode through the stdlib ``wave`` module; decoded
   samples feed the existing resample path.
-- JPEG: SOF0/1/2 marker-scan header parse (the same algorithm
-  ``file(1)``/PIL use for dimensions). Entropy-coded body decode is
-  the one genuinely codec-bound step and stays stubbed.
+- JPEG: full decode AND encode for 8-bit single-component
+  (grayscale) baseline *and* progressive (SOF0/1/2) streams — marker
+  scan, canonical Huffman tables, dequant, AAN-free exact IDCT, and
+  the T.81 progressive spectral-selection / successive-approximation
+  refinement passes (decoder at ``_jpeg_decode``, encoder at
+  ``jpeg_encode_progressive``; both pixel-pinned by tests).
+  Deliberate refusals, each a clean ``ValueError`` rather than
+  garbage pixels: 12-bit sample precision (legal in SOF1/SOF2 but
+  the 8-bit dequant path would be wrong), multi-component / chroma
+  subsampling, arithmetic-coded and hierarchical variants
+  (SOF9/SOF3/...), restart markers, and 16-bit quant tables.
 
 The legacy ``fake/raw`` path (``_decode_bytes``) remains for the
 batch-shape/chunk-budget tests. Everything is tested on real bytes:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize, pin
 from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
     _JACCARD_TAU,
     _docs,
@@ -207,7 +207,7 @@ def min_label_components(
     # (the propagation join and the convergence check), so composing
     # lazily doubles the logical plan per round — after ~20 rounds the
     # tree alone OOMs the driver. Lineage is therefore truncated every
-    # round: eager localCheckpoint for driver-reasonable label frames
+    # round: pin() for driver-reasonable label frames
     # (executor-local blocks, no parquet round-trip — each round costs
     # ONE action), written scratch above the size gate (durable across
     # executor loss, the correct choice when labels are corpus-sized).
@@ -217,7 +217,7 @@ def min_label_components(
     small = docs.count() <= 10_000_000
 
     def truncate(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if small else materialize(df)
+        return df.transform(pin) if small else materialize(df)
 
     labels = truncate(docs.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(32):  # diameter bound; near-dup clusters are shallow

@@ -15,11 +15,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import pin
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _COSINE_TAU = 0.3
 _TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
+# Per-partition candidate margin for the BLAS selection stages
+# (ann_topk_vectorized / ann_topk_arrow keep factor*k local survivors
+# per query before the JVM rescore). The margin is what makes
+# BLAS-vs-fold float noise at the kth boundary irrelevant; widen it
+# here (one place, both UDFs read it) if ever scoring a corpus of
+# near-identical vectors — see _exact_rescore's margin caveat.
+_ANN_MARGIN_FACTOR = 2
 # 4 sign-bits per table x 8 independent tables: for a neighbor at
 # cosine ~0.4 (theta ~66deg, per-bit agreement ~0.63) recall is
 # 1-(1-0.63^4)^8 ~ 0.75. At larger corpora raise _N_PLANES so bucket
@@ -481,10 +489,11 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi, qid in enumerate(ids):
                 col = sims[:, qi]
                 cand_idx = np.nonzero(nids != qid)[0]
-                # deterministic tie order (score desc, id asc), 2k
-                # safety margin — selection only, scores discarded
+                # deterministic tie order (score desc, id asc),
+                # margin*k safety margin — selection only, scores
+                # discarded (see _ANN_MARGIN_FACTOR)
                 order = np.lexsort((nids[cand_idx], -col[cand_idx]))
-                top = cand_idx[order][: 2 * k]
+                top = cand_idx[order][: _ANN_MARGIN_FACTOR * k]
                 out_q.extend([qid] * len(top))
                 out_n.extend(nids[top])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
@@ -1239,10 +1248,11 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi, qid in enumerate(ids):
                 col = sims[:, qi]
                 cand_idx = np.nonzero(nids != qid)[0]
-                # deterministic tie order (score desc, id asc), 2k
-                # safety margin — selection only, scores discarded
+                # deterministic tie order (score desc, id asc),
+                # margin*k safety margin — selection only, scores
+                # discarded (see _ANN_MARGIN_FACTOR)
                 order = np.lexsort((nids[cand_idx], -col[cand_idx]))
-                top = cand_idx[order][: 2 * k]
+                top = cand_idx[order][: _ANN_MARGIN_FACTOR * k]
                 out_q.extend([qid] * len(top))
                 out_n.extend(nids[top])
             yield pa.RecordBatch.from_arrays(
@@ -2032,7 +2042,7 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected set, max-sim join, per-query window argmax) — a constant
     number of bounded shuffles regardless of query count, so a
     million-query re-rank runs as 8 joins over the cluster rather
-    than a driver loop. The candidate frame is localCheckpointed once
+    than a driver loop. The candidate frame is pinned once
     and reused by all steps. DuckDB oracle: the same greedy unrolled
     step-by-step (hash-exact; ties broken by neighbor_id on both
     sides)."""
@@ -2056,7 +2066,7 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _MMR_CAND)
         .drop("rn")
-        .localCheckpoint()
+        .transform(pin)
     )
     lam, mu = F.lit(_MMR_LAM), F.lit(_MMR_MU)
     wpick = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
@@ -2094,7 +2104,7 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sel feeds both the anti-join and the sim join next step, so
         # without truncation the lineage doubles per iteration --
         # checkpoint the (<= steps * n_queries)-row frame each pass.
-        sel = sel.unionAll(pick).localCheckpoint()
+        sel = sel.unionAll(pick).transform(pin)
     return sel.select(
         "query_id",
         "neighbor_id",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize, pin
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -1500,7 +1500,7 @@ def bpe_train(
         words.groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select("word", "freq", F.expr("split(word, '')").alias("syms"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     merges: list[tuple[str, str]] = []
     rounds = 0
@@ -1543,7 +1543,7 @@ def bpe_train(
             expr = _merge_pair_expr(expr, a, b)
         vocab = vocab.select(
             "word", "freq", F.expr(expr).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     if stats is not None:
         stats["rounds"] = rounds
     return merges

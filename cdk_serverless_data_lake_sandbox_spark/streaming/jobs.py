@@ -1116,6 +1116,12 @@ def stream_anomaly_gate(
         score_cells,
     )
 
+    # Streaming foreachBatch deliberately keeps localCheckpoint (not
+    # the pin() reliable materializer): executor loss mid-batch fails
+    # the micro-batch, and Structured Streaming's own checkpoint
+    # replays it on restart — that IS the recovery path, whereas
+    # keyless scratch-parquet state would accumulate unboundedly over
+    # a long-running query.
     b = baseline.localCheckpoint()
 
     def gate(batch: DataFrame, batch_id: int) -> None:

@@ -37,13 +37,18 @@ def load_bench(path: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    factor = 2.0
-    for a in sys.argv[1:]:
-        if a.startswith("--factor"):
-            factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    # argparse so both `--factor 2.5 BENCH.json` and
+    # `BENCH.json --factor 2.5` parse (the old hand-rolled filter left
+    # the space-separated value in the positional args — ADVICE r6)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("bench", help="BENCH_rNN.json or bench.py stdout capture")
+    ap.add_argument("--factor", type=float, default=2.0)
+    ns = ap.parse_args()
+    factor = ns.factor
     base = load_baseline()
-    bench = load_bench(args[0])
+    bench = load_bench(ns.bench)
     shared = {k: v for k, v in bench["queries"].items() if k in base["queries"]}
     missing = sorted(set(base["queries"]) - set(shared))
     total = round(sum(shared.values()), 3)

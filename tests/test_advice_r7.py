@@ -1,0 +1,248 @@
+"""Regression tests for the round-6 VERDICT/ADVICE findings fixed in
+round 7.
+
+1. Pluggable iterative-state materializer (verdict item 1): pin()
+   routes localCheckpoint through a local|reliable|auto knob; under
+   `reliable` the iterative operators must produce BIT-identical
+   results with ZERO localCheckpoint calls, and non-local masters must
+   resolve to `reliable` by default.
+2. baseline_check.py parses `--factor 2.5 BENCH.json` in either
+   argument order (ADVICE: the hand-rolled parser crashed on the
+   space-separated form placed first).
+3. _ANN_MARGIN_FACTOR is a single module constant both BLAS selection
+   UDFs read, and an exact-tie corpus denser than the margin still
+   rescoes bit-identically to bruteforce (the lexsort tie-break
+   contract).
+4. dv sidecar matching is parent-directory-aware: two part files with
+   the SAME basename in different tables can no longer suppress each
+   other's rows (ADVICE: copied-part-file table assembly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ------------------------------------------------------------- fix 1
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_reliable_materializer_bit_identical_and_no_localcheckpoint(spark):
+    """pagerank + kcore under materializer=reliable: results must be
+    bit-identical to the local path, and the reliable path must never
+    plan a bare localCheckpoint (patched to raise)."""
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    cls = type(spark.range(1))  # the CONCRETE class (pyspark 4:
+    # classic.dataframe.DataFrame shadows the base-class method, so
+    # patching pyspark.sql.dataframe.DataFrame would be vacuous)
+    qs = all_queries()
+    base_pr = _collect_sorted(qs["copurchase_pagerank"](spark, SF_SMALL))
+    base_kc = _collect_sorted(qs["copurchase_kcore"](spark, SF_SMALL))
+
+    orig = cls.localCheckpoint
+
+    def banned(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError(
+            "localCheckpoint planned under materializer=reliable"
+        )
+
+    spark.conf.set("spark.graft.materializer", "reliable")
+    cls.localCheckpoint = banned
+    try:
+        rel_pr = _collect_sorted(qs["copurchase_pagerank"](spark, SF_SMALL))
+        rel_kc = _collect_sorted(qs["copurchase_kcore"](spark, SF_SMALL))
+    finally:
+        cls.localCheckpoint = orig
+        spark.conf.unset("spark.graft.materializer")
+
+    # exact equality, floats included: both modes replay the same
+    # deterministic physical rows — only where the bytes live differs
+    assert rel_pr == base_pr
+    assert rel_kc == base_kc
+
+
+def test_materializer_mode_resolution():
+    """auto = local on local[...] masters, reliable anywhere else;
+    conf beats env beats default; unknown modes raise."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        _materializer_mode,
+    )
+
+    assert _materializer_mode("local[32]", None, None) == "local"
+    assert _materializer_mode("local[*]", None, None) == "local"
+    # the cluster contract the verdict asked to pin: non-local masters
+    # NEVER default to the executor-pinned localCheckpoint path
+    assert _materializer_mode("spark://host:7077", None, None) == "reliable"
+    assert _materializer_mode("yarn", None, None) == "reliable"
+    assert _materializer_mode("k8s://https://host", None, None) == "reliable"
+    assert _materializer_mode("spark://host:7077", "local", None) == "local"
+    assert _materializer_mode("local[4]", None, "reliable") == "reliable"
+    assert _materializer_mode("local[4]", "local", "reliable") == "local"
+    with pytest.raises(ValueError):
+        _materializer_mode("local[4]", "bogus", None)
+
+
+def test_pin_uses_localcheckpoint_in_local_mode(spark):
+    """Default (auto) on local[...]: pin() must take the fast
+    localCheckpoint path, not scratch parquet."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import pin
+
+    cls = type(spark.range(1))
+    calls = []
+    orig = cls.localCheckpoint
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    cls.localCheckpoint = spy
+    try:
+        out = pin(spark.range(3))
+        assert out.count() == 3
+    finally:
+        cls.localCheckpoint = orig
+    assert calls, "pin() did not route through localCheckpoint on local[*]"
+
+
+# ------------------------------------------------------------- fix 2
+def _run_baseline_check(args):
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "baseline_check.py"), *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+
+
+def test_baseline_check_factor_before_positional(tmp_path):
+    """`--factor 9.9 BENCH.json` (value first) must parse — the old
+    parser passed '9.9' to load_bench and crashed."""
+    base = json.loads(
+        open(os.path.join(REPO, "BASELINE.md"))
+        .read()
+        .split("<!-- BASELINE_JSON\n")[1]
+        .split("\nBASELINE_JSON -->")[0]
+    )
+    bench = {
+        "metric": "t",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {k: v for k, v in base["queries"].items()},
+    }
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps(bench))
+    r1 = _run_baseline_check(["--factor", "9.9", str(p)])
+    r2 = _run_baseline_check([str(p), "--factor", "9.9"])
+    assert r1.returncode == 0, r1.stderr
+    assert r2.returncode == 0, r2.stderr
+    assert json.loads(r1.stdout)["gate_factor"] == 9.9
+    assert json.loads(r2.stdout)["gate_factor"] == 9.9
+
+
+# ------------------------------------------------------------- fix 3
+def test_ann_margin_factor_single_constant():
+    """Both BLAS selection UDF bodies read the module constant (not a
+    literal), so widening the margin is a one-line change."""
+    import inspect
+
+    from cdk_serverless_data_lake_sandbox_spark.operators import similarity
+
+    assert similarity._ANN_MARGIN_FACTOR >= 2
+    for fn in (similarity.ann_topk_vectorized, similarity.ann_topk_arrow):
+        src = inspect.getsource(fn)
+        assert "_ANN_MARGIN_FACTOR * k" in src, fn.__name__
+        assert "2 * k" not in src, fn.__name__
+
+
+def test_ann_vectorized_exact_ties_denser_than_margin(spark, tmp_path):
+    """Adversarial near-tie corpus: more vectors than the margin
+    (factor*k) tie EXACTLY at the kth-boundary score in one partition.
+    The lexsort (score desc, id asc) tie-break must keep the same
+    survivors the JVM window keeps, so the vectorized path stays
+    bit-identical to bruteforce. This pins the documented failure
+    mode loudly: if the margin logic regresses, the ids diverge."""
+    from cdk_serverless_data_lake_sandbox_spark.operators import similarity
+
+    k = similarity._TOP_K
+    margin = similarity._ANN_MARGIN_FACTOR * k
+    nq = similarity._N_QUERIES
+    # query vectors 0..nq-1: distinct directions; corpus: 4*margin
+    # copies of the SAME unit vector (exact ties for every query)
+    dim = 8
+    rows = []
+    for vid in range(nq):
+        v = [0.0] * dim
+        v[vid % dim] = 1.0
+        v[(vid + 1) % dim] = 0.5
+        rows.append((vid, v))
+    tie = [1.0] + [0.25] * (dim - 1)
+    for vid in range(nq, nq + 4 * margin):
+        rows.append((vid, list(tie)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sf_dir = str(tmp_path / "tie_sf")
+    os.makedirs(sf_dir)
+    df.coalesce(1).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    brute = _collect_sorted(similarity.ann_topk_bruteforce(spark, sf_dir))
+    vec = _collect_sorted(similarity.ann_topk_vectorized(spark, sf_dir))
+    assert vec == brute
+
+
+# ------------------------------------------------------------- fix 4
+def test_dv_sidecar_same_basename_different_parent(spark, tmp_path):
+    """Assemble a table from two copied part files that share a
+    BASENAME but live under different parent dirs; a deletion vector
+    recorded against one must not suppress rows read from the other."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        dv_delete,
+        dv_read,
+    )
+
+    table = str(tmp_path / "tbl")
+    # two single-file source tables, same basename via manual copy
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    spark.range(0, 10).withColumn("v", F.lit("a")).coalesce(1).write.parquet(src_a)
+    spark.range(10, 20).withColumn("v", F.lit("b")).coalesce(1).write.parquet(src_b)
+    import glob
+    import shutil
+
+    os.makedirs(os.path.join(table, "part=a"))
+    os.makedirs(os.path.join(table, "part=b"))
+    fa = glob.glob(os.path.join(src_a, "*.parquet"))[0]
+    fb = glob.glob(os.path.join(src_b, "*.parquet"))[0]
+    shared = "part-00000-copied.snappy.parquet"
+    shutil.copy(fa, os.path.join(table, "part=a", shared))
+    shutil.copy(fb, os.path.join(table, "part=b", shared))
+    assert spark.read.parquet(table).count() == 20
+
+    out = dv_delete(spark, table, "id < 3")  # rows live in part=a's file
+    assert out["rows_deleted"] == 3
+    remaining = dv_read(spark, table)
+    assert remaining.count() == 17
+    # part=b's same-named file is untouched: all of 10..19 survive
+    assert remaining.where(F.col("id") >= 10).count() == 10
+
+
+def test_multimodal_docstring_matches_decoder():
+    """The module docstring must describe the REAL JPEG decoder, not
+    the round-2 stub (round-6 verdict item 3)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators import multimodal
+
+    doc = multimodal.__doc__
+    assert "stays stubbed" not in doc
+    assert "progressive" in doc
+    assert "12-bit" in doc
