@@ -31,17 +31,61 @@ class CsvClassifier:
     contains_header: str = "PRESENT"  # PRESENT | ABSENT | UNKNOWN
 
 
-def _header_is_detectable(spark: SparkSession, path: str, delimiter: str) -> bool:
+# Rows fed to schema inference. Glue crawlers classify from a sample,
+# not the full dataset — before round 7 this module's probe + read ran
+# TWO full inferSchema scans over the raw files, which at 100 TB of
+# TSV is two table scans for what should be a metadata operation.
+_SAMPLE_ROWS = 10_000
+
+
+def _sample_lines(spark: SparkSession, path: str, n: int = _SAMPLE_ROWS):
+    """Bounded probe: the first ``n`` raw lines of the dataset.
+    ``limit`` plans a CollectLimit over the text scan, so Spark stops
+    reading after the first partitions that satisfy it — the probe
+    cost is O(n), independent of dataset size."""
+    return [r.value for r in spark.read.text(path).limit(n).collect()]
+
+
+def _infer_from_sample(
+    spark: SparkSession,
+    lines: list[str],
+    delimiter: str,
+    quote: str,
+    use_header: bool,
+):
+    """Run Spark's own CSV inference over the in-memory sample (the
+    reader accepts an RDD of lines), so sampled inference keeps the
+    exact type-widening rules of full inference."""
+    if use_header and lines:
+        # a multi-file dataset repeats its header at every file
+        # boundary; the full reader skips those per file, so the
+        # sample must too (a stray "age" inside an int column would
+        # otherwise demote the inferred type to string)
+        head = lines[0]
+        lines = [head] + [ln for ln in lines[1:] if ln != head]
+    rdd = spark.sparkContext.parallelize(lines or [""], 1)
+    return (
+        spark.read.option("header", use_header)
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("inferSchema", True)
+        .option("nullValue", "\\N")
+        .csv(rdd)
+        .schema
+    )
+
+
+def _header_is_detectable(
+    spark: SparkSession, path: str, delimiter: str, lines: list[str] | None = None
+) -> bool:
     """Glue-style heuristic: a header is auto-detected only when at
     least one column is non-string (then the header row, which never
-    parses as that type, stands out). All-string data -> no header."""
-    probe = (
-        spark.read.option("header", True)
-        .option("sep", delimiter)
-        .option("inferSchema", True)
-        .csv(path)
-    )
-    return any(f.dataType.simpleString() != "string" for f in probe.schema.fields)
+    parses as that type, stands out). All-string data -> no header.
+    Decided from the bounded sample, never a full scan."""
+    if lines is None:
+        lines = _sample_lines(spark, path)
+    schema = _infer_from_sample(spark, lines, delimiter, '"', True)
+    return any(f.dataType.simpleString() != "string" for f in schema.fields)
 
 
 def crawl_delimited(
@@ -49,25 +93,37 @@ def crawl_delimited(
     path: str,
     delimiter: str = "\t",
     classifier: CsvClassifier | None = None,
+    sample_rows: int = _SAMPLE_ROWS,
 ) -> DataFrame:
     """Infer schema for a delimited file the way the reference's
     crawler pair does. Returns the typed DataFrame; the caller
-    registers it in a :class:`~cdk_serverless_data_lake_sandbox_spark.catalog.Lake` zone."""
+    registers it in a :class:`~cdk_serverless_data_lake_sandbox_spark.catalog.Lake` zone.
+
+    Inference runs over the first ``sample_rows`` lines only (the
+    Glue-crawler sampling contract, demo_stack.py:130-145); the full
+    dataset is then scanned ONCE with the inferred schema applied
+    explicitly. The sampled-inference tradeoff is the standard one: a
+    type that only widens past the sample horizon (e.g. ints that
+    become floats after row 10k) parses those rows to NULL under
+    PERMISSIVE mode instead of widening — raise ``sample_rows`` for
+    pathologically ordered data."""
+    lines = _sample_lines(spark, path, sample_rows)
     if classifier is not None:
         use_header = classifier.contains_header == "PRESENT"
         delimiter = classifier.delimiter
         quote = classifier.quote_symbol
     else:
-        use_header = _header_is_detectable(spark, path, delimiter)
         quote = '"'
-    reader = (
+        use_header = _header_is_detectable(spark, path, delimiter, lines)
+    schema = _infer_from_sample(spark, lines, delimiter, quote, use_header)
+    df = (
         spark.read.option("header", use_header)
         .option("sep", delimiter)
         .option("quote", quote)
-        .option("inferSchema", True)
         .option("nullValue", "\\N")  # IMDB-style nulls
+        .schema(schema)
+        .csv(path)
     )
-    df = reader.csv(path)
     if not use_header:
         df = df.toDF(*[f"col_{i}" for i in range(len(df.columns))])
     return df

@@ -246,3 +246,47 @@ def test_multimodal_docstring_matches_decoder():
     assert "stays stubbed" not in doc
     assert "progressive" in doc
     assert "12-bit" in doc
+
+
+# ------------------------------------------------------------- fix 5
+def test_crawler_sampled_inference_bounded_probe(spark, tmp_path):
+    """Crawler schema inference is a bounded probe, not a full scan
+    (round-6 verdict item 4): on a multi-file dataset far larger than
+    the sample, the probe reads at most sample_rows lines and the
+    inferred schema matches what full inference produced — including
+    across file boundaries, where every file repeats the header."""
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import (
+        CsvClassifier,
+        _sample_lines,
+        crawl_delimited,
+    )
+
+    root = tmp_path / "multi"
+    root.mkdir()
+    rows_per_file, n_files = 5000, 3
+    for i in range(n_files):
+        with open(root / f"part-{i}.tsv", "w") as f:
+            f.write("name\tage\tscore\n")
+            for j in range(rows_per_file):
+                f.write(f"user{i}_{j}\t{20 + j % 50}\t{j / 7.0}\n")
+
+    sample = _sample_lines(spark, str(root), 1000)
+    assert len(sample) <= 1000  # bounded probe, dataset has 15003 lines
+
+    df = crawl_delimited(
+        spark, str(root), classifier=CsvClassifier(), sample_rows=1000
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "int",
+        "double",
+    ], df.schema.simpleString()
+    # per-file headers skipped on the full read; no row lost or
+    # misparsed (a stray header line inside a typed column would be
+    # NULL under the explicit schema)
+    assert df.count() == rows_per_file * n_files
+    assert df.where(F.col("age").isNull() | F.col("score").isNull()).count() == 0
+
+    # headerless auto-detect path samples too
+    df2 = crawl_delimited(spark, str(root), sample_rows=1000)
+    assert df2.schema.fields[1].dataType.simpleString() == "int"
