@@ -221,26 +221,102 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C7
-def _bucket_expr(vec: str, table: int) -> Column:
+# Hyperplane components are PLAN-TIME constants since round 7 (verdict
+# item 7): w_j = (horner("t{t}_p{p}_{j}") % 2001 - 1000)/1000, computed
+# in Python from the portable Horner hash and inlined as exact rational
+# literals (int/1000.0 — the division is the identical IEEE op in both
+# engines). The old form derived the same pseudo-random weights from
+# xxhash64 PER ROW, which was JVM-only (rows-only oracle) and paid the
+# hash 8 tables x 4 planes x dim times per vector for constants.
+_ORACLE_DIM = 64  # embeddings dim in the driver's testdata
+
+
+def _plane_ints(table: int, p: int, dim: int) -> list[int]:
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_py
+
+    return [(_horner_py(f"t{table}_p{p}_{j}") % 2001) - 1000 for j in range(dim)]
+
+
+def _emb_dim(e: DataFrame) -> int:
+    """Vector dimensionality — one bounded driver scalar per call."""
+    row = e.select(F.size("embedding").alias("d")).first()
+    return int(row.d) if row is not None else _ORACLE_DIM
+
+
+def _bucket_expr(vec: str, table: int, dim: int) -> Column:
     """LSH bucket id: sign bits of dot products against _N_PLANES
-    deterministic pseudo-random hyperplanes (hash-seeded, no stored
-    model). JVM-only."""
+    deterministic pseudo-random hyperplanes (literal weights, no
+    stored model). Engine-portable; `_bucket_sql` is the DuckDB twin."""
     bits = []
     for p in range(_N_PLANES):
-        # hyperplane component w_j = (xxhash64(seed) mod 2001 - 1000)/1000
-        plane = (
-            f"transform(sequence(0, size({vec}) - 1),"
-            f" j -> (CAST(pmod(xxhash64(concat('t{table}_p{p}_', j)), 2001) AS DOUBLE) - 1000.0d) / 1000.0d)"
+        ws = ", ".join(
+            f"(CAST({m} AS DOUBLE) / 1000.0D)" for m in _plane_ints(table, p, dim)
         )
         dot = (
-            f"aggregate(zip_with({vec}, {plane}, (x, w) -> CAST(x AS DOUBLE) * w),"
+            f"aggregate(zip_with({vec}, array({ws}), (x, w) -> CAST(x AS DOUBLE) * w),"
             " 0.0d, (acc, v) -> acc + v)"
         )
         bits.append(f"(CASE WHEN {dot} >= 0.0d THEN shiftleft(1L, {p}) ELSE 0L END)")
     return F.expr(" + ".join(bits))
 
 
-@register("ann_lsh_bucketed")  # approximate -> rows-only check
+def _bucket_sql(vec: str, table: int, dim: int = _ORACLE_DIM) -> str:
+    """DuckDB twin of :func:`_bucket_expr` (list_sum == the Spark
+    0.0-seeded left fold — the proven _SQL_DOT recipe)."""
+    bits = []
+    for p in range(_N_PLANES):
+        ws = ", ".join(
+            f"(CAST({m} AS DOUBLE) / 1000)" for m in _plane_ints(table, p, dim)
+        )
+        dot = (
+            f"list_sum(list_transform(list_zip({vec}, [{ws}]),"
+            f" x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_bucket_cte() -> str:
+    """CTE ``b(vec_id, tbl, bucket)``: every vector bucketed in every
+    table. MATERIALIZED — the probe and corpus sides both scan it, and
+    DuckDB's default inlining would re-expand the 8-way bucket CASE
+    per reference."""
+    cases = " ".join(
+        f"WHEN {t} THEN {_bucket_sql('embedding', t)}" for t in range(_N_TABLES)
+    )
+    return f"""b AS MATERIALIZED (
+  SELECT vec_id, t.tbl AS tbl, CASE t.tbl {cases} END AS bucket
+  FROM embeddings, UNNEST(range({_N_TABLES})) AS t(tbl)
+)"""
+
+
+_LSH_SCORE_SQL = f"""scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    {_SQL_DOT.format(a="eq.embedding", b="ec.embedding")}
+      / ({_SQL_NORM.format(a="eq.embedding")} * {_SQL_NORM.format(a="ec.embedding")}) AS cosine
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}"""
+
+
+_LSH_BUCKETED_ORACLE = f"""
+WITH {_lsh_bucket_cte()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+),
+{_LSH_SCORE_SQL}
+"""
+
+
+@register("ann_lsh_bucketed", oracle=_LSH_BUCKETED_ORACLE)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: random-hyperplane LSH, _N_TABLES independent
     bucket tables. Queries only compare against corpus vectors landing
@@ -249,11 +325,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness is traded for recall; tests/test_similarity.py measures
     recall@k against the brute-force baseline."""
     e = _emb(spark, sf_dir)
+    dim = _emb_dim(e)
     tables = []
     for t in range(_N_TABLES):
         tables.append(
             e.select(
-                "vec_id", "embedding", F.lit(t).alias("tbl"), _bucket_expr("embedding", t).alias("bucket")
+                "vec_id", "embedding", F.lit(t).alias("tbl"), _bucket_expr("embedding", t, dim).alias("bucket")
             )
         )
     bucketed = tables[0]
@@ -1863,7 +1940,23 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C100
-@register("ann_lsh_multiprobe")  # approximate -> rows-only check
+_LSH_MULTIPROBE_ORACLE = f"""
+WITH {_lsh_bucket_cte()},
+qp AS (
+  SELECT vec_id AS query_id, tbl,
+    UNNEST([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM b WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+  FROM qp JOIN b c ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+  WHERE c.vec_id <> qp.query_id
+),
+{_LSH_SCORE_SQL}
+"""
+
+
+@register("ann_lsh_multiprobe", oracle=_LSH_MULTIPROBE_ORACLE)
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes
     its own bucket PLUS every bucket at Hamming distance 1 (one
@@ -1881,13 +1974,14 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     D19 for the persisted-index pattern); only the bounded query side
     explodes its probe list. Exact scoring touches candidates only."""
     e = _emb(spark, sf_dir)
+    dim = _emb_dim(e)
     tables = []
     for t in range(_N_TABLES):
         tables.append(
             e.select(
                 "vec_id",
                 F.lit(t).alias("tbl"),
-                _bucket_expr("embedding", t).alias("bucket"),
+                _bucket_expr("embedding", t, dim).alias("bucket"),
             )
         )
     bucketed = tables[0]

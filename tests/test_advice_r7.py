@@ -290,3 +290,118 @@ def test_crawler_sampled_inference_bounded_probe(spark, tmp_path):
     # headerless auto-detect path samples too
     df2 = crawl_delimited(spark, str(root), sample_rows=1000)
     assert df2.schema.fields[1].dataType.simpleString() == "int"
+
+
+# ------------------------------------------------------------- fix 6
+def _legacy_minhash_pairs(spark, sf_dir):
+    """The pre-round-7 xxhash64 MinHash path, reconstructed inline:
+    the A/B baseline the verdict asked for (candidate sets unchanged
+    after the portable-hash flip)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators import dedup as D
+
+    docs = D._docs(spark, sf_dir)
+    hashes = (
+        D._hashed_shingles(docs, None)
+        .select("doc_id", F.explode_outer("hs").alias("h"))
+        .where(F.col("h").isNotNull())
+    )
+    mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(D._N_PERM)]
+    sigs = hashes.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(D._N_PERM)]).alias("sig")
+    )
+    band_arrays = ", ".join(
+        f"named_struct('band', {i}, 'key', xxhash64(concat_ws(',',"
+        f" slice(sig, {i * D._BAND_ROWS + 1}, {D._BAND_ROWS}))))"
+        for i in range(D._N_PERM // D._BAND_ROWS)
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(F.expr(f"array({band_arrays})")).alias("b")
+    ).select("doc_id", "sig", "b.band", "b.key")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_expr = """
+    flatten(transform(ms, (x, i) ->
+      transform(slice(ms, i + 2, size(ms)), y ->
+        struct(x.doc_id AS a_id, y.doc_id AS b_id))))
+    """
+    return {
+        (r.a_id, r.b_id)
+        for r in buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .distinct()
+        .collect()
+    }
+
+
+def test_minhash_portable_hash_candidate_set_unchanged(spark):
+    """A/B at the gate SF: the portable-hash MinHash emits EXACTLY
+    the candidate pairs the xxhash64 path emitted (the near-dup mass
+    collides under any decent hash; the band-collision tail happens
+    to be empty on this corpus, making set equality checkable)."""
+    from tests.conftest import SF_MEDIUM
+
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    new = {
+        (r.a_id, r.b_id)
+        for r in all_queries()["dedup_minhash_lsh"](spark, SF_MEDIUM)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    legacy = _legacy_minhash_pairs(spark, SF_MEDIUM)
+    assert new == legacy
+
+
+def test_simhash_portable_hash_structural_guarantees(spark):
+    """The simhash signature space changed with the hash (borderline
+    candidates are realization-dependent by design), so the A/B
+    contract is structural, pinned on the TRUE near-dups: every
+    strong pair (exact jaccard >= 0.9) keeps hamming <= 16 under the
+    new signatures, and every strong pair at hamming <= 3 appears in
+    the candidate output (the 4x16-bit pigeonhole guarantee)."""
+    from tests.conftest import SF_MEDIUM
+
+    from cdk_serverless_data_lake_sandbox_spark.operators import dedup as D
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    qs = all_queries()
+    strong = {
+        (r.a_id, r.b_id)
+        for r in qs["dedup_ngram_jaccard"](spark, SF_MEDIUM).collect()
+        if r.jaccard >= 0.9
+    }
+    assert strong, "gate corpus must contain strong near-dups"
+
+    params = D._minhash_perm_params(64)
+    docs = D._docs(spark, SF_MEDIUM)
+    tokens = (
+        docs.select("doc_id", F.explode_outer(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w").isNotNull())
+        .select("doc_id", F.expr(D._horner_spark("w")).alias("h"))
+    )
+    votes = [
+        F.sum(F.when(F.expr(D._simhash_bit(j, a, b)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    sim_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({D._simhash_addend(j)} AS BIGINT) ELSE 0L END)"
+        for j in range(64)
+    )
+    sigs = {
+        r.doc_id: r.sim
+        for r in tokens.groupBy("doc_id").agg(*votes)
+        .select("doc_id", F.expr(sim_expr).alias("sim"))
+        .collect()
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in qs["dedup_simhash"](spark, SF_MEDIUM).select("a_id", "b_id").collect()
+    }
+    for a, b in strong:
+        ham = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert ham <= 16, f"strong pair ({a},{b}) drifted to hamming {ham}"
+        if ham <= 3:
+            assert (a, b) in got, f"pigeonhole-guaranteed pair ({a},{b}) missing"
