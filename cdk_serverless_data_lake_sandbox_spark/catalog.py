@@ -24,6 +24,12 @@ TPCH_TABLES = (
 )
 ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
+MASK_PLACEHOLDER = "***"
+
+
+class AccessDenied(Exception):
+    """A governed read without a covering grant (catalog ACL)."""
+
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet has stored ``ts`` as either TIMESTAMP(NANOS)
@@ -88,6 +94,8 @@ class Lake:
         self.root = root
         self.zones: dict[str, str] = {}
         self.tables: dict[str, dict[str, str]] = {}
+        # principal -> zone -> table|"*" -> granted columns (None=all)
+        self.grants: dict[str, dict[str, dict[str, list[str] | None]]] = {}
 
     # -------------------------------------------------- durability
     @classmethod
@@ -107,6 +115,7 @@ class Lake:
             manifest = json.load(fh)
         for zone in manifest.get("zones", []):
             lake.add_zone(zone)
+        lake.grants = manifest.get("grants", {})
         for zone, tables in manifest.get("tables", {}).items():
             lake.tables.setdefault(zone, {})
             for table, rel in tables.items():
@@ -135,7 +144,15 @@ class Lake:
         os.makedirs(self.root, exist_ok=True)
         tmp = os.path.join(self.root, self.MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
-            json.dump({"zones": sorted(self.zones), "tables": rel_tables}, fh, indent=1)
+            json.dump(
+                {
+                    "zones": sorted(self.zones),
+                    "tables": rel_tables,
+                    "grants": self.grants,
+                },
+                fh,
+                indent=1,
+            )
         os.replace(tmp, os.path.join(self.root, self.MANIFEST))
 
     def add_zone(self, zone: str) -> str:
@@ -164,6 +181,116 @@ class Lake:
 
     def _view_name(self, zone: str, table: str) -> str:
         return f"{zone}_{table}"
+
+    # -------------------------------------------------- access control
+    # The reference scopes data access with an IAM role + bucket
+    # policy (demo_stack.py:102-128: the Glue role may read/write the
+    # raw and processed buckets; everyone else is denied by default).
+    # The analog with a DATA behavior: per-principal grants at
+    # zone/table granularity with optional column scoping, enforced on
+    # every governed read, with an audit row per read attempt — the
+    # CloudTrail-on-S3 story the bucket policy implies. Grants are
+    # part of the durable manifest (IAM policies outlive processes).
+
+    def grant(
+        self,
+        principal: str,
+        zone: str,
+        table: str = "*",
+        columns: list[str] | None = None,
+    ) -> None:
+        """Grant ``principal`` read on ``zone.table`` (``"*"`` = every
+        table in the zone, like the reference's bucket-wide policy).
+        ``columns`` scopes the grant: ungranted columns are MASKED on
+        read, not dropped — the shape downstream jobs expect stays
+        stable while the values are withheld."""
+        self.grants.setdefault(principal, {}).setdefault(zone, {})[table] = (
+            sorted(columns) if columns is not None else None
+        )
+        self._save_manifest()
+
+    def revoke(self, principal: str, zone: str, table: str = "*") -> None:
+        self.grants.get(principal, {}).get(zone, {}).pop(table, None)
+        self._save_manifest()
+
+    def _grant_for(self, principal: str, zone: str, table: str):
+        """(granted, columns) — a table-specific grant wins over the
+        zone wildcard; columns None = all."""
+        zgrants = self.grants.get(principal, {}).get(zone)
+        if zgrants is None:
+            return False, None
+        if table in zgrants:
+            return True, zgrants[table]
+        if "*" in zgrants:
+            return True, zgrants["*"]
+        return False, None
+
+    def read(self, principal: str, zone: str, table: str) -> DataFrame:
+        """Governed read: returns the table masked to the principal's
+        grant, registers the principal-scoped view
+        ``<principal>__<zone>_<table>``, and lands one audit row.
+        Raises :class:`AccessDenied` (after auditing the attempt) when
+        no grant covers the table."""
+        granted, cols = self._grant_for(principal, zone, table)
+        exists = table in self.tables.get(zone, {})
+        self._audit_row(principal, zone, table, granted and exists, cols)
+        if not granted or not exists:
+            raise AccessDenied(
+                f"principal {principal!r} may not read {zone}.{table}"
+            )
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = self.table(zone, table)
+        if cols is not None:
+            allowed = set(cols)
+            projected = []
+            for f in df.schema.fields:
+                if f.name in allowed:
+                    projected.append(F.col(f.name))
+                elif isinstance(f.dataType, T.StringType):
+                    # placeholder for strings, typed NULL otherwise:
+                    # the masked frame unions/joins cleanly with the
+                    # unmasked schema either way
+                    projected.append(F.lit(MASK_PLACEHOLDER).alias(f.name))
+                else:
+                    projected.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+            df = df.select(*projected)
+        df.createOrReplaceTempView(f"{principal}__{self._view_name(zone, table)}")
+        return df
+
+    def _audit_row(
+        self,
+        principal: str,
+        zone: str,
+        table: str,
+        allowed: bool,
+        columns: list[str] | None,
+    ) -> None:
+        """One JSON line per governed read attempt under
+        ``<root>/_audit/``. Driver-side appends at catalog-metadata
+        rate (reads-per-job, not rows) — the same cost profile as
+        CloudTrail object-level logging; ``audit_log()`` reads it back
+        as a DataFrame."""
+        import json
+        import time
+
+        os.makedirs(os.path.join(self.root, "_audit"), exist_ok=True)
+        row = {
+            "ts": time.time(),
+            "principal": principal,
+            "zone": zone,
+            "table": table,
+            "allowed": allowed,
+            "columns": columns,
+        }
+        with open(os.path.join(self.root, "_audit", "reads.jsonl"), "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+
+    def audit_log(self) -> DataFrame:
+        return self.spark.read.json(os.path.join(self.root, "_audit"))
 
     # -------------------------------------------------- versioned tables
     def write_version(self, zone: str, table: str, df: DataFrame) -> int:

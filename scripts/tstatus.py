@@ -29,6 +29,7 @@ COMPONENTS: dict[str, str] = {
     "A7": "Lake",
     "A8": "ResultsZone",
     "A9": "run_cached",
+    "A10": "AccessDenied",
     "C13": "decode_real_media",
     "C31": "dedup_incremental",
     "C59": "observe_metrics",

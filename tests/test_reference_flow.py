@@ -10,6 +10,7 @@ executed verbatim through spark.sql over the Lake's registered views.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
 from cdk_serverless_data_lake_sandbox_spark.operators.etl import tsv_to_parquet_job
@@ -99,3 +100,90 @@ def test_reference_imdb_flow(spark, assets):
         "SELECT primaryName FROM processed_name_basics WHERE birthYear = 1899"
     ).collect()
     assert [r.primaryName for r in res] == ["Fred Astaire"]
+
+
+# ----------------------------------------------------- A10 catalog ACL
+def test_lake_acl_grant_mask_audit(spark, tmp_path):
+    """The IAM-role/bucket-policy analog end-to-end: default-deny,
+    zone-wide and table grants, column masking with a stable schema,
+    audit rows for allowed AND denied attempts, and durability of the
+    grants across Lake.open."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import (
+        AccessDenied,
+        Lake,
+        MASK_PLACEHOLDER,
+    )
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.add_zone("processed")
+    df = spark.createDataFrame(
+        [(1, "alice", 9.5), (2, "bob", 3.25)], "id int, name string, score double"
+    )
+    path = str(tmp_path / "lake" / "processed" / "users")
+    df.write.parquet(path)
+    lake.register("processed", "users", path, spark.read.parquet(path))
+
+    # default deny: no grant -> AccessDenied (and an audit row)
+    with pytest.raises(AccessDenied):
+        lake.read("analyst", "processed", "users")
+
+    # column-scoped grant: ungranted columns masked, schema preserved
+    lake.grant("analyst", "processed", "users", columns=["id", "score"])
+    got = lake.read("analyst", "processed", "users")
+    assert [f.name for f in got.schema.fields] == ["id", "name", "score"]
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].name == MASK_PLACEHOLDER and rows[1].score == 9.5
+    # principal-scoped view is queryable
+    assert (
+        spark.sql("SELECT DISTINCT name FROM analyst__processed_users").collect()[0][0]
+        == MASK_PLACEHOLDER
+    )
+
+    # zone wildcard grant: full read for another principal
+    lake.grant("etl", "processed")
+    full = lake.read("etl", "processed", "users")
+    assert {r.name for r in full.collect()} == {"alice", "bob"}
+
+    # a table not in the zone denies even with the wildcard
+    with pytest.raises(AccessDenied):
+        lake.read("etl", "processed", "ghost")
+
+    # revoke closes the door again
+    lake.revoke("analyst", "processed", "users")
+    with pytest.raises(AccessDenied):
+        lake.read("analyst", "processed", "users")
+
+    # audit rows landed for every attempt, allowed and denied
+    audit = lake.audit_log()
+    by = {
+        (r.principal, r.allowed): r
+        for r in audit.where(F.col("table") == "users").collect()
+    }
+    assert ("analyst", True) in by and ("analyst", False) in by
+    assert ("etl", True) in by
+    assert audit.where((F.col("table") == "ghost") & ~F.col("allowed")).count() == 1
+
+    # durability: grants survive reopen in the manifest
+    lake2 = Lake.open(spark, str(tmp_path / "lake"))
+    masked_again = lake2.read("etl", "processed", "users")
+    assert masked_again.count() == 2
+    with pytest.raises(AccessDenied):
+        lake2.read("analyst", "processed", "users")
+
+
+def test_lake_acl_masked_nonstring_is_typed_null(spark, tmp_path):
+    """Masked non-string columns keep their TYPE (typed NULL), so a
+    governed frame unions with an ungoverned one without casts."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import AccessDenied, Lake
+
+    lake = Lake(spark, str(tmp_path / "lake2"))
+    lake.add_zone("z")
+    df = spark.createDataFrame([(1, 2.5)], "id int, v double")
+    path = str(tmp_path / "lake2" / "z" / "t")
+    df.write.parquet(path)
+    lake.register("z", "t", path, spark.read.parquet(path))
+    lake.grant("p", "z", "t", columns=["id"])
+    got = lake.read("p", "z", "t")
+    assert got.schema["v"].dataType.simpleString() == "double"
+    assert got.collect()[0].v is None
+    assert isinstance(AccessDenied("x"), Exception)
