@@ -35,55 +35,206 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Everything else follows in registration order -- nothing is dropped,
 # only reordered.
 _VERIFY_FIRST = [
-    # r6: queries whose output or plan changed this session, then the
-    # 38 queries never driver-sampled across rounds 1-5 (VERDICT r5
-    # coverage note) so the official ledger converges on full coverage.
-    "video_scene_cuts",
-    "part_skyline",
-    "approx_quantiles",
-    "burst_detection",
-    "ann_topk_arrow",
-    "ann_topk_pq",
-    "ann_ivf_pq",
-    "copurchase_kcore",
-    "copurchase_communities",
-    "ann_ivf",
-    "ann_label_purity",
+    # r7 rotation (round-6 verdict item 8): this round's changed
+    # queries first, then every query whose latest OFFICIAL driver
+    # grade predates round 6, oldest grade first — so the driver's
+    # 50-query samples re-grade the stalest rows at HEAD each round.
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_lsh_bucketed",
-    "ann_topk_bruteforce",
-    "ann_topk_vectorized",
-    "bigram_collocations",
-    "brand_affinity",
-    "char_trigram_profile",
-    "daily_active_users",
-    "doc_fingerprint",
-    "dup_rate_by_source",
-    "embedding_norm_stats",
-    "federated_kv_lookup",
-    "idf_top_terms",
-    "kmeans_clusters",
-    "label_centroid_distance",
-    "lang_id",
-    "mom_growth",
-    "near_dup_embedding",
-    "null_profile",
-    "priority_transitions",
-    "quartiles_scalable",
-    "rank_distribution",
-    "reading_level",
-    "region_rollup",
-    "revenue_concentration_hhi",
-    "rolling_time_window",
-    "salted_agg",
-    "segment_summary",
-    "stopword_ratio",
-    "stratified_sample",
-    "text_quality",
-    "tfidf_doc_top_terms",
-    "token_count",
-    "unpivot_measures",
-    "value_outliers",
-    "zipf_fit",
+    "ann_lsh_multiprobe",
+    "activity_heatmap",
+    "apply_mapping",
+    "approx_distinct_users",
+    "asof_join",
+    "corpus_filter",
+    "cube_agg",
+    "dedup_events",
+    "dedup_exact",
+    "distinct_users",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "join_two_tables",
+    "json_extract",
+    "order_size_distribution",
+    "percentiles",
+    "pivot_events",
+    "preview_nation",
+    "preview_orders",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "range_join",
+    "repeat_purchase_interval",
+    "rollup_agg",
+    "scalar_subquery",
+    "scd2_ranges",
+    "semi_anti_join",
+    "session_stats",
+    "sessionize",
+    "set_ops",
+    "time_bucket_agg",
+    "top_k_per_group",
+    "activity_gini",
+    "ann_recall_report",
+    "audience_overlap",
+    "bm25_retrieval",
+    "bpe_merge_candidates",
+    "brand_lift",
+    "cohort_retention",
+    "corpus_pipeline",
+    "dataset_split",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "doc_chunking",
+    "dup_cluster_sizes",
+    "dup_span_fraction",
+    "embedding_pca_variance",
+    "embedding_quantization",
+    "forward_fill",
+    "frequent_items_sketch",
+    "group_sample_topk",
+    "hard_negative_mining",
+    "heaps_law_fit",
+    "join_size_contribution",
+    "modality_profile",
+    "multimodal_features",
+    "near_dup_removal",
+    "near_dup_review_sample",
+    "ngram_novelty",
+    "normalize_corpus",
+    "ntile_quartiles",
+    "open_order_concurrency",
+    "packed_sequences",
+    "pareto_revenue",
+    "psi_drift",
+    "redact_corpus",
+    "segment_dedup",
+    "sequence_packing",
+    "session_window_agg",
+    "ship_latency_percentiles",
+    "sketch_rollup_dau",
+    "span_corruption",
+    "split_leakage_check",
+    "token_budget_allocation",
+    "tokenize_to_ids",
+    "tokenizer_fertility",
+    "vocab_oov_profile",
+    "weighted_sample",
+    "windowed_funnel",
+    "bigram_lm_logprob",
+    "bpe_tokenize_stats",
+    "cdc_chunk_dedup",
+    "cogroup_conversion_latency",
+    "compression_ratio",
+    "containment_dedup",
+    "contamination_check",
+    "cuped_lift",
+    "dataset_card",
+    "dedup_threshold_sweep",
+    "doc_repetition",
+    "domain_mix_weights",
+    "dq_expectations",
+    "dsir_importance_weights",
+    "embedding_dim_ablation",
+    "embedding_outliers",
+    "export_jsonl_shards",
+    "feature_hash_embedding",
+    "federated_jdbc_lookup",
+    "global_shuffle",
+    "gopher_quality_filter",
+    "histogram_rollup_percentiles",
+    "key_skew_profile",
+    "keyness_llr",
+    "mad_outliers",
+    "media_decode_profile",
+    "near_dup_keep_best",
+    "near_dup_source_matrix",
+    "order_reconciliation",
+    "perplexity_bucket_mix",
+    "phrase_search",
+    "pii_scan",
+    "preview_customer",
+    "preview_documents",
+    "preview_events",
+    "preview_lineitem",
+    "preview_part",
+    "preview_region",
+    "preview_supplier",
+    "quality_classifier_score",
+    "quality_ensemble",
+    "scd2_point_in_time_join",
+    "source_overlap_matrix",
+    "strip_dup_spans",
+    "top_paths",
+    "training_export_pipeline",
+    "unigram_entropy",
+    "unigram_logprob",
+    "corr_stats",
+    "first_last_event",
+    "grouping_sets_agg",
+    "lead_lag_delta",
+    "ordered_string_agg",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "regression_per_type",
+    "time_weighted_avg",
+    "attribution_weights",
+    "audio_activity_segments",
+    "audio_fingerprint_dedup",
+    "brand_recommendations",
+    "copurchase_distance",
+    "copurchase_pagerank",
+    "copurchase_pagerank_weighted",
+    "copurchase_trend",
+    "copurchase_triangles",
+    "corpus_mi_profile",
+    "count_min_words",
+    "cusum_changepoint",
+    "dp_count_release",
+    "hll_distinct_users",
+    "holt_forecast",
+    "holt_winters_forecast",
+    "hybrid_retrieval_rrf",
+    "image_dhash_dedup",
+    "item_item_similarity",
+    "k_anonymity_check",
+    "kneser_ney_logprob",
+    "mmr_diversify",
+    "modality_dedup_report",
+    "near_dup_edit_distance",
+    "preference_pairs",
+    "preview_embeddings",
+    "price_elasticity",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_decile_lift",
+    "repurchase_survival",
+    "rfm_segments",
+    "seasonal_anomaly",
+    "semantic_dedup",
+    "ses_forecast",
+    "strip_dup_chars",
+    "temporal_split_embargo",
+    "video_framehash_dedup",
+    "weekday_seasonality",
+    "winnowing_fingerprints",
+    "winnowing_pairs",
 ]
 
 
