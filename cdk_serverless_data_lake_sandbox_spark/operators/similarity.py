@@ -514,9 +514,18 @@ def _exact_rescore(e: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     )
     cosine = _dot("eq", "ec") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    # Join order matters at scale: the corpus (cj) must stay a
+    # stationary scan, with the candidate ID pairs broadcast INTO it —
+    # joining the other way shuffles the whole corpus to re-score a
+    # candidate set that is only (partitions x margin x queries) rows
+    # (the r5->r6 ann_topk_arrow bench regression was exactly that
+    # corpus shuffle; the one-boot probe confirmed it). The broadcast
+    # carries bare id pairs — ~16 bytes each, bounded by the partition
+    # count, never by corpus size; the query embeddings attach from
+    # the separately broadcast query frame afterwards.
     return (
-        cand.join(F.broadcast(qj), "query_id")
-        .join(cj, "neighbor_id")
+        cj.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qj), "query_id")
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
