@@ -33,6 +33,12 @@ from cdk_serverless_data_lake_sandbox_spark.session import get_spark  # noqa: E4
 EXCLUDED = {
     "dedup_ngram_jaccard": "pair OUTPUT quadratic on saturated synthetic vocab",
     "containment_dedup": "pair OUTPUT quadratic on saturated synthetic vocab",
+    # inherits the jaccard pair stage through near_dup_review_sample:
+    # the md5-ranked decile sample is bounded OUTPUT, but ranking it
+    # still enumerates the saturated corpus's quadratic pair set
+    # (r7 probe: >580s at sf1). Covered by edit_distance_slice_check
+    # (1/4 slice = 1/16 of the pair output) instead.
+    "near_dup_edit_distance": "rides the saturated-vocab quadratic pair set",
 }
 
 EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
@@ -51,6 +57,47 @@ EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
     "copurchase_communities",
     "quality_decile_lift",
     "k_anonymity_check",
+    # r7 additions (round-6 verdict item 6): the never-soaked in-row
+    # fold family B99-B113, the windowed/event heavies, and the
+    # similarity/curation tiers most likely to hide a super-linear
+    # step — target >= 80 ops with measured 10x-data ratios.
+    "ses_forecast",
+    "cusum_changepoint",
+    "price_elasticity",
+    "holt_forecast",
+    "weekday_seasonality",
+    "holt_winters_forecast",
+    "copurchase_trend",
+    "copurchase_pagerank_weighted",
+    "attribution_weights",
+    "repurchase_survival",
+    "rfm_segments",
+    "windowed_funnel",
+    "top_paths",
+    "order_reconciliation",
+    "scd2_point_in_time_join",
+    "cogroup_conversion_latency",
+    "open_order_concurrency",
+    "audience_overlap",
+    "session_window_agg",
+    "brand_lift",
+    "ship_latency_percentiles",
+    "join_size_contribution",
+    "histogram_rollup_percentiles",
+    "mad_outliers",
+    "semantic_dedup",
+    "tokenize_to_ids",
+    "sequence_packing",
+    "packed_sequences",
+    "span_corruption",
+    "dsir_importance_weights",
+    "bigram_lm_logprob",
+    "feature_hash_embedding",
+    "psi_drift",
+    "corpus_mi_profile",
+    "preference_pairs",
+    "dedup_simhash",
+    "ann_lsh_multiprobe",
 ]
 
 DEFAULT_OPS = [q for q in HEADLINE if q not in EXCLUDED] + EXTRA_OPS
@@ -78,6 +125,73 @@ def saturated_guard_check(spark, sf1: str) -> None:
     print(f"saturated_guard_check: {n} pairs in {time.time() - t:.1f}s (auto guard)")
 
 
+def edit_distance_slice_check(spark, sf1: str) -> None:
+    """near_dup_edit_distance completion check on a 1/4 slice of the
+    saturated sf1 corpus (1/16 of the quadratic pair output): the
+    exact Levenshtein tier itself is bounded (<= 30 sampled pairs);
+    what grows is the parent pair enumeration, so green here at a
+    measured wall time is the scaling evidence the full-corpus run
+    cannot give on this vocabulary-saturated synthetic data."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        near_dup_review_sample_frame,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf1, "documents.parquet"))
+        .where("doc_id % 4 = 0")
+    )
+    t = time.time()
+    n = near_dup_review_sample_frame(docs).count()
+    print(
+        f"edit_distance_slice_check: {n} sampled pairs in "
+        f"{time.time() - t:.1f}s (quarter slice)"
+    )
+
+
+def winnowing_hot_check(spark, sf1: str) -> None:
+    """Drive winnowing pair generation through the saturated sf1
+    corpus (hot-fingerprint regime: the 31-word synthetic vocabulary
+    repeats k-grams corpus-wide, so postings hit _MAX_POSTING) and
+    report pair count + runtime — green proves the posting cap keeps
+    the in-posting pair expansion bounded where an uncapped plan
+    would go quadratic (round-6 verdict item 6)."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.fingerprint import (
+        _MAX_POSTING,
+        _MIN_SHARED,
+        _fingerprints,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf1, "documents.parquet"))
+        .where("doc_id % 4 = 0")
+        .select("doc_id", "text")
+    )
+    t = time.time()
+    dh = _fingerprints(docs).select("doc_id", "h").distinct()
+    posting = (
+        dh.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds").between(2, _MAX_POSTING))
+    )
+    n = (
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .groupBy("e.a", "e.b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _MIN_SHARED)
+        .count()
+    )
+    print(f"winnowing_hot_check: {n} pairs in {time.time() - t:.1f}s (posting cap)")
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf1 = args[0] if args and os.path.isdir(args[0]) else "/tmp/sfx10"
@@ -99,12 +213,26 @@ def main() -> None:
 
     run("q6_forecast_revenue", "/root/testdata/sf0.1")  # warm
     print(f"{'query':30s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>6s}")
+    results = {}
     for n in names or DEFAULT_OPS:
         a = run(n, "/root/testdata/sf0.1")
         b = run(n, sf1)
+        results[n] = {
+            "sf0.1_sec": round(a, 2),
+            "sf1_sec": round(b, 2),
+            "ratio": round(b / a, 2),
+        }
         print(f"{n:30s} {a:7.2f} {b:8.2f} {b / a:6.2f}", flush=True)
     if not names:
         saturated_guard_check(spark, sf1)
+        winnowing_hot_check(spark, sf1)
+        edit_distance_slice_check(spark, sf1)
+    out = os.environ.get("SOAK_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
 
 
 if __name__ == "__main__":

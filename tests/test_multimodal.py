@@ -664,3 +664,78 @@ def test_decode_real_media_progressive_jpeg_full_decode(spark):
         assert r.n_values == 24 * 32  # full decode, not the header tier
     assert got[1].features == got[2].features
     assert got[1].mean_value == got[2].mean_value
+
+
+# ----------------------------------------------- r7 ADVICE: cross-decoder
+def _independent_jpeg_decoder():
+    """An independent JPEG implementation, if this environment has
+    one. Returns (name, decode_fn) or None; decode_fn: bytes ->
+    2-D uint8 grayscale numpy array."""
+    try:  # PIL / Pillow
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        def _pil(data: bytes):
+            img = Image.open(io.BytesIO(data))
+            return np.asarray(img.convert("L"), dtype=np.uint8)
+
+        return "PIL", _pil
+    except ImportError:
+        pass
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("djpeg"):  # libjpeg's reference decoder
+        import numpy as np
+
+        def _djpeg(data: bytes):
+            with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+                f.write(data)
+                f.flush()
+                out = subprocess.run(
+                    ["djpeg", "-grayscale", "-pnm", f.name],
+                    capture_output=True,
+                    check=True,
+                ).stdout
+            # P5 header: magic, dims, maxval, then raw bytes
+            parts = out.split(b"\n", 3)
+            w, h = map(int, parts[1].split())
+            return np.frombuffer(parts[3][: w * h], dtype=np.uint8).reshape(h, w)
+
+        return "djpeg", _djpeg
+    return None
+
+
+@pytest.mark.parametrize("mode", ["baseline", "progressive"])
+def test_jpeg_encoder_conforms_to_independent_decoder(mode):
+    """T.81 conformance against an INDEPENDENT decoder (round-6
+    ADVICE: the repo's encoder and decoder could share a symmetric
+    deviation and still pass the bit-exact round-trip tests; an
+    outside implementation breaks that symmetry). Skipped when the
+    environment has neither PIL nor djpeg — CI images with either
+    dependency run it automatically."""
+    dec = _independent_jpeg_decoder()
+    if dec is None:
+        pytest.skip("no independent JPEG decoder (PIL/djpeg) available")
+    name, decode = dec
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)  # non-multiple-of-8
+    data = (jpeg_encode if mode == "baseline" else jpeg_encode_progressive)(img)
+    theirs = decode(data)
+    ours = np.asarray(jpeg_decode(data), dtype=np.uint8)
+    assert theirs.shape == ours.shape == img.shape
+    # both decoders implement the same exact IDCT spec; allow 1 count
+    # of rounding latitude (T.81 does not mandate a bit-exact IDCT)
+    diff = np.abs(theirs.astype(int) - ours.astype(int))
+    assert diff.max() <= 1, f"{name} disagrees with jpeg_decode by {diff.max()}"
