@@ -91,10 +91,18 @@ def materialize(df, key: str | None = None):
     removal / components queries); keyless calls always write fresh.
     The read applies the writer's schema explicitly so an empty frame
     round-trips."""
+    return _materialize_with_path(df, key)[0]
+
+
+def _materialize_with_path(df, key: str | None = None):
+    """Body of :func:`materialize`, additionally returning the
+    written scratch path (pin() uses it to reclaim superseded
+    iteration state)."""
     spark = df.sparkSession
     app = spark.sparkContext.applicationId
     if key is not None and (app, key) in _MATERIALIZED:
-        return _scratch_read(spark, df.schema, _MATERIALIZED[(app, key)])
+        path = _MATERIALIZED[(app, key)]
+        return _scratch_read(spark, df.schema, path), path
     app_dir = _os.path.join(_SCRATCH_ROOT, app)
     if app not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(app)
@@ -108,7 +116,7 @@ def materialize(df, key: str | None = None):
     if key is not None:
         _MATERIALIZED[(app, key)] = path
         _SCRATCH_SCHEMA[(app, key)] = df.schema
-    return _scratch_read(spark, df.schema, path)
+    return _scratch_read(spark, df.schema, path), path
 
 
 _SCRATCH_SCHEMA: dict[tuple[str, str], object] = {}
@@ -191,7 +199,48 @@ def pin(df):
     )
     if mode == "local":
         return df.localCheckpoint()
-    return materialize(df)
+    out, path = _materialize_with_path(df)
+    _reclaim_pin_scratch(spark, path)
+    return out
+
+
+# Per (application, call-site) history of reliable-pin scratch paths.
+# An iterative loop pins from the same source line every round; once a
+# NEWER pin from that line has been fully written, state from two pins
+# ago is dead — no live plan can reference it (the round that read it
+# has already materialized its successor). Keeping one superseded
+# generation as a safety margin, everything older is deleted, which
+# bounds reliable-mode disk at ~2 frames per call site instead of
+# growing by one frame per iteration (round-7 review finding).
+_PIN_HISTORY: dict[tuple[str, str], list[str]] = {}
+_PIN_KEEP = 2
+
+
+def _reclaim_pin_scratch(spark, path: str) -> None:
+    app = spark.sparkContext.applicationId
+    site = _caller_site()
+    hist = _PIN_HISTORY.setdefault((app, site), [])
+    hist.append(path)
+    while len(hist) > _PIN_KEEP:
+        dead = hist.pop(0)
+        _SCRATCH_NPART.pop(dead, None)
+        _shutil.rmtree(dead, ignore_errors=True)
+
+
+def _caller_site() -> str:
+    """file:line of the nearest stack frame OUTSIDE this module and
+    pyspark (i.e. the operator code that called pin(), possibly via
+    DataFrame.transform)."""
+    import sys as _sys
+
+    f = _sys._getframe(1)
+    here = _os.path.abspath(__file__)
+    while f is not None:
+        fn = f.f_code.co_filename
+        if _os.path.abspath(fn) != here and (_os.sep + "pyspark" + _os.sep) not in fn:
+            return f"{fn}:{f.f_lineno}"
+        f = f.f_back
+    return "<unknown>"
 
 
 def _materializer_mode(master: str, conf_value, env_value) -> str:

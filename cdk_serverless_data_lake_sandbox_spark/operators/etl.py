@@ -1043,12 +1043,36 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
     bytes alone, drop the sidecar, and swap atomically via a staging
     directory. After compaction a plain reader and :func:`dv_read`
     agree again. Returns {files_rewritten, files_kept,
-    rows_dropped}."""
+    rows_dropped}.
+
+    FLAT tables only: a table whose part files live in
+    subdirectories (Hive partitions, copied-in layouts) REFUSES
+    loudly — the rewrite emits one flat file set, which would both
+    change the layout and (before this guard) silently delete every
+    subdirectory file in the swap. :func:`dv_delete`/:func:`dv_read`
+    support nested layouts; compact a partitioned table per
+    partition directory instead."""
+    import glob as _glob
     import shutil
 
     dv_dir = os.path.join(table_path, "_dv")
     if not os.path.isdir(dv_dir):
         return {"files_rewritten": 0, "files_kept": 0, "rows_dropped": 0}
+    nested = [
+        f
+        for f in _glob.glob(
+            os.path.join(_glob.escape(table_path), "**", "*.parquet"),
+            recursive=True,
+        )
+        if os.path.dirname(f) != table_path
+        and not os.path.relpath(f, table_path).startswith("_")
+    ]
+    if nested:
+        raise ValueError(
+            "dv_compact supports flat tables only; found part files in "
+            f"subdirectories (e.g. {os.path.relpath(nested[0], table_path)!r}). "
+            "Compact each partition directory separately."
+        )
     dv = spark.read.parquet(dv_dir)
     # parent/basename identity throughout (see _dv_fname): the sidecar
     # may carry a different URI normalization than this reader emits
@@ -1077,7 +1101,6 @@ def dv_compact(spark: SparkSession, table_path: str) -> dict:
     after = clean_rows.count()
     staged = table_path + "_dv_staged"
     clean_rows.write.mode("overwrite").parquet(staged)
-    import glob as _glob
 
     # `touched` holds parent/basename keys (_dv_fname), so the
     # local-file match is URI-normalization-proof: no dirty file is

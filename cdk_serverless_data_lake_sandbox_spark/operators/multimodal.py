@@ -14,7 +14,7 @@ headers don't need one):
   (grayscale) baseline *and* progressive (SOF0/1/2) streams — marker
   scan, canonical Huffman tables, dequant, AAN-free exact IDCT, and
   the T.81 progressive spectral-selection / successive-approximation
-  refinement passes (decoder at ``_jpeg_decode``, encoder at
+  refinement passes (decoder at ``jpeg_decode``, encoder at
   ``jpeg_encode_progressive``; both pixel-pinned by tests).
   Deliberate refusals, each a clean ``ValueError`` rather than
   garbage pixels: 12-bit sample precision (legal in SOF1/SOF2 but

@@ -94,6 +94,8 @@ def crawl_delimited(
     delimiter: str = "\t",
     classifier: CsvClassifier | None = None,
     sample_rows: int = _SAMPLE_ROWS,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Infer schema for a delimited file the way the reference's
     crawler pair does. Returns the typed DataFrame; the caller
@@ -104,9 +106,18 @@ def crawl_delimited(
     dataset is then scanned ONCE with the inferred schema applied
     explicitly. The sampled-inference tradeoff is the standard one: a
     type that only widens past the sample horizon (e.g. ints that
-    become floats after row 10k) parses those rows to NULL under
-    PERMISSIVE mode instead of widening — raise ``sample_rows`` for
-    pathologically ordered data."""
+    become floats after row 10k) fails to parse on those rows. The
+    caller chooses how that surfaces (round-7 review: silent NULLs
+    with no detection hook were unacceptable at the scale this
+    targets):
+
+    - ``mode="PERMISSIVE"`` (default) + ``corrupt_col="_corrupt"``:
+      malformed rows land their RAW line in the corrupt column, so a
+      post-read ``WHERE _corrupt IS NOT NULL`` count is the detection
+      / DLQ-routing hook.
+    - ``mode="FAILFAST"``: the scan raises on the first row the
+      sampled schema cannot parse — the loud option for pipelines
+      that would rather re-crawl with a bigger ``sample_rows``."""
     lines = _sample_lines(spark, path, sample_rows)
     if classifier is not None:
         use_header = classifier.contains_header == "PRESENT"
@@ -116,16 +127,27 @@ def crawl_delimited(
         quote = '"'
         use_header = _header_is_detectable(spark, path, delimiter, lines)
     schema = _infer_from_sample(spark, lines, delimiter, quote, use_header)
-    df = (
+    n_data_cols = len(schema.fields)
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType
+
+        schema = schema.add(corrupt_col, StringType())
+    reader = (
         spark.read.option("header", use_header)
         .option("sep", delimiter)
         .option("quote", quote)
         .option("nullValue", "\\N")  # IMDB-style nulls
+        .option("mode", mode)
         .schema(schema)
-        .csv(path)
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    df = reader.csv(path)
     if not use_header:
-        df = df.toDF(*[f"col_{i}" for i in range(len(df.columns))])
+        names = [f"col_{i}" for i in range(n_data_cols)]
+        if corrupt_col is not None:
+            names.append(corrupt_col)
+        df = df.toDF(*names)
     return df
 
 

@@ -987,6 +987,19 @@ def stream_minhash_dedup_gate(
             fresh.write.mode("overwrite").parquet(batch_dir)
             fresh = spark.read.parquet(batch_dir)
         sigs = _minhash_signatures(fresh)
+        # stamp the hash-scheme format on bootstrap (the gate may be
+        # the index's first writer; a later probe checks this marker)
+        fmt_path = os.path.join(index_path, "_format.json")
+        if not os.path.exists(fmt_path):
+            import json as _json
+
+            from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+                _MINHASH_INDEX_FORMAT,
+            )
+
+            os.makedirs(index_path, exist_ok=True)
+            with open(fmt_path, "w") as fh:
+                _json.dump({"format": _MINHASH_INDEX_FORMAT}, fh)
         sigs.write.mode("append").parquet(index_path + "/sig")
         (
             sigs.select(

@@ -33,13 +33,13 @@ from cdk_serverless_data_lake_sandbox_spark.session import get_spark  # noqa: E4
 EXCLUDED = {
     "dedup_ngram_jaccard": "pair OUTPUT quadratic on saturated synthetic vocab",
     "containment_dedup": "pair OUTPUT quadratic on saturated synthetic vocab",
-    # inherits the jaccard pair stage through near_dup_review_sample:
-    # the md5-ranked decile sample is bounded OUTPUT, but ranking it
-    # still enumerates the saturated corpus's quadratic pair set
-    # (r7 probe: >580s at sf1). Covered by edit_distance_slice_check
-    # (1/4 slice = 1/16 of the pair output) instead.
-    "near_dup_edit_distance": "rides the saturated-vocab quadratic pair set",
 }
+
+# near_dup_edit_distance is deliberately NOT in any soak list: it
+# inherits the jaccard pair stage through near_dup_review_sample, so
+# on the vocabulary-saturated synthetic corpus it enumerates the
+# quadratic pair set (r7 probe: >580s at sf1). Its scaling evidence
+# is edit_distance_slice_check below (1/4 slice = 1/16 pair output).
 
 EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
     "brand_recommendations",

@@ -405,3 +405,144 @@ def test_simhash_portable_hash_structural_guarantees(spark):
         assert ham <= 16, f"strong pair ({a},{b}) drifted to hamming {ham}"
         if ham <= 3:
             assert (a, b) in got, f"pigeonhole-guaranteed pair ({a},{b}) missing"
+
+
+# --------------------------------------------- round-7 review findings
+def test_dv_compact_refuses_nested_layout(spark, tmp_path):
+    """dv_compact on a table with subdirectory part files must refuse
+    loudly (review finding: the flat-only rewrite previously DELETED
+    every subdirectory file in the swap — reproduced data loss), and
+    the nested table must be untouched afterwards."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.etl import (
+        dv_compact,
+        dv_delete,
+        dv_read,
+    )
+
+    table = str(tmp_path / "nested")
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    spark.range(0, 10).withColumn("v", F.lit("a")).coalesce(1).write.parquet(src_a)
+    spark.range(10, 20).withColumn("v", F.lit("b")).coalesce(1).write.parquet(src_b)
+    import glob
+    import shutil
+
+    os.makedirs(os.path.join(table, "part=a"))
+    os.makedirs(os.path.join(table, "part=b"))
+    shared = "part-00000-copied.snappy.parquet"
+    shutil.copy(glob.glob(os.path.join(src_a, "*.parquet"))[0],
+                os.path.join(table, "part=a", shared))
+    shutil.copy(glob.glob(os.path.join(src_b, "*.parquet"))[0],
+                os.path.join(table, "part=b", shared))
+    dv_delete(spark, table, "id < 3")
+    assert dv_read(spark, table).count() == 17
+    with pytest.raises(ValueError, match="flat tables only"):
+        dv_compact(spark, table)
+    # nothing destroyed: same 17 surviving rows, dv still applied
+    assert dv_read(spark, table).count() == 17
+    assert spark.read.parquet(table).count() == 20
+
+    # the flat path still compacts
+    flat = str(tmp_path / "flat")
+    spark.range(0, 20).repartition(2).write.parquet(flat)
+    dv_delete(spark, flat, "id < 5")
+    out = dv_compact(spark, flat)
+    assert out["rows_dropped"] == 5
+    assert spark.read.parquet(flat).count() == 15
+
+
+def test_minhash_index_format_stamp(spark, tmp_path):
+    """A probe against an index built under a different (or unknown)
+    hash scheme raises instead of silently matching nothing (review
+    finding: a pre-r7 xxhash index would admit every duplicate)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_query,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    minhash_index_build(docs, idx)
+    assert os.path.exists(os.path.join(idx, "_format.json"))
+    # a matching probe works
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    assert minhash_index_query(spark, idx, probe).count() >= 1
+
+    # unknown / legacy format -> loud failure
+    import json
+
+    with open(os.path.join(idx, "_format.json"), "w") as fh:
+        json.dump({"format": "xxhash-v1"}, fh)
+    with pytest.raises(ValueError, match="rebuild"):
+        minhash_index_query(spark, idx, probe)
+    os.remove(os.path.join(idx, "_format.json"))  # pre-stamp index
+    with pytest.raises(ValueError, match="rebuild"):
+        minhash_index_query(spark, idx, probe)
+
+
+def test_pin_reliable_reclaims_superseded_iterations(spark):
+    """Reliable-mode pin() keeps at most _PIN_KEEP scratch dirs per
+    call site: a 6-round loop must not leave 6 frames on disk (review
+    finding: unbounded disk growth over long iterative jobs), and the
+    immediately-previous generation stays readable."""
+    from cdk_serverless_data_lake_sandbox_spark.operators import _helpers as H
+
+    spark.conf.set("spark.graft.materializer", "reliable")
+    try:
+        app = spark.sparkContext.applicationId
+        before = {s for (a, s) in H._PIN_HISTORY if a == app}
+        frames = []
+        for i in range(6):
+            frames.append(H.pin(spark.range(i, i + 3)))  # one call site
+        site_hists = [
+            h for (a, s), h in H._PIN_HISTORY.items()
+            if a == app and s not in before
+        ]
+        assert site_hists and max(len(h) for h in site_hists) <= H._PIN_KEEP
+        # newest and previous generation both readable
+        assert frames[-1].count() == 3
+        assert frames[-2].count() == 3
+    finally:
+        spark.conf.unset("spark.graft.materializer")
+
+
+def test_crawler_corrupt_record_hooks(spark, tmp_path):
+    """Type widening past the sample horizon is detectable: FAILFAST
+    raises, and corrupt_col captures the raw line under PERMISSIVE
+    (review finding: silent NULLs had no accounting hook)."""
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import (
+        CsvClassifier,
+        crawl_delimited,
+    )
+
+    root = tmp_path / "widen"
+    root.mkdir()
+    with open(root / "data.tsv", "w") as f:
+        f.write("name\tage\n")
+        for j in range(200):
+            f.write(f"u{j}\t{20 + j}\n")
+        f.write("late\t99.5\n")  # widens int -> double past the sample
+
+    df = crawl_delimited(
+        spark, str(root), classifier=CsvClassifier(), sample_rows=100,
+        corrupt_col="_corrupt",
+    ).cache()  # Spark disallows corrupt-col-only queries on raw CSV
+    bad = df.where(F.col("_corrupt").isNotNull())
+    assert bad.count() == 1
+    assert "99.5" in bad.collect()[0]._corrupt
+    assert df.where(F.col("_corrupt").isNull()).count() == 200
+    df.unpersist()
+
+    with pytest.raises(Exception):
+        # collect, not count: count() prunes every data column, so the
+        # malformed value would never be parsed
+        crawl_delimited(
+            spark, str(root), classifier=CsvClassifier(), sample_rows=100,
+            mode="FAILFAST",
+        ).collect()
