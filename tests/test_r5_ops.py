@@ -859,14 +859,19 @@ def test_tws_ttl_totals_long_ttl_accumulates_short_ttl_expires(
     )
 
     n_users = ev.select("user_id").distinct().count()
+    n_rows = ev.count()
 
     def run(name, ttl_ms):
         # TTL requires timeMode=ProcessingTime, under which an
         # availableNow query does NOT self-terminate (the time mode
-        # keeps the stream eligible for timer ticks) — so gate on the
-        # SEMANTIC condition (every user surfaced and the table gone
-        # quiet), then stop, the same discipline the PSI-monitor test
-        # adopted in r3.
+        # keeps the stream eligible for timer ticks) — so gate on a
+        # DETERMINISTIC condition and then stop. The r7 suite run
+        # showed that "every user surfaced + table quiet" races under
+        # load: if all users appear in file 1 and batch 2 is slow, the
+        # gate fires between micro-batches and collects partial
+        # totals. Gate on input-row accounting instead: the stream has
+        # consumed every source row (recentProgress numInputRows sums
+        # to the input count) AND the sink has gone quiet.
         import time
 
         q = (
@@ -883,11 +888,14 @@ def test_tws_ttl_totals_long_ttl_accumulates_short_ttl_expires(
             while time.monotonic() < deadline:
                 if q.exception() is not None:
                     raise q.exception()
+                consumed = sum(
+                    p["numInputRows"] for p in q.recentProgress
+                )
                 cnt = spark.table(name).count()
                 users = (
                     spark.table(name).select("user_id").distinct().count()
                 )
-                if users >= n_users and cnt == last:
+                if consumed >= n_rows and users >= n_users and cnt == last:
                     stable += 1
                     if stable >= 2:
                         break
