@@ -198,15 +198,26 @@ class Lake:
         zone: str,
         table: str = "*",
         columns: list[str] | None = None,
+        row_filter: str | None = None,
     ) -> None:
         """Grant ``principal`` read on ``zone.table`` (``"*"`` = every
         table in the zone, like the reference's bucket-wide policy).
         ``columns`` scopes the grant: ungranted columns are MASKED on
         read, not dropped — the shape downstream jobs expect stays
-        stable while the values are withheld."""
-        self.grants.setdefault(principal, {}).setdefault(zone, {})[table] = (
-            sorted(columns) if columns is not None else None
+        stable while the values are withheld. ``row_filter`` is a SQL
+        predicate evaluated against the TRUE (pre-mask) rows — the
+        row-level-security half of the governed-lake model: a filter
+        may gate on a column the principal cannot see. Stored in the
+        manifest; legacy (filter-less) grants keep their compact form
+        so pre-existing manifests load unchanged. An unparseable
+        predicate surfaces as Spark's AnalysisException on read."""
+        cols = sorted(columns) if columns is not None else None
+        entry: object = (
+            cols
+            if row_filter is None
+            else {"columns": cols, "row_filter": row_filter}
         )
+        self.grants.setdefault(principal, {}).setdefault(zone, {})[table] = entry
         self._save_manifest()
 
     def revoke(self, principal: str, zone: str, table: str = "*") -> None:
@@ -214,26 +225,34 @@ class Lake:
         self._save_manifest()
 
     def _grant_for(self, principal: str, zone: str, table: str):
-        """(granted, columns) — a table-specific grant wins over the
-        zone wildcard; columns None = all."""
+        """(granted, columns, row_filter) — a table-specific grant wins
+        over the zone wildcard; columns None = all, row_filter None =
+        every row. Accepts both grant encodings (legacy list/None and
+        the dict form carrying a row filter)."""
         zgrants = self.grants.get(principal, {}).get(zone)
         if zgrants is None:
-            return False, None
+            return False, None, None
         if table in zgrants:
-            return True, zgrants[table]
-        if "*" in zgrants:
-            return True, zgrants["*"]
-        return False, None
+            entry = zgrants[table]
+        elif "*" in zgrants:
+            entry = zgrants["*"]
+        else:
+            return False, None, None
+        if isinstance(entry, dict):
+            return True, entry.get("columns"), entry.get("row_filter")
+        return True, entry, None
 
     def read(self, principal: str, zone: str, table: str) -> DataFrame:
-        """Governed read: returns the table masked to the principal's
-        grant, registers the principal-scoped view
+        """Governed read: returns the table row-filtered and masked to
+        the principal's grant, registers the principal-scoped view
         ``<principal>__<zone>_<table>``, and lands one audit row.
         Raises :class:`AccessDenied` (after auditing the attempt) when
         no grant covers the table."""
-        granted, cols = self._grant_for(principal, zone, table)
+        granted, cols, row_filter = self._grant_for(principal, zone, table)
         exists = table in self.tables.get(zone, {})
-        self._audit_row(principal, zone, table, granted and exists, cols)
+        self._audit_row(
+            principal, zone, table, granted and exists, cols, row_filter
+        )
         if not granted or not exists:
             raise AccessDenied(
                 f"principal {principal!r} may not read {zone}.{table}"
@@ -242,6 +261,10 @@ class Lake:
         from pyspark.sql import types as T
 
         df = self.table(zone, table)
+        if row_filter is not None:
+            # BEFORE masking: the predicate sees true values, so a
+            # grant can scope rows by a column it simultaneously masks
+            df = df.where(F.expr(row_filter))
         if cols is not None:
             allowed = set(cols)
             projected = []
@@ -268,6 +291,7 @@ class Lake:
         table: str,
         allowed: bool,
         columns: list[str] | None,
+        row_filter: str | None = None,
     ) -> None:
         """One JSON line per governed read attempt under
         ``<root>/_audit/``. Driver-side appends at catalog-metadata
@@ -285,6 +309,7 @@ class Lake:
             "table": table,
             "allowed": allowed,
             "columns": columns,
+            "row_filter": row_filter,
         }
         with open(os.path.join(self.root, "_audit", "reads.jsonl"), "a") as fh:
             fh.write(json.dumps(row) + "\n")

@@ -21,23 +21,23 @@ from cdk_serverless_data_lake_sandbox_spark.registry import (  # noqa: E402
 )
 from tests.compare import assert_frames_match  # noqa: E402
 
-# Default sweep: the operators whose ORACLES changed most recently
-# (r6 flips + the delta-iteration graph ops), so a bare
+# Default sweep: the operators whose ORACLES or hot paths changed most
+# recently (r7: the portable-hash LSH oracle flips, the ANN rescore
+# broadcast fix, and the materializer-routed iteratives), so a bare
 # `python scripts/xsf_check.py SF_DIR` re-proves the current round.
-R6_NEW = [
+R7_NEW = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "ann_topk_vectorized",
     "ann_topk_arrow",
-    "kmeans_clusters",
-    "quartiles_scalable",
-    "approx_quantiles",
-    "ann_ivf",
-    "ann_topk_pq",
-    "ann_ivf_pq",
-    "part_skyline",
-    # iteratives last: minutes-scale at sf0.1
-    "copurchase_communities",
+    # iteratives last: minutes-scale at sf0.1; they now route through
+    # the pluggable materializer (pin()) — re-prove at a non-gate SF
+    "copurchase_pagerank",
     "copurchase_kcore",
 ]
+R6_NEW = R7_NEW  # back-compat alias
 
 
 def main() -> None:
