@@ -39,11 +39,14 @@ COMPONENTS: dict[str, str] = {
     "D2": "write_bucketed",
     "D3": "compact",  # word-boundary match: dv_compact does NOT count
     "D4": "IncrementalIngest",
-    "D5": "mergeSchema",
+    # D5/D9 are Spark OPTION/CONF STRING KEYS, not code identifiers —
+    # the AST matcher (correctly) never sees them, so they pin their
+    # covering tests explicitly.
+    "D5": "test:test_schema_evolution_merge",
     "D6": "crawl_json",
     "D7": "zorder_write",
     "D8": "merge_upsert",
-    "D9": "partitionOverwriteMode",
+    "D9": "test:test_dynamic_partition_overwrite",
     "D10": "delete_keys",
     "D11": "partition_stats",
     "D12": "snapshot_diff",
