@@ -94,8 +94,13 @@ class Lake:
         self.root = root
         self.zones: dict[str, str] = {}
         self.tables: dict[str, dict[str, str]] = {}
-        # principal -> zone -> table|"*" -> granted columns (None=all)
-        self.grants: dict[str, dict[str, dict[str, list[str] | None]]] = {}
+        # principal -> zone -> table|"*" -> grant entry. Two encodings
+        # (see _grant_for): legacy list[str]|None = granted columns
+        # (None=all), or {"columns": ..., "row_filter": ...} when the
+        # grant carries a row-level filter.
+        self.grants: dict[
+            str, dict[str, dict[str, list[str] | dict | None]]
+        ] = {}
 
     # -------------------------------------------------- durability
     @classmethod

@@ -25,7 +25,7 @@ from tests.compare import assert_frames_match  # noqa: E402
 # recently (r7: the portable-hash LSH oracle flips, the ANN rescore
 # broadcast fix, and the materializer-routed iteratives), so a bare
 # `python scripts/xsf_check.py SF_DIR` re-proves the current round.
-R7_NEW = [
+DEFAULT_SWEEP = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
@@ -37,12 +37,11 @@ R7_NEW = [
     "copurchase_pagerank",
     "copurchase_kcore",
 ]
-R6_NEW = R7_NEW  # back-compat alias
 
 
 def main() -> None:
     sf = sys.argv[1]
-    names = sys.argv[2:] or R6_NEW
+    names = sys.argv[2:] or DEFAULT_SWEEP
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")

@@ -885,12 +885,19 @@ def test_tws_ttl_totals_long_ttl_accumulates_short_ttl_expires(
         try:
             deadline = time.monotonic() + 300
             last, stable = -1, 0
+            rows_by_batch: dict[int, int] = {}
             while time.monotonic() < deadline:
                 if q.exception() is not None:
                     raise q.exception()
-                consumed = sum(
-                    p["numInputRows"] for p in q.recentProgress
-                )
+                # accumulate per-batch across polls: recentProgress is
+                # a BOUNDED buffer (default 100 entries) and the
+                # never-terminating ProcessingTime stream keeps
+                # appending numInputRows=0 ticks that would evict the
+                # two data-bearing entries between polls on a slow
+                # machine — an entry observed once must stay counted
+                for p in q.recentProgress:
+                    rows_by_batch[p["batchId"]] = p["numInputRows"]
+                consumed = sum(rows_by_batch.values())
                 cnt = spark.table(name).count()
                 users = (
                     spark.table(name).select("user_id").distinct().count()
