@@ -55,6 +55,10 @@ class RelationalStore:
         return duckdb.connect(self.path, read_only=read_only)
 
     def load_table_from_parquet(self, name: str, parquet_path: str) -> None:
+        # accept both lake layouts: a single parquet FILE (the bench
+        # testdata shape) and a Spark-written DIRECTORY of part files
+        if os.path.isdir(parquet_path):
+            parquet_path = os.path.join(parquet_path, "*.parquet")
         con = self._connect()
         try:
             con.execute(f"DROP TABLE IF EXISTS {name}")
