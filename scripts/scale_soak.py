@@ -214,25 +214,47 @@ def main() -> None:
     run("q6_forecast_revenue", "/root/testdata/sf0.1")  # warm
     print(f"{'query':30s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>6s}")
     results = {}
+    out = os.environ.get("SOAK_OUT")
+
+    def flush_out() -> None:
+        # incremental: a multi-hour sweep must not lose every measured
+        # ratio to one failing op (the r7 broad tier crashed 66 ops in
+        # on an env mismatch and the artifact had to be re-harvested
+        # from progress-bar-polluted logs)
+        if out:
+            import json
+
+            tmp = out + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(results, fh, indent=1)
+            os.replace(tmp, out)
+
+    failures = {}
     for n in names or DEFAULT_OPS:
-        a = run(n, "/root/testdata/sf0.1")
-        b = run(n, sf1)
+        try:
+            a = run(n, "/root/testdata/sf0.1")
+            b = run(n, sf1)
+        except Exception as e:  # record and keep sweeping
+            failures[n] = f"{type(e).__name__}: {e}"
+            print(f"{n:30s} FAILED  {type(e).__name__}: {e}", flush=True)
+            continue
         results[n] = {
             "sf0.1_sec": round(a, 2),
             "sf1_sec": round(b, 2),
             "ratio": round(b / a, 2),
         }
         print(f"{n:30s} {a:7.2f} {b:8.2f} {b / a:6.2f}", flush=True)
+        flush_out()
+    if failures:
+        results["_failures"] = failures
+        flush_out()
     if not names:
         saturated_guard_check(spark, sf1)
         winnowing_hot_check(spark, sf1)
         edit_distance_slice_check(spark, sf1)
-    out = os.environ.get("SOAK_OUT")
-    if out:
-        import json
-
-        with open(out, "w") as fh:
-            json.dump(results, fh, indent=1)
+    flush_out()
+    if failures:
+        raise SystemExit(f"{len(failures)} op(s) failed: {sorted(failures)}")
 
 
 if __name__ == "__main__":
