@@ -151,6 +151,150 @@ def crawl_delimited(
     return df
 
 
+# ------------------------------------------------------------- grok
+# Glue's classifier resource family has four types — CSV (mapped
+# above), JSON/parquet (format readers below), XML (needs an external
+# reader package; refused loudly), and GROK, the one raw-log ingest
+# runs on. A grok classifier is an EXPLICIT schema: the pattern names
+# and types every field, so — unlike the CSV path — classification
+# needs zero inference scans; the read is a single text scan with one
+# JVM-side regex (regexp_extract compiles once per task, Catalyst
+# collapses the per-field extracts into one pass).
+
+# Built-in pattern library (subset of the public grok/Logstash
+# vocabulary; regexes written here, not copied). Inner groups are
+# non-capturing so field group indexes stay stable.
+_GROK_LIBRARY: dict[str, str] = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
+        r"(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?"
+    ),
+    "UUID": r"[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}",
+}
+
+_GROK_TYPES = {"int": "long", "float": "double"}
+
+
+@dataclass(frozen=True)
+class GrokClassifier:
+    """Glue GrokClassifier analog: ``%{PATTERN:field}`` /
+    ``%{PATTERN:field:int|float}`` tokens inside an otherwise-literal
+    regex. ``custom_patterns`` extends the library (one level of
+    ``%{...}`` nesting allowed; use non-capturing groups in custom
+    regexes)."""
+
+    grok_pattern: str
+    custom_patterns: dict[str, str] | None = None
+
+    def compile(self) -> tuple[str, list[tuple[str, str]]]:
+        """-> (anchored java regex, [(field, spark_type), ...] in
+        capture-group order). Only field tokens contribute capturing
+        groups (library/custom regexes are non-capturing), so group
+        index == field order; a LITERAL ``(`` in the pattern or a
+        capturing group in a custom pattern would shift indexes —
+        use ``(?:...)``."""
+        import re as _re
+
+        lib = dict(_GROK_LIBRARY, **(self.custom_patterns or {}))
+
+        def expand(pat: str, depth: int) -> str:
+            if depth > 4:
+                raise ValueError("grok pattern nesting too deep")
+
+            def sub_token(m: _re.Match) -> str:
+                name = m.group(1)
+                if name not in lib:
+                    raise ValueError(f"unknown grok pattern %{{{name}}}")
+                return "(?:" + expand(lib[name], depth + 1) + ")"
+
+            return _re.sub(r"%\{(\w+)\}", sub_token, pat)
+
+        fields: list[tuple[str, str]] = []
+
+        def sub_field(m: _re.Match) -> str:
+            name, field, typ = m.group(1), m.group(2), m.group(3)
+            if name not in lib:
+                raise ValueError(f"unknown grok pattern %{{{name}}}")
+            if typ is not None and typ not in _GROK_TYPES:
+                raise ValueError(f"unknown grok cast :{typ} (int|float)")
+            fields.append((field, _GROK_TYPES.get(typ or "", "string")))
+            return "(" + expand(lib[name], 0) + ")"
+
+        regex = _re.sub(
+            r"%\{(\w+):(\w+)(?::(\w+))?\}", sub_field, self.grok_pattern
+        )
+        regex = expand(regex, 0)  # bare %{NAME} tokens: match, no field
+        if not fields:
+            raise ValueError("grok pattern captures no fields")
+        return "^" + regex + "$", fields
+
+
+def crawl_grok(
+    spark: SparkSession,
+    path: str,
+    classifier: GrokClassifier,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Classify raw text lines with a grok pattern — the Glue
+    GrokClassifier analog, and the shape raw 100 TB log ingest takes:
+    ONE text scan, one compiled regex, every extract JVM-side inside
+    whole-stage codegen (no inference pass: the pattern IS the
+    schema). Same malformed-row contract as :func:`crawl_delimited`:
+
+    - PERMISSIVE + ``corrupt_col``: non-matching lines land their raw
+      text in the corrupt column (typed fields null) — the DLQ hook;
+    - PERMISSIVE without ``corrupt_col``: non-matching lines are
+      dropped (Glue routes them to unclassified);
+    - FAILFAST: the scan raises on the first non-matching line, via a
+      distributed ``raise_error`` guard — no extra validation scan.
+    """
+    from pyspark.sql import functions as F
+
+    regex, fields = classifier.compile()
+    raw = spark.read.text(path)
+    matched = F.col("value").rlike(regex)
+    if mode == "FAILFAST":
+        # per-row distributed guard: matched rows see when()'s null
+        # branch (isnull -> true, row kept); an unmatched row forces
+        # the raise_error branch and fails the scan
+        guard = F.when(
+            ~matched,
+            F.raise_error(
+                F.concat(F.lit("grok: unmatched line: "), F.col("value"))
+            ),
+        )
+        raw = raw.where(F.isnull(guard))
+    elif mode == "PERMISSIVE":
+        if corrupt_col is None:
+            raw = raw.where(matched)
+    elif mode == "DROPMALFORMED":
+        raw = raw.where(matched)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    cols = [
+        F.when(
+            matched, F.regexp_extract(F.col("value"), regex, i + 1)
+        )
+        .cast(typ)
+        .alias(name)
+        for i, (name, typ) in enumerate(fields)
+    ]
+    if corrupt_col is not None and mode == "PERMISSIVE":
+        cols.append(
+            F.when(~matched, F.col("value")).alias(corrupt_col)
+        )
+    return raw.select(*cols)
+
+
 def crawl_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 

@@ -30,6 +30,7 @@ COMPONENTS: dict[str, str] = {
     "A8": "ResultsZone",
     "A9": "run_cached",
     "A10": "AccessDenied",
+    "A11": "crawl_grok",
     "C13": "decode_real_media",
     "C31": "dedup_incremental",
     "C59": "observe_metrics",

@@ -239,3 +239,96 @@ def test_lake_acl_row_filter_composes_with_masking(spark, tmp_path):
     # the audit trail records which filter governed each read
     audit = lake.audit_log().where("principal = 'regional'")
     assert audit.where("row_filter LIKE '%emea%'").count() >= 1
+
+
+# ---------------------------------------------------- A11 grok crawler
+def test_crawl_grok_types_casts_and_corrupt_hooks(spark, tmp_path):
+    """The Glue GrokClassifier analog end-to-end: %{...:field:type}
+    tokens compile to ONE anchored regex whose captures become typed
+    columns; custom patterns extend the library; the malformed-row
+    contract matches crawl_delimited (PERMISSIVE+corrupt_col routes
+    raw lines to the DLQ column, bare PERMISSIVE drops them, FAILFAST
+    raises at scan time via a distributed raise_error guard)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import (
+        GrokClassifier,
+        crawl_grok,
+    )
+
+    log = tmp_path / "app.log"
+    log.write_text(
+        "2026-08-15T10:00:01Z INFO svc-a 200 0.125 handled /api/users\n"
+        "2026-08-15T10:00:02Z ERROR svc-b 500 2.5 upstream timeout\n"
+        "this line matches nothing\n"
+    )
+    cls = GrokClassifier(
+        grok_pattern=(
+            "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{SVC:svc} "
+            "%{INT:status:int} %{NUMBER:latency:float} %{GREEDYDATA:msg}"
+        ),
+        custom_patterns={"SVC": r"svc-\w+"},
+    )
+
+    # PERMISSIVE without corrupt_col: unmatched lines dropped
+    df = crawl_grok(spark, str(log), cls)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "ts:string",
+        "level:string",
+        "svc:string",
+        "status:bigint",
+        "latency:double",
+        "msg:string",
+    ]
+    rows = {r.svc: r for r in df.collect()}
+    assert set(rows) == {"svc-a", "svc-b"}
+    assert rows["svc-b"].status == 500 and rows["svc-b"].latency == 2.5
+    assert rows["svc-a"].msg == "handled /api/users"
+
+    # PERMISSIVE + corrupt_col: unmatched line lands raw in the DLQ
+    # column, typed fields null
+    dlq = crawl_grok(spark, str(log), cls, corrupt_col="_corrupt")
+    bad = dlq.where("_corrupt IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert bad[0]._corrupt == "this line matches nothing"
+    assert bad[0].status is None
+    assert dlq.count() == 3
+
+    # FAILFAST: the scan raises on the unmatched line
+    with pytest.raises(SparkRuntimeException, match="grok: unmatched line"):
+        crawl_grok(spark, str(log), cls, mode="FAILFAST").count()
+    # ... and runs clean once the bad line is gone
+    clean = tmp_path / "clean.log"
+    clean.write_text(
+        "2026-08-15T10:00:01Z INFO svc-a 200 0.125 ok\n"
+    )
+    assert crawl_grok(spark, str(clean), cls, mode="FAILFAST").count() == 1
+
+    # compile-time validation is loud
+    with pytest.raises(ValueError):
+        GrokClassifier("%{NO_SUCH:f}").compile()
+    with pytest.raises(ValueError):
+        GrokClassifier("%{INT:f:hex}").compile()
+    with pytest.raises(ValueError):
+        GrokClassifier("no fields at all").compile()
+
+
+def test_crawl_grok_single_text_scan_plan(spark, tmp_path):
+    """The grok read is ONE text scan with JVM-side extracts — no
+    inference pass, no Python boundary (the 100 TB raw-log contract:
+    classification cost == one scan)."""
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import (
+        GrokClassifier,
+        crawl_grok,
+    )
+
+    log = tmp_path / "x.log"
+    log.write_text("1 a\n2 b\n")
+    df = crawl_grok(
+        spark, str(log), GrokClassifier("%{INT:id:int} %{WORD:w}")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan text") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert [r.id for r in df.orderBy("id").collect()] == [1, 2]
