@@ -157,9 +157,11 @@ def crawl_delimited(
 # reader package; refused loudly), and GROK, the one raw-log ingest
 # runs on. A grok classifier is an EXPLICIT schema: the pattern names
 # and types every field, so — unlike the CSV path — classification
-# needs zero inference scans; the read is a single text scan with one
-# JVM-side regex (regexp_extract compiles once per task, Catalyst
-# collapses the per-field extracts into one pass).
+# needs zero inference scans; the read is a single text scan with
+# JVM-side regexp_extract projections (one compiled Pattern, cached
+# per task; each field's extract reruns the match, so cost is
+# O(fields) regex evaluations per line — still scan-speed, no
+# shuffle, no Python).
 
 # Built-in pattern library (subset of the public grok/Logstash
 # vocabulary; regexes written here, not copied). Inner groups are
@@ -234,7 +236,26 @@ class GrokClassifier:
         regex = expand(regex, 0)  # bare %{NAME} tokens: match, no field
         if not fields:
             raise ValueError("grok pattern captures no fields")
-        return "^" + regex + "$", fields
+        # loud compile-time validation (review findings), so every
+        # misconfiguration fails HERE, not as silent nulls or a
+        # PatternSyntaxException deep inside a Spark job:
+        names = [f for f, _ in fields]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate grok field names in {names}")
+        if "%{" in regex:
+            # a token that missed the \w+ grammar (dots/dashes in the
+            # field name, or %{NAME:field} nested inside a custom
+            # pattern, which expand() deliberately doesn't substitute)
+            rest = regex[regex.index("%{") :][:40]
+            raise ValueError(f"unsubstituted grok token at: {rest!r}")
+        anchored = "^" + regex + "$"
+        if _re.compile(anchored).groups != len(fields):
+            raise ValueError(
+                "capture-group count != field count: a literal '(' in "
+                "the pattern or a capturing group in a custom pattern "
+                "shifts field indexes — use '(?:...)'"
+            )
+        return anchored, fields
 
 
 def crawl_grok(
@@ -256,12 +277,18 @@ def crawl_grok(
       dropped (Glue routes them to unclassified);
     - FAILFAST: the scan raises on the first non-matching line, via a
       distributed ``raise_error`` guard — no extra validation scan.
+
+    ``corrupt_col`` is added to the schema in EVERY mode (all-null
+    when the mode filters/raises malformed lines away), matching
+    crawl_delimited: switching modes never changes the schema a
+    downstream DLQ check selects on.
     """
     from pyspark.sql import functions as F
 
     regex, fields = classifier.compile()
     raw = spark.read.text(path)
     matched = F.col("value").rlike(regex)
+    keeps_unmatched = mode == "PERMISSIVE" and corrupt_col is not None
     if mode == "FAILFAST":
         # per-row distributed guard: matched rows see when()'s null
         # branch (isnull -> true, row kept); an unmatched row forces
@@ -273,24 +300,29 @@ def crawl_grok(
             ),
         )
         raw = raw.where(F.isnull(guard))
-    elif mode == "PERMISSIVE":
-        if corrupt_col is None:
+    elif mode in ("PERMISSIVE", "DROPMALFORMED"):
+        if not keeps_unmatched:
             raw = raw.where(matched)
-    elif mode == "DROPMALFORMED":
-        raw = raw.where(matched)
     else:
         raise ValueError(f"unknown mode {mode!r}")
+
+    def extract(i: int) -> "F.Column":
+        e = F.regexp_extract(F.col("value"), regex, i + 1)
+        # the matched-guard costs an extra rlike per field, so pay it
+        # only on the one path where unmatched rows survive the filter
+        return F.when(matched, e) if keeps_unmatched else e
+
     cols = [
-        F.when(
-            matched, F.regexp_extract(F.col("value"), regex, i + 1)
-        )
-        .cast(typ)
-        .alias(name)
+        extract(i).cast(typ).alias(name)
         for i, (name, typ) in enumerate(fields)
     ]
-    if corrupt_col is not None and mode == "PERMISSIVE":
+    if corrupt_col is not None:
         cols.append(
-            F.when(~matched, F.col("value")).alias(corrupt_col)
+            (
+                F.when(~matched, F.col("value"))
+                if keeps_unmatched
+                else F.lit(None).cast("string")
+            ).alias(corrupt_col)
         )
     return raw.select(*cols)
 

@@ -55,15 +55,20 @@ class RelationalStore:
         return duckdb.connect(self.path, read_only=read_only)
 
     def load_table_from_parquet(self, name: str, parquet_path: str) -> None:
-        # accept both lake layouts: a single parquet FILE (the bench
-        # testdata shape) and a Spark-written DIRECTORY of part files
+        # accept every lake layout: a single parquet FILE (the bench
+        # testdata shape), a flat Spark-written DIRECTORY of part
+        # files, and a partitionBy() tree (recursive glob +
+        # hive_partitioning so partition columns come back as columns)
+        opts = ""
         if os.path.isdir(parquet_path):
-            parquet_path = os.path.join(parquet_path, "*.parquet")
+            parquet_path = os.path.join(parquet_path, "**", "*.parquet")
+            opts = ", hive_partitioning=true"
         con = self._connect()
         try:
             con.execute(f"DROP TABLE IF EXISTS {name}")
             con.execute(
-                f"CREATE TABLE {name} AS SELECT * FROM read_parquet('{parquet_path}')"
+                f"CREATE TABLE {name} AS "
+                f"SELECT * FROM read_parquet('{parquet_path}'{opts})"
             )
         finally:
             con.close()

@@ -236,7 +236,9 @@ def main() -> None:
             b = run(n, sf1)
         except Exception as e:  # record and keep sweeping
             failures[n] = f"{type(e).__name__}: {e}"
+            results["_failures"] = failures  # crash-durable like ratios
             print(f"{n:30s} FAILED  {type(e).__name__}: {e}", flush=True)
+            flush_out()
             continue
         results[n] = {
             "sf0.1_sec": round(a, 2),
@@ -244,9 +246,6 @@ def main() -> None:
             "ratio": round(b / a, 2),
         }
         print(f"{n:30s} {a:7.2f} {b:8.2f} {b / a:6.2f}", flush=True)
-        flush_out()
-    if failures:
-        results["_failures"] = failures
         flush_out()
     if not names:
         saturated_guard_check(spark, sf1)

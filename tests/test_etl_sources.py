@@ -687,3 +687,47 @@ def test_collect_column_stats_one_pass_analyze(spark):
     assert int(ok.max_value) == orders.agg({"o_orderkey": "max"}).first()[0]
     # status is low-cardinality: NDV must reflect that, not row count
     assert stats["o_orderstatus"].approx_ndv <= 5
+
+
+def test_relational_store_accepts_all_parquet_layouts(spark, tmp_path):
+    """The federated fixture loads every lake layout: a single parquet
+    file, a flat Spark-written directory of part files, and a
+    partitionBy() tree (where partition columns must come back as
+    real columns) — the r7 review found the flat-dir glob missed
+    partitioned trees entirely."""
+    import pandas as pd
+
+    from cdk_serverless_data_lake_sandbox_spark.sources.jdbc import (
+        RelationalStore,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "emea", 10.0), (2, "emea", 20.0), (3, "apac", 30.0)],
+        "id int, region string, amount double",
+    )
+    single = tmp_path / "single.parquet"
+    df.toPandas().to_parquet(single)
+    flat = str(tmp_path / "flat")
+    df.repartition(2).write.parquet(flat)
+    tree = str(tmp_path / "tree")
+    df.write.partitionBy("region").parquet(tree)
+
+    store = RelationalStore(str(tmp_path / "db" / "store.duckdb"))
+    for name, path in [
+        ("t_single", str(single)),
+        ("t_flat", flat),
+        ("t_tree", tree),
+    ]:
+        store.load_table_from_parquet(name, path)
+        con = store._connect(read_only=True)
+        try:
+            rows = con.execute(
+                f"SELECT id, region, amount FROM {name} ORDER BY id"
+            ).fetchall()
+        finally:
+            con.close()
+        assert rows == [
+            (1, "emea", 10.0),
+            (2, "emea", 20.0),
+            (3, "apac", 30.0),
+        ], name

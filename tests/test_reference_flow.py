@@ -305,6 +305,15 @@ def test_crawl_grok_types_casts_and_corrupt_hooks(spark, tmp_path):
     )
     assert crawl_grok(spark, str(clean), cls, mode="FAILFAST").count() == 1
 
+    # corrupt_col keeps the schema in EVERY mode (all-null when the
+    # mode filters malformed lines away) — the crawl_delimited parity
+    dropm = crawl_grok(
+        spark, str(log), cls, mode="DROPMALFORMED", corrupt_col="_corrupt"
+    )
+    assert "_corrupt" in dropm.columns
+    assert dropm.count() == 2
+    assert dropm.where("_corrupt IS NOT NULL").count() == 0
+
     # compile-time validation is loud
     with pytest.raises(ValueError):
         GrokClassifier("%{NO_SUCH:f}").compile()
@@ -312,6 +321,16 @@ def test_crawl_grok_types_casts_and_corrupt_hooks(spark, tmp_path):
         GrokClassifier("%{INT:f:hex}").compile()
     with pytest.raises(ValueError):
         GrokClassifier("no fields at all").compile()
+    # ... including the silent-corruption traps (review findings):
+    # stray capturing group shifting field indexes
+    with pytest.raises(ValueError, match="capture-group count"):
+        GrokClassifier("(%{WORD:lvl}|-) %{INT:code:int}").compile()
+    # duplicate field names -> ambiguous downstream columns
+    with pytest.raises(ValueError, match="duplicate"):
+        GrokClassifier("%{INT:n:int} %{INT:n:int}").compile()
+    # token that misses the \\w+ grammar left unsubstituted
+    with pytest.raises(ValueError, match="unsubstituted"):
+        GrokClassifier("%{INT:http.status} %{WORD:w}").compile()
 
 
 def test_crawl_grok_single_text_scan_plan(spark, tmp_path):
