@@ -31,6 +31,7 @@ COMPONENTS: dict[str, str] = {
     "A9": "run_cached",
     "A10": "AccessDenied",
     "A11": "crawl_grok",
+    "A12": "test:test_crawler_discovers_hive_partitions",
     "C13": "decode_real_media",
     "C31": "dedup_incremental",
     "C59": "observe_metrics",

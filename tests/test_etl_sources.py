@@ -731,3 +731,44 @@ def test_relational_store_accepts_all_parquet_layouts(spark, tmp_path):
             (2, "emea", 20.0),
             (3, "apac", 30.0),
         ], name
+
+
+def test_crawler_discovers_hive_partitions(spark, tmp_path):
+    """Glue crawlers create PARTITIONED tables from key=value
+    directory trees (the raw-zone layout every date-partitioned feed
+    lands in). crawl_delimited inherits that: the sampled inference
+    types the data columns, and Spark appends the partition column
+    discovered from the directory names — no extra code path, pinned
+    here as the contract."""
+    from cdk_serverless_data_lake_sandbox_spark.sources.crawler import (
+        CsvClassifier,
+        crawl_delimited,
+    )
+
+    for region in ["emea", "apac"]:
+        d = tmp_path / f"region={region}"
+        d.mkdir()
+        (d / "part.tsv").write_text("id\tamount\n1\t10.5\n2\t20.5\n")
+
+    df = crawl_delimited(
+        spark, str(tmp_path), classifier=CsvClassifier(delimiter="\t")
+    )
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "id:int",
+        "amount:double",
+        "region:string",
+    ]
+    assert sorted((r.id, r.region) for r in df.collect()) == [
+        (1, "apac"),
+        (1, "emea"),
+        (2, "apac"),
+        (2, "emea"),
+    ]
+    # partition pruning reaches the scan: a region filter plans a
+    # PartitionFilters entry, not a post-scan filter over both dirs
+    pruned = df.where("region = 'emea'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "region" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    assert pruned.count() == 2
