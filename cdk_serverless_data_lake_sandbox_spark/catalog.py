@@ -118,9 +118,13 @@ class Lake:
             return lake
         with open(mf) as fh:
             manifest = json.load(fh)
+        # grants BEFORE the zone loop: add_zone() rewrites the manifest,
+        # and doing that while self.grants is still {} erased every
+        # durable grant if the process died (or no table survived to
+        # trigger a later re-save) before register() ran (r8 advice)
+        lake.grants = manifest.get("grants", {})
         for zone in manifest.get("zones", []):
             lake.add_zone(zone)
-        lake.grants = manifest.get("grants", {})
         for zone, tables in manifest.get("tables", {}).items():
             lake.tables.setdefault(zone, {})
             for table, rel in tables.items():
@@ -169,6 +173,10 @@ class Lake:
         return path
 
     def register(self, zone: str, table: str, path: str, df: DataFrame) -> None:
+        """Lake-OWNER registration (the CDK stack itself creating
+        tables — carries no principal, is not governed). Principal-
+        scoped jobs must go through :meth:`write`, which enforces the
+        write grant + audit before calling this."""
         df.createOrReplaceTempView(self._view_name(zone, table))
         self.tables[zone][table] = path
         self._save_manifest()
@@ -204,24 +212,40 @@ class Lake:
         table: str = "*",
         columns: list[str] | None = None,
         row_filter: str | None = None,
+        actions: tuple[str, ...] | list[str] = ("read",),
     ) -> None:
-        """Grant ``principal`` read on ``zone.table`` (``"*"`` = every
-        table in the zone, like the reference's bucket-wide policy).
-        ``columns`` scopes the grant: ungranted columns are MASKED on
-        read, not dropped — the shape downstream jobs expect stays
-        stable while the values are withheld. ``row_filter`` is a SQL
-        predicate evaluated against the TRUE (pre-mask) rows — the
-        row-level-security half of the governed-lake model: a filter
-        may gate on a column the principal cannot see. Stored in the
-        manifest; legacy (filter-less) grants keep their compact form
-        so pre-existing manifests load unchanged. An unparseable
+        """Grant ``principal`` ``actions`` on ``zone.table`` (``"*"`` =
+        every table in the zone, like the reference's bucket-wide
+        policy). ``actions`` mirrors the reference bucket policy, which
+        grants GetObject AND PutObject/DeleteObject explicitly
+        (``demo_stack.py:112-119``): ``"read"`` gates :meth:`read`,
+        ``"write"`` gates :meth:`write` / :meth:`delete_table` —
+        both default-deny. ``columns`` scopes a read grant: ungranted
+        columns are MASKED on read, not dropped — the shape downstream
+        jobs expect stays stable while the values are withheld.
+        ``row_filter`` is a SQL predicate evaluated against the TRUE
+        (pre-mask) rows — the row-level-security half of the
+        governed-lake model: a filter may gate on a column the
+        principal cannot see. Stored in the manifest; legacy
+        (filter-less, read-only) grants keep their compact form so
+        pre-existing manifests load unchanged. An unparseable
         predicate surfaces as Spark's AnalysisException on read."""
+        acts = sorted(set(actions))
+        bad = [a for a in acts if a not in ("read", "write")]
+        if bad:
+            raise ValueError(f"unknown grant actions {bad}")
         cols = sorted(columns) if columns is not None else None
-        entry: object = (
-            cols
-            if row_filter is None
-            else {"columns": cols, "row_filter": row_filter}
-        )
+        entry: object
+        if acts == ["read"] and row_filter is None:
+            entry = cols  # compact legacy encoding, manifest-stable
+        elif acts == ["read"]:
+            entry = {"columns": cols, "row_filter": row_filter}
+        else:
+            entry = {
+                "columns": cols,
+                "row_filter": row_filter,
+                "actions": acts,
+            }
         self.grants.setdefault(principal, {}).setdefault(zone, {})[table] = entry
         self._save_manifest()
 
@@ -229,11 +253,15 @@ class Lake:
         self.grants.get(principal, {}).get(zone, {}).pop(table, None)
         self._save_manifest()
 
-    def _grant_for(self, principal: str, zone: str, table: str):
+    def _grant_for(
+        self, principal: str, zone: str, table: str, action: str = "read"
+    ):
         """(granted, columns, row_filter) — a table-specific grant wins
         over the zone wildcard; columns None = all, row_filter None =
-        every row. Accepts both grant encodings (legacy list/None and
-        the dict form carrying a row filter)."""
+        every row. Accepts every grant encoding: legacy list/None
+        (read-only), and the dict form carrying a row filter and/or an
+        ``actions`` list (absent = read-only, so pre-r8 manifests keep
+        their meaning — write stays default-deny)."""
         zgrants = self.grants.get(principal, {}).get(zone)
         if zgrants is None:
             return False, None, None
@@ -244,7 +272,12 @@ class Lake:
         else:
             return False, None, None
         if isinstance(entry, dict):
+            acts = entry.get("actions") or ["read"]
+            if action not in acts:
+                return False, None, None
             return True, entry.get("columns"), entry.get("row_filter")
+        if action != "read":
+            return False, None, None
         return True, entry, None
 
     def read(self, principal: str, zone: str, table: str) -> DataFrame:
@@ -289,6 +322,54 @@ class Lake:
         df.createOrReplaceTempView(f"{principal}__{self._view_name(zone, table)}")
         return df
 
+    def write(
+        self,
+        principal: str,
+        zone: str,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+    ) -> str:
+        """Governed write — the PutObject half of the reference bucket
+        policy (``demo_stack.py:116-119``: writes are explicitly
+        granted, so they must be explicitly gated). Default-deny like
+        :meth:`read`: no ``write`` grant covering ``zone.table`` →
+        :class:`AccessDenied` after the audit row lands. A granted
+        write lands the data under the zone, registers the table, and
+        audits the attempt. Returns the table path."""
+        granted, _, _ = self._grant_for(principal, zone, table, "write")
+        self._audit_row(principal, zone, table, granted, None, action="write")
+        if not granted:
+            raise AccessDenied(
+                f"principal {principal!r} may not write {zone}.{table}"
+            )
+        path = os.path.join(self.zones[zone], table)
+        df.write.mode(mode).parquet(path)
+        self.register(zone, table, path, self.spark.read.parquet(path))
+        return path
+
+    def delete_table(self, principal: str, zone: str, table: str) -> None:
+        """Governed drop — the DeleteObject half of the reference
+        bucket policy. Default-deny + audit, then drops the registry
+        entry and the data directory (only when it lives inside the
+        zone — external paths are deregistered, never deleted)."""
+        import shutil
+
+        granted, _, _ = self._grant_for(principal, zone, table, "write")
+        exists = table in self.tables.get(zone, {})
+        self._audit_row(
+            principal, zone, table, granted and exists, None, action="delete"
+        )
+        if not granted or not exists:
+            raise AccessDenied(
+                f"principal {principal!r} may not delete {zone}.{table}"
+            )
+        path = self.tables[zone][table]
+        self.drop(zone, table)
+        zone_root = os.path.abspath(self.zones[zone])
+        if os.path.commonpath([os.path.abspath(path), zone_root]) == zone_root:
+            shutil.rmtree(path, ignore_errors=True)
+
     def _audit_row(
         self,
         principal: str,
@@ -297,30 +378,47 @@ class Lake:
         allowed: bool,
         columns: list[str] | None,
         row_filter: str | None = None,
+        action: str = "read",
     ) -> None:
-        """One JSON line per governed read attempt under
-        ``<root>/_audit/``. Driver-side appends at catalog-metadata
-        rate (reads-per-job, not rows) — the same cost profile as
-        CloudTrail object-level logging; ``audit_log()`` reads it back
-        as a DataFrame."""
+        """ONE FILE per governed access attempt under
+        ``<root>/_audit/`` (r8: the old single-file ``reads.jsonl``
+        append was not multi-writer-safe — two concurrent governed
+        readers, or a lake root on an object store, interleave or
+        fail; one immutable file per attempt is the marker-file recipe
+        the idempotent sinks already trust, and it needs no locks on
+        any filesystem). Written to a dot-prefixed temp name and
+        renamed, so a reader never sees a half-written row. Driver-side
+        writes at catalog-metadata rate (attempts-per-job, not rows);
+        ``audit_log()`` reads the directory back as a DataFrame —
+        including pre-r8 ``reads.jsonl`` files."""
         import json
         import time
+        import uuid
 
-        os.makedirs(os.path.join(self.root, "_audit"), exist_ok=True)
+        d = os.path.join(self.root, "_audit")
+        os.makedirs(d, exist_ok=True)
         row = {
             "ts": time.time(),
             "principal": principal,
             "zone": zone,
             "table": table,
+            "action": action,
             "allowed": allowed,
             "columns": columns,
             "row_filter": row_filter,
         }
-        with open(os.path.join(self.root, "_audit", "reads.jsonl"), "a") as fh:
+        name = f"{action}-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(d, "." + name + ".tmp")
+        with open(tmp, "w") as fh:
             fh.write(json.dumps(row) + "\n")
+        os.replace(tmp, os.path.join(d, name))
 
     def audit_log(self) -> DataFrame:
-        return self.spark.read.json(os.path.join(self.root, "_audit"))
+        # pathGlobFilter keeps half-written temp names out; Spark
+        # skips dot-prefixed files anyway, this makes it explicit
+        return self.spark.read.option(
+            "pathGlobFilter", "*.json*"
+        ).json(os.path.join(self.root, "_audit"))
 
     # -------------------------------------------------- versioned tables
     def write_version(self, zone: str, table: str, df: DataFrame) -> int:

@@ -186,7 +186,19 @@ def pin(df):
 
     Results are bit-identical across modes (parity-tested): both paths
     replay the same physical rows; only where the bytes live differs.
-    Use as ``df.transform(pin)`` or ``pin(df)``."""
+    Use as ``df.transform(pin)`` or ``pin(df)``.
+
+    **Reliable-mode scratch lifetime contract:** scratch is reclaimed
+    per (application, call-site), keeping the newest ``_PIN_KEEP``
+    generations — which assumes ONE live pinned lineage per site. Two
+    lazily-held results whose loops pin from the same source line
+    (e.g. ``pagerank()`` invoked twice, both results kept unevaluated
+    and unioned later) would let the second invocation reclaim scratch
+    the first result still references (r8 advice). Callers composing
+    multiple live pinned frames set ``spark.graft.pin_reclaim=off``
+    (or env ``SPARK_GRAFT_PIN_RECLAIM=off``) around the second build —
+    scratch then accumulates one frame per iteration and is swept with
+    the application's scratch dir instead."""
     spark = df.sparkSession
     try:
         conf_value = spark.conf.get("spark.graft.materializer", None)
@@ -217,6 +229,12 @@ _PIN_KEEP = 2
 
 
 def _reclaim_pin_scratch(spark, path: str) -> None:
+    try:
+        conf_value = spark.conf.get("spark.graft.pin_reclaim", None)
+    except Exception:
+        conf_value = None
+    if (conf_value or _os.environ.get("SPARK_GRAFT_PIN_RECLAIM", "on")) == "off":
+        return
     app = spark.sparkContext.applicationId
     site = _caller_site()
     hist = _PIN_HISTORY.setdefault((app, site), [])
@@ -249,7 +267,14 @@ def _materializer_mode(master: str, conf_value, env_value) -> str:
     without spinning a cluster)."""
     mode = conf_value or env_value or "auto"
     if mode == "auto":
-        mode = "local" if master.startswith("local") else "reliable"
+        # local-cluster[...] is NOT local: its executors are separate
+        # JVMs that can die independently, so auto must treat it like
+        # any other cluster master (r8: the executor-loss drill runs
+        # on local-cluster and relies on this)
+        is_local = master.startswith("local") and not master.startswith(
+            "local-cluster"
+        )
+        mode = "local" if is_local else "reliable"
     if mode not in ("local", "reliable"):
         raise ValueError(f"unknown materializer mode {mode!r}")
     return mode

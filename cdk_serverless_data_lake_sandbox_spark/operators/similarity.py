@@ -1491,7 +1491,52 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C77
-@register("ann_recall_report")  # compares approximate paths -> rows-only
+def _recall_oracle() -> str:
+    """DuckDB oracle for :func:`ann_recall_report`, composed from the
+    three constituent strategies' own hash-exact oracles (the C107
+    precedent): every leg — LSH, IVF, PQ — and the brute-force truth
+    replay deterministically, so the recall REPORT itself is
+    oracle-checked (r7 verdict item 5; rows-only 16 -> 15). Each leg's
+    full query (with its own CTE chain) nests as a derived table;
+    MATERIALIZED stops DuckDB re-expanding a leg per reference."""
+    legs = [
+        ("lsh", _LSH_BUCKETED_ORACLE),
+        ("ivf", _IVF_ORACLE),
+        ("pq", _pq_oracle()),
+    ]
+    leg_sql = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS method, query_id, neighbor_id "
+        f"FROM ({sql}\n) _{name}"
+        for name, sql in legs
+    )
+    return f"""
+WITH exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({_ANN_ORACLE}
+  ) _exact
+),
+legs AS MATERIALIZED (
+{leg_sql}
+),
+per AS (
+  SELECT m.method, e.query_id,
+    COUNT(*) AS k,
+    SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM (SELECT DISTINCT method FROM legs) m
+  CROSS JOIN exact e
+  LEFT JOIN legs l
+    ON l.method = m.method AND l.query_id = e.query_id
+       AND l.neighbor_id = e.neighbor_id
+  GROUP BY m.method, e.query_id
+)
+SELECT method,
+  COUNT(*) AS n_queries,
+  ROUND(CAST(SUM(n_hits) AS DOUBLE) / SUM(k), 4) AS recall_at_k,
+  ROUND(MIN(CAST(n_hits AS DOUBLE) / k), 4) AS worst_query_recall
+FROM per GROUP BY method
+"""
+
+
+@register("ann_recall_report", oracle=_recall_oracle())
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which ANN path can you trust at this configuration: recall@k
     of every approximate strategy (LSH, IVF, PQ) against the exact

@@ -95,7 +95,7 @@ def crawl_delimited(
     classifier: CsvClassifier | None = None,
     sample_rows: int = _SAMPLE_ROWS,
     mode: str = "PERMISSIVE",
-    corrupt_col: str | None = None,
+    corrupt_col: str | None = "_corrupt",
 ) -> DataFrame:
     """Infer schema for a delimited file the way the reference's
     crawler pair does. Returns the typed DataFrame; the caller
@@ -111,10 +111,13 @@ def crawl_delimited(
     with no detection hook were unacceptable at the scale this
     targets):
 
-    - ``mode="PERMISSIVE"`` (default) + ``corrupt_col="_corrupt"``:
-      malformed rows land their RAW line in the corrupt column, so a
-      post-read ``WHERE _corrupt IS NOT NULL`` count is the detection
-      / DLQ-routing hook.
+    - ``mode="PERMISSIVE"`` (default) + ``corrupt_col="_corrupt"``
+      (DEFAULT — r8 advice: silent all-NULL rows must be opt-in, not
+      the default): malformed rows land their RAW line in the corrupt
+      column, so a post-read ``WHERE _corrupt IS NOT NULL`` count is
+      the detection / DLQ-routing hook. Callers that have validated
+      their sample horizon drop the column or pass
+      ``corrupt_col=None`` to opt out.
     - ``mode="FAILFAST"``: the scan raises on the first row the
       sampled schema cannot parse — the loud option for pipelines
       that would rather re-crawl with a bigger ``sample_rows``."""
@@ -153,9 +156,9 @@ def crawl_delimited(
 
 # ------------------------------------------------------------- grok
 # Glue's classifier resource family has four types — CSV (mapped
-# above), JSON/parquet (format readers below), XML (needs an external
-# reader package; refused loudly), and GROK, the one raw-log ingest
-# runs on. A grok classifier is an EXPLICIT schema: the pattern names
+# above), JSON/parquet (format readers below), XML (crawl_xml below,
+# on Spark 4's NATIVE xml data source — no external package), and
+# GROK, the one raw-log ingest runs on. A grok classifier is an EXPLICIT schema: the pattern names
 # and types every field, so — unlike the CSV path — classification
 # needs zero inference scans; the read is a single text scan with
 # JVM-side regexp_extract projections (one compiled Pattern, cached
@@ -287,44 +290,114 @@ def crawl_grok(
 
     regex, fields = classifier.compile()
     raw = spark.read.text(path)
-    matched = F.col("value").rlike(regex)
-    keeps_unmatched = mode == "PERMISSIVE" and corrupt_col is not None
-    if mode == "FAILFAST":
-        # per-row distributed guard: matched rows see when()'s null
-        # branch (isnull -> true, row kept); an unmatched row forces
-        # the raise_error branch and fails the scan
-        guard = F.when(
-            ~matched,
-            F.raise_error(
-                F.concat(F.lit("grok: unmatched line: "), F.col("value"))
-            ),
-        )
-        raw = raw.where(F.isnull(guard))
-    elif mode in ("PERMISSIVE", "DROPMALFORMED"):
-        if not keeps_unmatched:
-            raw = raw.where(matched)
-    else:
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
         raise ValueError(f"unknown mode {mode!r}")
+    keeps_unmatched = mode == "PERMISSIVE" and corrupt_col is not None
 
-    def extract(i: int) -> "F.Column":
-        e = F.regexp_extract(F.col("value"), regex, i + 1)
-        # the matched-guard costs an extra rlike per field, so pay it
-        # only on the one path where unmatched rows survive the filter
-        return F.when(matched, e) if keeps_unmatched else e
-
-    cols = [
-        extract(i).cast(typ).alias(name)
-        for i, (name, typ) in enumerate(fields)
-    ]
-    if corrupt_col is not None:
-        cols.append(
-            (
-                F.when(~matched, F.col("value"))
-                if keeps_unmatched
-                else F.lit(None).cast("string")
-            ).alias(corrupt_col)
+    # ONE rlike per row in EVERY mode (r8: the r7 shape re-evaluated
+    # the match predicate in the FAILFAST guard, the keep-filter, and
+    # each per-field when() — up to 3x per row; CollapseProject
+    # re-inlines shared subexpressions per reference, the winnowing
+    # lesson of SURVEY §6). (value, matched) is let-bound as the single
+    # element of an array; every downstream reference reads the bound
+    # lambda variable instead of re-evaluating the regex.
+    elem = F.array(
+        F.struct(
+            F.col("value").alias("v"),
+            F.col("value").rlike(regex).alias("m"),
         )
-    return raw.select(*cols)
+    )
+    if mode != "FAILFAST" and not keeps_unmatched:
+        # drop path: filter INSIDE the array (bound element, no second
+        # match evaluation); explode_outer + IS NOT NULL below drops
+        # the emptied rows without the size(arr) > 0 filter non-outer
+        # explode infers, which would re-inline the array expression
+        # below the projection (SURVEY §6, outer-explode rule)
+        elem = F.filter(elem, lambda r: r["m"])
+
+    def out_struct(r) -> "F.Column":
+        cols = [
+            F.when(r["m"], F.regexp_extract(r["v"], regex, i + 1))
+            .cast(typ)
+            .alias(name)
+            for i, (name, typ) in enumerate(fields)
+        ]
+        if corrupt_col is not None:
+            # null on matched rows; modes that filter or raise
+            # unmatched rows away leave it all-null, same schema
+            cols.append(F.when(~r["m"], r["v"]).alias(corrupt_col))
+        return F.struct(*cols)
+
+    if mode == "FAILFAST":
+        # distributed guard inside the same binding: an unmatched row
+        # forces the raise_error branch and fails the scan
+        def body(r) -> "F.Column":
+            return F.when(r["m"], out_struct(r)).otherwise(
+                F.raise_error(
+                    F.concat(F.lit("grok: unmatched line: "), r["v"])
+                )
+            )
+
+    else:
+        body = out_struct
+    return (
+        raw.select(F.explode_outer(F.transform(elem, body)).alias("_e"))
+        .where(F.col("_e").isNotNull())
+        .select("_e.*")
+    )
+
+
+@dataclass(frozen=True)
+class XmlClassifier:
+    """Glue XmlClassifier analog: ``row_tag`` names the element that
+    delimits one row (``CfnClassifier.XMLClassifierProperty`` — the
+    fourth classifier type of the reference's resource family,
+    ``stacks/demo_stack.py:158-169`` instantiates the CSV sibling)."""
+
+    row_tag: str
+
+
+def crawl_xml(
+    spark: SparkSession,
+    path: str,
+    classifier: XmlClassifier,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = "_corrupt",
+    sampling_ratio: float = 1.0,
+) -> DataFrame:
+    """Classify XML on Spark 4's NATIVE xml data source (built in since
+    4.0 — the pre-r8 refusal rationale 'needs an external reader' is
+    stale). Same two-phase shape as :func:`crawl_delimited`: one
+    inference pass types the row elements (``sampling_ratio`` bounds
+    the parse cost the way the CSV path's ``sample_rows`` does), then
+    the dataset is read ONCE with the inferred schema applied
+    explicitly, under the same malformed-row contract:
+
+    - PERMISSIVE + ``corrupt_col`` (DEFAULT): rows the schema cannot
+      parse land their raw XML in the corrupt column — the DLQ hook;
+    - DROPMALFORMED: unparseable rows are dropped;
+    - FAILFAST: the scan raises on the first unparseable row.
+
+    Hive-partitioned ``key=value`` trees inherit partition discovery
+    and partition-filter pushdown from the file-source framework, like
+    every other crawl."""
+    reader = spark.read.format("xml").option("rowTag", classifier.row_tag)
+    inferred = reader.option("samplingRatio", sampling_ratio).load(path).schema
+    schema = inferred
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType
+
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, StringType())
+    typed = (
+        spark.read.format("xml")
+        .option("rowTag", classifier.row_tag)
+        .option("mode", mode)
+        .schema(schema)
+    )
+    if corrupt_col is not None:
+        typed = typed.option("columnNameOfCorruptRecord", corrupt_col)
+    return typed.load(path)
 
 
 def crawl_json(spark: SparkSession, path: str) -> DataFrame:

@@ -57,19 +57,46 @@ class RelationalStore:
     def load_table_from_parquet(self, name: str, parquet_path: str) -> None:
         # accept every lake layout: a single parquet FILE (the bench
         # testdata shape), a flat Spark-written DIRECTORY of part
-        # files, and a partitionBy() tree (recursive glob +
-        # hive_partitioning so partition columns come back as columns)
-        opts = ""
-        if os.path.isdir(parquet_path):
-            parquet_path = os.path.join(parquet_path, "**", "*.parquet")
-            opts = ", hive_partitioning=true"
+        # files, and a partitionBy() tree (explicit file list +
+        # hive_partitioning so partition columns come back as columns).
+        # The file list is walked in Python, NOT a bare '**/*.parquet'
+        # glob (r8 advice): DuckDB's glob — unlike Spark readers —
+        # does not skip underscore/dot sidecars (_dv deletion vectors,
+        # _SUCCESS, .crc), and pointed at a versioned lake table root
+        # it would union EVERY v=N snapshot with a spurious v column.
+        # Versioned layouts resolve to the newest snapshot instead.
         con = self._connect()
         try:
             con.execute(f"DROP TABLE IF EXISTS {name}")
-            con.execute(
-                f"CREATE TABLE {name} AS "
-                f"SELECT * FROM read_parquet('{parquet_path}'{opts})"
-            )
+            if os.path.isdir(parquet_path):
+                import re
+
+                parquet_path = _resolve_latest_version(parquet_path)
+                files = _visible_parquet_files(parquet_path)
+                if not files:
+                    raise FileNotFoundError(
+                        f"no parquet data files under {parquet_path}"
+                    )
+                # DuckDB's hive_partitioning reads key=value segments
+                # from the WHOLE path — a v=N segment in the base path
+                # (a resolved snapshot, or a caller pointing straight
+                # at one) would surface as a spurious v column
+                sel = "*"
+                if any(
+                    re.fullmatch(r"v=\d+", seg)
+                    for seg in parquet_path.split(os.sep)
+                ):
+                    sel = "* EXCLUDE (v)"
+                file_list = ", ".join(f"'{f}'" for f in files)
+                con.execute(
+                    f"CREATE TABLE {name} AS SELECT {sel} FROM read_parquet("
+                    f"[{file_list}], hive_partitioning=true)"
+                )
+            else:
+                con.execute(
+                    f"CREATE TABLE {name} AS "
+                    f"SELECT * FROM read_parquet('{parquet_path}')"
+                )
         finally:
             con.close()
 
@@ -81,6 +108,42 @@ class RelationalStore:
             con.execute(f"CREATE TABLE {name} AS SELECT * FROM _pdf")
         finally:
             con.close()
+
+
+def _resolve_latest_version(root: str) -> str:
+    """A lake table root whose children are ``v=N`` snapshot dirs
+    (:meth:`Lake.write_version` layout) means the caller pointed at the
+    TABLE, not a snapshot — loading all of them would union every
+    version. Resolve to the newest snapshot; non-versioned layouts pass
+    through unchanged."""
+    import re
+
+    versions = []
+    for entry in os.listdir(root):
+        m = re.fullmatch(r"v=(\d+)", entry)
+        if m and os.path.isdir(os.path.join(root, entry)):
+            versions.append(int(m.group(1)))
+    if versions:
+        return os.path.join(root, f"v={max(versions)}")
+    return root
+
+
+def _visible_parquet_files(root: str) -> list[str]:
+    """Every ``*.parquet`` under ``root``, skipping any path component
+    that starts with ``_`` or ``.`` — the Spark reader convention
+    (deletion vectors, _SUCCESS markers, audit dirs) that DuckDB's own
+    glob does not honor."""
+    files: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        files.extend(
+            os.path.join(dirpath, fn)
+            for fn in filenames
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        )
+    return sorted(files)
 
 
 def _stride_clauses(

@@ -987,16 +987,35 @@ def stream_minhash_dedup_gate(
             fresh.write.mode("overwrite").parquet(batch_dir)
             fresh = spark.read.parquet(batch_dir)
         sigs = _minhash_signatures(fresh)
-        # stamp the hash-scheme format on bootstrap (the gate may be
-        # the index's first writer; a later probe checks this marker)
+        # stamp the hash-scheme format ONLY on true bootstrap (no sig/
+        # yet — the gate is the index's first writer). An existing
+        # sig/ without a stamp is a pre-format-marker index of unknown
+        # hash scheme: blessing it with the current format would let
+        # this gate append new-scheme signatures beside old ones whose
+        # entries then silently never match a future probe — exactly
+        # the failure the marker exists to prevent (r8 advice). Raise
+        # the same rebuild error minhash_index_query raises.
+        import json as _json
+
+        from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+            _MINHASH_INDEX_FORMAT,
+        )
+
         fmt_path = os.path.join(index_path, "_format.json")
-        if not os.path.exists(fmt_path):
-            import json as _json
-
-            from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
-                _MINHASH_INDEX_FORMAT,
-            )
-
+        stored = None
+        if os.path.exists(fmt_path):
+            with open(fmt_path) as fh:
+                stored = _json.load(fh).get("format")
+        if stored != _MINHASH_INDEX_FORMAT:
+            if stored is not None or os.path.exists(
+                os.path.join(index_path, "sig")
+            ):
+                raise ValueError(
+                    f"minhash index at {index_path} has format {stored!r}, "
+                    f"this build appends {_MINHASH_INDEX_FORMAT!r} — rebuild "
+                    "with minhash_index_build (a cross-format probe would "
+                    "silently match nothing)"
+                )
             os.makedirs(index_path, exist_ok=True)
             with open(fmt_path, "w") as fh:
                 _json.dump({"format": _MINHASH_INDEX_FORMAT}, fh)

@@ -198,6 +198,9 @@ def main() -> None:
     names = args[1:] if args and os.path.isdir(args[0]) else args
     if not os.path.isdir(sf1):
         raise SystemExit(f"{sf1} missing — run scripts/make_sf1.py first")
+    # SOAK_BASE overrides the 1x tier (default the driver's sf0.1) —
+    # the r8 Heaps-law soak measures /tmp/heaps/sf0.1 -> /tmp/heaps/sf1
+    base = os.environ.get("SOAK_BASE", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scale_soak")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -232,7 +235,7 @@ def main() -> None:
     failures = {}
     for n in names or DEFAULT_OPS:
         try:
-            a = run(n, "/root/testdata/sf0.1")
+            a = run(n, base)
             b = run(n, sf1)
         except Exception as e:  # record and keep sweeping
             failures[n] = f"{type(e).__name__}: {e}"

@@ -32,6 +32,9 @@ COMPONENTS: dict[str, str] = {
     "A10": "AccessDenied",
     "A11": "crawl_grok",
     "A12": "test:test_crawler_discovers_hive_partitions",
+    "A13": "crawl_xml",
+    "A14": "delete_table",  # write-side governance (Lake.write/delete)
+    "A15": "test:test_audit_log_concurrent_writers_land_intact_rows",
     "C13": "decode_real_media",
     "C31": "dedup_incremental",
     "C59": "observe_metrics",

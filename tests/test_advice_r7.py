@@ -280,6 +280,7 @@ def test_crawler_sampled_inference_bounded_probe(spark, tmp_path):
         "string",
         "int",
         "double",
+        "string",  # default _corrupt DLQ column (r8)
     ], df.schema.simpleString()
     # per-file headers skipped on the full read; no row lost or
     # misparsed (a stray header line inside a typed column would be
