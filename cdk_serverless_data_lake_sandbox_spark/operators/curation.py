@@ -190,6 +190,102 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- C123
+_DECON_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, (doc_id % 20) = 0 AS is_bench,
+    string_split(text, ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, is_bench, i AS pos,
+    array_to_string(ws[i:i+{_N_CONTAM - 1}], ' ') AS gram
+  FROM w, unnest(generate_series(1, greatest(len(ws) - {_N_CONTAM - 1}, 1)))
+    AS t(i)
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE is_bench
+), flags AS (
+  SELECT doc_id, list(pos) AS fs
+  FROM g WHERE NOT is_bench AND gram IN (SELECT gram FROM bench)
+  GROUP BY doc_id
+), kept AS (
+  SELECT w.doc_id, w.ws,
+    list_transform(
+      list_filter(
+        list_transform(w.ws, (x, i) -> {{'w': x, 'p': i}}),
+        s -> len(list_filter(COALESCE(f.fs, []),
+                 st -> st <= s.p AND s.p <= st + {_N_CONTAM - 1})) = 0),
+      s -> s.w) AS kw
+  FROM w LEFT JOIN flags f USING (doc_id)
+  WHERE NOT w.is_bench
+)
+SELECT doc_id,
+  CAST(len(ws) AS INTEGER) AS n_tokens,
+  CAST(len(ws) - len(kw) AS INTEGER) AS n_removed,
+  -- DuckDB's array_to_string([]) is NULL; Spark's array_join([]) is ''
+  COALESCE(array_to_string(kw, ' '), '') AS clean_text
+FROM kept
+"""
+
+
+@register("decontaminate_strip", oracle=_DECON_ORACLE)
+def decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION, not just detection (C37 counts the
+    contaminated docs; training-data releases must REMOVE the overlap
+    and keep the rest of the document): every corpus position covered
+    by a word {_N_CONTAM}-gram that also appears in the held-out
+    benchmark split (the C37 convention: doc_id % 20 == 0) is
+    stripped, and the surviving tokens are rejoined. Per corpus doc:
+    token count, removed-token count, cleaned text.
+
+    Scale shape is C37's asymmetric index: the benchmark side
+    contributes a distinct-gram hash set (tiny — broadcast), the
+    corpus streams through ONE gram explode + semi join that returns
+    the flagged START positions per doc; the strip itself is an
+    in-row filter over the bound position list. Never
+    O(corpus x bench); no shuffle of document text beyond the flagged
+    position lists."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id",
+        (F.pmod("doc_id", F.lit(20)) == 0).alias("is_bench"),
+        F.split(F.col("text"), " ").alias("_w"),
+    )
+    shingles = (
+        f"transform(sequence(1, greatest(size(_w) - {_N_CONTAM - 1}, 1)),"
+        f" i -> struct(i AS pos,"
+        f" xxhash64(concat_ws(' ', slice(_w, i, {_N_CONTAM}))) AS g))"
+    )
+    # outer explode: the non-outer form lets the optimizer infer a
+    # size(arr) > 0 filter that re-inlines (and recomputes) the gram
+    # build below the projection (SURVEY §6); the array is never empty
+    grams = d.select(
+        "doc_id", "is_bench", F.explode_outer(F.expr(shingles)).alias("s")
+    )
+    bench = (
+        grams.where("is_bench")
+        .select(F.col("s.g").alias("g"))
+        .distinct()
+    )
+    flagged = (
+        grams.where(~F.col("is_bench"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("fs"))
+    )
+    corpus = d.where(~F.col("is_bench")).join(flagged, "doc_id", "left")
+    kept = (
+        f"transform(filter(transform(_w, (x, i) -> struct(x AS w, i + 1 AS p)),"
+        f" s -> size(filter(coalesce(fs, array()),"
+        f" st -> st <= s.p AND s.p <= st + {_N_CONTAM - 1})) = 0), s -> s.w)"
+    )
+    return corpus.select(
+        "doc_id",
+        F.size("_w").alias("n_tokens"),
+        (F.size("_w") - F.size(F.expr(kept))).alias("n_removed"),
+        F.array_join(F.expr(kept), " ").alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------- C38
 _MIX_ALPHA = 0.7
 

@@ -744,14 +744,11 @@ def kmeans_assign(e: DataFrame, k: int, iters: int) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
-    """DuckDB oracle for :func:`kmeans_clusters`: the same unrolled
-    deterministic Lloyd's CTE chain as ``_semantic_dedup_oracle``
-    (k lowest vec_ids seed, decimal per-dim means cast to REAL,
-    argmin ties to lowest cid), finishing with the per-cluster count
-    and the DECIMAL(18,4) inertia sum over the 4dp-rounded winning
-    distances — decimal so the distributed Spark sum is
-    order-independent and the hash compare holds exactly."""
+def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> list[str]:
+    """The unrolled deterministic Lloyd's CTE chain (k lowest vec_ids
+    seed, decimal per-dim means cast to REAL, argmin ties to lowest
+    cid), ending in ``af`` (vec_id, cluster, d2 rounded 4dp) — shared
+    by the kmeans, semantic-dedup-family, and balanced-sample oracles."""
     d2 = (
         "list_sum(list_transform(list_zip(e.embedding, c.ce), "
         "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
@@ -791,9 +788,18 @@ def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     FROM emb e CROSS JOIN c{iters} c
   ) WHERE rn = 1
 )""")
+    return ctes
+
+
+def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB oracle for :func:`kmeans_clusters`: the shared Lloyd's
+    chain (``_kmeans_ctes``), finishing with the per-cluster count
+    and the DECIMAL(18,4) inertia sum over the 4dp-rounded winning
+    distances — decimal so the distributed Spark sum is
+    order-independent and the hash compare holds exactly."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_kmeans_ctes(k, iters))
         + """
 SELECT CAST(cluster AS INTEGER) AS cluster,
   COUNT(*) AS n_vectors,
@@ -821,6 +827,59 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("d2").cast("decimal(18,4)")).cast("double"), 2).alias(
             "inertia"
         ),
+    )
+
+
+# ---------------------------------------------------------------- C122
+_BAL_BUDGET = 100
+_BAL_QUOTA = -(-_BAL_BUDGET // _KMEANS_K)  # ceil
+
+
+def _balanced_sample_oracle() -> str:
+    """DuckDB oracle for :func:`cluster_balanced_sample`: the shared
+    Lloyd's chain (``_kmeans_ctes``) plus a per-cluster ROW_NUMBER cut
+    — the whole selection is deterministic, so it replays hash-exact."""
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes())
+        + f"""
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2,
+  CAST(rk AS INTEGER) AS sample_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY d2, vec_id) AS rk
+  FROM af
+) WHERE rk <= {_BAL_QUOTA}
+"""
+    )
+
+
+@register("cluster_balanced_sample", oracle=_balanced_sample_oracle())
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling — the diversity-preserving
+    selection step of embedding-curated training sets (cluster the
+    corpus, take an equal quota from every cluster, prefer the most
+    prototypical members): k-means assignment via the deterministic
+    ``kmeans_assign`` (no RNG), then the ``ceil(budget/k)`` members
+    CLOSEST to each centroid (ties to lowest vec_id). A uniform
+    sample oversamples the dense clusters; the equal quota keeps rare
+    modes represented — the reason curation pipelines sample per
+    cluster, not per corpus.
+
+    Scale: the assignment is the k-means cost (one corpus scan per
+    Lloyd round, centroids broadcast); the cut is a window partitioned
+    by cluster — at extreme per-cluster cardinality the d2 threshold
+    could first be estimated per cluster to pre-filter before the
+    window (the B76/top-k-per-group note)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    assign = kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS)
+    w = Window.partitionBy("cluster").orderBy("d2", "vec_id")
+    return (
+        assign.select("vec_id", "cluster", "d2")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= _BAL_QUOTA)
     )
 
 

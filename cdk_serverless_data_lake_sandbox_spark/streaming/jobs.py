@@ -1794,3 +1794,88 @@ def stream_ivm_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- E44
+def contamination_index_build(bench_docs: DataFrame, index_dir: str) -> int:
+    """Build the persisted benchmark gram index the E44 gate probes:
+    the DISTINCT word 5-gram hashes of the held-out benchmark docs
+    (the C37/C123 gram convention — same shingle expression, same
+    xxhash64), written once. Index size is benchmark-linear (8 bytes a
+    gram), corpus-independent — the asymmetry that lets the gate
+    broadcast it into every micro-batch. Returns the gram count."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _N_CONTAM,
+    )
+
+    grams = (
+        bench_docs.select(F.split(F.col("text"), " ").alias("_w"))
+        .select(
+            F.explode_outer(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_w) - {_N_CONTAM - 1}, 1)),"
+                    f" i -> xxhash64(concat_ws(' ', slice(_w, i, {_N_CONTAM}))))"
+                )
+            ).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    grams.write.mode("overwrite").parquet(index_dir)
+    return grams.sparkSession.read.parquet(index_dir).count()
+
+
+def stream_contamination_gate(
+    stream: DataFrame, index_dir: str, out_dir: str, quarantine_dir: str
+):
+    """Benchmark-contamination ingest gate (the streaming half of
+    C37/C123): each micro-batch's documents are gram-hashed with the
+    shared 5-gram convention and semi-joined against the PERSISTED
+    benchmark index (D29's `contamination_index_build`); overlapping
+    docs land in ``quarantine`` (full rows, for audit/strip-review),
+    clean docs are admitted to ``out``. The eval suite must never
+    leak into a training corpus through the streaming door when the
+    batch pipeline already guards the batch door.
+
+    The gate is STATELESS (the index is read-only here; re-crawling
+    the benchmark is an explicit rebuild) — so replay safety needs no
+    marker protocol: both sinks land under ``batch_id=N`` with
+    overwrite, and a replayed batch overwrites its own output
+    byte-identically. Cost per batch: one gram explode of the batch +
+    one broadcast semi join; the corpus is never rescanned."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _N_CONTAM,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        index = spark.read.parquet(index_dir)
+        grams = (
+            f"transform(sequence(1, greatest(size(_w) - {_N_CONTAM - 1}, 1)),"
+            f" i -> xxhash64(concat_ws(' ', slice(_w, i, {_N_CONTAM}))))"
+        )
+        hit_ids = (
+            # _w is a Project below the Generate, so the split runs
+            # once per row, not once per gram (the lambda references
+            # a materialized column, not the split expression)
+            batch.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+            .select("doc_id", F.explode_outer(F.expr(grams)).alias("g"))
+            .where(F.col("g").isNotNull())
+            .join(F.broadcast(index), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        dirty = batch.join(hit_ids, "doc_id", "left_semi")
+        clean = batch.join(hit_ids, "doc_id", "left_anti")
+        clean.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        dirty.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(gate)

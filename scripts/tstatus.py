@@ -71,6 +71,7 @@ COMPONENTS: dict[str, str] = {
     "D26": "cdc_envelope_apply",
     "D27": "ivm_join_build",
     "D28": "hilbert_write",
+    "D29": "contamination_index_build",
     "E1": "windowed_counts",
     "E2": "stream_dedup",
     "E3": "stream_sessionize",
@@ -117,6 +118,7 @@ COMPONENTS: dict[str, str] = {
     "E41": "stream_cdc_apply",
     "E42": "tws_ttl_totals",
     "E43": "stream_ivm_join",
+    "E44": "stream_contamination_gate",
 }
 
 
