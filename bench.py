@@ -71,6 +71,9 @@ HEADLINE = [
     "kneser_ney_logprob",
     "part_skyline",
     "burst_detection",
+    # r8 additions
+    "cluster_balanced_sample",
+    "decontaminate_strip",
 ]
 
 

@@ -286,6 +286,84 @@ def decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- C124
+_BP_K = 4  # boilerplate prefix length (words)
+_BP_MIN = 2  # docs sharing the prefix within a source to call it boilerplate
+
+_BOILER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), p AS (
+  SELECT doc_id, source, ws,
+    array_to_string(ws[1:{_BP_K}], ' ') AS pre
+  FROM w
+), hot AS (
+  SELECT source, pre FROM p
+  GROUP BY source, pre HAVING COUNT(*) >= {_BP_MIN}
+)
+SELECT p.doc_id, p.source,
+  h.source IS NOT NULL AS boilerplate,
+  CAST(len(ws) AS INTEGER) AS n_tokens,
+  CAST(CASE WHEN h.source IS NOT NULL
+       THEN LEAST(len(ws), {_BP_K}) ELSE 0 END AS INTEGER) AS n_removed,
+  CASE WHEN h.source IS NOT NULL
+    THEN COALESCE(array_to_string(ws[{_BP_K + 1}:len(ws)], ' '), '')
+    ELSE array_to_string(ws, ' ') END AS clean_text
+FROM p LEFT JOIN hot h ON p.source = h.source AND p.pre = h.pre
+"""
+
+
+@register("boilerplate_prefix_strip", oracle=_BOILER_ORACLE)
+def boilerplate_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix removal — the header-strip stage of web/dump
+    curation (docs from one source often open with the same banner /
+    license header / nav text; left in, it dominates n-gram stats and
+    manufactures near-dup pairs): a word {_BP_K}-prefix shared by
+    >= {_BP_MIN} docs of the SAME source is declared boilerplate and
+    stripped from each of them. Per doc: boilerplate flag, token
+    counts, cleaned text.
+
+    Scale: one aggregation over (source, prefix) — map-side combined,
+    output bounded by the boilerplate cardinality, tiny next to the
+    corpus — joined back on (source, prefix); AQE picks the broadcast
+    side from the agg's runtime size. The corpus text itself is
+    scanned once and never shuffled."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return boilerplate_prefix_strip_frame(docs)
+
+
+def boilerplate_prefix_strip_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`boilerplate_prefix_strip` (tests
+    plant synthetic boilerplate through this)."""
+    d = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
+    )
+    p = d.withColumn(
+        "pre", F.concat_ws(" ", F.slice(F.col("_w"), 1, _BP_K))
+    )
+    hot = (
+        p.groupBy("source", "pre")
+        .count()
+        .where(F.col("count") >= _BP_MIN)
+        .select("source", "pre", F.lit(True).alias("_bp"))
+    )
+    strip_tail = F.expr(
+        f"slice(_w, {_BP_K + 1}, greatest(size(_w) - {_BP_K}, 0))"
+    )
+    return p.join(hot, ["source", "pre"], "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("_bp"), F.lit(False)).alias("boilerplate"),
+        F.size("_w").alias("n_tokens"),
+        F.when(F.col("_bp"), F.least(F.size("_w"), F.lit(_BP_K)))
+        .otherwise(0)
+        .alias("n_removed"),
+        F.when(F.col("_bp"), F.array_join(strip_tail, " "))
+        .otherwise(F.array_join(F.col("_w"), " "))
+        .alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------- C38
 _MIX_ALPHA = 0.7
 

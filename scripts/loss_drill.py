@@ -78,17 +78,25 @@ def main() -> None:
 
     killed: dict = {}
 
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        _SCRATCH_ROOT,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    scratch = os.path.join(_SCRATCH_ROOT, app_id)
+
     def killer() -> None:
+        # kill only once the FIRST reliable-pin scratch write exists —
+        # proof the iteration loop is underway, so the SIGKILL lands
+        # mid-iteration, not during session/exec bring-up
         deadline = time.time() + 180
         while time.time() < deadline and not killed:
             pids = executor_pids()
-            if len(pids) >= 2:
-                time.sleep(2.0)  # let the iteration loop get going
-                pids = executor_pids()
-                if pids:
-                    os.kill(pids[0], signal.SIGKILL)
-                    killed["pid"] = pids[0]
-                    killed["at"] = time.time()
+            pinned = os.path.isdir(scratch) and os.listdir(scratch)
+            if len(pids) >= 2 and pinned:
+                os.kill(pids[0], signal.SIGKILL)
+                killed["pid"] = pids[0]
+                killed["at"] = time.time()
                 return
             time.sleep(0.25)
 

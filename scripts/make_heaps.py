@@ -13,8 +13,12 @@ the near-dup family's 10x-data ratios can be read off honest data:
 - vocabulary: V = ceil(2 * sqrt(expected tokens)) per scale tier, so
   the sf1 tier has ~3.16x the sf0.1 vocabulary — the law's slope;
 - text: ~20-80 words per doc, each word a pure hash function of
-  (doc_id, position) uniform over V — deterministic, partition-stable,
-  no RNG;
+  (doc_id, position) — deterministic, partition-stable, no RNG —
+  drawn ZIPF(s=1) over V (log-uniform inverse CDF: rank =
+  floor(exp(u * ln V))), so the corpus has the realistic head (a few
+  stopword-like terms carry hot shingle postings that grow with the
+  corpus — the slice the auto hot-posting guard handles) AND the
+  realistic tail (most postings stay O(1), pair output stays linear);
 - planted duplicate structure so dedup operators have real work:
   doc_id % 50 == 3 is an EXACT copy of doc_id-3, and doc_id % 20 == 7
   is a NEAR copy of doc_id-1 (every 8th word swapped) — rules are
@@ -49,14 +53,23 @@ SHIFT = 10_000_000
 AVG_WORDS = 50  # sequence length 20-80 to match the source corpus
 
 
+def _zipf_word(hash_expr: str, vocab: int) -> str:
+    """Zipf(s=1) rank from a 64-bit hash: u uniform in (0,1] ->
+    rank = floor(exp(u * ln V)) in [1, V]."""
+    u = f"((pmod({hash_expr}, 999983) + 1) / 999983.0)"
+    return (
+        f"concat('w', CAST(floor(exp({u} * ln({vocab}))) AS BIGINT))"
+    )
+
+
 def _heaps_text(base: str, vocab: int, perturb: bool) -> str:
     """SQL for the document text of doc id ``base`` (an expression):
-    length 20 + hash%61 words, word j = 'w' || hash(base, j) % V.
-    ``perturb`` swaps every 8th word through an independent hash —
-    the planted near-duplicate channel."""
-    word = f"concat('w', pmod(xxhash64({base}, j), {vocab}))"
+    length 20 + hash%61 words, word j drawn Zipf(1) over V from
+    hash(base, j). ``perturb`` swaps every 8th word through an
+    independent hash — the planted near-duplicate channel."""
+    word = _zipf_word(f"xxhash64({base}, j)", vocab)
     if perturb:
-        alt = f"concat('w', pmod(xxhash64({base}, j, 999), {vocab}))"
+        alt = _zipf_word(f"xxhash64({base}, j, 999)", vocab)
         word = f"IF(j % 8 = 0, {alt}, {word})"
     return (
         f"array_join(transform("

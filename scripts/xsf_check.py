@@ -26,14 +26,17 @@ from tests.compare import assert_frames_match  # noqa: E402
 # broadcast fix, and the materializer-routed iteratives), so a bare
 # `python scripts/xsf_check.py SF_DIR` re-proves the current round.
 DEFAULT_SWEEP = [
+    # r8: the new Q ops and the R->Q oracle flip
+    "ann_recall_report",
+    "cluster_balanced_sample",
+    "decontaminate_strip",
+    "boilerplate_prefix_strip",
+    # r7 carry-over: portable-hash LSH + rescore-fix family
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
-    "ann_topk_vectorized",
     "ann_topk_arrow",
-    # iteratives last: minutes-scale at sf0.1; they now route through
-    # the pluggable materializer (pin()) — re-prove at a non-gate SF
+    # iteratives last: minutes-scale at sf0.1; they route through the
+    # pluggable materializer (pin()) — re-prove at a non-gate SF
     "copurchase_pagerank",
     "copurchase_kcore",
 ]

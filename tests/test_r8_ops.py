@@ -125,3 +125,39 @@ def test_decontaminate_agrees_with_contamination_check(spark):
         .count()
     )
     assert stripped == n_contaminated
+
+
+# ------------------------------------------------------ C124
+def test_boilerplate_prefix_strip_planted(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        boilerplate_prefix_strip_frame,
+    )
+
+    header = "terms of use apply"
+    rows = [
+        (1, "srcA", f"{header} alpha beta gamma"),
+        (2, "srcA", f"{header} delta epsilon"),
+        (3, "srcA", "unique opening words here and more"),
+        # same header in a DIFFERENT source, alone -> not boilerplate
+        (4, "srcB", f"{header} zeta eta"),
+        # short doc: header only -> stripped to empty
+        (5, "srcA", header),
+        (6, "srcA", f"{header} theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in boilerplate_prefix_strip_frame(docs).collect()}
+
+    assert [out[i].boilerplate for i in (1, 2, 3, 4, 5, 6)] == [
+        True, True, False, False, True, True,
+    ]
+    assert out[1].clean_text == "alpha beta gamma"
+    assert out[2].clean_text == "delta epsilon"
+    assert out[3].clean_text == rows[2][2]  # untouched
+    assert out[4].clean_text == rows[3][2]  # cross-source, untouched
+    assert out[5].clean_text == "" and out[5].n_removed == 4
+    assert out[6].clean_text == "theta"
+    assert all(
+        out[i].n_tokens - out[i].n_removed
+        == (len(out[i].clean_text.split(" ")) if out[i].clean_text else 0)
+        for i in out
+    )
