@@ -118,25 +118,38 @@ class Lake:
             return lake
         with open(mf) as fh:
             manifest = json.load(fh)
-        # grants BEFORE the zone loop: add_zone() rewrites the manifest,
-        # and doing that while self.grants is still {} erased every
-        # durable grant if the process died (or no table survived to
-        # trigger a later re-save) before register() ran (r8 advice)
-        lake.grants = manifest.get("grants", {})
-        for zone in manifest.get("zones", []):
-            lake.add_zone(zone)
-        for zone, tables in manifest.get("tables", {}).items():
-            lake.tables.setdefault(zone, {})
-            for table, rel in tables.items():
-                path = rel if os.path.isabs(rel) else os.path.join(root, rel)
-                # single-file parquet is a file, a written table a dir
-                if not os.path.exists(path):
-                    continue
-                lake.register(zone, table, path, spark.read.parquet(path))
+        # Restore with manifest saves SUSPENDED, then save exactly once
+        # at the end: add_zone()/register() inside this loop each
+        # rewrite the manifest, and any rewrite made while self.grants
+        # / self.tables are still partially restored puts a truncated
+        # manifest on disk — a crash mid-open then silently erased
+        # durable grants (r8 advice) or the whole table registry (r8
+        # review). Until the final save, the on-disk manifest stays the
+        # complete pre-open one.
+        lake._restoring = True
+        try:
+            lake.grants = manifest.get("grants", {})
+            for zone in manifest.get("zones", []):
+                lake.add_zone(zone)
+            for zone, tables in manifest.get("tables", {}).items():
+                lake.tables.setdefault(zone, {})
+                for table, rel in tables.items():
+                    path = rel if os.path.isabs(rel) else os.path.join(root, rel)
+                    # single-file parquet is a file, a written table a dir
+                    if not os.path.exists(path):
+                        continue
+                    lake.register(zone, table, path, spark.read.parquet(path))
+        finally:
+            lake._restoring = False
+        lake._save_manifest()
         return lake
 
     def _save_manifest(self) -> None:
         import json
+
+        # suspended during open() — see the restore comment there
+        if getattr(self, "_restoring", False):
+            return
 
         rel_tables = {
             zone: {
@@ -234,6 +247,11 @@ class Lake:
         bad = [a for a in acts if a not in ("read", "write")]
         if bad:
             raise ValueError(f"unknown grant actions {bad}")
+        if not acts:
+            # an empty-action grant is a footgun, not a deny rule (the
+            # legacy-decode default would silently resurrect it as
+            # read) — denying is revoke()'s job
+            raise ValueError("actions must not be empty — use revoke()")
         cols = sorted(columns) if columns is not None else None
         entry: object
         if acts == ["read"] and row_filter is None:
@@ -272,7 +290,9 @@ class Lake:
         else:
             return False, None, None
         if isinstance(entry, dict):
-            acts = entry.get("actions") or ["read"]
+            # .get with default, NOT `or`: a manifest hand-edited to
+            # {"actions": []} must stay deny-all, not decode as read
+            acts = entry.get("actions", ["read"])
             if action not in acts:
                 return False, None, None
             return True, entry.get("columns"), entry.get("row_filter")
@@ -338,12 +358,21 @@ class Lake:
         write lands the data under the zone, registers the table, and
         audits the attempt. Returns the table path."""
         granted, _, _ = self._grant_for(principal, zone, table, "write")
-        self._audit_row(principal, zone, table, granted, None, action="write")
-        if not granted:
+        # zone containment BEFORE any write: a wildcard write grant
+        # covers ANY table string, so a traversal name ('../raw/evil')
+        # would land data in a zone the grant never mentioned — deny
+        # (and audit the denial) like any other violation (r8 review)
+        zone_root = os.path.abspath(self.zones[zone])
+        path = os.path.abspath(os.path.join(zone_root, table))
+        contained = (
+            os.path.dirname(path) == zone_root and os.sep not in table
+        )
+        allowed = granted and contained
+        self._audit_row(principal, zone, table, allowed, None, action="write")
+        if not allowed:
             raise AccessDenied(
                 f"principal {principal!r} may not write {zone}.{table}"
             )
-        path = os.path.join(self.zones[zone], table)
         df.write.mode(mode).parquet(path)
         self.register(zone, table, path, self.spark.read.parquet(path))
         return path

@@ -120,6 +120,35 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- C37
 _N_CONTAM = 5  # benchmark n-gram size (words)
 
+
+def _contam_gram_seq(arr: str) -> str:
+    return f"sequence(1, greatest(size({arr}) - {_N_CONTAM - 1}, 1))"
+
+
+def _contam_gram_hash(arr: str) -> str:
+    return f"xxhash64(concat_ws(' ', slice({arr}, i, {_N_CONTAM})))"
+
+
+def contam_gram_hashes(arr: str = "_w") -> str:
+    """``array<long>`` of the word-5-gram hashes of word-array column
+    ``arr`` — THE shared shingle convention of the contamination
+    family. The batch detector (C37), the span stripper (C123), the
+    persisted index builder (D29) and the streaming gate (E44) must
+    hash identically or the gate's semi join silently matches nothing
+    (the cross-format failure the minhash index's ``_format.json``
+    guards against) — so all four compose this ONE expression instead
+    of carrying four string literals (r8 review)."""
+    return f"transform({_contam_gram_seq(arr)}, i -> {_contam_gram_hash(arr)})"
+
+
+def contam_gram_structs(arr: str = "_w") -> str:
+    """Position-tagged variant: ``array<struct<pos:int, g:long>>``
+    (the stripper needs the flagged START positions, same hashes)."""
+    return (
+        f"transform({_contam_gram_seq(arr)},"
+        f" i -> struct(i AS pos, {_contam_gram_hash(arr)} AS g))"
+    )
+
 _CONTAM_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id, (doc_id % 20) = 0 AS is_bench,
@@ -156,10 +185,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod("doc_id", F.lit(20)) == 0).alias("is_bench"),
         F.split(F.col("text"), " ").alias("_w"),
     )
-    shingles = (
-        f"array_distinct(transform(sequence(1, greatest(size(_w) - {_N_CONTAM - 1}, 1)),"
-        f" i -> xxhash64(concat_ws(' ', slice(_w, i, {_N_CONTAM})))))"
-    )
+    shingles = f"array_distinct({contam_gram_hashes('_w')})"
     grams = words.select("doc_id", "is_bench", F.expr(shingles).alias("gs"))
     bench_grams = (
         grams.where("is_bench")
@@ -249,11 +275,7 @@ def decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod("doc_id", F.lit(20)) == 0).alias("is_bench"),
         F.split(F.col("text"), " ").alias("_w"),
     )
-    shingles = (
-        f"transform(sequence(1, greatest(size(_w) - {_N_CONTAM - 1}, 1)),"
-        f" i -> struct(i AS pos,"
-        f" xxhash64(concat_ws(' ', slice(_w, i, {_N_CONTAM}))) AS g))"
-    )
+    shingles = contam_gram_structs("_w")
     # outer explode: the non-outer form lets the optimizer infer a
     # size(arr) > 0 filter that re-inlines (and recomputes) the gram
     # build below the projection (SURVEY §6); the array is never empty

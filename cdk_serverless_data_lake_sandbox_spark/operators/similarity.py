@@ -1580,7 +1580,10 @@ per AS (
   SELECT m.method, e.query_id,
     COUNT(*) AS k,
     SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
-  FROM (SELECT DISTINCT method FROM legs) m
+  -- enumerate the methods as literals, NOT from returned leg rows: a
+  -- leg that finds zero candidates at some SF must still report
+  -- recall 0 like the Spark side, not vanish (r8 review)
+  FROM (VALUES {", ".join(f"('{name}')" for name, _ in legs)}) m(method)
   CROSS JOIN exact e
   LEFT JOIN legs l
     ON l.method = m.method AND l.query_id = e.query_id

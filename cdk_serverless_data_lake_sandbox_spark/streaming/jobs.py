@@ -941,11 +941,10 @@ def stream_minhash_dedup_gate(
     and a retry that finds completed output reuses that admit
     decision instead of re-deciding against the already-updated index
     (which would drop the whole batch as self-duplicates). Index
-    appends are guarded by the marker too: a crash between output and
-    marker re-appends the same signature rows once, which the probe
-    side tolerates (duplicate (band, key, doc) rows change no
-    candidate set) and the next ``minhash_index_compact``'s rewrite
-    collapses."""
+    appends carry their own replay guard (r8): signatures for doc_ids
+    the index already holds are anti-joined away before the append,
+    so a crash between output and marker — even a crash LOOP — never
+    accumulates duplicate signature or band rows."""
     import os
 
     from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
@@ -1019,7 +1018,25 @@ def stream_minhash_dedup_gate(
             os.makedirs(index_path, exist_ok=True)
             with open(fmt_path, "w") as fh:
                 _json.dump({"format": _MINHASH_INDEX_FORMAT}, fh)
-        sigs.write.mode("append").parquet(index_path + "/sig")
+        sig_dir = index_path + "/sig"
+        if os.path.exists(sig_dir):
+            # replay guard for the append itself (r8 review): a crash
+            # AFTER these appends but BEFORE the marker re-runs the
+            # batch, and a crash LOOP would re-append the same
+            # signatures every retry. doc_id is the index identity, so
+            # drop any doc the index already carries — one batch-sized
+            # broadcast semi probe of sig/, the same cost class as the
+            # band probe above. (This also stops a cross-batch
+            # re-ingest of an already-indexed doc_id from accumulating
+            # divergent signatures for one identity.)
+            already = (
+                spark.read.parquet(sig_dir)
+                .join(F.broadcast(sigs.select("doc_id")), "doc_id", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            sigs = sigs.join(already, "doc_id", "left_anti")
+        sigs.write.mode("append").parquet(sig_dir)
         (
             sigs.select(
                 "doc_id",
@@ -1805,19 +1822,12 @@ def contamination_index_build(bench_docs: DataFrame, index_dir: str) -> int:
     gram), corpus-independent — the asymmetry that lets the gate
     broadcast it into every micro-batch. Returns the gram count."""
     from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
-        _N_CONTAM,
+        contam_gram_hashes,
     )
 
     grams = (
         bench_docs.select(F.split(F.col("text"), " ").alias("_w"))
-        .select(
-            F.explode_outer(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(_w) - {_N_CONTAM - 1}, 1)),"
-                    f" i -> xxhash64(concat_ws(' ', slice(_w, i, {_N_CONTAM}))))"
-                )
-            ).alias("g")
-        )
+        .select(F.explode_outer(F.expr(contam_gram_hashes("_w"))).alias("g"))
         .where(F.col("g").isNotNull())
         .distinct()
     )
@@ -1846,7 +1856,7 @@ def stream_contamination_gate(
     import os
 
     from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
-        _N_CONTAM,
+        contam_gram_hashes,
     )
 
     def gate(batch: DataFrame, batch_id: int) -> None:
@@ -1854,10 +1864,7 @@ def stream_contamination_gate(
             return
         spark = batch.sparkSession
         index = spark.read.parquet(index_dir)
-        grams = (
-            f"transform(sequence(1, greatest(size(_w) - {_N_CONTAM - 1}, 1)),"
-            f" i -> xxhash64(concat_ws(' ', slice(_w, i, {_N_CONTAM}))))"
-        )
+        grams = contam_gram_hashes("_w")
         hit_ids = (
             # _w is a Project below the Generate, so the split runs
             # once per row, not once per gram (the lambda references

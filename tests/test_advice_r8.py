@@ -410,3 +410,114 @@ def test_audit_log_concurrent_writers_land_intact_rows(spark, tmp_path):
         if f.endswith(".json")
     ]
     assert len(files) == 16
+
+
+# ----------------------------------------------- r8 self-review fixes
+def test_write_rejects_zone_escape(spark, tmp_path):
+    """A wildcard write grant must not let a traversal table name land
+    data outside the granted zone (the bucket policy scopes PutObject
+    to the bucket)."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import AccessDenied
+
+    lake = _governed_lake(spark, tmp_path)
+    lake.add_zone("raw")
+    lake.grant("etl", "processed", actions=("read", "write"))
+    for evil in ("../raw/evil", "a/b", "..", "."):
+        with pytest.raises(AccessDenied):
+            lake.write("etl", "processed", evil, spark.range(2))
+    assert not os.path.exists(os.path.join(lake.root, "raw", "evil"))
+    denied = lake.audit_log().where("action = 'write' AND NOT allowed")
+    assert denied.count() == 4  # every attempt audited as denied
+
+
+def test_empty_actions_grant_is_rejected_and_stays_deny(spark, tmp_path):
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+
+    lake = _governed_lake(spark, tmp_path)
+    with pytest.raises(ValueError, match="actions"):
+        lake.grant("nobody", "processed", "t", actions=[])
+    # a manifest hand-edited to actions: [] must decode deny-all, not
+    # resurrect as a read grant
+    lake.grants = {"nobody": {"processed": {"t": {"columns": None,
+                                                  "row_filter": None,
+                                                  "actions": []}}}}
+    assert lake._grant_for("nobody", "processed", "t") == (False, None, None)
+    assert lake._grant_for("nobody", "processed", "t", "write") == (
+        False, None, None,
+    )
+
+
+def test_lake_open_crash_midway_preserves_manifest(spark, tmp_path, monkeypatch):
+    """Manifest saves are SUSPENDED during open(): a crash mid-restore
+    must leave the complete pre-open manifest on disk — zones, tables
+    AND grants (the r8-advice grants fix, generalized)."""
+    import json as _json
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+
+    root = str(tmp_path / "lake")
+    lake = Lake(spark, root)
+    lake.add_zone("processed")
+    lake.grant("analyst", "processed")
+    path = os.path.join(root, "processed", "users")
+    spark.range(3).write.parquet(path)
+    lake.register("processed", "users", path, spark.read.parquet(path))
+    with open(os.path.join(root, "catalog.json")) as fh:
+        before = _json.load(fh)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-open")
+
+    monkeypatch.setattr(Lake, "register", boom)
+    with pytest.raises(RuntimeError):
+        Lake.open(spark, root)
+    with open(os.path.join(root, "catalog.json")) as fh:
+        after = _json.load(fh)
+    assert after == before  # nothing was erased by the failed open
+    monkeypatch.undo()
+    reopened = Lake.open(spark, root)
+    assert reopened.list_tables("processed") == ["users"]
+    assert reopened._grant_for("analyst", "processed", "users")[0]
+
+
+def test_minhash_gate_append_replay_never_duplicates(spark, tmp_path):
+    """Crash-after-append-before-marker: replaying the batch must not
+    append the same signatures again (r8 review: the marker alone
+    left a double-append window; the doc_id anti-join closes it)."""
+    import os as _os
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_minhash_dedup_gate,
+    )
+    from tests.conftest import await_stream_done
+
+    index_path = str(tmp_path / "index")
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta words here"),
+         (2, "totally different text content words")],
+        "doc_id long, text string",
+    ).write.json(src_dir)
+
+    def run(ckpt: str) -> None:
+        stream = spark.readStream.schema("doc_id long, text string").json(src_dir)
+        q = (
+            stream_minhash_dedup_gate(stream, index_path, str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+
+    run("ckpt1")
+    n1 = spark.read.parquet(index_path + "/sig").count()
+    # simulate the crash window: output + appends landed, marker lost
+    manifest = _os.path.join(index_path, "manifest")
+    for f in _os.listdir(manifest):
+        _os.remove(_os.path.join(manifest, f))
+    run("ckpt2")  # full replay of the same batch
+    n2 = spark.read.parquet(index_path + "/sig").count()
+    assert n2 == n1  # no duplicate signatures
+    bands = spark.read.parquet(index_path + "/bands")
+    assert bands.count() == bands.distinct().count()
