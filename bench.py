@@ -74,6 +74,7 @@ HEADLINE = [
     # r8 additions
     "cluster_balanced_sample",
     "decontaminate_strip",
+    "vocab_coverage_curve",
 ]
 
 

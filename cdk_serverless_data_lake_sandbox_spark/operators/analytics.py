@@ -902,3 +902,85 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_key", "retail_price", "size")
         .orderBy("retail_price", "part_key")
     )
+
+
+# ---------------------------------------------------------------- C125
+_COVERAGE_TARGETS = (0.5, 0.9, 0.95, 0.99, 0.999)
+
+_COVERAGE_ORACLE = f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS T FROM wc
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, word) AS i,
+    SUM(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+  FROM wc
+), tgt(c) AS (VALUES (0.5), (0.9), (0.95), (0.99), (0.999))
+SELECT CAST(tgt.c AS DOUBLE) AS coverage_target,
+  MIN(CASE WHEN CAST(cum AS DOUBLE) >= CEIL(tgt.c * tot.T)
+      THEN i END) AS vocab_size,
+  CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= CEIL(tgt.c * tot.T)
+      THEN cum END) AS BIGINT) AS tokens_covered,
+  ROUND(1 - MIN(CASE WHEN CAST(cum AS DOUBLE) >= CEIL(tgt.c * tot.T)
+      THEN CAST(cum AS DOUBLE) END) / tot.T, 6) AS oov_rate
+FROM ranked, tot, tgt
+GROUP BY tgt.c, tot.T
+"""
+
+
+@register("vocab_coverage_curve", oracle=_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: the vocabulary size needed to cover
+    50/90/95/99/99.9% of corpus token MASS (frequency-ranked, ties to
+    lexicographically-first word) plus the residual OOV rate at each
+    cut — the analysis that decides a vocab budget before training a
+    tokenizer, and the mass-coverage companion to `vocab_oov_profile`
+    (which scores a GIVEN vocab) and `heaps_law_fit` (type growth).
+
+    Scale: the global frequency-descending cumsum runs through
+    `total_order_index` (range-bucketed parallel ranking — no
+    single-reducer window even though a 100 TB corpus's Heaps
+    vocabulary is ~1e8 types); the curve itself is ONE aggregate over
+    the ranked frame (min hit index per target), so cost is one
+    word-count shuffle + the ranking's two cheap passes."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        total_order_index,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    wc = word_counts(docs)
+    ranked, _, total = total_order_index(
+        wc,
+        F.col("n"),
+        [F.col("word").asc()],
+        descending=True,
+        cum=F.col("n"),
+        cum_dtype="decimal(38,0)",
+    )
+    t_double = float(total)
+    aggs = []
+    for i, t in enumerate(_COVERAGE_TARGETS):
+        need = F.ceil(F.lit(t) * F.lit(t_double))
+        hit = F.col("_cum").cast("double") >= need
+        aggs.append(F.min(F.when(hit, F.col("_i"))).alias(f"_v{i}"))
+        aggs.append(
+            F.min(F.when(hit, F.col("_cum").cast("double"))).alias(f"_c{i}")
+        )
+    one = ranked.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("coverage_target"),
+                F.col(f"_v{i}").alias("vocab_size"),
+                F.col(f"_c{i}").cast("bigint").alias("tokens_covered"),
+                F.round(
+                    F.lit(1.0) - F.col(f"_c{i}") / F.lit(t_double), 6
+                ).alias("oov_rate"),
+            )
+            for i, t in enumerate(_COVERAGE_TARGETS)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -1886,3 +1886,82 @@ def stream_contamination_gate(
         )
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E45
+def stream_boilerplate_gate(
+    stream: DataFrame, state_dir: str, out_dir: str
+):
+    """Streaming half of the C124 boilerplate stripper: a persisted
+    (source, prefix) count state accumulates across micro-batches, and
+    a doc whose word-{4}-prefix has been seen by >= the C124 threshold
+    docs of its source — across ALL admitted traffic so far plus the
+    current batch — lands with its header stripped. Late copies of a
+    banner that only becomes hot in batch N are stripped from batch N
+    on, which is the streaming analog of C124's corpus-wide count.
+
+    Replay safety WITHOUT count-merge hazards (counts, unlike the
+    bloom gate's bit_or, are not idempotent under re-merge): the state
+    is a DIRECTORY OF PER-BATCH COUNT DELTAS, each written with
+    overwrite under ``counts/batch_id=N`` — a replayed batch rewrites
+    its own delta byte-identically instead of double-adding. The hot
+    set is aggregated from the delta tree at probe time (delta count
+    grows with batches; a compaction pass can collapse them the
+    minhash_index_compact way). Output lands under ``batch_id=N``
+    overwrite too, so the whole gate is marker-free idempotent."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _BP_K,
+        _BP_MIN,
+    )
+
+    counts_dir = os.path.join(state_dir, "counts")
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        p = batch.select(
+            "*",
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, _BP_K)
+            ).alias("_pre"),
+        )
+        delta = p.groupBy("source", "_pre").count()
+        delta.write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"batch_id={batch_id}")
+        )
+        # hot set over every delta INCLUDING the one just written —
+        # batch-internal repeats count toward the threshold, like the
+        # batch operator's corpus-wide aggregation
+        all_counts = spark.read.parquet(counts_dir)
+        hot = (
+            all_counts.groupBy("source", "_pre")
+            .agg(F.sum("count").alias("_n"))
+            .where(F.col("_n") >= _BP_MIN)
+            .select("source", "_pre", F.lit(True).alias("_bp"))
+        )
+        stripped = (
+            p.join(hot, ["source", "_pre"], "left")
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("_bp"),
+                    F.array_join(
+                        F.expr(
+                            f"slice(split(text, ' '), {_BP_K + 1},"
+                            f" greatest(size(split(text, ' ')) - {_BP_K}, 0))"
+                        ),
+                        " ",
+                    ),
+                ).otherwise(F.col("text")),
+            )
+            .withColumn("boilerplate", F.coalesce(F.col("_bp"), F.lit(False)))
+            .drop("_pre", "_bp")
+        )
+        stripped.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(gate)

@@ -119,6 +119,7 @@ COMPONENTS: dict[str, str] = {
     "E42": "tws_ttl_totals",
     "E43": "stream_ivm_join",
     "E44": "stream_contamination_gate",
+    "E45": "stream_boilerplate_gate",
 }
 
 

@@ -31,6 +31,7 @@ DEFAULT_SWEEP = [
     "cluster_balanced_sample",
     "decontaminate_strip",
     "boilerplate_prefix_strip",
+    "vocab_coverage_curve",
     # r7 carry-over: portable-hash LSH + rescore-fix family
     "dedup_minhash_lsh",
     "ann_lsh_multiprobe",

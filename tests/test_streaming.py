@@ -1399,3 +1399,74 @@ def test_stream_contamination_gate_quarantines_bench_overlap(spark, tmp_path):
     await_stream_done(q2)
     q2.stop()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == clean_ids
+
+
+# ---------------------------------------------------------------- E45
+def test_stream_boilerplate_gate_cross_batch_memory(spark, tmp_path):
+    """Boilerplate counts accumulate ACROSS batches: a banner that is
+    hot in batch 1 strips a single late copy in batch 2; replaying the
+    whole stream rewrites identical outputs (per-batch-delta state,
+    no count double-add)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_boilerplate_gate,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    header = "terms of use apply"
+    b1 = [
+        (1, "srcA", f"{header} alpha beta"),
+        (2, "srcA", f"{header} gamma delta"),
+        (3, "srcA", "unique words entirely here"),
+    ]
+    b2 = [
+        (4, "srcA", f"{header} epsilon"),  # late copy: stripped via state
+        (5, "srcB", f"{header} zeta"),  # different source: untouched
+    ]
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(b1, schema).repartition(1).write.parquet(drop)
+    spark.createDataFrame(b2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(drop)
+
+    def run(tag: str) -> dict:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_boilerplate_gate(
+                stream, str(tmp_path / "state"), str(tmp_path / "out")
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+        return {
+            r.doc_id: (r.text, r.boilerplate)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+
+    got = run("1")
+    assert got[1] == ("alpha beta", True)
+    assert got[2] == ("gamma delta", True)
+    assert got[3] == ("unique words entirely here", False)
+    assert got[4] == ("epsilon", True)  # cross-batch memory
+    assert got[5] == (f"{header} zeta", False)  # per-source isolation
+
+    # full replay: identical output, counts not double-added (doc 5's
+    # source never crosses the threshold even after two passes)
+    again = run("2")
+    assert again == got
