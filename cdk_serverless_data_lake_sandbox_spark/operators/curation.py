@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
 from cdk_serverless_data_lake_sandbox_spark.registry import register
@@ -1240,4 +1241,183 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_gap"),
         )
         .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------- C126
+# UniMax sampling (Chung et al. 2023): spend a fixed token budget
+# across languages so no language exceeds _UNIMAX_CAP epochs, then
+# share what remains EQUALLY among the languages big enough not to
+# hit the cap (water-filling). Budget = _UNIMAX_BUDGET_X x total
+# corpus tokens. All comparisons run on exact int64 token counts; the
+# only float ops are the final divisions, identical in both engines.
+_UNIMAX_CAP = 3
+_UNIMAX_BUDGET_X = 2
+
+_UNIMAX_ORACLE = f"""
+WITH s AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_tokens) * {_UNIMAX_BUDGET_X} AS BIGINT) AS budget,
+    COUNT(*) AS n_langs
+  FROM s
+), r AS (
+  SELECT lang, n_tokens,
+    CAST({_UNIMAX_CAP} * n_tokens AS BIGINT) AS cap_tokens,
+    ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS rk,
+    COALESCE(SUM({_UNIMAX_CAP} * n_tokens) OVER (
+      ORDER BY n_tokens, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_cap
+  FROM s
+), c AS (
+  SELECT r.*, tot.budget, tot.n_langs,
+    MIN(CASE WHEN cap_tokens * (n_langs - rk + 1) <= budget - prefix_cap
+        THEN 1 ELSE 0 END)
+      OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS capped
+  FROM r, tot
+), fill AS (
+  SELECT c.*,
+    SUM(CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END) OVER () AS capped_sum,
+    SUM(CASE WHEN capped = 0 THEN 1 ELSE 0 END) OVER () AS uncapped_n
+  FROM c
+)
+SELECT lang, n_tokens, cap_tokens,
+  ROUND(CASE WHEN capped = 1 THEN CAST(cap_tokens AS DOUBLE)
+    ELSE CAST(budget - capped_sum AS DOUBLE) / CAST(uncapped_n AS DOUBLE)
+    END, 6) AS alloc_tokens,
+  ROUND(CASE WHEN capped = 1 THEN CAST(cap_tokens AS DOUBLE)
+    ELSE CAST(budget - capped_sum AS DOUBLE) / CAST(uncapped_n AS DOUBLE)
+    END / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+  ROUND(CASE WHEN capped = 1 THEN CAST(cap_tokens AS DOUBLE)
+    ELSE CAST(budget - capped_sum AS DOUBLE) / CAST(uncapped_n AS DOUBLE)
+    END / CAST(budget AS DOUBLE), 6) AS budget_share
+FROM fill
+"""
+
+
+@register("unimax_mix", oracle=_UNIMAX_ORACLE)
+def unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): allocate a fixed
+    token budget across languages with a hard per-language epoch cap,
+    water-filling the remainder equally over the languages that never
+    hit the cap. ``domain_mix_weights`` (C38) is the temperature
+    heuristic; this is the quota algorithm multilingual pretraining
+    actually ships, closed-form instead of the paper's sequential loop:
+    sorted ascending by size, a language is capped iff
+    ``cap_i * langs_remaining <= budget - caps_already_granted`` and
+    every smaller language is capped too (the running-AND window) —
+    provably the same fixpoint, because granting the equal share keeps
+    the per-language average constant while caps keep growing.
+
+    Scale: one map-side-combined token count per language, then every
+    window runs over the LANGUAGE-cardinality frame — a few hundred
+    rows at any corpus size (single-partition by design, reviewed in
+    the plan audit). Capping decisions compare exact int64s, so the
+    float boundary is two final divisions."""
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    tot = s.agg(
+        (F.sum("n_tokens") * _UNIMAX_BUDGET_X).alias("budget"),
+        F.count("*").alias("n_langs"),
+    )
+    w_ord = Window.orderBy("n_tokens", "lang")
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "lang", "n_tokens",
+        (F.lit(_UNIMAX_CAP) * F.col("n_tokens")).alias("cap_tokens"),
+        F.row_number().over(w_ord).alias("rk"),
+        F.coalesce(
+            F.sum(F.lit(_UNIMAX_CAP) * F.col("n_tokens")).over(w_prefix),
+            F.lit(0),
+        ).alias("prefix_cap"),
+    ).crossJoin(F.broadcast(tot))
+    w_run = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    c = r.withColumn(
+        "capped",
+        F.min(
+            F.when(
+                F.col("cap_tokens") * (F.col("n_langs") - F.col("rk") + 1)
+                <= F.col("budget") - F.col("prefix_cap"),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    w_all = Window.partitionBy()
+    fill = c.withColumn(
+        "capped_sum",
+        F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(0)).over(w_all),
+    ).withColumn(
+        "uncapped_n",
+        F.sum(F.when(F.col("capped") == 0, 1).otherwise(0)).over(w_all),
+    )
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap_tokens").cast("double")
+    ).otherwise(
+        (F.col("budget") - F.col("capped_sum")).cast("double")
+        / F.col("uncapped_n").cast("double")
+    )
+    return fill.select(
+        "lang", "n_tokens", "cap_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+        F.round(alloc / F.col("budget").cast("double"), 6).alias("budget_share"),
+    )
+
+
+# ---------------------------------------------------------------- C127
+_DFC_CAP = 10
+
+
+def _dfc_oracle() -> str:
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_sql
+
+    h = _horner_sql("concat('dfc', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH p AS (
+  SELECT doc_id, source, {h} AS priority FROM documents
+), r AS (
+  SELECT doc_id, source, priority,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id)
+      AS keep_rank,
+    COUNT(*) OVER (PARTITION BY source) AS source_docs
+  FROM p
+)
+SELECT doc_id, source, keep_rank, source_docs
+FROM r WHERE keep_rank <= {_DFC_CAP}
+"""
+
+
+@register("domain_frequency_cap", oracle=_dfc_oracle())
+def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (the over-represented-domain guard
+    every web-corpus recipe applies before mixing): keep at most
+    _DFC_CAP documents per source, selected by a deterministic
+    portable-hash priority — a seeded uniform sample that is stable
+    across runs, engines, and partitionings, unlike rand(). Emits the
+    survivors with their selection rank and the source's original
+    volume, so downstream can report how hard each domain was cut.
+
+    Scale: the hash is one linear pass fused into the scan, and the
+    per-source top-N is a single hash-partitioned window — sources are
+    the partition key, so a hot domain never serializes the corpus;
+    with billions of docs per domain, swap the row_number for the
+    group_sample_topk (B76) bounded-heap shape. No joins, no driver
+    state."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_spark
+
+    docs = _docs(spark, sf_dir)
+    p = docs.select(
+        "doc_id", "source",
+        F.expr(_horner_spark("concat('dfc', CAST(doc_id AS STRING))")).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        p.withColumn("keep_rank", F.row_number().over(w))
+        .withColumn("source_docs", F.count("*").over(Window.partitionBy("source")))
+        .where(F.col("keep_rank") <= _DFC_CAP)
+        .select("doc_id", "source", "keep_rank", "source_docs")
     )

@@ -1408,3 +1408,63 @@ def repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_repurchases"),
         F.round("s", 6).alias("survival"),
     ).orderBy("day_offset")
+
+
+# ---------------------------------------------------------------- B114
+_MARKOV_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+    COUNT(*) AS n_transitions
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+  ROUND(CAST(n_transitions AS DOUBLE)
+    / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob,
+  ROW_NUMBER() OVER (PARTITION BY from_type
+    ORDER BY n_transitions DESC, to_type) AS rank
+FROM t
+"""
+
+
+@register("event_markov_transitions", oracle=_MARKOV_ORACLE)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event streams: for each
+    (from_type, to_type) pair, the transition count, the row-normalized
+    transition probability, and the rank of each successor within its
+    source state — the behavioral model behind next-event prediction
+    and anomaly scoring (an observed transition with a tiny ``prob`` is
+    the anomaly; ``top_paths`` mines full k-step sequences, this is the
+    one-step kernel those paths factor through).
+
+    Scale: the lead() window shuffles once on user_id (each user's
+    stream sorts independently — no global order), the count aggregates
+    on (from, to) with map-side combine, and every window after that
+    runs on the transition MATRIX, whose size is event-type-cardinality
+    squared — a constant, not a function of corpus size. Probabilities
+    divide exact int64 counts once, so both engines agree to the
+    rounded digit."""
+    ev = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w_user).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = s.groupBy("from_type", "to_type").agg(F.count("*").alias("n_transitions"))
+    w_from = Window.partitionBy("from_type")
+    w_rank = Window.partitionBy("from_type").orderBy(
+        F.desc("n_transitions"), "to_type"
+    )
+    return t.select(
+        "from_type", "to_type", "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from),
+            6,
+        ).alias("prob"),
+        F.row_number().over(w_rank).alias("rank"),
+    )

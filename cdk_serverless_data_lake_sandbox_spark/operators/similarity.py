@@ -2478,3 +2478,190 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= _TOP_K)
     )
+
+
+# ---------------------------------------------------------------- C129
+# NN-Descent kNN-graph construction (Dong et al., WWW 2011): start
+# from a deterministic PSEUDO-RANDOM graph (portable Horner hashes —
+# a ring init would only diffuse K ids per round, taking O(n/K)
+# rounds to mix), then repeatedly propose each node's
+# neighbors-of-neighbors as candidates — "a neighbor of a neighbor is
+# likely a neighbor". Fixed iteration count so the computation (and
+# its oracle) is a finite dataflow, like the unrolled-Lloyd kmeans.
+# K=10 x 3 rounds measures 0.73 recall@10 on the synthetic corpus —
+# in line with the paper's near-random-data regime (recall scales
+# with K^2/intrinsic-dim; the corpus has almost no cluster structure:
+# mean true-neighbor cosine 0.32 vs 0.0004 background).
+_KNN_K = 10
+_KNN_ITERS = 3
+
+
+def _knn_oracle() -> str:
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_sql
+
+    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
+    seed = _horner_sql(
+        "concat('knn|', CAST(ev.vec_id AS VARCHAR), '|', CAST(j AS VARCHAR))"
+    )
+    ctes = [
+        f"""ev AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a="embedding")} AS nrm
+  FROM embeddings
+), nn AS (SELECT COUNT(*) AS n FROM ev),
+ip AS (
+  SELECT DISTINCT ev.vec_id AS src, CAST({seed} % nn.n AS BIGINT) AS dst
+  FROM ev, nn, unnest(generate_series(1, {_KNN_K})) t(j)
+  WHERE {seed} % nn.n <> ev.vec_id
+),
+e0a AS (
+  SELECT p.src, p.dst, {dot} / (a.nrm * b.nrm) AS cosine
+  FROM ip p JOIN ev a ON a.vec_id = p.src JOIN ev b ON b.vec_id = p.dst
+),
+e0 AS (
+  SELECT src, dst, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+      AS rk
+    FROM e0a) WHERE rk <= {_KNN_K}
+)"""
+    ]
+    for i in range(1, _KNN_ITERS + 1):
+        ctes.append(f"""rev{i} AS (
+  SELECT node, partner FROM (
+    SELECT dst AS node, src AS partner,
+      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rk
+    FROM e{i - 1}) WHERE rk <= {_KNN_K}
+),
+b{i} AS (
+  SELECT DISTINCT src AS node, dst AS partner FROM e{i - 1}
+  UNION
+  SELECT node, partner FROM rev{i}
+),
+cand{i} AS (
+  SELECT DISTINCT x.partner AS u, y.partner AS w
+  FROM b{i} x JOIN b{i} y ON x.node = y.node AND x.partner < y.partner
+),
+sc{i} AS (
+  SELECT u, w, {dot} / (a.nrm * b.nrm) AS cosine
+  FROM cand{i} c JOIN ev a ON a.vec_id = c.u JOIN ev b ON b.vec_id = c.w
+),
+un{i} AS (
+  SELECT src, dst, MAX(cosine) AS cosine FROM (
+    SELECT src, dst, cosine FROM e{i - 1}
+    UNION ALL SELECT u AS src, w AS dst, cosine FROM sc{i}
+    UNION ALL SELECT w AS src, u AS dst, cosine FROM sc{i}
+  ) GROUP BY src, dst
+),
+e{i} AS (
+  SELECT src, dst, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+      AS rk
+    FROM un{i}) WHERE rk <= {_KNN_K}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT src, dst, cosine,
+  ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+FROM e{_KNN_ITERS}"""
+    )
+
+
+@register("knn_graph_nn_descent", oracle=_knn_oracle())
+def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs kNN GRAPH via NN-Descent (Dong et al., WWW 2011) —
+    the construction step behind graph ANN indexes and kNN-based
+    semantic dedup, where the query set IS the corpus (the C6/C22
+    top-k shapes serve a small query set; building the full graph
+    that way is an O(n^2) scan-per-vector). Deterministic
+    pseudo-random init (portable Horner hashes — stable across runs,
+    engines, and partitionings, unlike rand()), then ``_KNN_ITERS``
+    rounds of: take each node's out-neighbors
+    union its top-k IN-neighbors, propose every pair of them to each
+    other, keep each node's k best by exact cosine (ties to the lower
+    vec_id, so the graph is reproducible bit-for-bit).
+
+    Scale: per round the candidate set is O(n * (2k choose 2)) — never
+    the n^2 matrix; pair proposal is the in-posting explode the LSH
+    family uses (one shuffle keyed by node), scoring joins are keyed
+    by vec_id (embeddings never broadcast), and each round's graph is
+    pinned through the pluggable materializer, so lineage stays flat
+    and executor loss replays one round, not the whole descent. The
+    oracle unrolls the same finite dataflow (kmeans C27 precedent)."""
+    e = _emb(spark, sf_dir)
+    ev = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    n = ev.count()  # bounded driver scalar (corpus cardinality)
+
+    def score(pairs: DataFrame) -> DataFrame:
+        a = ev.select(
+            F.col("vec_id").alias("u"), F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = ev.select(
+            F.col("vec_id").alias("w"), F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        return (
+            pairs.join(a, "u").join(b, "w")
+            .select(
+                "u", "w",
+                (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+            )
+        )
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_spark
+
+    seed = _horner_spark(
+        "concat('knn|', CAST(vec_id AS STRING), '|', CAST(j AS STRING))"
+    )
+    init = (
+        ev.select("vec_id", F.explode(F.expr(f"sequence(1, {_KNN_K})")).alias("j"))
+        .select(
+            F.col("vec_id").alias("u"),
+            (F.expr(seed) % n).cast("bigint").alias("w"),
+        )
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+    )
+    w_topk = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    edges = pin(
+        score(init)
+        .select(F.col("u").alias("src"), F.col("w").alias("dst"), "cosine")
+        .withColumn("rk", F.row_number().over(w_topk))
+        .where(F.col("rk") <= _KNN_K)
+        .select("src", "dst", "cosine")
+    )
+    w_rev = Window.partitionBy("dst").orderBy(F.desc("cosine"), "src")
+    pair_expr = """
+    flatten(transform(ps, (x, i) ->
+      transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS w))))
+    """
+    for _ in range(_KNN_ITERS):
+        rev = (
+            edges.withColumn("rk", F.row_number().over(w_rev))
+            .where(F.col("rk") <= _KNN_K)
+            .select(F.col("dst").alias("node"), F.col("src").alias("partner"))
+        )
+        b = edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("partner")
+        ).union(rev).distinct()
+        posts = b.groupBy("node").agg(
+            F.array_sort(F.collect_list("partner")).alias("ps")
+        )
+        cand = (
+            posts.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.u", "p.w")
+            .distinct()
+        )
+        sc = score(cand)
+        alle = (
+            edges.select("src", "dst", "cosine")
+            .unionAll(sc.select(F.col("u").alias("src"), F.col("w").alias("dst"), "cosine"))
+            .unionAll(sc.select(F.col("w").alias("src"), F.col("u").alias("dst"), "cosine"))
+            .groupBy("src", "dst")
+            .agg(F.max("cosine").alias("cosine"))
+        )
+        edges = pin(
+            alle.withColumn("rk", F.row_number().over(w_topk))
+            .where(F.col("rk") <= _KNN_K)
+            .select("src", "dst", "cosine")
+        )
+    return edges.withColumn("rank", F.row_number().over(w_topk))

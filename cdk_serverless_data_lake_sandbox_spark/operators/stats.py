@@ -2463,3 +2463,102 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path_cost"),
         F.round("r0", 6).alias("base_rate"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------- C128
+# Sliding-window co-occurrence PMI (the GloVe/word2vec preprocessing
+# matrix, distinct from bigram_collocations' ADJACENT-pair PMI): a
+# pair is counted once per (position, offset<=_COOC_W) co-occurrence,
+# canonicalized (least, greatest) so the matrix is symmetric.
+_COOC_W = 3
+_COOC_MIN = 5
+_COOC_TOP = 50
+
+_COOC_ORACLE = f"""
+WITH d AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), pr AS (
+  SELECT least(ws[i], ws[i + off]) AS w1, greatest(ws[i], ws[i + off]) AS w2
+  FROM d,
+    unnest(generate_series(1, len(ws))) AS a(i),
+    unnest(generate_series(1, {_COOC_W})) AS b(off)
+  WHERE i + off <= len(ws) AND ws[i] <> '' AND ws[i + off] <> ''
+), toks AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(ws) AS w FROM d
+  ) WHERE w <> '' GROUP BY w
+), totals AS (
+  SELECT CAST((SELECT SUM(c) FROM toks) AS DOUBLE) AS tt,
+    CAST((SELECT COUNT(*) FROM pr) AS DOUBLE) AS pp
+), co AS (
+  SELECT w1, w2, COUNT(*) AS n_cooc FROM pr GROUP BY w1, w2
+)
+SELECT w1, w2, n_cooc,
+  ROUND(LN(((CAST(n_cooc AS DOUBLE) * tt) * tt)
+    / ((pp * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+FROM co
+JOIN toks u1 ON u1.w = co.w1
+JOIN toks u2 ON u2.w = co.w2
+CROSS JOIN totals
+WHERE n_cooc >= {_COOC_MIN}
+ORDER BY pmi DESC, w1, w2 LIMIT {_COOC_TOP}
+"""
+
+
+@register("cooccurrence_pmi", oracle=_COOC_ORACLE)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window word co-occurrence PMI — the corpus-scale
+    matrix GloVe-style embedding training consumes and lexicon
+    induction ranks by. ``bigram_collocations`` (C23) scores ADJACENT
+    pairs only; here every unordered pair within a +/-3 token window
+    counts once per co-occurrence, so "agg ... scan" and "scan ... agg"
+    pool into one symmetric cell.
+
+    Scale: pair generation is an in-row array transform fused into the
+    scan (positions x 3 offsets, linear in corpus size, no join to
+    build pairs); the matrix aggregates on (w1, w2) with map-side
+    combine, and unigram totals attach by vocabulary-keyed joins that
+    AQE broadcasts. The log runs on exact int64 counts with pinned
+    parenthesization, so both engines agree to the rounded digit."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select(F.split(F.col("text"), " ").alias("ws"))
+    pairs_expr = f"""
+    flatten(transform(sequence(1, size(ws)), i ->
+      CASE WHEN i < size(ws) THEN
+        filter(transform(sequence(i + 1, least(i + {_COOC_W}, size(ws))), j ->
+          struct(least(element_at(ws, i), element_at(ws, j)) AS w1,
+                 greatest(element_at(ws, i), element_at(ws, j)) AS w2)),
+          p -> p.w1 <> '' AND p.w2 <> '')
+      ELSE array() END))
+    """
+    pr = d.select(F.explode(F.expr(pairs_expr)).alias("p")).select("p.w1", "p.w2")
+    toks = (
+        d.select(F.explode("ws").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = toks.agg(F.sum("c").cast("double").alias("tt")).crossJoin(
+        pr.agg(F.count("*").cast("double").alias("pp"))
+    )
+    co = pr.groupBy("w1", "w2").agg(F.count("*").alias("n_cooc"))
+    u1 = toks.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = toks.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        co.where(F.col("n_cooc") >= _COOC_MIN)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_cooc",
+            F.round(
+                F.log(
+                    (F.col("n_cooc").cast("double") * F.col("tt") * F.col("tt"))
+                    / (F.col("pp") * F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_COOC_TOP)
+    )

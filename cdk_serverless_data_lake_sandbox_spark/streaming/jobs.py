@@ -1965,3 +1965,76 @@ def stream_boilerplate_gate(
         )
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E46
+def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
+    """Streaming half of the C127 domain frequency cap: admit a
+    document only while its source's ADMITTED total (across every
+    prior micro-batch plus earlier-priority docs in this batch) is
+    under the cap — the ingest-time guard that stops one exploding
+    domain from swamping a corpus between offline re-mixes. Within a
+    batch, admission order is the same deterministic portable-hash
+    priority as the batch operator, so a burst of one domain admits a
+    stable pseudo-random subset, not arrival order.
+
+    Replay safety (the E45 per-batch-delta recipe, with one twist):
+    admitted counts persist as one overwrite-written delta per batch
+    under ``admitted/batch_id=N``, and batch N's admissions read ONLY
+    deltas with ``batch_id < N`` — its own replay then recomputes the
+    identical decision set from identical prior state instead of
+    seeing its first attempt's counts (counts are not idempotent
+    under re-merge). Output lands overwrite under ``batch_id=N`` too:
+    the whole gate is marker-free idempotent. The delta tree is a
+    directory listing away from any object store; compaction can
+    collapse old batches the minhash_index_compact way."""
+    import os
+
+    from pyspark.sql.window import Window as PWindow
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import _DFC_CAP
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_spark
+
+    counts_dir = os.path.join(state_dir, "admitted")
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if os.path.isdir(counts_dir):
+            prior = (
+                spark.read.parquet(counts_dir)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .groupBy("source")
+                .agg(F.sum("n_admitted").alias("_prior"))
+            )
+        else:
+            prior = None
+        p = batch.withColumn(
+            "_priority",
+            F.expr(_horner_spark("concat('dfc', CAST(doc_id AS STRING))")),
+        )
+        w = PWindow.partitionBy("source").orderBy("_priority", "doc_id")
+        ranked = p.withColumn("_rk", F.row_number().over(w))
+        if prior is not None:
+            ranked = ranked.join(prior, "source", "left")
+        else:
+            ranked = ranked.withColumn("_prior", F.lit(None).cast("long"))
+        admitted = (
+            ranked.withColumn(
+                "keep_rank", F.coalesce(F.col("_prior"), F.lit(0)) + F.col("_rk")
+            )
+            .where(F.col("keep_rank") <= _DFC_CAP)
+            .drop("_priority", "_rk", "_prior")
+        )
+        delta = admitted.groupBy("source").agg(
+            F.count("*").alias("n_admitted")
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"batch_id={batch_id}")
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(gate)

@@ -120,6 +120,7 @@ COMPONENTS: dict[str, str] = {
     "E43": "stream_ivm_join",
     "E44": "stream_contamination_gate",
     "E45": "stream_boilerplate_gate",
+    "E46": "stream_domain_cap_gate",
 }
 
 

@@ -1,0 +1,232 @@
+"""Property tests for the round-8 continuation operators (B114,
+C126-C129). Hash-exact DuckDB oracles run in driver_sim; these pin the
+SEMANTIC contracts the oracle equality alone can't express."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from tests.conftest import SF_SMALL
+
+
+# ------------------------------------------------------ B114
+def test_event_markov_rows_normalize_and_rank(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import (
+        event_markov_transitions,
+    )
+
+    rows = event_markov_transitions(spark, SF_SMALL).collect()
+    assert rows
+    by_from: dict[str, list] = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for fr, rs in by_from.items():
+        # transition probabilities row-normalize
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-4, fr
+        # rank 1 carries the modal successor
+        top = min(rs, key=lambda r: r.rank)
+        assert top.rank == 1
+        assert top.n_transitions == max(r.n_transitions for r in rs)
+        # ranks are contiguous 1..n within a source state
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+
+
+# ------------------------------------------------------ C126
+def test_unimax_budget_conservation_and_cap(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _UNIMAX_BUDGET_X,
+        _UNIMAX_CAP,
+        unimax_mix,
+    )
+
+    rows = unimax_mix(spark, SF_SMALL).collect()
+    assert rows
+    total_tokens = sum(r.n_tokens for r in rows)
+    budget = _UNIMAX_BUDGET_X * total_tokens
+    # nobody exceeds the epoch cap (rounding slack only)
+    for r in rows:
+        assert r.epochs <= _UNIMAX_CAP + 1e-6, r
+        assert r.cap_tokens == _UNIMAX_CAP * r.n_tokens
+        assert abs(r.epochs - r.alloc_tokens / r.n_tokens) < 1e-4
+    capped = [r for r in rows if abs(r.epochs - _UNIMAX_CAP) < 1e-6]
+    uncapped = [r for r in rows if r not in capped]
+    # budget < total caps at X=2, CAP=3 -> water-filling must engage
+    assert uncapped, "expected at least one uncapped language"
+    # the whole budget is spent, to rounding
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1.0
+    # every uncapped language receives the SAME equal share...
+    shares = {round(r.alloc_tokens, 3) for r in uncapped}
+    assert len(shares) == 1, shares
+    # ...which no capped language's cap exceeds (water level >= caps)
+    if capped:
+        assert max(r.cap_tokens for r in capped) <= next(iter(shares)) + 1e-6
+
+
+def test_unimax_all_capped_when_budget_ample(spark):
+    # With budget >= sum(caps) the closed form must cap EVERYONE (the
+    # running-AND window's all-true edge). Monkeypatch the multiplier
+    # via a direct re-derivation: caps at 3x, budget at 4x total.
+    from cdk_serverless_data_lake_sandbox_spark.operators import curation
+
+    docs = curation._docs(spark, SF_SMALL)
+    import pyspark.sql.functions as F
+
+    s = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    total = s.agg(F.sum("n_tokens")).collect()[0][0]
+    # budget 4x > caps 3x: sequential water-filling grants every cap
+    budget = 4 * total
+    rows = sorted(s.collect(), key=lambda r: r.n_tokens)
+    remaining, langs_left = budget, len(rows)
+    for r in rows:
+        avg = remaining / langs_left
+        alloc = min(3 * r.n_tokens, avg)
+        assert alloc == 3 * r.n_tokens  # all capped
+        remaining -= alloc
+        langs_left -= 1
+
+
+# ------------------------------------------------------ C127
+def test_domain_cap_bounds_and_determinism(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        _DFC_CAP,
+        domain_frequency_cap,
+    )
+
+    out1 = domain_frequency_cap(spark, SF_SMALL).collect()
+    out2 = domain_frequency_cap(spark, SF_SMALL).collect()
+    # deterministic sample: identical doc sets across runs
+    assert {(r.doc_id, r.keep_rank) for r in out1} == {
+        (r.doc_id, r.keep_rank) for r in out2
+    }
+    by_src: dict[str, list] = {}
+    for r in out1:
+        by_src.setdefault(r.source, []).append(r)
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import _docs
+
+    true_counts = {
+        r.source: r.n
+        for r in _docs(spark, SF_SMALL).groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for src, rs in by_src.items():
+        assert len(rs) <= _DFC_CAP
+        assert sorted(r.keep_rank for r in rs) == list(range(1, len(rs) + 1))
+        # survivors report the uncut source volume
+        assert all(r.source_docs == true_counts[src] for r in rs)
+        # a source smaller than the cap survives whole
+        if true_counts[src] <= _DFC_CAP:
+            assert len(rs) == true_counts[src]
+
+
+# ------------------------------------------------------ C128
+def test_cooccurrence_pmi_symmetric_and_windowed(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        _COOC_MIN,
+        _COOC_TOP,
+        cooccurrence_pmi,
+    )
+
+    rows = cooccurrence_pmi(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= _COOC_TOP
+    for r in rows:
+        assert r.w1 <= r.w2  # canonical (least, greatest) cell
+        assert r.n_cooc >= _COOC_MIN
+        assert math.isfinite(r.pmi)
+    # descending-PMI order with the deterministic tiebreak
+    key = [(-r.pmi, r.w1, r.w2) for r in rows]
+    assert key == sorted(key)
+
+
+def test_cooccurrence_window_counts_hand_example(spark):
+    # "a b c d" with window 3: pairs (a,b)(a,c)(a,d)(b,c)(b,d)(c,d);
+    # "a b c d e" adds (b,e)(c,e)(d,e) — position x offset counting,
+    # verified against the operator's internal pair expression.
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import _COOC_W
+
+    assert _COOC_W == 3
+    df = spark.createDataFrame([("a b c d",), ("a b c a",)], ["text"])
+    d = df.select(F.split(F.col("text"), " ").alias("ws"))
+    pairs_expr = f"""
+    flatten(transform(sequence(1, size(ws)), i ->
+      CASE WHEN i < size(ws) THEN
+        filter(transform(sequence(i + 1, least(i + {_COOC_W}, size(ws))), j ->
+          struct(least(element_at(ws, i), element_at(ws, j)) AS w1,
+                 greatest(element_at(ws, i), element_at(ws, j)) AS w2)),
+          p -> p.w1 <> '' AND p.w2 <> '')
+      ELSE array() END))
+    """
+    got = sorted(
+        tuple(r.p) for r in
+        d.select(F.explode(F.expr(pairs_expr)).alias("p")).collect()
+    )
+    want = sorted(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        + [("a", "b"), ("a", "c"), ("a", "a"), ("b", "c"), ("a", "b"), ("a", "c")]
+    )
+    assert got == want
+
+
+# ------------------------------------------------------ C129
+def test_knn_graph_shape_and_recall_beats_ring(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _KNN_K,
+        _emb,
+        knn_graph_nn_descent,
+    )
+
+    rows = knn_graph_nn_descent(spark, SF_SMALL).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in _emb(spark, SF_SMALL).collect()
+    }
+    n = len(emb)
+    by_src: dict[int, list] = {}
+    for r in rows:
+        assert r.src != r.dst
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src) == n
+    for src, rs in by_src.items():
+        assert len(rs) == _KNN_K
+        assert sorted(r.rank for r in rs) == list(range(1, _KNN_K + 1))
+        # rank order follows cosine (desc), ties to lower dst
+        seq = sorted(rs, key=lambda r: r.rank)
+        assert all(
+            (a.cosine, -a.dst) >= (b.cosine, -b.dst)
+            for a, b in zip(seq, seq[1:])
+        )
+
+    # exact ground truth on the small corpus
+    mat = np.stack([emb[i] for i in range(n)])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    truth = {
+        i: set(np.argsort(-sims[i], kind="stable")[:_KNN_K].tolist())
+        for i in range(n)
+    }
+
+    def recall(neigh: dict[int, set]) -> float:
+        hit = sum(len(neigh[i] & truth[i]) for i in range(n))
+        return hit / (n * _KNN_K)
+
+    got = {s: {r.dst for r in rs} for s, rs in by_src.items()}
+
+    # the deterministic pseudo-random init the operator starts from
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_py
+
+    init = {
+        i: {_horner_py(f"knn|{i}|{j}") % n for j in range(1, _KNN_K + 1)} - {i}
+        for i in range(n)
+    }
+    r_got, r_init = recall(got), recall(init)
+    # descent must transform the random seed graph into a useful one:
+    # on this near-random corpus (mean true-neighbor cosine ~0.32)
+    # K=10 x 3 rounds measures ~0.73 at sf0.01; floor with margin.
+    assert r_got > r_init + 0.4, (r_got, r_init)
+    assert r_got > 0.55, r_got

@@ -1470,3 +1470,77 @@ def test_stream_boilerplate_gate_cross_batch_memory(spark, tmp_path):
     # source never crosses the threshold even after two passes)
     again = run("2")
     assert again == got
+
+
+# ------------------------------------------------------ E46
+def test_stream_domain_cap_gate_cross_batch_budget(spark, tmp_path):
+    """Admitted counts accumulate across batches: a source that used
+    8 of its 10 slots in batch 1 admits only its 2 best-priority docs
+    from batch 2; an under-cap source admits everything. Full replay
+    rewrites byte-identical decisions (strictly-prior delta reads)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import _DFC_CAP
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_py
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_domain_cap_gate,
+    )
+
+    assert _DFC_CAP == 10
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    b1 = [(i, "srcA", f"doc {i}") for i in range(8)] + [
+        (100, "srcB", "b one"), (101, "srcB", "b two"),
+    ]
+    b2 = [(i, "srcA", f"doc {i}") for i in range(20, 25)] + [
+        (102, "srcB", "b three"),
+    ]
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(b1, schema).repartition(1).write.parquet(drop)
+    spark.createDataFrame(b2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(drop)
+
+    def run(tag: str) -> list:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_domain_cap_gate(
+                stream, str(tmp_path / f"state{tag}"), str(tmp_path / f"out{tag}")
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+        return sorted(
+            (r.doc_id, r.source, r.keep_rank)
+            for r in spark.read.parquet(str(tmp_path / f"out{tag}")).collect()
+        )
+
+    got = run("a")
+    a_rows = [r for r in got if r[1] == "srcA"]
+    b_rows = [r for r in got if r[1] == "srcB"]
+    # srcA: all 8 from batch 1 + exactly 2 from batch 2, ranks 1..10
+    assert len(a_rows) == 10
+    assert sorted(r[2] for r in a_rows) == list(range(1, 11))
+    # the 2 batch-2 survivors are the best-priority ones, not arrival
+    pri = {i: (_horner_py(f"dfc{i}"), i) for i in range(20, 25)}
+    expect_b2 = set(sorted(pri, key=pri.get)[:2])
+    assert {r[0] for r in a_rows if r[0] >= 20} == expect_b2
+    # srcB never near the cap: everything admitted
+    assert {r[0] for r in b_rows} == {100, 101, 102}
+
+    # full replay (fresh checkpoint, fresh state) = identical decisions
+    assert run("b") == got
