@@ -2496,7 +2496,11 @@ _KNN_K = 10
 _KNN_ITERS = 3
 
 
-def _knn_oracle() -> str:
+def _knn_ctes() -> tuple[list[str], str]:
+    """The NN-Descent dataflow as a reusable CTE chain: returns
+    (cte_list, final_edge_cte_name) so C130's graph search (and any
+    future consumer) composes the SAME graph instead of a drifting
+    copy — the C107 IVF+PQ composition precedent."""
     from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_sql
 
     dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
@@ -2504,20 +2508,20 @@ def _knn_oracle() -> str:
         "concat('knn|', CAST(ev.vec_id AS VARCHAR), '|', CAST(j AS VARCHAR))"
     )
     ctes = [
-        f"""ev AS (
+        f"""ev AS MATERIALIZED (
   SELECT vec_id, embedding, {_SQL_NORM.format(a="embedding")} AS nrm
   FROM embeddings
-), nn AS (SELECT COUNT(*) AS n FROM ev),
-ip AS (
+), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM ev),
+ip AS MATERIALIZED (
   SELECT DISTINCT ev.vec_id AS src, CAST({seed} % nn.n AS BIGINT) AS dst
   FROM ev, nn, unnest(generate_series(1, {_KNN_K})) t(j)
   WHERE {seed} % nn.n <> ev.vec_id
 ),
-e0a AS (
+e0a AS MATERIALIZED (
   SELECT p.src, p.dst, {dot} / (a.nrm * b.nrm) AS cosine
   FROM ip p JOIN ev a ON a.vec_id = p.src JOIN ev b ON b.vec_id = p.dst
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT src, dst, cosine FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
       AS rk
@@ -2525,43 +2529,48 @@ e0 AS (
 )"""
     ]
     for i in range(1, _KNN_ITERS + 1):
-        ctes.append(f"""rev{i} AS (
+        ctes.append(f"""rev{i} AS MATERIALIZED (
   SELECT node, partner FROM (
     SELECT dst AS node, src AS partner,
       ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rk
     FROM e{i - 1}) WHERE rk <= {_KNN_K}
 ),
-b{i} AS (
+b{i} AS MATERIALIZED (
   SELECT DISTINCT src AS node, dst AS partner FROM e{i - 1}
   UNION
   SELECT node, partner FROM rev{i}
 ),
-cand{i} AS (
+cand{i} AS MATERIALIZED (
   SELECT DISTINCT x.partner AS u, y.partner AS w
   FROM b{i} x JOIN b{i} y ON x.node = y.node AND x.partner < y.partner
 ),
-sc{i} AS (
+sc{i} AS MATERIALIZED (
   SELECT u, w, {dot} / (a.nrm * b.nrm) AS cosine
   FROM cand{i} c JOIN ev a ON a.vec_id = c.u JOIN ev b ON b.vec_id = c.w
 ),
-un{i} AS (
+un{i} AS MATERIALIZED (
   SELECT src, dst, MAX(cosine) AS cosine FROM (
     SELECT src, dst, cosine FROM e{i - 1}
     UNION ALL SELECT u AS src, w AS dst, cosine FROM sc{i}
     UNION ALL SELECT w AS src, u AS dst, cosine FROM sc{i}
   ) GROUP BY src, dst
 ),
-e{i} AS (
+e{i} AS MATERIALIZED (
   SELECT src, dst, cosine FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
       AS rk
     FROM un{i}) WHERE rk <= {_KNN_K}
 )""")
+    return ctes, f"e{_KNN_ITERS}"
+
+
+def _knn_oracle() -> str:
+    ctes, final = _knn_ctes()
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT src, dst, cosine,
   ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
-FROM e{_KNN_ITERS}"""
+FROM {final}"""
     )
 
 
@@ -2586,7 +2595,15 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned through the pluggable materializer, so lineage stays flat
     and executor loss replays one round, not the whole descent. The
     oracle unrolls the same finite dataflow (kmeans C27 precedent)."""
-    e = _emb(spark, sf_dir)
+    edges = _knn_graph_frame(_emb(spark, sf_dir))
+    w_topk = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return edges.withColumn("rank", F.row_number().over(w_topk))
+
+
+def _knn_graph_frame(e: DataFrame) -> DataFrame:
+    """The NN-Descent dataflow over an (vec_id, embedding) frame,
+    returning the final (src, dst, cosine) edge set — shared by the
+    C129 query, the D30 persisted index build, and C130's search."""
     ev = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
     n = ev.count()  # bounded driver scalar (corpus cardinality)
 
@@ -2664,4 +2681,225 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") <= _KNN_K)
             .select("src", "dst", "cosine")
         )
-    return edges.withColumn("rank", F.row_number().over(w_topk))
+    return edges
+
+
+# ---------------------------------------------------------------- C130
+# Greedy beam search over the C129 kNN graph — the QUERY side of
+# graph-based ANN (NSW/HNSW-family): walk from a fixed entry node,
+# each step expanding the current beam's graph neighbors and keeping
+# the beam-width best-so-far. Fixed step count keeps the dataflow
+# finite (and the oracle unrollable).
+# Beam 12 x 4 steps measures 0.80 recall@5 vs bruteforce on the
+# synthetic corpus (graph recall is the ceiling; see _KNN_K note) —
+# visiting ~beam*k*steps ~ 500 nodes per query worst case, but the
+# expand joins dedupe against the seen set, so in practice far fewer.
+_GAS_BEAM = 12
+_GAS_STEPS = 4
+
+
+def _gas_oracle() -> str:
+    ctes, graph = _knn_ctes()
+    dot = _SQL_DOT.format(a="q.qe", b="b.embedding")
+    ctes = list(ctes)
+    ctes.append(f"""qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM ev
+  WHERE vec_id < {_N_QUERIES}
+),
+gseen0 AS MATERIALIZED (
+  SELECT q.query_id, CAST(0 AS BIGINT) AS node, {dot} / (q.qn * b.nrm) AS cosine
+  FROM qv q JOIN ev b ON b.vec_id = 0
+)""")
+    for i in range(1, _GAS_STEPS + 1):
+        ctes.append(f"""gbeam{i - 1} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, node) AS rk
+    FROM gseen{i - 1}) WHERE rk <= {_GAS_BEAM}
+),
+gexp{i} AS MATERIALIZED (
+  SELECT DISTINCT bm.query_id, g.dst AS node
+  FROM gbeam{i - 1} bm JOIN {graph} g ON g.src = bm.node
+  WHERE NOT EXISTS (SELECT 1 FROM gseen{i - 1} s
+                    WHERE s.query_id = bm.query_id AND s.node = g.dst)
+),
+gsc{i} AS MATERIALIZED (
+  SELECT x.query_id, x.node, {dot} / (q.qn * b.nrm) AS cosine
+  FROM gexp{i} x JOIN qv q ON q.query_id = x.query_id
+  JOIN ev b ON b.vec_id = x.node
+),
+gseen{i} AS MATERIALIZED (
+  SELECT query_id, node, cosine FROM gseen{i - 1}
+  UNION ALL SELECT query_id, node, cosine FROM gsc{i}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, node AS neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, node) AS rank
+  FROM gseen{_GAS_STEPS} WHERE node <> query_id
+) WHERE rank <= {_TOP_K}"""
+    )
+
+
+@register("graph_ann_search", oracle=_gas_oracle())
+def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUERIES over the C129 kNN graph — the search half of a
+    graph index (NSW/HNSW family): start every query's candidate set
+    at a fixed entry node, then ``_GAS_STEPS`` rounds of: expand the
+    current ``_GAS_BEAM`` best candidates' out-neighbors, score the
+    unseen ones exactly, and re-cut the beam from everything seen so
+    far (monotone best-first, deterministic ties). Output shape
+    matches ``ann_topk_bruteforce`` so recall is directly measurable.
+
+    Scale: the frontier state is (queries x visited) — never corpus-
+    sized; each step is ONE join of the beam against the edge list
+    (shuffled on node id) plus one scoring join against the vectors,
+    both keyed, and the seen-set dedup is a keyed anti-join. Query
+    fan-out parallelizes trivially because beams are independent;
+    the walked graph is the pinned NN-Descent frame, so the whole
+    search replays from storage, not lineage, after executor loss."""
+    e = _emb(spark, sf_dir)
+    graph = _knn_graph_frame(e)
+    ev = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    q = ev.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    return _beam_search(graph, ev, q, entry=0)
+
+
+def _beam_search(
+    graph: DataFrame, ev: DataFrame, q: DataFrame, entry: int,
+    k: int = _TOP_K,
+) -> DataFrame:
+    """Greedy beam search over a (src, dst) edge frame: queries
+    ``q(query_id, qe, qn)`` against vectors ``ev(vec_id, embedding,
+    nrm)``, starting every beam at ``entry``. Shared by the C130
+    query, the D30 persisted-index query, and E47's streaming insert
+    (inside foreachBatch, pin() in local mode is the localCheckpoint
+    the other streaming bodies use; recovery = micro-batch replay)."""
+    b = ev.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("be"),
+        F.col("nrm").alias("bn"),
+    )
+    cos = _dot("qe", "be") / (F.col("qn") * F.col("bn"))
+
+    def score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(F.broadcast(q), "query_id")
+            .join(b, "node")
+            .select("query_id", "node", cos.alias("cosine"))
+        )
+
+    w_beam = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "node")
+    seen = score(
+        q.select("query_id").withColumn("node", F.lit(entry).cast("bigint"))
+    )
+    for _ in range(_GAS_STEPS):
+        beam = (
+            seen.withColumn("rk", F.row_number().over(w_beam))
+            .where(F.col("rk") <= _GAS_BEAM)
+            .select("query_id", "node")
+        )
+        exp = (
+            beam.join(graph, beam.node == graph.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("query_id", "node"), ["query_id", "node"], "left_anti")
+        )
+        seen = pin(seen.unionAll(score(exp)))
+    return (
+        seen.where(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w_beam))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("node").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------- D30
+_KNN_INDEX_FORMAT = {
+    "algo": "nn-descent",
+    "k": _KNN_K,
+    "iters": _KNN_ITERS,
+    "metric": "cosine-double-fold",
+    "version": 1,
+}
+
+
+def knn_graph_index_build(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> dict:
+    """Materialize the NN-Descent kNN graph as a LAKE ARTIFACT:
+    ``edges/`` (src, dst, cosine — the navigable graph) and
+    ``vectors/`` (vec_id, embedding, nrm — what the search scores
+    against), plus a ``_format.json`` stamp (algo, k, iters, metric,
+    entry node) so a query or incremental insert against an index
+    built under different parameters fails LOUDLY instead of silently
+    returning a worse graph (the D19 minhash-stamp lesson). Edges are
+    repartitioned and sorted by src, so a beam expansion's src-keyed
+    join reads clustered row groups.
+
+    Returns {nodes, edges, entry} for the caller's audit."""
+    import json
+    import os
+
+    e = _emb(spark, sf_dir)
+    ev = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    edges = _knn_graph_frame(e)
+    (
+        edges.repartition("src").sortWithinPartitions("src")
+        .write.mode("overwrite").parquet(os.path.join(index_dir, "edges"))
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(index_dir, "vectors"))
+    entry_row = ev.agg(F.min("vec_id").alias("m")).first()
+    entry = int(entry_row.m)
+    stamp = dict(_KNN_INDEX_FORMAT, entry=entry)
+    with open(os.path.join(index_dir, "_format.json"), "w") as fh:
+        json.dump(stamp, fh)
+    n_nodes = ev.count()
+    return {"nodes": n_nodes, "edges": n_nodes * _KNN_K, "entry": entry}
+
+
+def _knn_index_check(index_dir: str) -> dict:
+    import json
+    import os
+
+    fmt_path = os.path.join(index_dir, "_format.json")
+    if not os.path.exists(fmt_path):
+        raise ValueError(
+            f"kNN graph index at {index_dir} has no _format.json stamp; "
+            "rebuild with knn_graph_index_build"
+        )
+    with open(fmt_path) as fh:
+        stamp = json.load(fh)
+    mismatched = {
+        k: (stamp.get(k), v)
+        for k, v in _KNN_INDEX_FORMAT.items()
+        if stamp.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"kNN graph index format mismatch at {index_dir}: {mismatched}"
+        )
+    return stamp
+
+
+def knn_graph_index_query(
+    spark: SparkSession, index_dir: str, queries: DataFrame
+) -> DataFrame:
+    """Beam-search ANN against a PERSISTED kNN graph index (D30):
+    ``queries`` is (query_id, embedding); output matches
+    ``ann_topk_bruteforce``. The graph and vectors come off storage —
+    no rebuild — so serving cost is the search frontier only; the
+    stamp check refuses cross-parameter indexes loudly."""
+    import os
+
+    stamp = _knn_index_check(index_dir)
+    graph = spark.read.parquet(os.path.join(index_dir, "edges"))
+    ev = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    return _beam_search(graph, ev, q, entry=int(stamp["entry"]))

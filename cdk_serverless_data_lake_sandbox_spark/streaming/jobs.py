@@ -2038,3 +2038,84 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
         )
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E47
+def stream_knn_insert(stream: DataFrame, index_dir: str, out_dir: str):
+    """Incremental node insertion into the D30 persisted kNN graph —
+    the maintenance half of a graph ANN index (a full NN-Descent
+    re-run per arriving vector would be absurd; this is the
+    insert-by-search recipe every navigable-graph index uses): each
+    new vector beam-searches the CURRENT graph for its k nearest,
+    links to them, and becomes reachable via the mirrored reverse
+    edges. Base ``edges/`` are never rewritten — inserts land as
+    per-batch deltas the next search unions in, and a periodic
+    NN-Descent rebuild (D30) is the compaction that restores the
+    degree bound the reverse edges erode.
+
+    Replay safety (the E46 strictly-prior recipe): batch N searches
+    base + deltas with ``batch_id < N`` only and writes its own edge
+    and vector deltas overwrite under ``batch_id=N`` — a replay
+    recomputes identical links from identical prior state. Intra-batch
+    arrivals don't see each other (they search the pre-batch graph);
+    the format stamp refuses indexes built under other parameters."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _KNN_K,
+        _beam_search,
+        _knn_index_check,
+        _norm,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        stamp = _knn_index_check(index_dir)
+        graph = spark.read.parquet(os.path.join(index_dir, "edges")).select(
+            "src", "dst", "cosine"
+        )
+        ev = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+            "vec_id", "embedding", "nrm"
+        )
+        e_delta_dir = os.path.join(index_dir, "edges_delta")
+        v_delta_dir = os.path.join(index_dir, "vectors_delta")
+        if os.path.isdir(e_delta_dir):
+            prior = F.col("batch_id") < F.lit(batch_id)
+            graph = graph.unionByName(
+                spark.read.parquet(e_delta_dir).where(prior)
+                .select("src", "dst", "cosine")
+            )
+            ev = ev.unionByName(
+                spark.read.parquet(v_delta_dir).where(prior)
+                .select("vec_id", "embedding", "nrm")
+            )
+        q = batch.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+        )
+        found = _beam_search(
+            graph, ev, q, entry=int(stamp["entry"]), k=_KNN_K
+        ).localCheckpoint()
+        out = found.select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
+            "cosine",
+        )
+        back = found.select(
+            F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst"),
+            "cosine",
+        )
+        out.unionByName(back).write.mode("overwrite").parquet(
+            os.path.join(e_delta_dir, f"batch_id={batch_id}")
+        )
+        batch.select(
+            "vec_id", "embedding", _norm("embedding").alias("nrm")
+        ).write.mode("overwrite").parquet(
+            os.path.join(v_delta_dir, f"batch_id={batch_id}")
+        )
+        found.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(gate)

@@ -121,6 +121,8 @@ COMPONENTS: dict[str, str] = {
     "E44": "stream_contamination_gate",
     "E45": "stream_boilerplate_gate",
     "E46": "stream_domain_cap_gate",
+    "D30": "knn_graph_index_build",
+    "E47": "stream_knn_insert",
 }
 
 

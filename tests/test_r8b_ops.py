@@ -230,3 +230,45 @@ def test_knn_graph_shape_and_recall_beats_ring(spark):
     # K=10 x 3 rounds measures ~0.73 at sf0.01; floor with margin.
     assert r_got > r_init + 0.4, (r_got, r_init)
     assert r_got > 0.55, r_got
+
+
+# ------------------------------------------------------ D30
+def test_knn_graph_index_build_query_matches_inline(spark, tmp_path):
+    """The persisted index must answer EXACTLY like the inline C130
+    search (same graph, same entry, same beam), and refuse a
+    cross-parameter index loudly."""
+    import json
+
+    import pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _N_QUERIES,
+        _emb,
+        graph_ann_search,
+        knn_graph_index_build,
+        knn_graph_index_query,
+    )
+
+    idx = str(tmp_path / "knn_idx")
+    info = knn_graph_index_build(spark, SF_SMALL, idx)
+    assert info["entry"] == 0 and info["nodes"] > 0
+
+    queries = _emb(spark, SF_SMALL).where(f"vec_id < {_N_QUERIES}").select(
+        "vec_id embedding".split()
+    ).withColumnRenamed("vec_id", "query_id")
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_graph_index_query(spark, idx, queries).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in graph_ann_search(spark, SF_SMALL).collect()
+    )
+    assert got == want
+
+    # loud refusal on a parameter-mismatched stamp
+    stamp = json.load(open(f"{idx}/_format.json"))
+    stamp["k"] = 999
+    json.dump(stamp, open(f"{idx}/_format.json", "w"))
+    with pytest.raises(ValueError, match="format mismatch"):
+        knn_graph_index_query(spark, idx, queries)

@@ -1544,3 +1544,75 @@ def test_stream_domain_cap_gate_cross_batch_budget(spark, tmp_path):
 
     # full replay (fresh checkpoint, fresh state) = identical decisions
     assert run("b") == got
+
+
+# ------------------------------------------------------ E47
+def test_stream_knn_insert_links_and_replay(spark, tmp_path):
+    """Inserted vectors link to their true neighbors (an exact twin of
+    the entry node scores ~1.0 immediately), batch 2 reaches a batch-1
+    insert through the mirrored reverse delta edges, and a full replay
+    against the same index rewrites identical links."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _emb,
+        knn_graph_index_build,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_knn_insert,
+    )
+
+    idx = str(tmp_path / "knn_idx")
+    knn_graph_index_build(spark, SF_SMALL, idx)
+    v0 = _emb(spark, SF_SMALL).where("vec_id = 0").first().embedding
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame([Row(vec_id=1000, embedding=v0)], schema).repartition(
+        1
+    ).write.parquet(drop)
+    spark.createDataFrame([Row(vec_id=1001, embedding=v0)], schema).repartition(
+        1
+    ).write.mode("append").parquet(drop)
+
+    def run(tag: str) -> dict:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_knn_insert(stream, idx, str(tmp_path / f"out{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+        out = {}
+        for r in spark.read.parquet(str(tmp_path / f"out{tag}")).collect():
+            out.setdefault(r.query_id, []).append(
+                (r.rank, r.neighbor_id, r.cosine)
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    got = run("a")
+    # batch 1: the twin of vec 0 links to vec 0 first, cosine ~ 1
+    b1 = got[1000]
+    assert b1[0][1] == 0 and abs(b1[0][2] - 1.0) < 1e-9
+    # batch 2: the second twin reaches BOTH vec 0 and the batch-1
+    # insert (via its reverse delta edge), each at cosine ~ 1
+    b2_top2 = {nid for rk, nid, c in got[1001][:2]}
+    assert b2_top2 == {0, 1000}
+    assert all(abs(c - 1.0) < 1e-9 for rk, nid, c in got[1001][:2])
+
+    # replay against the same index state: identical decisions
+    assert run("b") == got
