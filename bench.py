@@ -75,6 +75,10 @@ HEADLINE = [
     "cluster_balanced_sample",
     "decontaminate_strip",
     "vocab_coverage_curve",
+    "knn_graph_nn_descent",
+    "graph_ann_search",
+    "skipgram_pairs",
+    "cooccurrence_pmi",
 ]
 
 

@@ -1373,12 +1373,16 @@ _DFC_CAP = 10
 
 
 def _dfc_oracle() -> str:
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_sql
-
-    h = _horner_sql("concat('dfc', CAST(doc_id AS VARCHAR))")
+    # md5-based priority (the weighted_sample/stratified_sample
+    # convention): a fixed-width lowercase-hex prefix orders exactly
+    # like its numeric value, and unlike a Horner hash of the id
+    # string it is not affine in the trailing digits (consecutive
+    # doc_ids must not get consecutive priorities in a SAMPLER).
     return f"""
 WITH p AS (
-  SELECT doc_id, source, {h} AS priority FROM documents
+  SELECT doc_id, source,
+    SUBSTR(md5('dfc' || CAST(doc_id AS VARCHAR)), 1, 12) AS priority
+  FROM documents
 ), r AS (
   SELECT doc_id, source, priority,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id)
@@ -1396,7 +1400,7 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency cap (the over-represented-domain guard
     every web-corpus recipe applies before mixing): keep at most
     _DFC_CAP documents per source, selected by a deterministic
-    portable-hash priority — a seeded uniform sample that is stable
+    md5 priority — a seeded uniform sample that is stable
     across runs, engines, and partitionings, unlike rand(). Emits the
     survivors with their selection rank and the source's original
     volume, so downstream can report how hard each domain was cut.
@@ -1407,12 +1411,12 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with billions of docs per domain, swap the row_number for the
     group_sample_topk (B76) bounded-heap shape. No joins, no driver
     state."""
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_spark
-
     docs = _docs(spark, sf_dir)
     p = docs.select(
         "doc_id", "source",
-        F.expr(_horner_spark("concat('dfc', CAST(doc_id AS STRING))")).alias("priority"),
+        F.substring(
+            F.md5(F.concat(F.lit("dfc"), F.col("doc_id").cast("string"))), 1, 12
+        ).alias("priority"),
     )
     w = Window.partitionBy("source").orderBy("priority", "doc_id")
     return (

@@ -2482,13 +2482,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C129
 # NN-Descent kNN-graph construction (Dong et al., WWW 2011): start
-# from a deterministic PSEUDO-RANDOM graph (portable Horner hashes —
-# a ring init would only diffuse K ids per round, taking O(n/K)
-# rounds to mix), then repeatedly propose each node's
+# from a deterministic PSEUDO-RANDOM graph (md5-derived — a ring init
+# would only diffuse K ids per round, taking O(n/K) rounds to mix),
+# then repeatedly propose each node's
 # neighbors-of-neighbors as candidates — "a neighbor of a neighbor is
 # likely a neighbor". Fixed iteration count so the computation (and
 # its oracle) is a finite dataflow, like the unrolled-Lloyd kmeans.
-# K=10 x 3 rounds measures 0.73 recall@10 on the synthetic corpus —
+# K=10 x 3 rounds measures 0.79 recall@10 on the synthetic corpus —
 # in line with the paper's near-random-data regime (recall scales
 # with K^2/intrinsic-dim; the corpus has almost no cluster structure:
 # mean true-neighbor cosine 0.32 vs 0.0004 background).
@@ -2501,11 +2501,13 @@ def _knn_ctes() -> tuple[list[str], str]:
     (cte_list, final_edge_cte_name) so C130's graph search (and any
     future consumer) composes the SAME graph instead of a drifting
     copy — the C107 IVF+PQ composition precedent."""
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_sql
-
     dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
-    seed = _horner_sql(
-        "concat('knn|', CAST(ev.vec_id AS VARCHAR), '|', CAST(j AS VARCHAR))"
+    # md5-derived init partner (the sampler convention): a Horner hash
+    # of the id string is affine in the trailing digits, which would
+    # seed every node with a CONSECUTIVE-ID clump instead of a spread.
+    seed = (
+        "CAST(('0x' || SUBSTR(md5('knn|' || CAST(ev.vec_id AS VARCHAR)"
+        " || '|' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT)"
     )
     ctes = [
         f"""ev AS MATERIALIZED (
@@ -2581,8 +2583,8 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic dedup, where the query set IS the corpus (the C6/C22
     top-k shapes serve a small query set; building the full graph
     that way is an O(n^2) scan-per-vector). Deterministic
-    pseudo-random init (portable Horner hashes — stable across runs,
-    engines, and partitionings, unlike rand()), then ``_KNN_ITERS``
+    pseudo-random init (md5-derived — stable across runs, engines,
+    and partitionings, unlike rand()), then ``_KNN_ITERS``
     rounds of: take each node's out-neighbors
     union its top-k IN-neighbors, propose every pair of them to each
     other, keep each node's k best by exact cosine (ties to the lower
@@ -2624,10 +2626,9 @@ def _knn_graph_frame(e: DataFrame) -> DataFrame:
             )
         )
 
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_spark
-
-    seed = _horner_spark(
-        "concat('knn|', CAST(vec_id AS STRING), '|', CAST(j AS STRING))"
+    seed = (
+        "CAST(conv(substring(md5(concat('knn|', CAST(vec_id AS STRING),"
+        " '|', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT)"
     )
     init = (
         ev.select("vec_id", F.explode(F.expr(f"sequence(1, {_KNN_K})")).alias("j"))
@@ -2690,7 +2691,7 @@ def _knn_graph_frame(e: DataFrame) -> DataFrame:
 # each step expanding the current beam's graph neighbors and keeping
 # the beam-width best-so-far. Fixed step count keeps the dataflow
 # finite (and the oracle unrollable).
-# Beam 12 x 4 steps measures 0.80 recall@5 vs bruteforce on the
+# Beam 12 x 4 steps measures 0.84 recall@5 vs bruteforce on the
 # synthetic corpus (graph recall is the ceiling; see _KNN_K note) —
 # visiting ~beam*k*steps ~ 500 nodes per query worst case, but the
 # expand joins dedupe against the seen set, so in practice far fewer.

@@ -2562,3 +2562,133 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_COOC_TOP)
     )
+
+
+# ---------------------------------------------------------------- C131
+# word2vec training-pair generation: frequency subsampling (Mikolov
+# et al. 2013's t/f(w) discard rule, deterministic md5 uniforms) THEN
+# directed window pairs over the SURVIVING sequence — dropping a
+# frequent token widens the effective window across it, exactly as
+# the reference implementation behaves.
+_SG_W = 3
+_SG_T = "0.001"  # subsample threshold t (literal, identical both engines)
+_SG_MIN = 2
+
+_SG_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+), freq AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM freq),
+kept AS MATERIALIZED (
+  SELECT doc_id, pos, w FROM (
+    SELECT k.doc_id, k.pos, k.w,
+      (CAST(('0x' || SUBSTR(md5(CAST(k.doc_id AS VARCHAR) || '|'
+           || CAST(k.pos AS VARCHAR) || '|sg'), 1, 12)) AS BIGINT)
+        + CAST(0.5 AS DOUBLE)) / CAST(281474976710656 AS DOUBLE) AS u,
+      (SQRT((CAST(f.c AS DOUBLE) / tt) / {_SG_T}) + CAST(1 AS DOUBLE))
+        * ({_SG_T} / (CAST(f.c AS DOUBLE) / tt)) AS p
+    FROM toks k JOIN freq f ON f.w = k.w CROSS JOIN tot
+  ) WHERE u < p
+), seqs AS MATERIALIZED (
+  SELECT doc_id, list(w ORDER BY pos) AS ws FROM kept GROUP BY doc_id
+), pr AS (
+  SELECT ws[i] AS center, ws[i + off] AS context
+  FROM seqs,
+    unnest(generate_series(1, len(ws))) AS a(i),
+    unnest(generate_series(1, {_SG_W})) AS b(off)
+  WHERE i + off <= len(ws)
+  UNION ALL
+  SELECT ws[i + off] AS center, ws[i] AS context
+  FROM seqs,
+    unnest(generate_series(1, len(ws))) AS a(i),
+    unnest(generate_series(1, {_SG_W})) AS b(off)
+  WHERE i + off <= len(ws)
+)
+SELECT center, context, COUNT(*) AS n_pairs
+FROM pr GROUP BY center, context
+HAVING COUNT(*) >= {_SG_MIN}
+"""
+
+
+@register("skipgram_pairs", oracle=_SG_ORACLE)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec (center, context) training-pair counts: frequency
+    subsampling first — each token occurrence survives iff a
+    deterministic md5 uniform clears Mikolov's (sqrt(f/t)+1)*(t/f)
+    keep probability — then DIRECTED pairs within a +/-3 window over
+    the SURVIVING sequence, so dropping a stopword widens the
+    effective window across it, exactly like the reference
+    implementation. The deterministic uniform makes the generated
+    training set reproducible across runs and engines (an auditable
+    property no rand()-based generator has).
+
+    Scale: the keep decision is a vocabulary-keyed join (AQE
+    broadcasts the frequency side) plus a row-local expression — the
+    corpus shuffles ONCE, on doc_id, to re-pack surviving sequences;
+    pair expansion is an in-row transform and the output aggregation
+    is vocabulary-pair-keyed with map-side combine. The subsample is
+    the step that makes 100 TB feasible: it deletes ~mass of the head
+    words before any pair explodes."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
+        )
+        .where(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("tt"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("|"),
+                        F.col("pos").cast("string"), F.lit("|sg"),
+                    )
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    f_rel = F.col("c").cast("double") / F.col("tt")
+    p = (F.sqrt(f_rel / F.expr(_SG_T)) + F.lit(1.0)) * (F.expr(_SG_T) / f_rel)
+    kept = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .where(u < p)
+        .select("doc_id", "pos", "w")
+    )
+    seqs = kept.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)")
+        .alias("ws")
+    )
+    fwd = f"""
+    flatten(transform(sequence(1, size(ws)), i ->
+      CASE WHEN i < size(ws) THEN
+        transform(sequence(i + 1, least(i + {_SG_W}, size(ws))), j ->
+          struct(element_at(ws, i) AS center, element_at(ws, j) AS context))
+      ELSE array() END))
+    """
+    bwd = f"""
+    flatten(transform(sequence(1, size(ws)), i ->
+      CASE WHEN i < size(ws) THEN
+        transform(sequence(i + 1, least(i + {_SG_W}, size(ws))), j ->
+          struct(element_at(ws, j) AS center, element_at(ws, i) AS context))
+      ELSE array() END))
+    """
+    pairs = seqs.select(
+        F.explode(F.expr(f"concat({fwd}, {bwd})")).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+        .where(F.col("n_pairs") >= _SG_MIN)
+    )

@@ -1974,7 +1974,7 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
     prior micro-batch plus earlier-priority docs in this batch) is
     under the cap — the ingest-time guard that stops one exploding
     domain from swamping a corpus between offline re-mixes. Within a
-    batch, admission order is the same deterministic portable-hash
+    batch, admission order is the same deterministic md5
     priority as the batch operator, so a burst of one domain admits a
     stable pseudo-random subset, not arrival order.
 
@@ -1993,7 +1993,6 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
     from pyspark.sql.window import Window as PWindow
 
     from cdk_serverless_data_lake_sandbox_spark.operators.curation import _DFC_CAP
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_spark
 
     counts_dir = os.path.join(state_dir, "admitted")
 
@@ -2012,7 +2011,10 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
             prior = None
         p = batch.withColumn(
             "_priority",
-            F.expr(_horner_spark("concat('dfc', CAST(doc_id AS STRING))")),
+            F.substring(
+                F.md5(F.concat(F.lit("dfc"), F.col("doc_id").cast("string"))),
+                1, 12,
+            ),
         )
         w = PWindow.partitionBy("source").orderBy("_priority", "doc_id")
         ranked = p.withColumn("_rk", F.row_number().over(w))
@@ -2115,6 +2117,72 @@ def stream_knn_insert(stream: DataFrame, index_dir: str, out_dir: str):
             os.path.join(v_delta_dir, f"batch_id={batch_id}")
         )
         found.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E48
+_RES_SIZE = 8  # reservoir slots per source
+
+
+def stream_reservoir_sample(stream: DataFrame, state_dir: str, out_dir: str):
+    """Bounded per-source UNIFORM sample over an unbounded stream —
+    the eval-set / monitoring sampler. E46's cap gate admits the
+    first N by priority and then closes; a reservoir stays uniform
+    over EVERYTHING seen, so a late arrival can evict an early one.
+    Determinism replaces randomness the usual way here: the reservoir
+    is the _RES_SIZE lowest md5 priorities seen so far —
+    exactly a uniform random sample under the hash, reproducible
+    across runs, engines, and arrival orders of equal content.
+
+    State is a FULL reservoir snapshot per batch (bounded:
+    sources x slots rows), written overwrite under
+    ``reservoir/batch_id=N``; batch N folds the newest snapshot with
+    ``batch_id < N`` into its arrivals and writes its own snapshot +
+    the same rows to the output tree. Replay recomputes byte-identical
+    snapshots from strictly-prior state (the E46 recipe). Snapshots,
+    unlike count deltas, also make reads O(1): the current sample is
+    ONE partition, no delta-tree fold."""
+    import os
+
+    from pyspark.sql.window import Window as PWindow
+
+    res_dir = os.path.join(state_dir, "reservoir")
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        arrivals = batch.select(
+            "doc_id", "source", "text",
+            F.substring(
+                F.md5(F.concat(F.lit("rsv"), F.col("doc_id").cast("string"))),
+                1, 12,
+            ).alias("priority"),
+        )
+        if os.path.isdir(res_dir):
+            snaps = spark.read.parquet(res_dir).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+            latest = snaps.agg(F.max("batch_id").alias("m")).first().m
+            if latest is not None:
+                arrivals = arrivals.unionByName(
+                    snaps.where(F.col("batch_id") == latest).select(
+                        "doc_id", "source", "text", "priority"
+                    )
+                )
+        w = PWindow.partitionBy("source").orderBy("priority", "doc_id")
+        reservoir = (
+            arrivals.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _RES_SIZE)
+            .drop("_rk")
+        )
+        reservoir.write.mode("overwrite").parquet(
+            os.path.join(res_dir, f"batch_id={batch_id}")
+        )
+        reservoir.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
 

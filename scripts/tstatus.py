@@ -123,6 +123,7 @@ COMPONENTS: dict[str, str] = {
     "E46": "stream_domain_cap_gate",
     "D30": "knn_graph_index_build",
     "E47": "stream_knn_insert",
+    "E48": "stream_reservoir_sample",
 }
 
 

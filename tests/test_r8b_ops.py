@@ -217,17 +217,20 @@ def test_knn_graph_shape_and_recall_beats_ring(spark):
 
     got = {s: {r.dst for r in rs} for s, rs in by_src.items()}
 
-    # the deterministic pseudo-random init the operator starts from
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_py
+    # the deterministic md5-seeded init the operator starts from
+    import hashlib
+
+    def _seed(i: int, j: int) -> int:
+        return int(hashlib.md5(f"knn|{i}|{j}".encode()).hexdigest()[:12], 16)
 
     init = {
-        i: {_horner_py(f"knn|{i}|{j}") % n for j in range(1, _KNN_K + 1)} - {i}
+        i: {_seed(i, j) % n for j in range(1, _KNN_K + 1)} - {i}
         for i in range(n)
     }
     r_got, r_init = recall(got), recall(init)
     # descent must transform the random seed graph into a useful one:
     # on this near-random corpus (mean true-neighbor cosine ~0.32)
-    # K=10 x 3 rounds measures ~0.73 at sf0.01; floor with margin.
+    # K=10 x 3 rounds measures ~0.79 at sf0.01; floor with margin.
     assert r_got > r_init + 0.4, (r_got, r_init)
     assert r_got > 0.55, r_got
 
@@ -272,3 +275,43 @@ def test_knn_graph_index_build_query_matches_inline(spark, tmp_path):
     json.dump(stamp, open(f"{idx}/_format.json", "w"))
     with pytest.raises(ValueError, match="format mismatch"):
         knn_graph_index_query(spark, idx, queries)
+
+
+# ------------------------------------------------------ C131
+def test_skipgram_pairs_symmetric_and_subsampled(spark):
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        _SG_MIN,
+        skipgram_pairs,
+    )
+
+    rows = skipgram_pairs(spark, SF_SMALL).collect()
+    assert rows
+    counts = {(r.center, r.context): r.n_pairs for r in rows}
+    for (a, b), n in counts.items():
+        assert n >= _SG_MIN
+        # both directions of every unordered co-occurrence are
+        # emitted, so the pair matrix is exactly symmetric
+        assert counts.get((b, a)) == n, (a, b)
+
+    # the frequency subsample must actually delete head-word mass on
+    # this tiny-vocabulary corpus (every word is frequent)
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n")
+    ).first().n
+    total_pairs = sum(counts.values())
+    # unsubsampled directed pairs would be ~6x tokens; assert well under
+    assert total_pairs < 3 * total_tokens, (total_pairs, total_tokens)
+
+    # determinism across runs
+    again = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(spark, SF_SMALL).collect()
+    }
+    assert again == counts

@@ -1482,8 +1482,9 @@ def test_stream_domain_cap_gate_cross_batch_budget(spark, tmp_path):
         LongType, StringType, StructField, StructType,
     )
 
+    import hashlib
+
     from cdk_serverless_data_lake_sandbox_spark.operators.curation import _DFC_CAP
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import _horner_py
     from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
         stream_domain_cap_gate,
     )
@@ -1536,7 +1537,10 @@ def test_stream_domain_cap_gate_cross_batch_budget(spark, tmp_path):
     assert len(a_rows) == 10
     assert sorted(r[2] for r in a_rows) == list(range(1, 11))
     # the 2 batch-2 survivors are the best-priority ones, not arrival
-    pri = {i: (_horner_py(f"dfc{i}"), i) for i in range(20, 25)}
+    pri = {
+        i: (hashlib.md5(f"dfc{i}".encode()).hexdigest()[:12], i)
+        for i in range(20, 25)
+    }
     expect_b2 = set(sorted(pri, key=pri.get)[:2])
     assert {r[0] for r in a_rows if r[0] >= 20} == expect_b2
     # srcB never near the cap: everything admitted
@@ -1615,4 +1619,80 @@ def test_stream_knn_insert_links_and_replay(spark, tmp_path):
     assert all(abs(c - 1.0) < 1e-9 for rk, nid, c in got[1001][:2])
 
     # replay against the same index state: identical decisions
+    assert run("b") == got
+
+
+# ------------------------------------------------------ E48
+def test_stream_reservoir_sample_uniform_over_stream(spark, tmp_path):
+    """The reservoir after N batches equals the batch-computed top-R
+    priorities over EVERYTHING streamed (late arrivals evict early
+    ones — the property the E46 cap gate deliberately lacks), and a
+    full replay rewrites identical snapshots."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    import hashlib
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        _RES_SIZE,
+        stream_reservoir_sample,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    b1 = [(i, "srcA", f"doc {i}") for i in range(12)]
+    b2 = [(i, "srcA", f"doc {i}") for i in range(100, 112)] + [
+        (200, "srcB", "tiny source")
+    ]
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(b1, schema).repartition(1).write.parquet(drop)
+    spark.createDataFrame(b2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(drop)
+
+    def run(tag: str) -> dict:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_reservoir_sample(
+                stream, str(tmp_path / f"state{tag}"), str(tmp_path / f"out{tag}")
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+        snaps = spark.read.parquet(str(tmp_path / f"state{tag}/reservoir"))
+        final_id = snaps.agg({"batch_id": "max"}).first()[0]
+        return {
+            r.source: sorted(
+                rr.doc_id
+                for rr in snaps.where(snaps.batch_id == final_id).collect()
+                if rr.source == r.source
+            )
+            for r in snaps.select("source").distinct().collect()
+        }
+
+    got = run("a")
+    # batch-computed expectation: top-R priorities over the WHOLE stream
+    all_a = [i for i in range(12)] + [i for i in range(100, 112)]
+    pri = sorted(
+        all_a,
+        key=lambda i: (hashlib.md5(f"rsv{i}".encode()).hexdigest()[:12], i),
+    )
+    assert got["srcA"] == sorted(pri[:_RES_SIZE])
+    # late arrivals must have evicted at least one early doc
+    assert any(i >= 100 for i in got["srcA"])
+    assert got["srcB"] == [200]
+    # replay: identical snapshots
     assert run("b") == got
