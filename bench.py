@@ -79,6 +79,8 @@ HEADLINE = [
     "graph_ann_search",
     "skipgram_pairs",
     "cooccurrence_pmi",
+    "unigram_lm_tokenizer",
+    "unigram_tokenize_corpus",
 ]
 
 

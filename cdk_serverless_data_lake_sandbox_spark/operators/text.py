@@ -2126,3 +2126,357 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2("p")), 4).alias("bits_per_bigram"),
         )
     )
+
+
+# ---------------------------------------------------------------- C132
+# SentencePiece-style UNIGRAM-LM tokenizer training via hard-EM
+# (Kudo 2018, Viterbi E-step): candidate pieces are all substrings of
+# length <= _ULM_MAXP with frequency-weighted occurrence count >=
+# _ULM_MINC; each round re-segments every distinct word under the
+# current piece log-probs and re-counts pieces from the 1-best
+# segmentations. Counts stay exact int64s between rounds, so the only
+# float surface is the per-word Viterbi fold — replayed with the
+# identical expression tree by DuckDB (the B106/B108 array-accumulator
+# recipe; a struct accumulator is the documented trap).
+_ULM_MAXP = 4
+_ULM_MINC = 5
+_ULM_ITERS = 2
+_ULM_TOP = 200
+_ULM_NEG = "CAST(-1000000000 AS DOUBLE)"
+
+
+
+def _ulm_sj_spark(j: int) -> str:
+    prev = (f"CASE WHEN i - {j} = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE element_at(acc, 2 * (i - {j}) - 1) END")
+    lp = f"element_at(lps, (i - 1) * {_ULM_MAXP} + {j})"
+    return (f"CASE WHEN {j} > i THEN CAST(-1000000000000000 AS DOUBLE) "
+            f"ELSE ({prev}) + {lp} END")
+
+
+def _ulm_sj_duck(j: int) -> str:
+    i = "CAST(x[1] AS INT)"
+    prev = (f"CASE WHEN {i} - {j} = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE acc[2 * ({i} - {j}) - 1] END")
+    lp = f"lps[({i} - 1) * {_ULM_MAXP} + {j}]"
+    return (f"CASE WHEN {j} > {i} THEN CAST(-1000000000000000 AS DOUBLE) "
+            f"ELSE ({prev}) + {lp} END")
+
+
+def _ulm_cascade(sj, arr: str) -> str:
+    """First-max-wins argmax over piece lengths j=1..MAXP, UNROLLED:
+    DuckDB 1.0's vectorized list_reduce mis-computes NESTED lambda
+    folds batch-wide (probed in-session: rows borrow each other's
+    accumulators), so the inner max-over-j fold is a generated CASE
+    cascade instead — semantically the sequential strictly-greater
+    acceptance (smallest j wins ties), identical on both engines."""
+    s1, s2, s3, s4 = (sj(j) for j in (1, 2, 3, 4))
+    return (
+        f"CASE WHEN ({s1}) >= ({s2}) AND ({s1}) >= ({s3}) AND ({s1}) >= ({s4})"
+        f" THEN {arr}(({s1}), CAST(1 AS DOUBLE))"
+        f" WHEN ({s2}) >= ({s3}) AND ({s2}) >= ({s4})"
+        f" THEN {arr}(({s2}), CAST(2 AS DOUBLE))"
+        f" WHEN ({s3}) >= ({s4}) THEN {arr}(({s3}), CAST(3 AS DOUBLE))"
+        f" ELSE {arr}(({s4}), CAST(4 AS DOUBLE)) END"
+    )
+
+
+_ULM_POS_SPARK = "(length(w) - length(replace(acc, '|', '')))"
+_ULM_JB_SPARK = f"CAST(element_at(dp, 2 * {_ULM_POS_SPARK}) AS INT)"
+
+
+def _ulm_ctes(rounds: int) -> list[str]:
+    """The hard-EM dataflow as DuckDB CTEs: init counts, then
+    ``rounds`` segmentation rounds (udp/ubt/ucounts per round). The
+    train oracle reads ucounts{ITERS}; the APPLY oracle asks for
+    ITERS+1 rounds — the extra round IS the application of the final
+    model to the word table."""
+    pos = "(len(w) - len(replace(acc, '|', '')))"
+    jb = f"CAST(dp[2 * {pos}] AS INT)"
+    ctes = [f"""uwords AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+ucounts0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM (
+    SELECT f, SUBSTR(w, i - j + 1, j) AS piece
+    FROM uwords,
+      unnest(generate_series(1, len(w))) a(i),
+      unnest(generate_series(1, {_ULM_MAXP})) b(j)
+    WHERE j <= i
+  ) GROUP BY piece HAVING SUM(f) >= {_ULM_MINC}
+)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""utot{t} AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS tot FROM ucounts{t - 1}
+),
+ulp{t} AS MATERIALIZED (
+  SELECT piece, LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) AS lp
+  FROM ucounts{t - 1}, utot{t}
+),
+udense{t} AS MATERIALIZED (
+  SELECT g.w, g.f, list(COALESCE(l.lp, {_ULM_NEG}) ORDER BY g.i, g.j) AS lps
+  FROM (
+    SELECT w, f, i, j,
+      CASE WHEN j <= i THEN SUBSTR(w, i - j + 1, j) END AS piece
+    FROM uwords,
+      unnest(generate_series(1, len(w))) a(i),
+      unnest(generate_series(1, {_ULM_MAXP})) b(j)
+  ) g LEFT JOIN ulp{t} l ON l.piece = g.piece
+  GROUP BY g.w, g.f
+),
+udp{t} AS MATERIALIZED (
+  SELECT w, f,
+    list_reduce(
+      list_prepend(CAST([] AS DOUBLE[]),
+        list_transform(range(1, len(w) + 1), i -> [CAST(i AS DOUBLE)])),
+      (acc, x) -> list_concat(acc, {_ulm_cascade(_ulm_sj_duck, "list_value")})) AS dp
+  FROM udense{t}
+),
+ubt{t} AS MATERIALIZED (
+  -- backtrace as an ALWAYS-APPEND fold over a scalar string: DuckDB
+  -- 1.0's vectorized list_reduce mis-aligns rows when a lambda branch
+  -- returns the accumulator unchanged (and when lambdas nest) -- both
+  -- probed in-session; a step that always mutates is replayed
+  -- correctly, so exhausted rows append an empty token instead of
+  -- short-circuiting. Tokens land in REVERSE order (suffix first).
+  SELECT w, f,
+    list_reduce(
+      list_prepend('', list_transform(range(1, len(w) + 1), i -> '')),
+      (acc, z) -> acc || '|' || CASE WHEN {pos} <= 0 THEN ''
+        ELSE SUBSTR(w, {pos} - {jb} + 1, {jb}) END) AS tb
+  FROM udp{t}
+),
+ucounts{t} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM (
+    SELECT f, unnest(string_split(tb, '|')) AS piece FROM ubt{t}
+  ) WHERE piece <> '' GROUP BY piece
+)""")
+    return ctes
+
+
+def _ulm_oracle() -> str:
+    ctes = _ulm_ctes(_ULM_ITERS)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT piece, c AS n_uses,
+  ROUND(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS logp
+FROM ucounts{_ULM_ITERS},
+  (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM ucounts{_ULM_ITERS}) t
+ORDER BY n_uses DESC, piece LIMIT {_ULM_TOP}"""
+    )
+
+
+def _ulm_words(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+
+
+def _ulm_init_counts(words: DataFrame) -> DataFrame:
+    occ = words.select(
+        "f",
+        F.explode(F.expr(f"""
+          flatten(transform(sequence(1, length(w)), i ->
+            transform(sequence(1, least({_ULM_MAXP}, i)), j ->
+              substring(w, i - j + 1, j))))
+        """)).alias("piece"),
+    )
+    return (
+        occ.groupBy("piece").agg(F.sum("f").alias("c"))
+        .where(F.col("c") >= _ULM_MINC)
+    )
+
+
+def _ulm_lp(counts: DataFrame) -> DataFrame:
+    tot = counts.agg(F.sum("c").alias("tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+        .alias("lp"),
+    )
+
+
+def _ulm_segment(words: DataFrame, lp_df: DataFrame) -> DataFrame:
+    """Viterbi-segment every distinct word under ``lp_df``: returns
+    (w, f, dp, toks) — toks in backtrace REVERSE order (suffix
+    first), dp the flat [best_i, backpointer_i, ...] array whose
+    dp[2*len(w)-1] is the word's total log-prob."""
+    grid = words.select(
+        "w", "f",
+        F.explode(F.expr(f"""
+          flatten(transform(sequence(1, length(w)), i ->
+            transform(sequence(1, {_ULM_MAXP}), j ->
+              struct(i AS i, j AS j,
+                     CASE WHEN j <= i
+                       THEN substring(w, i - j + 1, j) END AS piece))))
+        """)).alias("g"),
+    ).select("w", "f", "g.i", "g.j", "g.piece")
+    dense = (
+        grid.join(lp_df, "piece", "left")
+        .groupBy("w", "f")
+        .agg(F.expr(f"""
+          transform(array_sort(collect_list(struct(i, j,
+            coalesce(lp, {_ULM_NEG}) AS lp))), s -> s.lp)
+        """).alias("lps"))
+    )
+    dp = dense.withColumn("dp", F.expr(f"""
+      aggregate(sequence(1, length(w)), cast(array() as array<double>),
+        (acc, i) -> concat(acc, {_ulm_cascade(_ulm_sj_spark, "array")}))
+    """))
+    # mirrored always-append backtrace (see the oracle's ubt note)
+    return dp.withColumn("toks", F.expr(f"""
+      filter(split(aggregate(sequence(1, length(w)), '',
+        (acc, z) -> concat(acc, '|', CASE WHEN {_ULM_POS_SPARK} <= 0 THEN ''
+          ELSE substring(w, {_ULM_POS_SPARK} - {_ULM_JB_SPARK} + 1,
+                         {_ULM_JB_SPARK}) END)), '\\\\|'),
+        t -> t <> '')
+    """))
+
+
+def _ulm_train_counts(words: DataFrame) -> DataFrame:
+    counts = _ulm_init_counts(words)
+    for _ in range(_ULM_ITERS):
+        seg = _ulm_segment(words, _ulm_lp(counts))
+        counts = pin(
+            seg.select("f", F.explode("toks").alias("piece"))
+            .groupBy("piece").agg(F.sum("f").alias("c"))
+        )
+    return counts
+
+
+@register("unigram_lm_tokenizer", oracle=_ulm_oracle())
+def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a SentencePiece-style UNIGRAM-LM tokenizer (Kudo 2018)
+    by hard-EM: seed the piece inventory with every frequent
+    substring (length <= 4, freq-weighted count >= 5), then repeat
+    [score pieces by ln(count/total) -> Viterbi-resegment every
+    distinct word -> recount pieces from the 1-best segmentations].
+    BPE (C65/C87) greedily merges upward; unigram-LM prunes a rich
+    inventory downward to the pieces that EXPLAIN the corpus — the
+    tokenizer family most modern LMs actually train. Output: the
+    surviving inventory with usage counts and final log-probs.
+
+    Scale: everything runs over the DISTINCT-WORD table weighted by
+    frequency — corpus size only enters through the word count (Heaps
+    ~ n^0.5); the Viterbi DP is ONE in-row fold per word (array
+    accumulator [best_i, backpointer_i, ...], then a backtrace fold),
+    piece lookups attach by a vocabulary-keyed broadcast join, and
+    every inter-round statistic is an exact int64 map-side-combined
+    sum, so hard-EM rounds compose without float drift and the DuckDB
+    oracle replays the identical expression tree."""
+    words = pin(_ulm_words(_docs(spark, sf_dir)))
+    counts = _ulm_train_counts(words)
+    tot = counts.agg(F.sum("c").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.col("c").alias("n_uses"),
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("tot").cast("double")),
+                6,
+            ).alias("logp"),
+        )
+        .orderBy(F.desc("n_uses"), "piece")
+        .limit(_ULM_TOP)
+    )
+
+
+# ---------------------------------------------------------------- C133
+_ULM_R = _ULM_ITERS + 1  # the apply round
+
+
+def _ulm_apply_oracle() -> str:
+    ctes = _ulm_ctes(_ULM_R)
+    ctes.append(f"""wseg AS MATERIALIZED (
+  SELECT b.w,
+    CAST(len(list_filter(string_split(b.tb, '|'), t -> t <> ''))
+      AS BIGINT) AS np,
+    d.dp[2 * len(b.w) - 1] AS wlp,
+    array_to_string(
+      list_reverse(list_filter(string_split(b.tb, '|'), t -> t <> '')),
+      ' ') AS wtxt
+  FROM ubt{_ULM_R} b JOIN udp{_ULM_R} d ON d.w = b.w
+),
+dtoks AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    unnest(generate_series(1, len(ws))) a(i)
+  WHERE ws[i] <> ''
+),
+assembled AS (
+  SELECT d.doc_id,
+    CAST(SUM(s.np) AS BIGINT) AS n_pieces,
+    string_agg(s.wtxt, ' ' ORDER BY d.pos) AS piece_text,
+    list(s.wlp ORDER BY d.pos) AS wlps
+  FROM dtoks d JOIN wseg s ON s.w = d.w
+  GROUP BY d.doc_id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT doc_id, n_pieces, piece_text,
+  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), wlps),
+    (a, x) -> a + x), 4) AS doc_logp
+FROM assembled"""
+    )
+
+
+@register("unigram_tokenize_corpus", oracle=_ulm_apply_oracle())
+def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the C132 unigram-LM tokenizer to the whole corpus — the
+    step a pretraining pipeline actually runs at 100 TB: train the
+    piece inventory (hard-EM over the distinct-word table), then
+    Viterbi-segment every word once under the FINAL model and stitch
+    each document back together in token order. Output per document:
+    piece count, the segmented text, and the document's total
+    log-probability under the piece LM (the fluency signal perplexity
+    filters bucket on, here at subword granularity).
+
+    Scale: training cost is vocabulary-sized (Heaps ~ n^0.5); the
+    apply is ONE vocabulary-keyed join from the corpus token stream
+    to the per-word segmentation (AQE broadcasts the word side) and
+    one doc-keyed shuffle to reassemble. The per-doc log-prob is an
+    in-row fold over the POSITION-ORDERED word array — never a
+    float sum across unordered rows, which would be partition-order
+    dependent and break the oracle."""
+    docs = _docs(spark, sf_dir)
+    words = pin(_ulm_words(docs))
+    counts = _ulm_train_counts(words)
+    seg = _ulm_segment(words, _ulm_lp(counts))
+    wseg = seg.select(
+        "w",
+        F.size("toks").cast("bigint").alias("np"),
+        F.expr("element_at(dp, 2 * length(w) - 1)").alias("wlp"),
+        F.array_join(F.reverse("toks"), " ").alias("wtxt"),
+    )
+    dtoks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+        )
+        .where(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    assembled = (
+        dtoks.join(wseg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np").alias("n_pieces"),
+            F.expr("array_sort(collect_list(struct(pos, wtxt, wlp)))").alias("a"),
+        )
+    )
+    return assembled.select(
+        "doc_id", "n_pieces",
+        F.expr("array_join(transform(a, s -> s.wtxt), ' ')").alias("piece_text"),
+        F.round(
+            F.expr(
+                "aggregate(transform(a, s -> s.wlp), CAST(0 AS DOUBLE),"
+                " (acc, x) -> acc + x)"
+            ),
+            4,
+        ).alias("doc_logp"),
+    )

@@ -315,3 +315,106 @@ def test_skipgram_pairs_symmetric_and_subsampled(spark):
         for r in skipgram_pairs(spark, SF_SMALL).collect()
     }
     assert again == counts
+
+
+# ------------------------------------------------------ C132
+def test_unigram_lm_tokenizer_matches_reference_em(spark):
+    """Pin the whole hard-EM loop against an independent in-test
+    Python implementation (init counts -> ln-prob Viterbi -> recount,
+    twice), and the tiling invariant: the 1-best segmentations cover
+    every character of every word exactly once."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _ULM_ITERS,
+        _ULM_MAXP,
+        _ULM_MINC,
+        _docs,
+        unigram_lm_tokenizer,
+    )
+
+    got = {
+        r.piece: (r.n_uses, r.logp)
+        for r in unigram_lm_tokenizer(spark, SF_SMALL).collect()
+    }
+
+    words = [
+        (r.w, r.f)
+        for r in _docs(spark, SF_SMALL)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("f"))
+        .collect()
+    ]
+
+    def viterbi(w, logp):
+        NEG = -1e9
+        best, bp = [0.0] + [None] * len(w), [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            sc, jb = None, 0
+            for j in range(1, min(_ULM_MAXP, i) + 1):
+                s = best[i - j] + logp.get(w[i - j:i], NEG)
+                if sc is None or s > sc:
+                    sc, jb = s, j
+            best[i], bp[i] = sc, jb
+        toks, i = [], len(w)
+        while i > 0:
+            toks.append(w[i - bp[i]:i])
+            i -= bp[i]
+        return toks
+
+    counts = Counter()
+    for w, f in words:
+        for i in range(1, len(w) + 1):
+            for j in range(1, min(_ULM_MAXP, i) + 1):
+                counts[w[i - j:i]] += f
+    counts = {p: n for p, n in counts.items() if n >= _ULM_MINC}
+    for _ in range(_ULM_ITERS):
+        tot = sum(counts.values())
+        logp = {p: math.log(n / tot) for p, n in counts.items()}
+        nxt = Counter()
+        for w, f in words:
+            for t in viterbi(w, logp):
+                nxt[t] += f
+        counts = dict(nxt)
+
+    tot = sum(counts.values())
+    want = {
+        p: (n, round(math.log(n / tot), 6)) for p, n in counts.items()
+    }
+    assert {p: n for p, (n, _) in got.items()} == {
+        p: n for p, (n, _) in want.items()
+    }
+    for p, (n, lp) in got.items():
+        assert abs(lp - want[p][1]) < 1e-6, p
+
+    # tiling invariant: weighted piece chars == weighted word chars
+    piece_chars = sum(len(p) * n for p, (n, _) in got.items())
+    word_chars = sum(len(w) * f for w, f in words)
+    assert piece_chars == word_chars
+
+
+# ------------------------------------------------------ C133
+def test_unigram_tokenize_corpus_tiles_documents(spark):
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _docs,
+        unigram_tokenize_corpus,
+    )
+
+    out = {r.doc_id: r for r in unigram_tokenize_corpus(spark, SF_SMALL).collect()}
+    docs = {
+        r.doc_id: r.text for r in _docs(spark, SF_SMALL).collect()
+    }
+    assert set(out) == {d for d, t in docs.items() if t and t.strip()}
+    for doc_id, r in out.items():
+        # the segmentation tiles the document: removing spaces from
+        # the piece text reproduces the original characters exactly
+        assert r.piece_text.replace(" ", "") == docs[doc_id].replace(" ", "")
+        assert r.n_pieces == len(r.piece_text.split(" "))
+        # log-prob of a multi-piece doc under a proper LM is negative
+        assert r.doc_logp < 0
