@@ -2426,28 +2426,13 @@ FROM assembled"""
     )
 
 
-@register("unigram_tokenize_corpus", oracle=_ulm_apply_oracle())
-def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY the C132 unigram-LM tokenizer to the whole corpus — the
-    step a pretraining pipeline actually runs at 100 TB: train the
-    piece inventory (hard-EM over the distinct-word table), then
-    Viterbi-segment every word once under the FINAL model and stitch
-    each document back together in token order. Output per document:
-    piece count, the segmented text, and the document's total
-    log-probability under the piece LM (the fluency signal perplexity
-    filters bucket on, here at subword granularity).
 
-    Scale: training cost is vocabulary-sized (Heaps ~ n^0.5); the
-    apply is ONE vocabulary-keyed join from the corpus token stream
-    to the per-word segmentation (AQE broadcasts the word side) and
-    one doc-keyed shuffle to reassemble. The per-doc log-prob is an
-    in-row fold over the POSITION-ORDERED word array — never a
-    float sum across unordered rows, which would be partition-order
-    dependent and break the oracle."""
-    docs = _docs(spark, sf_dir)
-    words = pin(_ulm_words(docs))
-    counts = _ulm_train_counts(words)
-    seg = _ulm_segment(words, _ulm_lp(counts))
+def _ulm_assemble(docs: DataFrame, seg: DataFrame) -> DataFrame:
+    """Stitch per-word segmentations back into documents (shared by
+    the inline C133 apply and the D31 artifact apply): one
+    vocabulary-keyed join, one doc-keyed reassembly shuffle, per-doc
+    log-prob as an in-row fold over the POSITION-ORDERED word array —
+    never a float sum across unordered rows."""
     wseg = seg.select(
         "w",
         F.size("toks").cast("bigint").alias("np"),
@@ -2480,3 +2465,114 @@ def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("doc_logp"),
     )
+
+
+@register("unigram_tokenize_corpus", oracle=_ulm_apply_oracle())
+def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the C132 unigram-LM tokenizer to the whole corpus — the
+    step a pretraining pipeline actually runs at 100 TB: train the
+    piece inventory (hard-EM over the distinct-word table), then
+    Viterbi-segment every word once under the FINAL model and stitch
+    each document back together in token order. Output per document:
+    piece count, the segmented text, and the document's total
+    log-probability under the piece LM (the fluency signal perplexity
+    filters bucket on, here at subword granularity).
+
+    Scale: training cost is vocabulary-sized (Heaps ~ n^0.5); the
+    apply is ONE vocabulary-keyed join from the corpus token stream
+    to the per-word segmentation (AQE broadcasts the word side) and
+    one doc-keyed shuffle to reassemble. The per-doc log-prob is an
+    in-row fold over the POSITION-ORDERED word array — never a
+    float sum across unordered rows, which would be partition-order
+    dependent and break the oracle."""
+    docs = _docs(spark, sf_dir)
+    words = pin(_ulm_words(docs))
+    counts = _ulm_train_counts(words)
+    seg = _ulm_segment(words, _ulm_lp(counts))
+    return _ulm_assemble(docs, seg)
+
+
+# ---------------------------------------------------------------- D31
+_ULM_INDEX_FORMAT = {
+    "algo": "unigram-lm",
+    "maxp": _ULM_MAXP,
+    "minc": _ULM_MINC,
+    "iters": _ULM_ITERS,
+    "version": 1,
+}
+
+
+def tokenizer_index_build(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> dict:
+    """Persist the C132 unigram-LM tokenizer as a LAKE ARTIFACT:
+    ``pieces/`` (piece, n_uses, logp — the whole model; a unigram
+    tokenizer IS its piece table) plus a ``_format.json`` stamp so an
+    apply against a tokenizer trained under other parameters fails
+    LOUDLY (the D19/D30 stamp discipline). Training happens once;
+    every downstream job — batch apply, the E49 streaming gate —
+    reads the artifact instead of re-running EM.
+
+    Returns {pieces, total_uses} for the caller's audit."""
+    import json
+    import os
+
+    docs = _docs(spark, sf_dir)
+    words = pin(_ulm_words(docs))
+    counts = _ulm_train_counts(words)
+    tot = counts.agg(F.sum("c").alias("tot"))
+    pieces = counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.col("c").alias("n_uses"),
+        F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+        .alias("logp"),
+    )
+    pieces.write.mode("overwrite").parquet(os.path.join(index_dir, "pieces"))
+    with open(os.path.join(index_dir, "_format.json"), "w") as fh:
+        json.dump(_ULM_INDEX_FORMAT, fh)
+    agg = spark.read.parquet(os.path.join(index_dir, "pieces")).agg(
+        F.count("*").alias("n"), F.sum("n_uses").alias("u")
+    ).first()
+    return {"pieces": int(agg.n), "total_uses": int(agg.u)}
+
+
+def _ulm_index_check(index_dir: str) -> None:
+    import json
+    import os
+
+    fmt_path = os.path.join(index_dir, "_format.json")
+    if not os.path.exists(fmt_path):
+        raise ValueError(
+            f"tokenizer index at {index_dir} has no _format.json stamp; "
+            "rebuild with tokenizer_index_build"
+        )
+    with open(fmt_path) as fh:
+        stamp = json.load(fh)
+    mismatched = {
+        k: (stamp.get(k), v)
+        for k, v in _ULM_INDEX_FORMAT.items()
+        if stamp.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"tokenizer index format mismatch at {index_dir}: {mismatched}"
+        )
+
+
+def tokenizer_apply_indexed(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Tokenize a document frame against a PERSISTED tokenizer (D31):
+    same output contract as ``unigram_tokenize_corpus`` — and pinned
+    bit-identical to it when the artifact was trained on the same
+    corpus — but the model comes off storage, so the serving job
+    never pays (or depends on) training."""
+    import os
+
+    _ulm_index_check(index_dir)
+    lp_df = spark.read.parquet(os.path.join(index_dir, "pieces")).select(
+        "piece", "logp"
+    ).withColumnRenamed("logp", "lp")
+    words = _ulm_words(docs).transform(pin)
+    seg = _ulm_segment(words, lp_df)
+    return _ulm_assemble(docs, seg)

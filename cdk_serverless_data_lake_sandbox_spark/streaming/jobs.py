@@ -2187,3 +2187,36 @@ def stream_reservoir_sample(stream: DataFrame, state_dir: str, out_dir: str):
         )
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E49
+def stream_tokenize_gate(stream: DataFrame, index_dir: str, out_dir: str):
+    """Ingest-time tokenization against the D31 persisted unigram-LM
+    tokenizer: every arriving document lands already segmented, with
+    its piece count and piece-LM log-prob (the subword perplexity
+    signal downstream quality gates bucket on) — so the corpus's
+    tokenized form is maintained AS data arrives instead of by a
+    full-corpus batch pass per training run.
+
+    Stateless-idempotent (the E44 recipe): the output is a pure
+    function of the batch and the immutable artifact, written
+    overwrite under ``batch_id=N`` — replays rewrite byte-identical
+    shards, no cross-batch state to corrupt. The format stamp refuses
+    a tokenizer trained under other parameters loudly."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        tokenizer_apply_indexed,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = tokenizer_apply_indexed(
+            batch.sparkSession, index_dir, batch
+        ).localCheckpoint()
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(gate)

@@ -124,6 +124,8 @@ COMPONENTS: dict[str, str] = {
     "D30": "knn_graph_index_build",
     "E47": "stream_knn_insert",
     "E48": "stream_reservoir_sample",
+    "D31": "tokenizer_index_build",
+    "E49": "stream_tokenize_gate",
 }
 
 

@@ -418,3 +418,42 @@ def test_unigram_tokenize_corpus_tiles_documents(spark):
         assert r.n_pieces == len(r.piece_text.split(" "))
         # log-prob of a multi-piece doc under a proper LM is negative
         assert r.doc_logp < 0
+
+
+# ------------------------------------------------------ D31
+def test_tokenizer_index_apply_matches_inline(spark, tmp_path):
+    """The persisted tokenizer must segment EXACTLY like the inline
+    C133 trainer-applier on the same corpus (double log-probs survive
+    the parquet round-trip bit-for-bit), and refuse a cross-parameter
+    artifact loudly."""
+    import json
+
+    import pytest
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _docs,
+        tokenizer_apply_indexed,
+        tokenizer_index_build,
+        unigram_tokenize_corpus,
+    )
+
+    idx = str(tmp_path / "tok_idx")
+    info = tokenizer_index_build(spark, SF_SMALL, idx)
+    assert info["pieces"] > 0
+
+    docs = _docs(spark, SF_SMALL)
+    got = sorted(
+        (r.doc_id, r.n_pieces, r.piece_text, r.doc_logp)
+        for r in tokenizer_apply_indexed(spark, idx, docs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_pieces, r.piece_text, r.doc_logp)
+        for r in unigram_tokenize_corpus(spark, SF_SMALL).collect()
+    )
+    assert got == want
+
+    stamp = json.load(open(f"{idx}/_format.json"))
+    stamp["maxp"] = 99
+    json.dump(stamp, open(f"{idx}/_format.json", "w"))
+    with pytest.raises(ValueError, match="format mismatch"):
+        tokenizer_apply_indexed(spark, idx, docs)

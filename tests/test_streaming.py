@@ -1696,3 +1696,53 @@ def test_stream_reservoir_sample_uniform_over_stream(spark, tmp_path):
     assert got["srcB"] == [200]
     # replay: identical snapshots
     assert run("b") == got
+
+
+# ------------------------------------------------------ E49
+def test_stream_tokenize_gate_matches_batch_apply(spark, tmp_path):
+    """Streamed tokenization equals the batch apply on the same docs,
+    and a full replay rewrites identical shards (stateless gate)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _docs,
+        tokenizer_apply_indexed,
+        tokenizer_index_build,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_tokenize_gate,
+    )
+    from tests.conftest import SF_SMALL
+
+    idx = str(tmp_path / "tok_idx")
+    tokenizer_index_build(spark, SF_SMALL, idx)
+
+    docs = _docs(spark, SF_SMALL).where("doc_id < 40")
+    drop = str(tmp_path / "drop")
+    docs.where("doc_id < 20").repartition(1).write.parquet(drop)
+    docs.where("doc_id >= 20").repartition(1).write.mode("append").parquet(drop)
+
+    def run(tag: str) -> list:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_tokenize_gate(stream, idx, str(tmp_path / f"out{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+        return sorted(
+            (r.doc_id, r.n_pieces, r.piece_text, r.doc_logp)
+            for r in spark.read.parquet(str(tmp_path / f"out{tag}")).collect()
+        )
+
+    got = run("a")
+    want = sorted(
+        (r.doc_id, r.n_pieces, r.piece_text, r.doc_logp)
+        for r in tokenizer_apply_indexed(spark, idx, docs).collect()
+    )
+    assert got == want
+    assert run("b") == got
