@@ -315,3 +315,31 @@ def recover_dir(target: str) -> bool:
     if not _os.path.exists(target) and _os.path.exists(old):
         _shutil.move(old, target)
     return _os.path.exists(target)
+
+
+def check_format_stamp(index_dir: str, expected: dict, label: str) -> dict:
+    """Shared ``_format.json`` validator for persisted index artifacts
+    (kNN graph, tokenizer, ... — the D19 stamp discipline): refuse a
+    missing stamp or any key differing from ``expected`` LOUDLY, and
+    return the parsed stamp so callers can read extra keys (e.g. the
+    graph index's entry node). One implementation instead of a copy
+    per index family (r8 session review)."""
+    import json as _json
+    import os as _os
+
+    fmt_path = _os.path.join(index_dir, "_format.json")
+    if not _os.path.exists(fmt_path):
+        raise ValueError(
+            f"{label} at {index_dir} has no _format.json stamp; "
+            "rebuild it with its index builder"
+        )
+    with open(fmt_path) as fh:
+        stamp = _json.load(fh)
+    mismatched = {
+        k: (stamp.get(k), v) for k, v in expected.items() if stamp.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"{label} format mismatch at {index_dir}: {mismatched}"
+        )
+    return stamp

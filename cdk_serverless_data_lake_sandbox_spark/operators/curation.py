@@ -1244,6 +1244,21 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def md5_priority(prefix: str):
+    """Deterministic sampling priority: the first 12 hex digits of
+    md5(prefix || doc_id) — fixed-width lowercase hex orders exactly
+    like its numeric value and, unlike a Horner hash of the id string,
+    is not affine in the trailing digits. ONE definition shared by the
+    batch cap (C127), its streaming gate (E46), and the reservoir
+    (E48), so admission order can never silently desynchronize."""
+    from pyspark.sql import functions as F
+
+    return F.substring(
+        F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 12
+    )
+
+
 # ---------------------------------------------------------------- C126
 # UniMax sampling (Chung et al. 2023): spend a fixed token budget
 # across languages so no language exceeds _UNIMAX_CAP epochs, then
@@ -1412,12 +1427,7 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     group_sample_topk (B76) bounded-heap shape. No joins, no driver
     state."""
     docs = _docs(spark, sf_dir)
-    p = docs.select(
-        "doc_id", "source",
-        F.substring(
-            F.md5(F.concat(F.lit("dfc"), F.col("doc_id").cast("string"))), 1, 12
-        ).alias("priority"),
-    )
+    p = docs.select("doc_id", "source", md5_priority("dfc").alias("priority"))
     w = Window.partitionBy("source").orderBy("priority", "doc_id")
     return (
         p.withColumn("keep_rank", F.row_number().over(w))

@@ -2853,37 +2853,26 @@ def knn_graph_index_build(
         .write.mode("overwrite").parquet(os.path.join(index_dir, "edges"))
     )
     ev.write.mode("overwrite").parquet(os.path.join(index_dir, "vectors"))
-    entry_row = ev.agg(F.min("vec_id").alias("m")).first()
-    entry = int(entry_row.m)
+    # audit values from the artifacts just written: one pass each, and
+    # the edge count is the TRUE written count, not n*k (init-seed
+    # collisions can leave a node under k neighbors — r8 review)
+    vstats = spark.read.parquet(os.path.join(index_dir, "vectors")).agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("m")
+    ).first()
+    entry = int(vstats.m)
     stamp = dict(_KNN_INDEX_FORMAT, entry=entry)
     with open(os.path.join(index_dir, "_format.json"), "w") as fh:
         json.dump(stamp, fh)
-    n_nodes = ev.count()
-    return {"nodes": n_nodes, "edges": n_nodes * _KNN_K, "entry": entry}
+    n_edges = spark.read.parquet(os.path.join(index_dir, "edges")).count()
+    return {"nodes": int(vstats.n), "edges": n_edges, "entry": entry}
 
 
 def _knn_index_check(index_dir: str) -> dict:
-    import json
-    import os
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        check_format_stamp,
+    )
 
-    fmt_path = os.path.join(index_dir, "_format.json")
-    if not os.path.exists(fmt_path):
-        raise ValueError(
-            f"kNN graph index at {index_dir} has no _format.json stamp; "
-            "rebuild with knn_graph_index_build"
-        )
-    with open(fmt_path) as fh:
-        stamp = json.load(fh)
-    mismatched = {
-        k: (stamp.get(k), v)
-        for k, v in _KNN_INDEX_FORMAT.items()
-        if stamp.get(k) != v
-    }
-    if mismatched:
-        raise ValueError(
-            f"kNN graph index format mismatch at {index_dir}: {mismatched}"
-        )
-    return stamp
+    return check_format_stamp(index_dir, _KNN_INDEX_FORMAT, "kNN graph index")
 
 
 def knn_graph_index_query(

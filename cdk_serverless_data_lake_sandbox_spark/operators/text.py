@@ -2537,26 +2537,11 @@ def tokenizer_index_build(
 
 
 def _ulm_index_check(index_dir: str) -> None:
-    import json
-    import os
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        check_format_stamp,
+    )
 
-    fmt_path = os.path.join(index_dir, "_format.json")
-    if not os.path.exists(fmt_path):
-        raise ValueError(
-            f"tokenizer index at {index_dir} has no _format.json stamp; "
-            "rebuild with tokenizer_index_build"
-        )
-    with open(fmt_path) as fh:
-        stamp = json.load(fh)
-    mismatched = {
-        k: (stamp.get(k), v)
-        for k, v in _ULM_INDEX_FORMAT.items()
-        if stamp.get(k) != v
-    }
-    if mismatched:
-        raise ValueError(
-            f"tokenizer index format mismatch at {index_dir}: {mismatched}"
-        )
+    check_format_stamp(index_dir, _ULM_INDEX_FORMAT, "tokenizer index")
 
 
 def tokenizer_apply_indexed(

@@ -1967,6 +1967,30 @@ def stream_boilerplate_gate(
     return stream.writeStream.foreachBatch(gate)
 
 
+
+def _committed_batch_dirs(path: str, before: int) -> list[str]:
+    """Delta-tree directories committed STRICTLY BEFORE ``before`` —
+    the read guard every strictly-prior-state gate needs: a crash can
+    leave the tree root existing with zero committed ``batch_id=``
+    children (only _temporary debris), and a bare
+    ``spark.read.parquet(root)`` then fails schema inference on every
+    replay instead of self-healing (r8 session review)."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("batch_id="):
+            try:
+                bid = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < before:
+                out.append(os.path.join(path, d))
+    return sorted(out)
+
+
 # ---------------------------------------------------------------- E46
 def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
     """Streaming half of the C127 domain frequency cap: admit a
@@ -2000,22 +2024,20 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        if os.path.isdir(counts_dir):
+        prior_dirs = _committed_batch_dirs(counts_dir, batch_id)
+        if prior_dirs:
             prior = (
-                spark.read.parquet(counts_dir)
-                .where(F.col("batch_id") < F.lit(batch_id))
+                spark.read.parquet(*prior_dirs)
                 .groupBy("source")
                 .agg(F.sum("n_admitted").alias("_prior"))
             )
         else:
             prior = None
-        p = batch.withColumn(
-            "_priority",
-            F.substring(
-                F.md5(F.concat(F.lit("dfc"), F.col("doc_id").cast("string"))),
-                1, 12,
-            ),
+        from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+            md5_priority,
         )
+
+        p = batch.withColumn("_priority", md5_priority("dfc"))
         w = PWindow.partitionBy("source").orderBy("_priority", "doc_id")
         ranked = p.withColumn("_rk", F.row_number().over(w))
         if prior is not None:
@@ -2083,15 +2105,17 @@ def stream_knn_insert(stream: DataFrame, index_dir: str, out_dir: str):
         )
         e_delta_dir = os.path.join(index_dir, "edges_delta")
         v_delta_dir = os.path.join(index_dir, "vectors_delta")
-        if os.path.isdir(e_delta_dir):
-            prior = F.col("batch_id") < F.lit(batch_id)
+        # guard each tree independently: a crash between the two delta
+        # writes must not wedge the replay (r8 session review)
+        e_dirs = _committed_batch_dirs(e_delta_dir, batch_id)
+        v_dirs = _committed_batch_dirs(v_delta_dir, batch_id)
+        if e_dirs:
             graph = graph.unionByName(
-                spark.read.parquet(e_delta_dir).where(prior)
-                .select("src", "dst", "cosine")
+                spark.read.parquet(*e_dirs).select("src", "dst", "cosine")
             )
+        if v_dirs:
             ev = ev.unionByName(
-                spark.read.parquet(v_delta_dir).where(prior)
-                .select("vec_id", "embedding", "nrm")
+                spark.read.parquet(*v_dirs).select("vec_id", "embedding", "nrm")
             )
         q = batch.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
@@ -2108,13 +2132,15 @@ def stream_knn_insert(stream: DataFrame, index_dir: str, out_dir: str):
             F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst"),
             "cosine",
         )
-        out.unionByName(back).write.mode("overwrite").parquet(
-            os.path.join(e_delta_dir, f"batch_id={batch_id}")
-        )
+        # vectors land first: an edge delta must never reference a
+        # vector the crash lost (the reverse order would)
         batch.select(
             "vec_id", "embedding", _norm("embedding").alias("nrm")
         ).write.mode("overwrite").parquet(
             os.path.join(v_delta_dir, f"batch_id={batch_id}")
+        )
+        out.unionByName(back).write.mode("overwrite").parquet(
+            os.path.join(e_delta_dir, f"batch_id={batch_id}")
         )
         found.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
@@ -2155,24 +2181,26 @@ def stream_reservoir_sample(stream: DataFrame, state_dir: str, out_dir: str):
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        arrivals = batch.select(
-            "doc_id", "source", "text",
-            F.substring(
-                F.md5(F.concat(F.lit("rsv"), F.col("doc_id").cast("string"))),
-                1, 12,
-            ).alias("priority"),
+        from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+            md5_priority,
         )
-        if os.path.isdir(res_dir):
-            snaps = spark.read.parquet(res_dir).where(
-                F.col("batch_id") < F.lit(batch_id)
+
+        arrivals = batch.select(
+            "doc_id", "source", "text", md5_priority("rsv").alias("priority")
+        )
+        snap_dirs = _committed_batch_dirs(res_dir, batch_id)
+        if snap_dirs:
+            snapshot = spark.read.parquet(snap_dirs[-1]).select(
+                "doc_id", "source", "text", "priority"
             )
-            latest = snaps.agg(F.max("batch_id").alias("m")).first().m
-            if latest is not None:
-                arrivals = arrivals.unionByName(
-                    snaps.where(F.col("batch_id") == latest).select(
-                        "doc_id", "source", "text", "priority"
-                    )
+            # a re-delivered doc must not occupy two slots, and the
+            # FIRST-admitted copy stays canonical: arrivals already in
+            # the snapshot are dropped before the union (r8 review)
+            arrivals = snapshot.unionByName(
+                arrivals.join(
+                    snapshot.select("doc_id"), "doc_id", "left_anti"
                 )
+            )
         w = PWindow.partitionBy("source").orderBy("priority", "doc_id")
         reservoir = (
             arrivals.withColumn("_rk", F.row_number().over(w))

@@ -1647,8 +1647,9 @@ def test_stream_reservoir_sample_uniform_over_stream(spark, tmp_path):
         ]
     )
     b1 = [(i, "srcA", f"doc {i}") for i in range(12)]
+    # doc 1 is RE-DELIVERED in batch 2: it must not occupy two slots
     b2 = [(i, "srcA", f"doc {i}") for i in range(100, 112)] + [
-        (200, "srcB", "tiny source")
+        (200, "srcB", "tiny source"), (1, "srcA", "doc 1"),
     ]
     drop = str(tmp_path / "drop")
     spark.createDataFrame(b1, schema).repartition(1).write.parquet(drop)
@@ -1684,6 +1685,8 @@ def test_stream_reservoir_sample_uniform_over_stream(spark, tmp_path):
         }
 
     got = run("a")
+    # re-delivery must not duplicate a slot
+    assert len(got["srcA"]) == len(set(got["srcA"]))
     # batch-computed expectation: top-R priorities over the WHOLE stream
     all_a = [i for i in range(12)] + [i for i in range(100, 112)]
     pri = sorted(
