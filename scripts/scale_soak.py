@@ -98,6 +98,11 @@ EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
     "preference_pairs",
     "dedup_simhash",
     "ann_lsh_multiprobe",
+    # r8 continuation additions (the heavies joined bench.py HEADLINE;
+    # these are the lighter Q ops that still deserve ratio history)
+    "event_markov_transitions",
+    "unimax_mix",
+    "domain_frequency_cap",
 ]
 
 DEFAULT_OPS = [q for q in HEADLINE if q not in EXCLUDED] + EXTRA_OPS
