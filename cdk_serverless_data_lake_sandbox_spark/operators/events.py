@@ -1468,3 +1468,95 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prob"),
         F.row_number().over(w_rank).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------- B115
+_MK_MIN_T = 5
+_MK_BOTTOM = 20
+
+_MK_ANOMALY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type AS from_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+), t AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT from_type, to_type,
+    LN(CAST(n AS DOUBLE)
+       / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)) AS lp
+  FROM t
+), u AS (
+  SELECT s.user_id, list(m.lp ORDER BY s.ts, s.event_id) AS lps
+  FROM s JOIN m ON m.from_type = s.from_type AND m.to_type = s.to_type
+  WHERE s.to_type IS NOT NULL
+  GROUP BY s.user_id
+)
+SELECT user_id, CAST(len(lps) AS BIGINT) AS n_transitions,
+  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), lps),
+      (a, x) -> a + x) / CAST(len(lps) AS DOUBLE), 6) AS mean_lp
+FROM u WHERE len(lps) >= {_MK_MIN_T}
+ORDER BY mean_lp, user_id LIMIT {_MK_BOTTOM}
+"""
+
+
+@register("markov_anomaly_users", oracle=_MK_ANOMALY_ORACLE)
+def markov_anomaly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-plausibility anomaly scoring: each user's event
+    stream is scored by the corpus-wide first-order Markov kernel
+    (B114) — mean per-transition log-probability — and the least
+    plausible users surface (the bot/fraud/broken-instrumentation
+    shortlist; a user whose transitions the population model finds
+    surprising is the anomaly). Users under {_MK_MIN_T} transitions
+    are excluded as noise.
+
+    Scale: the kernel is event-type-cardinality-squared (tiny,
+    AQE broadcasts it into the transition stream); the per-user score
+    is an in-row fold over the TIME-ORDERED transition list — a float
+    sum across unordered rows would be partition-order dependent —
+    and the bottom-k fuses to TakeOrderedAndProject, so k rows per
+    partition cross the wire."""
+    ev = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w_user).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = s.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    m = t.select(
+        "from_type", "to_type",
+        F.log(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_from).cast("double")
+        ).alias("lp"),
+    )
+    u = (
+        s.join(m, ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, lp))),"
+                " x -> x.lp)"
+            ).alias("lps")
+        )
+    )
+    return (
+        u.where(F.size("lps") >= _MK_MIN_T)
+        .select(
+            "user_id",
+            F.size("lps").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.expr(
+                    "aggregate(lps, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+                )
+                / F.size("lps").cast("double"),
+                6,
+            ).alias("mean_lp"),
+        )
+        .orderBy("mean_lp", "user_id")
+        .limit(_MK_BOTTOM)
+    )

@@ -2893,3 +2893,60 @@ def knn_graph_index_query(
         _norm("embedding").alias("qn"),
     )
     return _beam_search(graph, ev, q, entry=int(stamp["entry"]))
+
+
+# ---------------------------------------------------------------- C134
+def _gas_recall_oracle() -> str:
+    gas = _gas_oracle()
+    split_at = gas.rindex("\nSELECT query_id, node AS neighbor_id")
+    ctes, final_select = gas[:split_at], gas[split_at + 1:]
+    return f"""{ctes},
+gas_out AS (
+{final_select}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+          / ({_SQL_NORM.format(a="q.embedding")}
+             * {_SQL_NORM.format(a="c.embedding")}) DESC, c.vec_id) AS rk
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rk <= {_TOP_K}
+)
+SELECT e.query_id,
+  CAST(COUNT(g.neighbor_id) AS BIGINT) AS n_hits,
+  ROUND(CAST(COUNT(g.neighbor_id) AS DOUBLE)
+    / CAST({_TOP_K} AS DOUBLE), 4) AS recall
+FROM exact e LEFT JOIN gas_out g
+  ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id
+GROUP BY e.query_id"""
+
+
+@register("graph_ann_recall_report", oracle=_gas_recall_oracle())
+def graph_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the C130 graph search against the exact
+    brute-force top-k, per query — the go/no-go check a graph index
+    must pass before it serves traffic, here ORACLE-CHECKED end to
+    end (both legs have exact twins, so the report itself is
+    hash-exact — the ann_recall_report C77 composition precedent).
+    The measured sf0.01 aggregate is 0.84; this query pins the
+    per-query numbers under the driver gate permanently.
+
+    Scale: the exact leg is the C6 broadcast-queries-into-one-corpus-
+    scan shape (its cost is the recall AUDIT's price, paid on a query
+    sample, never corpus x corpus); the graph leg reuses the pinned
+    descent frame; the comparison joins two query-sized frames."""
+    gas = graph_ann_search(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.join(gas.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(
+                F.count("_hit").cast("double") / F.lit(float(_TOP_K)), 4
+            ).alias("recall"),
+        )
+    )

@@ -2561,3 +2561,82 @@ def tokenizer_apply_indexed(
     words = _ulm_words(docs).transform(pin)
     seg = _ulm_segment(words, lp_df)
     return _ulm_assemble(docs, seg)
+
+
+# ---------------------------------------------------------------- C135
+def _tce_oracle() -> str:
+    ctes = _ulm_ctes(_ULM_R)
+    ctes.append(f"""twseg AS MATERIALIZED (
+  SELECT w,
+    CAST(len(list_filter(string_split(tb, '|'), t -> t <> ''))
+      AS BIGINT) AS np
+  FROM ubt{_ULM_R}
+),
+tdtoks AS (
+  SELECT doc_id, lang, ws[i] AS w
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    unnest(generate_series(1, len(ws))) a(i)
+  WHERE ws[i] <> ''
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT lang,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(s.np) AS BIGINT) AS n_pieces,
+  CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
+  ROUND(CAST(SUM(s.np) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS pieces_per_word,
+  ROUND(CAST(SUM(len(d.w)) AS DOUBLE) / CAST(SUM(s.np) AS DOUBLE), 6)
+    AS chars_per_piece
+FROM tdtoks d JOIN twseg s ON s.w = d.w
+GROUP BY lang"""
+    )
+
+
+@register("tokenizer_compression_eval", oracle=_tce_oracle())
+def tokenizer_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer quality report for the C132 unigram-LM
+    model: subword fertility (pieces per word — the metric tokenizer
+    papers compare; C50's ``tokenizer_fertility`` scores a toy
+    word-level scheme, this scores the TRAINED subword model) and
+    compression (chars per piece). A tokenizer trained on an
+    en-dominated corpus shows its bias here: under-resourced
+    languages segment into more, shorter pieces and so pay more
+    sequence length per character — the number UniMax-style mixing
+    decisions (C126) need as input.
+
+    Scale: everything after the (vocabulary-sized) training is one
+    token-stream scan joined to the per-word piece counts
+    (vocabulary-keyed, AQE broadcasts), aggregated by language with
+    map-side combine over exact int64s; the two ratios are final
+    divisions."""
+    docs = _docs(spark, sf_dir)
+    words = pin(_ulm_words(docs))
+    counts = _ulm_train_counts(words)
+    seg = _ulm_segment(words, _ulm_lp(counts))
+    wseg = seg.select("w", F.size("toks").cast("bigint").alias("np"))
+    dtoks = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        dtoks.join(wseg, "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("np").alias("n_pieces"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.round(
+                F.sum("np").cast("double") / F.count("*").cast("double"), 6
+            ).alias("pieces_per_word"),
+            F.round(
+                F.sum(F.length("w")).cast("double")
+                / F.sum("np").cast("double"),
+                6,
+            ).alias("chars_per_piece"),
+        )
+    )

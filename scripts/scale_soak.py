@@ -103,6 +103,9 @@ EXTRA_OPS = [  # non-bench heavies with r2/r3 ratio history
     "event_markov_transitions",
     "unimax_mix",
     "domain_frequency_cap",
+    "markov_anomaly_users",
+    "graph_ann_recall_report",
+    "tokenizer_compression_eval",
 ]
 
 DEFAULT_OPS = [q for q in HEADLINE if q not in EXCLUDED] + EXTRA_OPS

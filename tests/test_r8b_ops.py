@@ -457,3 +457,70 @@ def test_tokenizer_index_apply_matches_inline(spark, tmp_path):
     json.dump(stamp, open(f"{idx}/_format.json", "w"))
     with pytest.raises(ValueError, match="format mismatch"):
         tokenizer_apply_indexed(spark, idx, docs)
+
+
+# ------------------------------------------------------ C134
+def test_graph_ann_recall_report_bounds(spark):
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        graph_ann_recall_report,
+    )
+
+    rows = graph_ann_recall_report(spark, SF_SMALL).collect()
+    assert len(rows) == _N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= _TOP_K
+        assert abs(r.recall - r.n_hits / _TOP_K) < 1e-9
+    # the graph index must be genuinely useful on this corpus
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.5, mean_recall
+
+
+# ------------------------------------------------------ C135
+def test_tokenizer_compression_eval_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _ULM_MAXP,
+        _docs,
+        tokenizer_compression_eval,
+    )
+
+    rows = tokenizer_compression_eval(spark, SF_SMALL).collect()
+    docs = _docs(spark, SF_SMALL)
+    true_words = {
+        r.lang: r.n
+        for r in docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        ).where(F.col("w") != "").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {r.lang for r in rows} == set(true_words)
+    for r in rows:
+        assert r.n_words == true_words[r.lang]
+        # a word is 1..len pieces of <= MAXP chars
+        assert r.n_pieces >= r.n_words
+        assert r.n_pieces * _ULM_MAXP >= r.n_chars
+        assert 1.0 <= r.pieces_per_word
+        assert 1.0 <= r.chars_per_piece <= _ULM_MAXP
+
+
+# ------------------------------------------------------ B115
+def test_markov_anomaly_users_scores_plausibility(spark):
+    import math
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.events import (
+        _MK_BOTTOM,
+        _MK_MIN_T,
+        markov_anomaly_users,
+    )
+
+    rows = markov_anomaly_users(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= _MK_BOTTOM
+    assert all(r.n_transitions >= _MK_MIN_T for r in rows)
+    # mean log-prob of a proper conditional model is negative/finite
+    assert all(r.mean_lp < 0 and math.isfinite(r.mean_lp) for r in rows)
+    # ascending plausibility with the deterministic tiebreak
+    key = [(r.mean_lp, r.user_id) for r in rows]
+    assert key == sorted(key)
