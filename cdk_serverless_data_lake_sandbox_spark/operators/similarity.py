@@ -2606,7 +2606,12 @@ def _knn_graph_frame(e: DataFrame) -> DataFrame:
     """The NN-Descent dataflow over an (vec_id, embedding) frame,
     returning the final (src, dst, cosine) edge set — shared by the
     C129 query, the D30 persisted index build, and C130's search."""
-    ev = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    # pin the norm-augmented vector frame ONCE: the descent scores
+    # candidates against it 2x per round plus the init — without the
+    # pin each scoring join re-scans the source parquet and recomputes
+    # every norm (5+ corpus scans at 100 TB; the D30 index persists
+    # vectors+norms for the same reason)
+    ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
     n = ev.count()  # bounded driver scalar (corpus cardinality)
 
     def score(pairs: DataFrame) -> DataFrame:
@@ -2762,7 +2767,9 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     search replays from storage, not lineage, after executor loss."""
     e = _emb(spark, sf_dir)
     graph = _knn_graph_frame(e)
-    ev = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    # one pinned vector frame for the search's per-step scoring joins
+    # (same rationale as _knn_graph_frame's pin)
+    ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
     q = ev.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
