@@ -1488,16 +1488,24 @@ WITH s AS (
     LN(CAST(n AS DOUBLE)
        / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)) AS lp
   FROM t
+), uc AS (
+  -- per-user state is the (from, to) COUNT matrix, never the raw
+  -- transition stream: bounded by type-cardinality squared even for
+  -- a bot with millions of events (r8 session review)
+  SELECT user_id, from_type, to_type, COUNT(*) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2, 3
 ), u AS (
-  SELECT s.user_id, list(m.lp ORDER BY s.ts, s.event_id) AS lps
-  FROM s JOIN m ON m.from_type = s.from_type AND m.to_type = s.to_type
-  WHERE s.to_type IS NOT NULL
-  GROUP BY s.user_id
+  SELECT uc.user_id,
+    CAST(SUM(uc.n) AS BIGINT) AS n_transitions,
+    list(CAST(uc.n AS DOUBLE) * m.lp
+         ORDER BY uc.from_type, uc.to_type) AS terms
+  FROM uc JOIN m ON m.from_type = uc.from_type AND m.to_type = uc.to_type
+  GROUP BY uc.user_id
 )
-SELECT user_id, CAST(len(lps) AS BIGINT) AS n_transitions,
-  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), lps),
-      (a, x) -> a + x) / CAST(len(lps) AS DOUBLE), 6) AS mean_lp
-FROM u WHERE len(lps) >= {_MK_MIN_T}
+SELECT user_id, n_transitions,
+  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+      (a, x) -> a + x) / CAST(n_transitions AS DOUBLE), 6) AS mean_lp
+FROM u WHERE n_transitions >= {_MK_MIN_T}
 ORDER BY mean_lp, user_id LIMIT {_MK_BOTTOM}
 """
 
@@ -1509,15 +1517,17 @@ def markov_anomaly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (B114) — mean per-transition log-probability — and the least
     plausible users surface (the bot/fraud/broken-instrumentation
     shortlist; a user whose transitions the population model finds
-    surprising is the anomaly). Users under {_MK_MIN_T} transitions
+    surprising is the anomaly). Users under ``_MK_MIN_T`` transitions
     are excluded as noise.
 
-    Scale: the kernel is event-type-cardinality-squared (tiny,
-    AQE broadcasts it into the transition stream); the per-user score
-    is an in-row fold over the TIME-ORDERED transition list — a float
-    sum across unordered rows would be partition-order dependent —
-    and the bottom-k fuses to TakeOrderedAndProject, so k rows per
-    partition cross the wire."""
+    Scale: the kernel is event-type-cardinality-squared (tiny, AQE
+    broadcasts it into the per-user counts); per-user state is the
+    (from, to) COUNT matrix — bounded by type-cardinality squared
+    even for a bot with millions of events, never the raw transition
+    stream — and the score is an in-row fold over the TYPE-PAIR-
+    ORDERED count*lp terms (a float sum across unordered rows would
+    be partition-order dependent). The bottom-k fuses to
+    TakeOrderedAndProject, so k rows per partition cross the wire."""
     ev = _events(spark, sf_dir)
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
@@ -1534,26 +1544,29 @@ def markov_anomaly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(w_from).cast("double")
         ).alias("lp"),
     )
+    uc = s.groupBy("user_id", "from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
     u = (
-        s.join(m, ["from_type", "to_type"])
+        uc.join(m, ["from_type", "to_type"])
         .groupBy("user_id")
         .agg(
+            F.sum("n").cast("bigint").alias("n_transitions"),
             F.expr(
-                "transform(array_sort(collect_list(struct(ts, event_id, lp))),"
-                " x -> x.lp)"
-            ).alias("lps")
+                "transform(array_sort(collect_list(struct(from_type, to_type,"
+                " CAST(n AS DOUBLE) * lp AS term))), x -> x.term)"
+            ).alias("terms"),
         )
     )
     return (
-        u.where(F.size("lps") >= _MK_MIN_T)
+        u.where(F.col("n_transitions") >= _MK_MIN_T)
         .select(
-            "user_id",
-            F.size("lps").cast("bigint").alias("n_transitions"),
+            "user_id", "n_transitions",
             F.round(
                 F.expr(
-                    "aggregate(lps, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+                    "aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x)"
                 )
-                / F.size("lps").cast("double"),
+                / F.col("n_transitions").cast("double"),
                 6,
             ).alias("mean_lp"),
         )

@@ -2602,7 +2602,7 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.withColumn("rank", F.row_number().over(w_topk))
 
 
-def _knn_graph_frame(e: DataFrame) -> DataFrame:
+def _knn_graph_frame(e: DataFrame, ev: DataFrame | None = None) -> DataFrame:
     """The NN-Descent dataflow over an (vec_id, embedding) frame,
     returning the final (src, dst, cosine) edge set — shared by the
     C129 query, the D30 persisted index build, and C130's search."""
@@ -2610,8 +2610,12 @@ def _knn_graph_frame(e: DataFrame) -> DataFrame:
     # candidates against it 2x per round plus the init — without the
     # pin each scoring join re-scans the source parquet and recomputes
     # every norm (5+ corpus scans at 100 TB; the D30 index persists
-    # vectors+norms for the same reason)
-    ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
+    # vectors+norms for the same reason). Callers that need the frame
+    # themselves (beam search scoring, the index build's vectors/
+    # write) pass their already-pinned copy instead of paying a second
+    # scan + materialization of the identical data (r8 review).
+    if ev is None:
+        ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
     n = ev.count()  # bounded driver scalar (corpus cardinality)
 
     def score(pairs: DataFrame) -> DataFrame:
@@ -2704,7 +2708,10 @@ _GAS_BEAM = 12
 _GAS_STEPS = 4
 
 
-def _gas_oracle() -> str:
+def _gas_ctes() -> tuple[list[str], str]:
+    """Beam-search dataflow as (cte_list, final_select) — the same
+    structural contract as _knn_ctes(), so composers (C134's recall
+    report) never splice rendered SQL text."""
     ctes, graph = _knn_ctes()
     dot = _SQL_DOT.format(a="q.qe", b="b.embedding")
     ctes = list(ctes)
@@ -2738,14 +2745,17 @@ gseen{i} AS MATERIALIZED (
   SELECT query_id, node, cosine FROM gseen{i - 1}
   UNION ALL SELECT query_id, node, cosine FROM gsc{i}
 )""")
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
-SELECT query_id, node AS neighbor_id, cosine, rank FROM (
+    final = f"""SELECT query_id, node AS neighbor_id, cosine, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       ORDER BY cosine DESC, node) AS rank
   FROM gseen{_GAS_STEPS} WHERE node <> query_id
 ) WHERE rank <= {_TOP_K}"""
-    )
+    return ctes, final
+
+
+def _gas_oracle() -> str:
+    ctes, final = _gas_ctes()
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 @register("graph_ann_search", oracle=_gas_oracle())
@@ -2766,10 +2776,10 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the walked graph is the pinned NN-Descent frame, so the whole
     search replays from storage, not lineage, after executor loss."""
     e = _emb(spark, sf_dir)
-    graph = _knn_graph_frame(e)
-    # one pinned vector frame for the search's per-step scoring joins
-    # (same rationale as _knn_graph_frame's pin)
+    # ONE pinned vector frame shared by the descent's scoring joins
+    # and the search's per-step scoring joins
     ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
+    graph = _knn_graph_frame(e, ev=ev)
     q = ev.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -2853,8 +2863,8 @@ def knn_graph_index_build(
     import os
 
     e = _emb(spark, sf_dir)
-    ev = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
-    edges = _knn_graph_frame(e)
+    ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
+    edges = _knn_graph_frame(e, ev=ev)
     (
         edges.repartition("src").sortWithinPartitions("src")
         .write.mode("overwrite").parquet(os.path.join(index_dir, "edges"))
@@ -2904,24 +2914,20 @@ def knn_graph_index_query(
 
 # ---------------------------------------------------------------- C134
 def _gas_recall_oracle() -> str:
-    gas = _gas_oracle()
-    split_at = gas.rindex("\nSELECT query_id, node AS neighbor_id")
-    ctes, final_select = gas[:split_at], gas[split_at + 1:]
-    return f"""{ctes},
-gas_out AS (
-{final_select}
+    ctes, final = _gas_ctes()
+    ctes = list(ctes)
+    # the exact leg nests _ANN_ORACLE itself (the C77 _recall_oracle
+    # precedent): ONE definition of the brute-force ground truth, so a
+    # tie-break or norm tweak can never silently diverge the report
+    # from what ann_topk_bruteforce is graded against
+    ctes.append(f"""gas_out AS (
+{final}
 ),
 exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {_SQL_DOT.format(a="q.embedding", b="c.embedding")}
-          / ({_SQL_NORM.format(a="q.embedding")}
-             * {_SQL_NORM.format(a="c.embedding")}) DESC, c.vec_id) AS rk
-    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-    WHERE q.vec_id < {_N_QUERIES}
-  ) WHERE rk <= {_TOP_K}
-)
+  SELECT query_id, neighbor_id FROM ({_ANN_ORACLE}) _exact
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
 SELECT e.query_id,
   CAST(COUNT(g.neighbor_id) AS BIGINT) AS n_hits,
   ROUND(CAST(COUNT(g.neighbor_id) AS DOUBLE)
@@ -2929,6 +2935,7 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN gas_out g
   ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id
 GROUP BY e.query_id"""
+    )
 
 
 @register("graph_ann_recall_report", oracle=_gas_recall_oracle())

@@ -2467,6 +2467,19 @@ def _ulm_assemble(docs: DataFrame, seg: DataFrame) -> DataFrame:
     )
 
 
+
+def _ulm_final_seg(docs: DataFrame) -> DataFrame:
+    """Train the unigram model and segment every distinct word once
+    under the FINAL piece probabilities — the round the oracle chain
+    calls ubt{ITERS+1}. ONE definition of the train-then-apply
+    composition shared by C133, C135, and D31 (r8 review: three
+    hand-kept copies could silently train different models than the
+    shared oracle CTE chain assumes)."""
+    words = pin(_ulm_words(docs))
+    counts = _ulm_train_counts(words)
+    return _ulm_segment(words, _ulm_lp(counts))
+
+
 @register("unigram_tokenize_corpus", oracle=_ulm_apply_oracle())
 def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the C132 unigram-LM tokenizer to the whole corpus — the
@@ -2486,10 +2499,7 @@ def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     float sum across unordered rows, which would be partition-order
     dependent and break the oracle."""
     docs = _docs(spark, sf_dir)
-    words = pin(_ulm_words(docs))
-    counts = _ulm_train_counts(words)
-    seg = _ulm_segment(words, _ulm_lp(counts))
-    return _ulm_assemble(docs, seg)
+    return _ulm_assemble(docs, _ulm_final_seg(docs))
 
 
 # ---------------------------------------------------------------- D31
@@ -2612,9 +2622,7 @@ def tokenizer_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine over exact int64s; the two ratios are final
     divisions."""
     docs = _docs(spark, sf_dir)
-    words = pin(_ulm_words(docs))
-    counts = _ulm_train_counts(words)
-    seg = _ulm_segment(words, _ulm_lp(counts))
+    seg = _ulm_final_seg(docs)
     wseg = seg.select("w", F.size("toks").cast("bigint").alias("np"))
     dtoks = (
         docs.select(
