@@ -2170,14 +2170,19 @@ def _ulm_cascade(sj, arr: str) -> str:
     accumulators), so the inner max-over-j fold is a generated CASE
     cascade instead — semantically the sequential strictly-greater
     acceptance (smallest j wins ties), identical on both engines."""
-    s1, s2, s3, s4 = (sj(j) for j in (1, 2, 3, 4))
+    ss = [sj(j) for j in range(1, _ULM_MAXP + 1)]
+    clauses = []
+    for idx in range(len(ss) - 1):
+        conds = " AND ".join(
+            f"({ss[idx]}) >= ({t})" for t in ss[idx + 1:]
+        )
+        clauses.append(
+            f"WHEN {conds} THEN {arr}(({ss[idx]}), "
+            f"CAST({idx + 1} AS DOUBLE))"
+        )
     return (
-        f"CASE WHEN ({s1}) >= ({s2}) AND ({s1}) >= ({s3}) AND ({s1}) >= ({s4})"
-        f" THEN {arr}(({s1}), CAST(1 AS DOUBLE))"
-        f" WHEN ({s2}) >= ({s3}) AND ({s2}) >= ({s4})"
-        f" THEN {arr}(({s2}), CAST(2 AS DOUBLE))"
-        f" WHEN ({s3}) >= ({s4}) THEN {arr}(({s3}), CAST(3 AS DOUBLE))"
-        f" ELSE {arr}(({s4}), CAST(4 AS DOUBLE)) END"
+        "CASE " + " ".join(clauses)
+        + f" ELSE {arr}(({ss[-1]}), CAST({len(ss)} AS DOUBLE)) END"
     )
 
 

@@ -1987,8 +1987,13 @@ def _committed_batch_dirs(path: str, before: int) -> list[str]:
             except ValueError:
                 continue
             if bid < before:
-                out.append(os.path.join(path, d))
-    return sorted(out)
+                out.append((bid, os.path.join(path, d)))
+    # numeric order, NOT lexicographic: 'batch_id=9' > 'batch_id=10' as
+    # strings, so a lexicographic sort would hand E48's [-1] "newest
+    # snapshot" pick a stale batch once ids reach double digits (r8
+    # advice) — silently re-folding from batch 9 forever after.
+    out.sort(key=lambda t: t[0])
+    return [p for _, p in out]
 
 
 # ---------------------------------------------------------------- E46
@@ -2117,6 +2122,16 @@ def stream_knn_insert(stream: DataFrame, index_dir: str, out_dir: str):
             ev = ev.unionByName(
                 spark.read.parquet(*v_dirs).select("vec_id", "embedding", "nrm")
             )
+        # at-least-once guard (mirrors the E48 dedup): a vec_id
+        # re-delivered in a later batch must not write a second
+        # vectors_delta row — the vec_id-keyed scoring join would then
+        # count that node twice per beam expansion and skew every
+        # subsequent cut. First delivery stays canonical.
+        batch = batch.join(
+            ev.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint()
+        if batch.isEmpty():
+            return
         q = batch.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
             _norm("embedding").alias("qn"),
