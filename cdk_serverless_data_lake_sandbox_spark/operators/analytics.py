@@ -1,8 +1,11 @@
 """Analytics wave 3: time-series windows, explode analytics,
 histograms, fuzzy matching, approximate aggregates.
 
-Everything except the HLL sketch is oracle-checked; the sketch has an
-error-bound test instead (approximation is the point).
+Everything here is oracle-checked, including the sketches: the
+Count-Min (C103) and HLL (C105) families use explicit Horner hashes
+both engines replay, so even the approximate ops are hash-exact
+against DuckDB; error-bound tests additionally pin the sketches'
+accuracy vs exact counts (approximation quality is its own claim).
 """
 
 from __future__ import annotations
@@ -193,17 +196,8 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # sketch -> rows-only check
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event type (rsd=2%). At 100 TB
-    this is the difference between a fixed-size sketch merge and a
-    full shuffle of every distinct key. tests assert <5% error vs the
-    exact counts."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
-        F.count("*").alias("n_events"),
-    )
+# approx_distinct_users (B40-R) lives below the C105 HLL helpers it
+# reuses; see the end of this module.
 
 
 # ---------------------------------------------------------------- B41
@@ -226,52 +220,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- B56
-@register("frequent_items_sketch")  # approximate -> rows-only check
-def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters per column via freq_items (a lossy-counting
-    sketch): single pass, fixed memory, mergeable — the shape of
-    "which tokens/hosts/keys dominate" at 100 TB where an exact
-    groupBy-count of every key would shuffle the world. The support
-    threshold guarantees every item with frequency > 1/support is
-    present (false positives possible, false negatives not — tests
-    assert containment of the exact top items)."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    sketch = ev.select("event_type", "user_id").freqItems(
-        ["event_type", "user_id"], support=0.05
-    )
-    return sketch.select(
-        F.concat_ws(",", F.array_sort("event_type_freqItems")).alias(
-            "frequent_types"
-        ),
-        F.size("user_id_freqItems").alias("n_frequent_users"),
-    )
-
-
-# ---------------------------------------------------------------- B75
-@register("sketch_rollup_dau")  # sketch bytes aren't SQL-expressible -> rows-only
-def sketch_rollup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: per-DAY HLL sketches of active users
-    are UNIONED into weekly uniques without touching raw events again
-    — the pre-aggregation pattern that makes distinct-count dashboards
-    tractable at 100 TB (store tiny daily sketches, merge any date
-    range on demand; exact distinct would re-scan the raw table per
-    query). Uses Spark's Datasketches HLL (hll_sketch_agg /
-    hll_union_agg); accuracy is pinned by an error-bound test against
-    exact weekly distincts."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count("*").alias("n_events"),
-    )
-    weekly = daily.groupBy(F.date_trunc("week", F.col("day")).alias("week_start")).agg(
-        F.count("*").alias("n_days"),
-        F.sum("n_events").alias("n_events"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-    )
-    return weekly.select(
-        "week_start", "n_days", "n_events", F.col("approx_users").cast("bigint").alias("approx_users")
-    )
+# B56 frequent_items_sketch and B75 sketch_rollup_dau live below the
+# C103 Count-Min / C105 HLL helpers they reuse; see end of module.
 
 
 # ---------------------------------------------------------------- B76
@@ -984,3 +934,309 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------- B40-R
+# approx_distinct_users, re-engineered on the C105 explicit-HLL recipe
+# so the DuckDB oracle replays the sketch exactly (the earlier
+# approx_count_distinct form was xxhash-internal -> rows-only). Same
+# m=256 registers, same Horner hash, same linear-counting switch.
+_APPROX_DISTINCT_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, {_hll_hash_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+hb AS (SELECT event_type, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+rg AS (
+  SELECT event_type, bucket, MAX({_RHO_SQL}) AS m_j
+  FROM hb GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+    COUNT(*) AS present,
+    SUM(CAST(1 AS DOUBLE) / CAST((1 << m_j) AS DOUBLE)) AS s_present
+  FROM rg GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+    {_HLL_M} - present AS v_zero,
+    ({_ALPHA_SQL}) * {_HLL_M} * {_HLL_M}
+      / (s_present + CAST({_HLL_M} - present AS DOUBLE)) AS e_raw
+  FROM agg
+),
+ne AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  ROUND(CASE WHEN e.e_raw <= 2.5 * {_HLL_M} AND e.v_zero > 0
+        THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / e.v_zero)
+        ELSE e.e_raw END, 4) AS n_users_approx,
+  CAST(n.n_events AS BIGINT) AS n_events
+FROM est e JOIN ne n ON n.event_type = e.event_type
+"""
+
+
+@register("approx_distinct_users", oracle=_APPROX_DISTINCT_ORACLE)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via the explicit
+    m=256-register HLL (C105's recipe: Horner polynomial hash, MAX-
+    mergeable registers, linear counting below 2.5m). At 100 TB this
+    is the difference between a fixed-size register merge and a full
+    shuffle of every distinct key; tests pin <5% error vs the exact
+    counts at the measured SF (theoretical rsd ~1.04/sqrt(256) = 6.5%,
+    so the headroom is empirical, not guaranteed — use more registers
+    for tighter bounds).
+
+    Oracle-exactness is engineered exactly as C105: both engines
+    replay the same integer hash, exactly-representable 2^-M_j
+    register terms, and a shared ROUND(.., 4) on the one
+    transcendental."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    h = e.select(
+        "event_type", _hll_hash_spark("CAST(user_id AS STRING)").alias("hv")
+    )
+    hb = h.select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    rg = (
+        hb.withColumn("rho", F.expr(_RHO_SQL))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = rg.groupBy("event_type").agg(
+        F.count("*").alias("present"),
+        F.sum(
+            F.lit(1.0) / F.expr("CAST(shiftleft(1L, m_j) AS DOUBLE)")
+        ).alias("s_present"),
+    )
+    est = agg.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("present")).alias("v_zero"),
+        (
+            F.expr(_ALPHA_SQL) * _HLL_M * _HLL_M
+            / (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("present")).cast("double")
+            )
+        ).alias("e_raw"),
+    )
+    hll = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    ne = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return est.join(ne, "event_type").select(
+        "event_type",
+        F.round(hll, 4).alias("n_users_approx"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------- B75-R
+# sketch_rollup_dau on the same explicit-HLL registers: per-DAY
+# register tables (the persisted daily-sketch analog) are MAX-merged
+# into weekly registers — never re-touching raw events — then
+# estimated. The oracle computes weekly registers directly from
+# events; identical by MAX-associativity, which is precisely the
+# mergeability claim under test.
+_SKETCH_ROLLUP_ORACLE = f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+    {_hll_hash_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+hb AS (
+  SELECT date_trunc('week', day) AS week_start,
+    hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w
+  FROM h
+),
+rg AS (
+  SELECT week_start, bucket, MAX({_RHO_SQL}) AS m_j
+  FROM hb GROUP BY week_start, bucket
+),
+agg AS (
+  SELECT week_start,
+    COUNT(*) AS present,
+    SUM(CAST(1 AS DOUBLE) / CAST((1 << m_j) AS DOUBLE)) AS s_present
+  FROM rg GROUP BY week_start
+),
+est AS (
+  SELECT week_start,
+    {_HLL_M} - present AS v_zero,
+    ({_ALPHA_SQL}) * {_HLL_M} * {_HLL_M}
+      / (s_present + CAST({_HLL_M} - present AS DOUBLE)) AS e_raw
+  FROM agg
+),
+wk AS (
+  SELECT date_trunc('week', ts) AS week_start,
+    COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+    COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT w.week_start,
+  CAST(w.n_days AS BIGINT) AS n_days,
+  CAST(w.n_events AS BIGINT) AS n_events,
+  ROUND(CASE WHEN e.e_raw <= 2.5 * {_HLL_M} AND e.v_zero > 0
+        THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / e.v_zero)
+        ELSE e.e_raw END, 4) AS approx_users
+FROM est e JOIN wk w ON w.week_start = e.week_start
+"""
+
+
+@register("sketch_rollup_dau", oracle=_SKETCH_ROLLUP_ORACLE)
+def sketch_rollup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY HLL register tables of active
+    users are MAX-merged into weekly uniques without touching raw
+    events again — the pre-aggregation pattern that makes
+    distinct-count dashboards tractable at 100 TB (store tiny daily
+    register tables, merge any date range on demand; exact distinct
+    would re-scan the raw table per query). Registers are the C105
+    explicit-HLL kind, so the rollup is driver-gradable: the oracle
+    builds weekly registers straight from events, which equals the
+    daily-then-MAX-merge path by associativity of MAX — the exact
+    property that makes the sketch mergeable."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    h = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        _hll_hash_spark("CAST(user_id AS STRING)").alias("hv"),
+    )
+    # the persisted daily-sketch analog: one register table per day
+    daily_reg = (
+        h.select(
+            "day",
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(f"hv div {_HLL_M}").alias("w"),
+        )
+        .withColumn("rho", F.expr(_RHO_SQL))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    daily_cnt = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    # weekly rollup touches ONLY the day-sized sketch tables
+    weekly_reg = daily_reg.groupBy(
+        F.date_trunc("week", F.col("day")).alias("week_start"), "bucket"
+    ).agg(F.max("m_j").alias("m_j"))
+    agg = weekly_reg.groupBy("week_start").agg(
+        F.count("*").alias("present"),
+        F.sum(
+            F.lit(1.0) / F.expr("CAST(shiftleft(1L, m_j) AS DOUBLE)")
+        ).alias("s_present"),
+    )
+    est = agg.select(
+        "week_start",
+        (F.lit(_HLL_M) - F.col("present")).alias("v_zero"),
+        (
+            F.expr(_ALPHA_SQL) * _HLL_M * _HLL_M
+            / (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("present")).cast("double")
+            )
+        ).alias("e_raw"),
+    )
+    hll = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    weekly_cnt = daily_cnt.groupBy(
+        F.date_trunc("week", F.col("day")).alias("week_start")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return est.join(weekly_cnt, "week_start").select(
+        "week_start",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(hll, 4).alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------- B56-R
+# frequent_items_sketch on the C103 Count-Min cells: an item is
+# reported iff its CMS estimate exceeds support * N. Same guarantee
+# direction as lossy counting / freq_items (no false negatives —
+# estimates only overcount; false positives possible), but fully
+# deterministic and replayable in SQL, where freq_items' per-partition
+# Misra-Gries state was partition-order dependent and rows-only.
+_FREQ_SUPPORT = 0.05
+
+
+def _cms_hh_sql(key_expr: str, sfx: str) -> str:
+    """CTE block (suffix-namespaced): (k, n, est) per distinct key of
+    ``key_expr`` over events, where est is the 4-row Count-Min
+    estimate."""
+    hashes = ", ".join(
+        f"{_cms_hash_sql('k', b)} AS b{i}" for i, b in enumerate(_CMS_BASES)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT {i} AS row_id, b{i} AS bucket, n FROM hh{sfx}"
+        for i in range(len(_CMS_BASES))
+    )
+    joins = " ".join(
+        f"JOIN cells{sfx} c{i} ON c{i}.row_id = {i}"
+        f" AND c{i}.bucket = hh{sfx}.b{i}"
+        for i in range(len(_CMS_BASES))
+    )
+    least = ", ".join(f"c{i}.total" for i in range(len(_CMS_BASES)))
+    return f"""
+kc{sfx} AS (SELECT {key_expr} AS k, COUNT(*) AS n FROM events GROUP BY 1),
+hh{sfx} AS (SELECT k, n, {hashes} FROM kc{sfx}),
+cells{sfx} AS (
+  SELECT row_id, bucket, SUM(n) AS total FROM ({stacked})
+  GROUP BY row_id, bucket
+),
+probe{sfx} AS (
+  SELECT hh{sfx}.k, hh{sfx}.n, LEAST({least}) AS est FROM hh{sfx} {joins}
+),
+tot{sfx} AS (SELECT SUM(n) AS total_n FROM kc{sfx})
+"""
+
+
+_FREQ_ITEMS_ORACLE = f"""
+WITH {_cms_hh_sql("CAST(event_type AS VARCHAR)", "_t")},
+{_cms_hh_sql("CAST(user_id AS VARCHAR)", "_u")}
+SELECT
+  COALESCE((SELECT string_agg(k, ',' ORDER BY k) FROM probe_t, tot_t
+            WHERE est > {_FREQ_SUPPORT} * total_n), '') AS frequent_types,
+  CAST((SELECT COUNT(*) FROM probe_u, tot_u
+        WHERE est > {_FREQ_SUPPORT} * total_n) AS INTEGER)
+    AS n_frequent_users
+"""
+
+
+@register("frequent_items_sketch", oracle=_FREQ_ITEMS_ORACLE)
+def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per column via Count-Min-thresholding: an item is
+    frequent iff its CMS estimate exceeds support * N. Single pass
+    into d x w mergeable cells, fixed memory — the shape of "which
+    tokens/hosts/keys dominate" at 100 TB where the full key
+    distribution won't fit. CMS only overcounts, so every item with
+    true frequency > support is guaranteed present (false positives
+    possible, false negatives not — tests assert containment of the
+    exact heavy hitters); the explicit Horner hash makes the whole
+    report hash-exact against the DuckDB replay."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def hh_probe(keyed: DataFrame) -> DataFrame:
+        kc = keyed.groupBy("word").agg(F.count("*").alias("n"))
+        kc = kc.transform(pin)
+        probe = cms_probe(kc, cms_cells(kc))
+        tot = kc.agg(F.sum("n").alias("total_n"))
+        return probe.join(F.broadcast(tot)).where(
+            F.col("cms_estimate") > _FREQ_SUPPORT * F.col("total_n")
+        )
+    types = hh_probe(
+        ev.select(F.col("event_type").cast("string").alias("word"))
+    ).agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("word"))).alias(
+            "frequent_types"
+        )
+    )
+    users = hh_probe(
+        ev.select(F.col("user_id").cast("string").alias("word"))
+    ).agg(F.count("*").cast("int").alias("n_frequent_users"))
+    return types.join(users)

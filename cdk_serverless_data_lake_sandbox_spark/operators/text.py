@@ -1549,7 +1549,123 @@ def bpe_train(
     return merges
 
 
-@register("bpe_tokenize_stats")  # iterative training -> rows-only check
+# ---- engineered DuckDB replay of the batched BPE trainer (C87) ----
+# The whole training loop — per-round pair counts over the vocabulary,
+# (n desc, a, b) ranking, the greedy DISJOINT batch selection of
+# select_disjoint_batch, and the leftmost-non-overlap merge fold — is
+# generated as _BPE_MERGES rounds of MATERIALIZED CTEs, the same
+# unroll discipline as the unigram-LM oracle (_ulm_ctes). Rounds after
+# the merge quota is met are deliberate no-ops (the selection fold's
+# quota check accepts nothing), mirroring the trainer's `while` exit.
+#
+# Two DuckDB 1.0 landmines steered the encoding (probed in-session):
+# struct-typed list_reduce accumulators silently drop state, so the
+# greedy selection state rides in ONE delimited VARCHAR
+# (acc-pairs \x03 used-set, separators \x01/\x02 — the corpus is
+# printable ASCII, verified 32..121); and every CTE must be
+# MATERIALIZED or the round chain inlines exponentially.
+_BPE_SEP1, _BPE_SEP2, _BPE_SEP3 = "chr(1)", "chr(2)", "chr(3)"
+
+
+def _bpe_sel_lambda() -> str:
+    """The select_disjoint_batch fold as a DuckDB lambda over
+    candidates encoded 'a<SEP2>b' (already n>=2-filtered and (n desc,
+    a, b)-ranked): skip if a, b, or a||b touches the used set, stop —
+    sticky because the state then never changes — once len(accepted)
+    reaches min(batch, quota-left); `already` is the prior rounds'
+    total, cross-joined in."""
+    acc = f"split_part(s, {_BPE_SEP3}, 1)"
+    used = f"split_part(s, {_BPE_SEP3}, 2)"
+    nacc = (
+        f"(CASE WHEN {acc} = '' THEN 0"
+        f" ELSE len(string_split({acc}, {_BPE_SEP1})) END)"
+    )
+    a = f"split_part(x, {_BPE_SEP2}, 1)"
+    b = f"split_part(x, {_BPE_SEP2}, 2)"
+    return (
+        f"(s, x) -> CASE"
+        f" WHEN {nacc} >= LEAST({_BPE_BATCH},"
+        f" {_BPE_MERGES} - already - {nacc}) THEN s"
+        f" WHEN contains({used}, {_BPE_SEP1} || {a} || {_BPE_SEP1})"
+        f"   OR contains({used}, {_BPE_SEP1} || {b} || {_BPE_SEP1})"
+        f"   OR contains({used}, {_BPE_SEP1} || {a} || {b} || {_BPE_SEP1})"
+        f" THEN s"
+        f" ELSE (CASE WHEN {acc} = '' THEN x"
+        f"       ELSE {acc} || {_BPE_SEP1} || x END)"
+        f"      || {_BPE_SEP3} || {used} || {a} || {_BPE_SEP1} || {b}"
+        f"      || {_BPE_SEP1} || {a} || {b} || {_BPE_SEP1}"
+        f" END"
+    )
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One trainer round: rank pairs from bv{r-1}, greedy-select the
+    disjoint batch, apply it as a single left fold (valid because the
+    batch's symbols are pairwise disjoint, so one combined pass equals
+    the Spark side's chained per-pair folds)."""
+    p = r - 1
+    cand_lim = max(_BPE_BATCH * 8, 8)
+    return f"""
+bpc{r} AS MATERIALIZED (
+  SELECT pr[1] AS a, pr[2] AS b, SUM(f) AS n FROM (
+    SELECT f, unnest(list_transform(range(1, len(syms)),
+      i -> [syms[i], syms[i+1]])) AS pr
+    FROM bv{p} WHERE len(syms) >= 2
+  ) GROUP BY a, b HAVING SUM(f) >= 2
+  ORDER BY n DESC, a, b LIMIT {cand_lim}
+),
+bsel{r} AS MATERIALIZED (
+  SELECT split_part(list_reduce(
+    list_prepend({_BPE_SEP3} || {_BPE_SEP1},
+      COALESCE((SELECT list(a || {_BPE_SEP2} || b ORDER BY n DESC, a, b)
+                FROM bpc{r}), CAST([] AS VARCHAR[]))),
+    {_bpe_sel_lambda()}), {_BPE_SEP3}, 1) AS accs
+  FROM btot{p}
+),
+bpair{r} AS MATERIALIZED (
+  SELECT CASE WHEN accs = '' THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(string_split(accs, {_BPE_SEP1}),
+                             q -> split_part(q, {_BPE_SEP2}, 1)) END AS accA,
+         CASE WHEN accs = '' THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(string_split(accs, {_BPE_SEP1}),
+                             q -> split_part(q, {_BPE_SEP2}, 2)) END AS accB
+  FROM bsel{r}
+),
+btot{r} AS MATERIALIZED (
+  SELECT t.already + len(p.accA) AS already FROM btot{p} t, bpair{r} p
+),
+bv{r} AS MATERIALIZED (
+  SELECT w, f, CASE WHEN len(p.accA) = 0 THEN v.syms ELSE
+    list_reduce(list_transform(v.syms, y -> [y]),
+      (acc, x) -> CASE WHEN len(acc) > 0
+                   AND p.accB[list_position(p.accA, acc[-1])] = x[1]
+                  THEN acc[:-2] || [acc[-1] || x[1]] ELSE acc || x END)
+    END AS syms
+  FROM bv{p} v, bpair{r} p
+)"""
+
+
+def _bpe_stats_oracle() -> str:
+    sql = """WITH bw AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+bwf AS MATERIALIZED (SELECT doc_id, w FROM bw WHERE w <> ''),
+bv0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f, string_split(w, '') AS syms
+  FROM bwf GROUP BY w
+),
+btot0 AS (SELECT 0 AS already)"""
+    for r in range(1, _BPE_MERGES + 1):
+        sql += "," + _bpe_round_ctes(r)
+    return sql + f""",
+bnp AS (SELECT w, len(syms) AS n_pieces FROM bv{_BPE_MERGES})
+SELECT bwf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+  ROUND(SUM(n_pieces) / COUNT(*), 4) AS fertility
+FROM bwf JOIN bnp USING (w) GROUP BY bwf.doc_id"""
+
+
+@register("bpe_tokenize_stats", oracle=_bpe_stats_oracle())
 def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a corpus-trained BPE merge list and report per-doc
     tokenization stats (word count, piece count, fertility =
@@ -1560,8 +1676,12 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     word->n_pieces map back to the corpus stream — so the 100 TB
     corpus pays one explode+join, never per-row Python.
 
-    Not SQL-expressible (iterative argmax training); pytest pins the
-    result against a pure-Python reference BPE on the same corpus."""
+    Driver-gradable despite the iterative training: the oracle
+    (``_bpe_stats_oracle``) replays the ENTIRE trainer in DuckDB —
+    per-round ranked pair counts, the shared disjoint-batch selection
+    rule, and the leftmost-non-overlap merge folds — integer
+    arithmetic end-to-end, so the per-doc stats hash-match exactly;
+    pytest additionally pins both against a pure-Python reference."""
     merges = bpe_train(spark, sf_dir)
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     words = d.select(
