@@ -1121,6 +1121,13 @@ FROM ids GROUP BY doc_id
 """
 
 
+# Vocab budget above which tokenize_to_ids abandons the literal-map
+# expression (driver collect + codegen constant) for the ranked
+# broadcast join — a literal map is unbeatable while it fits, hostile
+# past ~tens of thousands of entries.
+_IDS_LITERAL_MAX = 65_536
+
+
 @register("tokenize_to_ids", oracle=_IDS_ORACLE)
 def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus -> training-tensor bridge: words map to integer ids
@@ -1129,14 +1136,23 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNK count — the step between curation and a training loader,
     with the UNK rate doubling as the vocabulary-coverage metric.
 
-    The id lookup happens IN-ROW: the ranked vocab (a top-k
-    aggregate, driver-collected at vocab size) becomes a literal map
-    expression, so the corpus pass is map-lookup-per-token inside
-    codegen with no explode, no join, no shuffle — at 100 TB the
-    only distributed work after vocab selection is the linear scan.
-    (A million-entry vocab would switch to a broadcast join on the
-    exploded stream; the in-row form is for bounded vocabularies.)"""
+    Two strategies behind a vocab-budget gate (test-pinned
+    bit-identical, the min_label_components two-strategy precedent):
+
+    - literal map (vocab budget <= _IDS_LITERAL_MAX): the ranked
+      vocab (a top-k aggregate, driver-collected at vocab size)
+      becomes a literal map expression, so the corpus pass is
+      map-lookup-per-token inside codegen with no explode, no join,
+      no shuffle — at 100 TB the only distributed work after vocab
+      selection is the linear scan.
+    - broadcast join (million-entry vocabs, where a literal
+      expression would blow codegen limits and the collect is
+      driver-hostile): rank via `total_order_index` (no
+      single-reducer sort), left-broadcast-join the exploded token
+      stream, regroup per doc in position order."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    if _VOCAB_K > _IDS_LITERAL_MAX:
+        return _tokenize_ids_join(d)
     words = F.split(F.trim(F.col("text")), r"\s+")
     vocab_rows = (
         d.select(F.explode_outer(words).alias("token"))
@@ -1163,6 +1179,53 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("_ids", lambda x: x.cast("string")), ",").alias(
             "token_ids"
         ),
+    )
+
+
+def _tokenize_ids_join(d: DataFrame) -> DataFrame:
+    """Large-vocab tokenize_to_ids: never collects the vocabulary.
+    Ranks (count desc, token) through the range-bucketed parallel
+    ranker, keeps the top _VOCAB_K as (token, id), left-joins the
+    exploded token stream against it (Spark broadcasts the vocab side
+    while it fits; past that AQE falls back to a shuffle join on the
+    same plan), and regroups per document in position order. Output
+    is bit-identical to the literal-map path (test-pinned)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        total_order_index,
+    )
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    wc = (
+        d.select(F.explode_outer(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_c"))
+    )
+    ranked, _, _ = total_order_index(
+        wc, F.col("_c"), [F.col("token").asc()], descending=True
+    )
+    vocab = ranked.where(F.col("_i") <= _VOCAB_K).select(
+        "token", F.col("_i").cast("int").alias("_id")
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(words).alias("pos", "token")
+    )
+    ids = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos",
+        F.coalesce(F.col("_id"), F.lit(_IDS_UNK)).alias("_id"),
+    )
+    return (
+        ids.groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(struct(pos, _id)))").alias("a"))
+        .select(
+            "doc_id",
+            F.size("a").alias("n_tokens"),
+            F.expr(f"size(filter(a, s -> s._id = {_IDS_UNK}))")
+            .cast("bigint")
+            .alias("n_unk"),
+            F.expr(
+                "array_join(transform(a, s -> CAST(s._id AS STRING)), ',')"
+            ).alias("token_ids"),
+        )
     )
 
 
@@ -2552,18 +2615,86 @@ FROM assembled"""
 
 
 
+# Vocabulary rows the single-row-map stitch path will broadcast. A
+# few million (w, np, wlp, wtxt) entries is comfortably executor-RAM
+# sized; past that, the explode+regroup path takes over (same
+# two-strategy count gate as min_label_components, pipeline.py).
+_ULM_BCAST_MAX = 4_000_000
+
+
 def _ulm_assemble(docs: DataFrame, seg: DataFrame) -> DataFrame:
     """Stitch per-word segmentations back into documents (shared by
-    the inline C133 apply and the D31 artifact apply): one
-    vocabulary-keyed join, one doc-keyed reassembly shuffle, per-doc
-    log-prob as an in-row fold over the POSITION-ORDERED word array —
-    never a float sum across unordered rows."""
+    the inline C133 apply and the D31 artifact apply). Two strategies
+    behind a vocabulary-count gate, pinned bit-identical by test:
+
+    - map stitch (vocab <= _ULM_BCAST_MAX): collapse the per-word
+      segmentation to ONE map row, broadcast it, and rebuild every
+      document in-row — ZERO shuffle, one corpus scan (the r8 soak
+      flagged the explode path's doc-keyed reassembly shuffle as this
+      op's only superlinear stage; a corpus-token shuffle is pure
+      waste when the word table is Heaps-law small).
+    - explode+regroup (larger vocabs): vocabulary-keyed join from the
+      exploded token stream, doc-keyed regroup — the fallback when the
+      map row itself would not broadcast.
+
+    Both compute the per-doc log-prob in POSITION order — never a
+    float sum across unordered rows."""
     wseg = seg.select(
         "w",
         F.size("toks").cast("bigint").alias("np"),
         F.expr("element_at(dp, 2 * length(w) - 1)").alias("wlp"),
         F.array_join(F.reverse("toks"), " ").alias("wtxt"),
     )
+    # vocab-sized count, limit-capped so a huge vocab pays at most
+    # _ULM_BCAST_MAX+1 rows of counting; column pruning drops the DP
+    # projections here
+    if wseg.select("w").limit(_ULM_BCAST_MAX + 1).count() <= _ULM_BCAST_MAX:
+        return _ulm_assemble_map(docs, wseg)
+    return _ulm_assemble_shuffle(docs, wseg)
+
+
+def _ulm_assemble_map(docs: DataFrame, wseg: DataFrame) -> DataFrame:
+    """Shuffle-free stitch: one broadcast map row, one corpus scan.
+    The containment filter reproduces the explode path's inner-join
+    semantics (a word absent from the segmentation table drops out,
+    and a doc with no surviving words yields no row)."""
+    mrow = wseg.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", F.struct("np", "wlp", "wtxt")))
+        ).alias("m")
+    )
+    return (
+        docs.crossJoin(F.broadcast(mrow))
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(split(text, ' '), x -> x != ''"
+                " AND map_contains_key(m, x))"
+            ).alias("ws"),
+            "m",
+        )
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(ws, CAST(0 AS BIGINT), (acc, x) -> acc + m[x].np)"
+            ).alias("n_pieces"),
+            F.expr("array_join(transform(ws, x -> m[x].wtxt), ' ')").alias(
+                "piece_text"
+            ),
+            F.round(
+                F.expr(
+                    "aggregate(ws, CAST(0 AS DOUBLE),"
+                    " (acc, x) -> acc + m[x].wlp)"
+                ),
+                4,
+            ).alias("doc_logp"),
+        )
+    )
+
+
+def _ulm_assemble_shuffle(docs: DataFrame, wseg: DataFrame) -> DataFrame:
+    """Large-vocab stitch: vocabulary-keyed join + doc-keyed regroup."""
     dtoks = (
         docs.select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
