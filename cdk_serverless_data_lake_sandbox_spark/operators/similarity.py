@@ -2597,15 +2597,36 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned through the pluggable materializer, so lineage stays flat
     and executor loss replays one round, not the whole descent. The
     oracle unrolls the same finite dataflow (kmeans C27 precedent)."""
-    edges = _knn_graph_frame(_emb(spark, sf_dir))
+    edges = _knn_graph_shared(spark, sf_dir)
     w_topk = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     return edges.withColumn("rank", F.row_number().over(w_topk))
+
+
+def _knn_graph_shared(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
+    """The per-application kNN graph, built ONCE per sf_dir and keyed
+    through ``materialize_lazy`` (the kmeans-assign precedent): the
+    C129 query, C130's search, and C134's recall report all walk the
+    SAME deterministic edge set, so a bench run pays the NN-Descent
+    rounds once instead of three times (r8 verdict item 4). On a hit
+    the builder never runs — the edges re-scan from scratch parquet."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
+    return materialize_lazy(
+        spark,
+        f"knn-graph:{sf_dir}",
+        lambda: _knn_graph_frame(_emb(spark, sf_dir), ev=ev),
+    )
 
 
 def _knn_graph_frame(e: DataFrame, ev: DataFrame | None = None) -> DataFrame:
     """The NN-Descent dataflow over an (vec_id, embedding) frame,
     returning the final (src, dst, cosine) edge set — shared by the
-    C129 query, the D30 persisted index build, and C130's search."""
+    C129 query, the D30 persisted index build, and C130's search
+    (always through the keyed ``_knn_graph_shared`` wrapper)."""
     # pin the norm-augmented vector frame ONCE: the descent scores
     # candidates against it 2x per round plus the init — without the
     # pin each scoring join re-scans the source parquet and recomputes
@@ -2779,7 +2800,7 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pinned vector frame shared by the descent's scoring joins
     # and the search's per-step scoring joins
     ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
-    graph = _knn_graph_frame(e, ev=ev)
+    graph = _knn_graph_shared(spark, sf_dir, ev=ev)
     q = ev.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -2864,7 +2885,7 @@ def knn_graph_index_build(
 
     e = _emb(spark, sf_dir)
     ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
-    edges = _knn_graph_frame(e, ev=ev)
+    edges = _knn_graph_shared(spark, sf_dir, ev=ev)
     (
         edges.repartition("src").sortWithinPartitions("src")
         .write.mode("overwrite").parquet(os.path.join(index_dir, "edges"))
