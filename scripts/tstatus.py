@@ -37,6 +37,7 @@ COMPONENTS: dict[str, str] = {
     "A15": "test:test_audit_log_concurrent_writers_land_intact_rows",
     "C13": "decode_real_media",
     "C31": "dedup_incremental",
+    "C111": "modality_dedup_report",
     "C59": "observe_metrics",
     "C68": "plan_minhash_bands",
     "C86": "ivf_index_build",

@@ -203,3 +203,54 @@ def test_ulm_cascade_derives_from_maxp():
     for j in range(2, _ULM_MAXP + 1):
         assert f"(S1) >= (S{j})" in sql
     assert sql.count("WHEN") == _ULM_MAXP - 1
+
+
+def test_modality_dedup_report_planted_corpus(spark, tmp_path):
+    """C111 composition pinned directly (r8 verdict item 5): on a
+    PLANTED 9-doc corpus (3 media groups of 3; docs 0/1 share text)
+    the report's text leg is exactly the planted dup structure, the
+    three media legs equal an independent aggregation of their
+    registered leg operators, and the planted PNG/GIF twins force a
+    known hamming-0 image pair."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = [
+        (i, ("dup text" if i in (0, 1) else f"unique text {i}"),
+         "en", "planted", 11)
+        for i in range(9)
+    ]
+    sf_dir = str(tmp_path / "planted")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.modality: (r.n_pairs, r.n_docs_involved, r.dup_doc_rate)
+        for r in qs["modality_dedup_report"](spark, sf_dir).collect()
+    }
+    assert set(got) == {"image", "audio", "video", "text_exact"}
+
+    # text leg: docs 0 and 1 duplicate -> 1 pair, 2 docs, rate 2/9
+    assert got["text_exact"] == (1, 2, round(2 / 9, 6))
+
+    # media legs: equal the independent aggregation of each leg op
+    for name, mod in (
+        ("image_dhash_dedup", "image"),
+        ("audio_fingerprint_dedup", "audio"),
+        ("video_framehash_dedup", "video"),
+    ):
+        pairs = qs[name](spark, sf_dir).select("a", "b").collect()
+        n_pairs = len(pairs)
+        involved = len({d for p in pairs for d in (p.a, p.b)})
+        assert got[mod] == (n_pairs, involved, round(involved / 9, 6)), mod
+
+    # planted twins: PNG (doc 0) and GIF (doc 1) of group 0 are
+    # pixel-identical -> the image leg must contain (0, 1) at hamming 0
+    img = {
+        (r.a, r.b): r.hamming
+        for r in qs["image_dhash_dedup"](spark, sf_dir).collect()
+    }
+    assert img.get((0, 1)) == 0
