@@ -26,6 +26,15 @@ def load_baseline() -> dict:
     return json.loads(m.group(1))
 
 
+def load_extended() -> dict:
+    """Headline positions 21+: standing per-query baselines from each
+    query's first carried BENCH round (r9). Absent block -> empty."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "BASELINE.md")).read()
+    m = re.search(r"<!-- EXTENDED_JSON\n(.*?)\nEXTENDED_JSON -->", text, re.S)
+    return json.loads(m.group(1)) if m else {"queries": {}}
+
+
 def load_bench(path: str) -> dict:
     d = json.load(open(path))
     if "queries" in d:
@@ -48,6 +57,7 @@ def main() -> None:
     ns = ap.parse_args()
     factor = ns.factor
     base = load_baseline()
+    ext = load_extended()
     bench = load_bench(ns.bench)
     shared = {k: v for k, v in bench["queries"].items() if k in base["queries"]}
     missing = sorted(set(base["queries"]) - set(shared))
@@ -58,6 +68,19 @@ def main() -> None:
         for k, v in shared.items()
         if v > factor * base["queries"][k]
     }
+    # extended headline queries (positions 21+): per-query gate only —
+    # they have no cross-round-stable total. Queries the bench did not
+    # carry are reported, and ANY measured-vs-baseline excursion past
+    # the factor fails the gate like a shared-20 one.
+    ext_missing = sorted(set(ext["queries"]) - set(bench["queries"]))
+    over.update(
+        {
+            k: (bench["queries"][k], b, round(bench["queries"][k] / b, 2))
+            for k, b in ext["queries"].items()
+            if k in bench["queries"] and bench["queries"][k] > factor * b
+        }
+    )
+    missing = missing + ext_missing
     # a bench artifact that did not measure every baseline query can
     # never pass the gate mechanically — a truncated run would
     # otherwise "pass" by summing almost nothing
