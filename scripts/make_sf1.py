@@ -27,9 +27,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables  # noqa: E402
 from cdk_serverless_data_lake_sandbox_spark.session import get_spark  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
 SHIFT = 10_000_000
-N_COPIES = 10
+# copies of the source tier (env-overridable: SOAK_COPIES=30 builds a
+# 3x-of-sf1 tier for the r9 two-size scaling soak)
+N_COPIES = int(os.environ.get("SOAK_COPIES", "10"))
 
 # id-like columns to shift per table (both sides of every FK)
 ID_COLS = {

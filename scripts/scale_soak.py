@@ -200,6 +200,29 @@ def winnowing_hot_check(spark, sf1: str) -> None:
     print(f"winnowing_hot_check: {n} pairs in {time.time() - t:.1f}s (posting cap)")
 
 
+def knn_build_check(spark, tiers: list[str]) -> dict:
+    """Time the RAW NN-Descent graph build per tier, bypassing the
+    r9 keyed materialization (which makes the registered graph
+    queries near-free after the first build — correct for bench,
+    wrong for measuring build scaling)."""
+    import time as _t
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _emb,
+        _knn_graph_frame,
+    )
+
+    out = {}
+    for sf in tiers:
+        t = _t.time()
+        _knn_graph_frame(_emb(spark, sf)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[sf] = round(_t.time() - t, 2)
+        print(f"knn_build_check {sf}: {out[sf]}s", flush=True)
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf1 = args[0] if args and os.path.isdir(args[0]) else "/tmp/sfx10"

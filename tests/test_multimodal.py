@@ -706,7 +706,295 @@ def _independent_jpeg_decoder():
             return np.frombuffer(parts[3][: w * h], dtype=np.uint8).reshape(h, w)
 
         return "djpeg", _djpeg
-    return None
+    return "reference", _reference_jpeg_decode
+
+
+def _reference_jpeg_decode(data: bytes):
+    """CLEAN-ROOM T.81 grayscale decoder used as the cross-check when
+    the environment has neither PIL nor djpeg (r8 verdict item 8:
+    the conformance test must not stay environment-gated). Written
+    independently of ``operators/multimodal.jpeg_decode`` with
+    deliberately different structure so a symmetric deviation shared
+    by the repo's encoder/decoder pair still trips it:
+
+    - Huffman tables as a flat bit-string -> symbol dict built by the
+      Annex C code-length walk (the repo decoder matches (length,
+      int-code) tuples incrementally);
+    - zigzag order GENERATED by the diagonal walk, not a literal;
+    - direct O(64^2) separable-cosine IDCT from the T.81 A.3.3
+      formula in float64 (the repo uses a precomputed DCT matrix);
+    - per-scan byte-unstuffed bit buffer collected up front.
+
+    Supports baseline (SOF0/1) and progressive (SOF2, spectral
+    selection + successive approximation, EOB runs, AC refinement per
+    G.1.2.3) single-component streams — exactly the envelope the
+    repo's encoder emits."""
+    import math
+
+    import numpy as np
+
+    # -- zigzag: diagonal walk ------------------------------------
+    zz = []  # zz[i] = (row, col) of zigzag index i
+    r = c = 0
+    for _ in range(64):
+        zz.append((r, c))
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+
+    class Bits:
+        def __init__(self, buf: bytes):
+            self.buf = buf
+            self.pos = 0  # bit position
+
+        def read(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                byte = self.buf[self.pos >> 3]
+                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+            return v
+
+    def build_huff(counts, symbols):
+        """Annex C: assign consecutive codes per length; key by the
+        bit-string so lookup is longest-prefix-free by construction."""
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[format(code, f"0{length}b")] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    def huff_read(br: "Bits", table) -> int:
+        key = ""
+        for _ in range(16):
+            key += "1" if br.read(1) else "0"
+            if key in table:
+                return table[key]
+        raise ValueError("bad huffman code")
+
+    def extend(v: int, t: int) -> int:
+        if t == 0:
+            return 0
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    # -- marker walk ----------------------------------------------
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("bad SOI")
+    pos = 2
+    qt = {}
+    huffs = {}  # (class, id) -> table
+    w = h = None
+    progressive = False
+    qsel = 0
+    coefs = None  # per-block zigzag-order coefficient vectors
+    eobrun = 0
+
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                assert pq == 0, "only 8-bit qtables"
+                qt[tq] = list(seg[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                n = sum(counts)
+                syms = list(seg[i + 17:i + 17 + n])
+                huffs[(tc, th)] = build_huff(counts, syms)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            progressive = marker == 0xC2
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            assert seg[5] == 1, "single component only"
+            qsel = seg[8]
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            coefs = [[0] * 64 for _ in range(bw * bh)]
+        elif marker == 0xDA:  # SOS
+            td, ta = seg[2] >> 4, seg[2] & 15
+            ss, se = seg[3], seg[4]
+            ah, al = seg[5] >> 4, seg[5] & 15
+            # collect unstuffed entropy bytes up to the next marker
+            p = pos + seglen
+            ent = bytearray()
+            while p < len(data):
+                b = data[p]
+                if b == 0xFF:
+                    if p + 1 < len(data) and data[p + 1] == 0x00:
+                        ent.append(0xFF)
+                        p += 2
+                        continue
+                    break
+                ent.append(b)
+                p += 1
+            br = Bits(bytes(ent))
+            eobrun = 0
+            dc_tab = huffs.get((0, td))
+            ac_tab = huffs.get((1, ta))
+            nblocks = len(coefs)
+            if not progressive:
+                prev = 0
+                for bi in range(nblocks):
+                    t = huff_read(br, dc_tab)
+                    prev += extend(br.read(t), t)
+                    coefs[bi][0] = prev
+                    k = 1
+                    while k <= 63:
+                        rs = huff_read(br, ac_tab)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            break
+                        k += rr
+                        coefs[bi][k] = extend(br.read(s), s)
+                        k += 1
+            elif ss == 0 and ah == 0:  # DC first
+                prev = 0
+                for bi in range(nblocks):
+                    t = huff_read(br, dc_tab)
+                    prev += extend(br.read(t), t)
+                    coefs[bi][0] = prev << al
+            elif ss == 0:  # DC refinement
+                for bi in range(nblocks):
+                    if br.read(1):
+                        coefs[bi][0] |= 1 << al
+            elif ah == 0:  # AC first
+                bi = 0
+                while bi < nblocks:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        bi += 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = huff_read(br, ac_tab)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr < 15:
+                                eobrun = (1 << rr) - 1
+                                if rr:
+                                    eobrun += br.read(rr)
+                                break
+                            k += 16
+                            continue
+                        k += rr
+                        coefs[bi][k] = extend(br.read(s), s) << al
+                        k += 1
+                    bi += 1
+            else:  # AC refinement (G.1.2.3)
+                p1, m1 = 1 << al, -1 << al
+
+                def refine(cf, k):
+                    if br.read(1) and (cf[k] & p1) == 0:
+                        cf[k] += p1 if cf[k] > 0 else m1
+
+                bi = 0
+                while bi < nblocks:
+                    cf = coefs[bi]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = huff_read(br, ac_tab)
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr < 15:
+                                    # refine-scan EOB run is NOT
+                                    # pre-decremented: the tail below
+                                    # finishes THIS block's band and
+                                    # then consumes one run slot
+                                    eobrun = 1 << rr
+                                    if rr:
+                                        eobrun += br.read(rr)
+                                    break
+                                newv = 0
+                            else:
+                                assert s == 1, "bad refinement size"
+                                newv = p1 if br.read(1) else m1
+                            while k <= se:
+                                if cf[k] != 0:
+                                    refine(cf, k)
+                                else:
+                                    if rr == 0:
+                                        break
+                                    rr -= 1
+                                k += 1
+                            if newv and k <= se:
+                                cf[k] = newv
+                            k += 1
+                    if eobrun > 0:
+                        # continue from the CURRENT position (restarting
+                        # at Ss would re-consume correction bits already
+                        # read above and desync the stream)
+                        while k <= se:
+                            if cf[k] != 0:
+                                refine(cf, k)
+                            k += 1
+                        eobrun -= 1
+                    bi += 1
+            pos = p
+            continue
+        pos += seglen
+
+    # -- dequantize, de-zigzag, direct IDCT, level shift ----------
+    q = qt[qsel]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    cu = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    cos = [
+        [math.cos((2 * x + 1) * u * math.pi / 16.0) for u in range(8)]
+        for x in range(8)
+    ]
+    for bi, zcoef in enumerate(coefs):
+        blk = np.zeros((8, 8), dtype=np.float64)
+        for i, v in enumerate(zcoef):
+            if v:
+                rr, cc = zz[i]
+                blk[rr][cc] = v * q[i]
+        px = np.zeros((8, 8), dtype=np.float64)
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        s += (
+                            cu[u] * cu[v] * blk[v][u]
+                            * cos[x][u] * cos[y][v]
+                        )
+                px[y][x] = s / 4.0 + 128.0
+        by, bx = divmod(bi, bw)
+        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = px
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
 
 
 @pytest.mark.parametrize("mode", ["baseline", "progressive"])
@@ -717,10 +1005,7 @@ def test_jpeg_encoder_conforms_to_independent_decoder(mode):
     outside implementation breaks that symmetry). Skipped when the
     environment has neither PIL nor djpeg — CI images with either
     dependency run it automatically."""
-    dec = _independent_jpeg_decoder()
-    if dec is None:
-        pytest.skip("no independent JPEG decoder (PIL/djpeg) available")
-    name, decode = dec
+    name, decode = _independent_jpeg_decoder()
     import numpy as np
 
     from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
@@ -733,7 +1018,8 @@ def test_jpeg_encoder_conforms_to_independent_decoder(mode):
     img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)  # non-multiple-of-8
     data = (jpeg_encode if mode == "baseline" else jpeg_encode_progressive)(img)
     theirs = decode(data)
-    ours = np.asarray(jpeg_decode(data), dtype=np.uint8)
+    # jpeg_decode returns (width, height, pixels)
+    ours = np.asarray(jpeg_decode(data)[2], dtype=np.uint8)
     assert theirs.shape == ours.shape == img.shape
     # both decoders implement the same exact IDCT spec; allow 1 count
     # of rounding latitude (T.81 does not mandate a bit-exact IDCT)
