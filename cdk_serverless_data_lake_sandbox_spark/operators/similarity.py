@@ -2985,3 +2985,264 @@ def graph_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------- C136
+# Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings"):
+# label 0 plays the source language, label 1 the target; a candidate
+# pair scores cosine(x, y) normalized by the mean of both sides'
+# top-k neighborhood averages — the ratio-margin criterion that
+# separates true translations from hubs that are merely close to
+# everything. The standard mining recipe for parallel training data
+# (CCMatrix / LASER pipelines).
+_BITEXT_K = 4
+_BITEXT_MARGIN_T = 1.05
+
+_BITEXT_ORACLE = f"""
+WITH sa AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+sb AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+sc AS MATERIALIZED (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+    {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / ({_SQL_NORM.format(a="a.embedding")}
+         * {_SQL_NORM.format(a="b.embedding")}) AS cosine
+  FROM sa a, sb b
+),
+rk AS MATERIALIZED (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY src_id
+        ORDER BY cosine DESC, tgt_id) AS r_src,
+    ROW_NUMBER() OVER (PARTITION BY tgt_id
+        ORDER BY cosine DESC, src_id) AS r_tgt
+  FROM sc
+),
+ax AS (
+  SELECT src_id, list_sum(list(cosine ORDER BY r_src)) / {_BITEXT_K} AS a_src
+  FROM rk WHERE r_src <= {_BITEXT_K} GROUP BY src_id
+),
+ay AS (
+  SELECT tgt_id, list_sum(list(cosine ORDER BY r_tgt)) / {_BITEXT_K} AS a_tgt
+  FROM rk WHERE r_tgt <= {_BITEXT_K} GROUP BY tgt_id
+),
+m AS (
+  SELECT rk.src_id, rk.tgt_id, rk.cosine,
+    rk.cosine / ((ax.a_src + ay.a_tgt) / 2) AS margin
+  FROM rk JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+  WHERE rk.r_src <= {_BITEXT_K}
+)
+SELECT src_id, tgt_id,
+  ROUND(cosine, 6) AS cosine, ROUND(margin, 6) AS margin
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+      ORDER BY margin DESC, tgt_id) AS rr
+  FROM m
+) WHERE rr = 1 AND margin >= {_BITEXT_MARGIN_T}
+"""
+
+
+@register("bitext_margin_mining", oracle=_BITEXT_ORACLE)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine translation-pair candidates across two embedding spaces
+    with the ratio-margin criterion: for each source vector, its
+    best target by margin = cos(x,y) / ((avgk(x) + avgk(y)) / 2),
+    kept when the margin clears the threshold. Raw cosine thresholds
+    fail at this task (hub vectors are close to EVERYTHING; scale
+    ruins absolute thresholds) — the neighborhood-normalized margin
+    is what made mined corpora (CCMatrix-style) usable for MT
+    training.
+
+    Plan: score the label-0 x label-1 pair grid ONCE, rank it twice
+    (per-source and per-target windows over the same frame), derive
+    both sides' top-k neighborhood averages as in-row folds over
+    RANK-ORDERED arrays (never a float sum across unordered rows —
+    the repo's standing determinism discipline), then one join
+    re-attaches the averages and the margin cut is a per-source
+    window. At corpus scale the pair grid comes from the C130 graph /
+    C7 LSH candidate generators instead of the exact cross join —
+    same scoring tail; this registered form is the exact baseline the
+    approximate ones are measured against (the C6 precedent).
+
+    Oracle: DuckDB replays the identical grid, windows, and
+    rank-ordered folds; cosine/margin are deterministic per-pair
+    scalars, so the report is hash-exact."""
+    e = _emb(spark, sf_dir)
+    a = e.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    b = e.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    scored = pin(
+        F.broadcast(a)
+        .join(b)
+        .select(
+            "src_id", "tgt_id",
+            (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "tgt_id")
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("cosine"), "src_id")
+    rk = scored.select(
+        "src_id", "tgt_id", "cosine",
+        F.row_number().over(w_src).alias("r_src"),
+        F.row_number().over(w_tgt).alias("r_tgt"),
+    )
+    rk = pin(rk)
+
+    def avgk(df: DataFrame, key: str, rank: str) -> DataFrame:
+        # rank-ordered in-row fold: deterministic float summation
+        return (
+            df.where(F.col(rank) <= _BITEXT_K)
+            .groupBy(key)
+            .agg(
+                F.expr(
+                    f"aggregate(transform(array_sort(collect_list("
+                    f"struct({rank}, cosine))), s -> s.cosine),"
+                    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                    f" / {_BITEXT_K}"
+                ).alias(f"a_{key}")
+            )
+        )
+
+    ax = avgk(rk, "src_id", "r_src")
+    ay = avgk(rk, "tgt_id", "r_tgt")
+    m = (
+        rk.where(F.col("r_src") <= _BITEXT_K)
+        .join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .select(
+            "src_id", "tgt_id", "cosine",
+            (
+                F.col("cosine")
+                / ((F.col("a_src_id") + F.col("a_tgt_id")) / 2)
+            ).alias("margin"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
+    return (
+        m.withColumn("rr", F.row_number().over(w_best))
+        .where((F.col("rr") == 1) & (F.col("margin") >= _BITEXT_MARGIN_T))
+        .select(
+            "src_id", "tgt_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C137
+# Greedy k-center coreset (farthest-point traversal, Gonzalez 1985):
+# the 2-approximation every coreset/active-learning selector builds
+# on — pick the point farthest from everything chosen so far, k
+# times. The data-curation use: a small, geometrically-covering
+# sample of a huge embedding corpus (eval-set seeding, diverse
+# finetuning subsets, cluster initialization).
+_KCENTER_K = 8
+
+
+def _sq_dist(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0.0d, (acc, v) -> acc + v)"
+    )
+
+
+_SQL_SQ_DIST = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy rounds as materialized CTEs (the kmeans / knn
+    oracle precedent): c{r} = the r-th chosen center (argmax of the
+    running min-squared-distance, ties to the smaller vec_id), d{r} =
+    the running min updated with it."""
+    ctes = [
+        """c1 AS MATERIALIZED (
+  SELECT vec_id, CAST(0 AS DOUBLE) AS d FROM embeddings
+  ORDER BY vec_id LIMIT 1
+),
+d1 AS MATERIALIZED (
+  SELECT e.vec_id,
+    {d} AS d
+  FROM embeddings e, (SELECT embedding AS ce FROM embeddings
+                      WHERE vec_id = (SELECT vec_id FROM c1)) c
+)""".format(d=_SQL_SQ_DIST.format(a="e.embedding", b="c.ce"))
+    ]
+    for r in range(2, _KCENTER_K + 1):
+        p = r - 1
+        dexpr = _SQL_SQ_DIST.format(a="e.embedding", b="c.ce")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT vec_id, d FROM d{p} ORDER BY d DESC, vec_id LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT e2.vec_id, LEAST(e2.d, {dexpr.replace('e.embedding', 'e.embedding')}) AS d
+  FROM (SELECT d{p}.vec_id, d{p}.d, emb.embedding
+        FROM d{p} JOIN embeddings emb USING (vec_id)) e2
+  JOIN embeddings e ON e.vec_id = e2.vec_id,
+  (SELECT embedding AS ce FROM embeddings
+   WHERE vec_id = (SELECT vec_id FROM c{r})) c
+)""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, vec_id, ROUND(d, 6) AS dist2 FROM c{r}"
+        for r in range(1, _KCENTER_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({rows})"
+
+
+@register("coreset_kcenter", oracle=_kcenter_oracle())
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center selection over the embedding corpus: seed at
+    the minimum vec_id, then k-1 rounds of "take the point with the
+    largest min-squared-distance to everything chosen" (deterministic
+    ties to the smaller id). Output: (round, vec_id, dist2) — the
+    final row's dist2 is the corpus covering radius, the quantity the
+    2-approximation guarantee is about.
+
+    Scale: the textbook distributed form — k linear passes. The
+    running min-distance column is updated in-row against the single
+    newly chosen center (its 64 floats inlined as literals, no join),
+    pinned per round so lineage stays flat; the argmax is an
+    orderBy-limit-1 reduce (driver receives ONE row per round, k
+    rows total). No step ever materializes anything corpus-sized
+    beyond the (vec_id, dmin) frame it already carries.
+
+    Oracle: the same k rounds unrolled as materialized CTEs; every
+    distance is the identical fixed-order fold in both engines, so
+    selection (and therefore the whole report) is hash-exact."""
+    e = _emb(spark, sf_dir)
+    first = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    chosen = [(1, int(first.vec_id), 0.0)]
+
+    def lit_vec(vals) -> str:
+        return "array(" + ", ".join(f"CAST({float(v)} AS DOUBLE)" for v in vals) + ")"
+
+    cur = pin(
+        e.select(
+            "vec_id", "embedding",
+            _sq_dist("embedding", lit_vec(first.embedding)).alias("d"),
+        )
+    )
+    for r in range(2, _KCENTER_K + 1):
+        top = cur.orderBy(F.desc("d"), "vec_id").select(
+            "vec_id", "d", "embedding"
+        ).first()
+        chosen.append((r, int(top.vec_id), float(top.d)))
+        cur = pin(
+            cur.select(
+                "vec_id", "embedding",
+                F.least(
+                    F.col("d"), _sq_dist("embedding", lit_vec(top.embedding))
+                ).alias("d"),
+            )
+        )
+    return spark.createDataFrame(
+        [(r, v, d) for r, v, d in chosen], "round int, vec_id long, dist2 double"
+    ).select("round", "vec_id", F.round("dist2", 6).alias("dist2"))

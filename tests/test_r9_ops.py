@@ -86,3 +86,48 @@ def test_tokenize_ids_join_path_bit_identical(spark):
     finally:
         T._IDS_LITERAL_MAX = orig
     assert gated == default
+
+
+def test_bitext_margin_properties(spark):
+    """Every mined pair clears the margin threshold, is its source's
+    unique best-margin candidate, and crosses sides (label 0 -> 1);
+    margin > 1 means the pair beats both endpoints' neighborhood
+    averages (the anti-hub property the criterion exists for)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _BITEXT_MARGIN_T,
+        _emb,
+        bitext_margin_mining,
+    )
+
+    rows = bitext_margin_mining(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    assert len({r.src_id for r in rows}) == len(rows)  # one per source
+    labels = {
+        r.vec_id: r.label for r in _emb(spark, SF_SMALL).collect()
+    }
+    for r in rows:
+        assert r.margin >= _BITEXT_MARGIN_T
+        assert labels[r.src_id] == 0 and labels[r.tgt_id] == 1
+        assert -1.0001 <= r.cosine <= 1.0001
+
+
+def test_coreset_kcenter_greedy_properties(spark):
+    """Seed is the min vec_id at distance 0; picks are distinct; the
+    chosen min-distances are non-increasing from round 2 on (the
+    farthest-point invariant behind the 2-approximation)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _KCENTER_K,
+        _emb,
+        coreset_kcenter,
+    )
+
+    rows = sorted(
+        coreset_kcenter(spark, SF_SMALL).collect(), key=lambda r: r.round
+    )
+    assert [r.round for r in rows] == list(range(1, _KCENTER_K + 1))
+    assert len({r.vec_id for r in rows}) == _KCENTER_K
+    min_id = _emb(spark, SF_SMALL).agg({"vec_id": "min"}).first()[0]
+    assert rows[0].vec_id == min_id and rows[0].dist2 == 0.0
+    ds = [r.dist2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(ds, ds[1:])), ds
+    assert ds[-1] > 0
