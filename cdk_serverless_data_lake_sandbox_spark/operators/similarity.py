@@ -3246,3 +3246,100 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r, v, d) for r, v, d in chosen], "round int, vec_id long, dist2 double"
     ).select("round", "vec_id", F.round("dist2", 6).alias("dist2"))
+
+
+# ---------------------------------------------------------------- C138
+def _kcenter_assign_oracle() -> str:
+    """C137's unrolled center chain + one assignment pass: every
+    vector to its nearest center (ties to the earlier round), then a
+    per-cell profile with DECIMAL-summed means (order-free)."""
+    base = _kcenter_oracle()
+    chain = base[len("WITH "):base.rindex("\nSELECT")]
+    centers = " UNION ALL ".join(
+        f"SELECT {r} AS round, vec_id FROM c{r}"
+        for r in range(1, _KCENTER_K + 1)
+    )
+    d = _SQL_SQ_DIST.format(a="e.embedding", b="ce.embedding")
+    return f"""WITH {chain},
+centers AS MATERIALIZED (
+  SELECT cs.round, cs.vec_id, emb.embedding
+  FROM ({centers}) cs JOIN embeddings emb USING (vec_id)
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, round, center_id, d FROM (
+    SELECT e.vec_id, ce.round, ce.vec_id AS center_id, {d} AS d,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {d}, ce.round) AS rk
+    FROM embeddings e, centers ce
+  ) WHERE rk = 1
+)
+SELECT round, center_id,
+  CAST(COUNT(*) AS BIGINT) AS n_assigned,
+  ROUND(CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_dist2,
+  ROUND(MAX(d), 6) AS max_dist2
+FROM assign GROUP BY round, center_id"""
+
+
+@register("kcenter_assignment_profile", oracle=_kcenter_assign_oracle())
+def kcenter_assignment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage report for the C137 coreset: assign every vector to
+    its nearest chosen center (ties to the earlier round) and profile
+    each cell — member count, mean squared distance (DECIMAL-summed,
+    order-free), and the cell's covering radius. The go/no-go check a
+    curation run reads before trusting a k-point summary of a corpus:
+    lopsided cells or one giant radius mean k is too small.
+
+    Plan: the k selection passes of C137, then ONE corpus scan
+    computing all k distances in-row against the k inlined center
+    vectors (k x d literals — never a join) with an in-row argmin,
+    then a k-row aggregation. Nothing corpus-sized shuffles except
+    the final cell groupBy keyed on k values."""
+    picks = {
+        int(r.round): int(r.vec_id)
+        for r in coreset_kcenter(spark, sf_dir).collect()
+    }
+    e = _emb(spark, sf_dir)
+    cvecs = {
+        int(r.vec_id): list(r.embedding)
+        for r in e.where(
+            F.col("vec_id").isin(list(picks.values()))
+        ).collect()
+    }
+
+    def lit_vec(vals) -> str:
+        return (
+            "array(" + ", ".join(f"CAST({float(v)} AS DOUBLE)" for v in vals)
+            + ")"
+        )
+
+    # build struct(d, round, center_id) per center; array_min picks the
+    # lexicographically smallest -> nearest center, earlier round on ties
+    entries = []
+    for r in sorted(picks):
+        dist_col = _sq_dist("embedding", lit_vec(cvecs[picks[r]]))
+        entries.append(
+            F.struct(
+                dist_col.alias("d"),
+                F.lit(r).alias("round"),
+                F.lit(picks[r]).cast("long").alias("center_id"),
+            )
+        )
+    best = F.array_min(F.array(*entries))
+    assigned = e.select(
+        "vec_id",
+        best.getField("round").alias("round"),
+        best.getField("center_id").alias("center_id"),
+        best.getField("d").alias("d"),
+    )
+    return assigned.groupBy("round", "center_id").agg(
+        F.count("*").cast("bigint").alias("n_assigned"),
+        F.round(
+            (
+                F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ),
+            6,
+        ).alias("mean_dist2"),
+        F.round(F.max("d"), 6).alias("max_dist2"),
+    )

@@ -131,3 +131,21 @@ def test_coreset_kcenter_greedy_properties(spark):
     ds = [r.dist2 for r in rows[1:]]
     assert all(a >= b for a, b in zip(ds, ds[1:])), ds
     assert ds[-1] > 0
+
+
+def test_kcenter_assignment_covers_corpus(spark):
+    """Every vector lands in exactly one cell, each center is its own
+    cell's member at distance 0, and the global covering radius
+    equals the max cell radius."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _KCENTER_K,
+        _emb,
+        kcenter_assignment_profile,
+    )
+
+    rows = kcenter_assignment_profile(spark, SF_SMALL).collect()
+    assert len(rows) == _KCENTER_K
+    n = _emb(spark, SF_SMALL).count()
+    assert sum(r.n_assigned for r in rows) == n
+    assert all(r.n_assigned >= 1 for r in rows)
+    assert all(r.mean_dist2 <= r.max_dist2 + 1e-9 for r in rows)
