@@ -72,6 +72,8 @@ def main() -> None:
     # they have no cross-round-stable total. Queries the bench did not
     # carry are reported, and ANY measured-vs-baseline excursion past
     # the factor fails the gate like a shared-20 one.
+    # ext coverage is informational (a shared-20-only capture stays
+    # valid — the r7 contract); measured excursions still fail the gate
     ext_missing = sorted(set(ext["queries"]) - set(bench["queries"]))
     over.update(
         {
@@ -80,7 +82,6 @@ def main() -> None:
             if k in bench["queries"] and bench["queries"][k] > factor * b
         }
     )
-    missing = missing + ext_missing
     # a bench artifact that did not measure every baseline query can
     # never pass the gate mechanically — a truncated run would
     # otherwise "pass" by summing almost nothing
@@ -94,6 +95,7 @@ def main() -> None:
                 "gate_factor": factor,
                 "within_gate": within,
                 "missing": missing,
+                "extended_missing": ext_missing,
                 "per_query_over_factor": {
                     k: {"now": a, "baseline": b, "ratio": r}
                     for k, (a, b, r) in sorted(over.items())

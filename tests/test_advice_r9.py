@@ -214,6 +214,9 @@ def test_modality_dedup_report_planted_corpus(spark, tmp_path):
     known hamming-0 image pair."""
     from pyspark.sql import functions as F
 
+    from cdk_serverless_data_lake_sandbox_spark.operators.multimodal import (
+        modality_dedup_report,
+    )
     from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
 
     qs = all_queries()
@@ -229,7 +232,7 @@ def test_modality_dedup_report_planted_corpus(spark, tmp_path):
 
     got = {
         r.modality: (r.n_pairs, r.n_docs_involved, r.dup_doc_rate)
-        for r in qs["modality_dedup_report"](spark, sf_dir).collect()
+        for r in modality_dedup_report(spark, sf_dir).collect()
     }
     assert set(got) == {"image", "audio", "video", "text_exact"}
 
