@@ -81,6 +81,10 @@ HEADLINE = [
     "cooccurrence_pmi",
     "unigram_lm_tokenizer",
     "unigram_tokenize_corpus",
+    # r9 additions
+    "bitext_margin_mining",
+    "coreset_kcenter",
+    "kcenter_assignment_profile",
 ]
 
 

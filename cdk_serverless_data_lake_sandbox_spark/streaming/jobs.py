@@ -2263,3 +2263,126 @@ def stream_tokenize_gate(stream: DataFrame, index_dir: str, out_dir: str):
         )
 
     return stream.writeStream.foreachBatch(gate)
+
+
+# ---------------------------------------------------------------- E50
+_KC_MAX = 8           # center budget (K)
+_KC_R0 = 1.0          # initial covering radius (squared-distance units)
+_KC_FOLD_MAX = 4096   # driver-fold guard: survivors above this re-double
+
+
+def stream_kcenter_maintain(stream: DataFrame, state_dir: str, out_dir: str):
+    """Streaming k-center coverage maintainer — the ONLINE half of the
+    C137 coreset (Charikar et al. doubling algorithm): keep <= K
+    centers and a radius R such that every vector seen so far lies
+    within R (squared L2) of some center; an arrival farther than R
+    from every center becomes a center, and when the budget overflows,
+    R doubles and centers within the new R of an earlier center merge
+    away. The curation use: a live, bounded geometric summary of an
+    unbounded embedding stream (eval seeding, drift sentinels) without
+    re-running the batch selector.
+
+    Within-batch determinism: arrivals fold in vec_id order, so
+    replays and arrival-order permutations of equal content produce
+    identical state. The fold is NOT corpus-sized: a distributed
+    anti-coverage pass first drops every arrival within R of the
+    batch-start centers (the overwhelmingly common case at steady
+    state — one in-row argmin against <= K inlined centers, the C138
+    shape); only the novel survivors collect to the driver, and a
+    guard re-doubles R wholesale if they exceed _KC_FOLD_MAX (which
+    is exactly what the doubling algorithm would do to them anyway).
+
+    Replay safety (the E48 full-snapshot recipe): batch N reads the
+    newest state snapshot with ``batch_id < N`` (numeric order) and
+    overwrite-writes its own ``centers/batch_id=N`` snapshot
+    (center_id, embedding, radius2 — bounded: <= K rows) plus a
+    per-batch admissions log to the output tree."""
+    import os
+
+    cen_dir = os.path.join(state_dir, "centers")
+
+    def _d2(a, b) -> float:
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        snap_dirs = _committed_batch_dirs(cen_dir, batch_id)
+        if snap_dirs:
+            rows = spark.read.parquet(snap_dirs[-1]).collect()
+            radius = float(rows[0].radius2) if rows else _KC_R0
+            centers = [(int(r.center_id), list(r.embedding)) for r in rows]
+        else:
+            radius, centers = _KC_R0, []
+
+        def survivors(frame: DataFrame, cens, rad) -> DataFrame:
+            """Distributed anti-coverage pass: arrivals NOT within
+            rad of any center in ``cens`` (in-row argmin against
+            inlined centers — no join, no shuffle)."""
+            if not cens:
+                return frame
+            dists = [
+                F.expr(
+                    "aggregate(zip_with(embedding, array({lits}),"
+                    " (x, y) -> (CAST(x AS DOUBLE) - y)"
+                    " * (CAST(x AS DOUBLE) - y)),"
+                    " 0.0d, (acc, v) -> acc + v)".format(
+                        lits=", ".join(
+                            f"CAST({float(v)} AS DOUBLE)" for v in emb
+                        )
+                    )
+                )
+                for _, emb in cens
+            ]
+            return frame.where(F.least(*dists) > F.lit(rad))
+
+        novel = survivors(
+            batch.select("vec_id", "embedding"), centers, radius
+        ).orderBy("vec_id")
+        cand = novel.limit(_KC_FOLD_MAX + 1).collect()
+        while len(cand) > _KC_FOLD_MAX:
+            radius *= 2.0
+            centers = _kc_merge(centers, radius, _d2)
+            novel = survivors(
+                batch.select("vec_id", "embedding"), centers, radius
+            ).orderBy("vec_id")
+            cand = novel.limit(_KC_FOLD_MAX + 1).collect()
+
+        admitted = []
+        for r in cand:
+            vid, emb = int(r.vec_id), list(r.embedding)
+            if any(_d2(emb, ce) <= radius for _, ce in centers):
+                continue  # covered by a center admitted earlier this batch
+            centers.append((vid, emb))
+            admitted.append(vid)
+            while len(centers) > _KC_MAX:
+                radius *= 2.0
+                centers = _kc_merge(centers, radius, _d2)
+
+        spark.createDataFrame(
+            [(cid, emb, radius) for cid, emb in centers],
+            "center_id long, embedding array<float>, radius2 double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(cen_dir, f"batch_id={batch_id}")
+        )
+        spark.createDataFrame(
+            [(batch_id, v, radius) for v in admitted]
+            or [(batch_id, None, radius)],
+            "batch_id long, admitted_center long, radius2 double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(gate)
+
+
+def _kc_merge(centers, radius, d2):
+    """Doubling-step merge: keep a center only if it is farther than
+    ``radius`` from every KEPT earlier center (vec_id order — the
+    same deterministic greedy as admission)."""
+    kept: list = []
+    for cid, emb in sorted(centers, key=lambda t: t[0]):
+        if all(d2(emb, ke) > radius for _, ke in kept):
+            kept.append((cid, emb))
+    return kept

@@ -38,6 +38,7 @@ COMPONENTS: dict[str, str] = {
     "C13": "decode_real_media",
     "C31": "dedup_incremental",
     "C111": "modality_dedup_report",
+    "E50": "stream_kcenter_maintain",
     "C59": "observe_metrics",
     "C68": "plan_minhash_bands",
     "C86": "ivf_index_build",

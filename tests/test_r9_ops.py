@@ -149,3 +149,100 @@ def test_kcenter_assignment_covers_corpus(spark):
     assert sum(r.n_assigned for r in rows) == n
     assert all(r.n_assigned >= 1 for r in rows)
     assert all(r.mean_dist2 <= r.max_dist2 + 1e-9 for r in rows)
+
+
+def test_stream_kcenter_maintain_equivalence_and_invariants(spark, tmp_path):
+    """E50: the streamed doubling maintainer matches a pure-Python
+    fold of the same two-phase per-batch algorithm (batch-start
+    anti-coverage pass, then vec_id-ordered sequential admission),
+    keeps <= K centers pairwise separated by more than the current
+    radius, covers every arrival within the compounded-doubling
+    bound, and a full replay rewrites identical state."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import _emb
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        _KC_MAX,
+        _KC_R0,
+        _kc_merge,
+        stream_kcenter_maintain,
+    )
+    from tests.conftest import await_stream_done
+
+    vecs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in _emb(spark, SF_SMALL).orderBy("vec_id").limit(120).collect()
+    ]
+    batches = [vecs[:40], vecs[40:80], vecs[80:]]
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    drop = str(tmp_path / "drop")
+    for b in batches:
+        spark.createDataFrame(b, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+    def run(tag: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_kcenter_maintain(
+                stream, str(tmp_path / f"st{tag}"), str(tmp_path / f"out{tag}")
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+        snaps = spark.read.parquet(str(tmp_path / f"st{tag}/centers"))
+        last = snaps.agg({"batch_id": "max"}).first()[0]
+        rows = snaps.where(snaps.batch_id == last).collect()
+        return sorted(
+            (int(r.center_id), [float(x) for x in r.embedding]) for r in rows
+        ), float(rows[0].radius2)
+
+    got_centers, got_radius = run("a")
+
+    # pure-Python reference of the same two-phase algorithm. The
+    # stream reads floats back, so the reference must too.
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    radius, centers = _KC_R0, []
+    for b in batches:
+        start = list(centers)
+        surv = [
+            (v, e) for v, e in sorted(b)
+            if not start or min(d2(e, ce) for _, ce in start) > radius
+        ]
+        for vid, emb in surv:
+            if any(d2(emb, ce) <= radius for _, ce in centers):
+                continue
+            centers.append((vid, emb))
+            while len(centers) > _KC_MAX:
+                radius *= 2.0
+                centers = _kc_merge(centers, radius, d2)
+
+    assert got_radius == radius
+    assert got_centers == sorted(centers)
+    assert len(got_centers) <= _KC_MAX
+    # pairwise separation strictly above the current radius
+    for i, (_, a) in enumerate(got_centers):
+        for _, b in got_centers[i + 1:]:
+            assert d2(a, b) > got_radius
+    # compounded-doubling coverage bound over everything seen
+    for _, e in vecs:
+        assert min(d2(e, ce) for _, ce in got_centers) <= 16 * got_radius
+    # replay: byte-identical state
+    assert run("b") == (got_centers, got_radius)
