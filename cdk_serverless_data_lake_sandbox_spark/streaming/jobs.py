@@ -2335,7 +2335,9 @@ def stream_kcenter_maintain(stream: DataFrame, state_dir: str, out_dir: str):
                 )
                 for _, emb in cens
             ]
-            return frame.where(F.least(*dists) > F.lit(rad))
+            # F.least needs >= 2 columns; a one-center state is legal
+            mind = dists[0] if len(dists) == 1 else F.least(*dists)
+            return frame.where(mind > F.lit(rad))
 
         novel = survivors(
             batch.select("vec_id", "embedding"), centers, radius

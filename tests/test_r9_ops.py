@@ -246,3 +246,53 @@ def test_stream_kcenter_maintain_equivalence_and_invariants(spark, tmp_path):
         assert min(d2(e, ce) for _, ce in got_centers) <= 16 * got_radius
     # replay: byte-identical state
     assert run("b") == (got_centers, got_radius)
+
+
+def test_stream_kcenter_single_center_state(spark, tmp_path):
+    """A one-center state must not crash the anti-coverage pass
+    (F.least needs two columns), and a covered second batch admits
+    nothing."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_kcenter_maintain,
+    )
+    from tests.conftest import await_stream_done
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(
+        [(1, [0.0, 0.0])], schema
+    ).repartition(1).write.parquet(drop)
+    # second batch: a point INSIDE the initial radius of center 1
+    spark.createDataFrame(
+        [(2, [0.5, 0.5])], schema
+    ).repartition(1).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stream_kcenter_maintain(
+            stream, str(tmp_path / "st"), str(tmp_path / "out")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q)
+    q.stop()
+    snaps = spark.read.parquet(str(tmp_path / "st/centers"))
+    last = snaps.agg({"batch_id": "max"}).first()[0]
+    assert last == 1  # both batches processed
+    rows = snaps.where(snaps.batch_id == last).collect()
+    assert [int(r.center_id) for r in rows] == [1]
