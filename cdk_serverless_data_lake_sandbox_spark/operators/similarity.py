@@ -3178,15 +3178,14 @@ d1 AS MATERIALIZED (
     ]
     for r in range(2, _KCENTER_K + 1):
         p = r - 1
-        dexpr = _SQL_SQ_DIST.format(a="e.embedding", b="c.ce")
+        dexpr = _SQL_SQ_DIST.format(a="e2.embedding", b="c.ce")
         ctes.append(f"""c{r} AS MATERIALIZED (
   SELECT vec_id, d FROM d{p} ORDER BY d DESC, vec_id LIMIT 1
 ),
 d{r} AS MATERIALIZED (
-  SELECT e2.vec_id, LEAST(e2.d, {dexpr.replace('e.embedding', 'e.embedding')}) AS d
+  SELECT e2.vec_id, LEAST(e2.d, {dexpr}) AS d
   FROM (SELECT d{p}.vec_id, d{p}.d, emb.embedding
-        FROM d{p} JOIN embeddings emb USING (vec_id)) e2
-  JOIN embeddings e ON e.vec_id = e2.vec_id,
+        FROM d{p} JOIN embeddings emb USING (vec_id)) e2,
   (SELECT embedding AS ce FROM embeddings
    WHERE vec_id = (SELECT vec_id FROM c{r})) c
 )""")
@@ -3199,6 +3198,20 @@ d{r} AS MATERIALIZED (
 
 @register("coreset_kcenter", oracle=_kcenter_oracle())
 def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed entry for :func:`_kcenter_select`: the greedy selection
+    runs ONCE per application per sf_dir (materialize_lazy — the
+    shared-knn-graph precedent), so the C138 assignment profile and a
+    bench run never pay the k driver passes twice."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
+    return materialize_lazy(
+        spark, f"kcenter:{sf_dir}", lambda: _kcenter_select(spark, sf_dir)
+    )
+
+
+def _kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center selection over the embedding corpus: seed at
     the minimum vec_id, then k-1 rounds of "take the point with the
     largest min-squared-distance to everything chosen" (deterministic
@@ -3211,8 +3224,10 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     newly chosen center (its 64 floats inlined as literals, no join),
     pinned per round so lineage stays flat; the argmax is an
     orderBy-limit-1 reduce (driver receives ONE row per round, k
-    rows total). No step ever materializes anything corpus-sized
-    beyond the (vec_id, dmin) frame it already carries.
+    rows total). The only per-round materialization is the
+    (vec_id, embedding, dmin) frame — corpus-sized but carried
+    anyway; keeping the embedding column in it is what lets each
+    round update dmin without re-joining the source.
 
     Oracle: the same k rounds unrolled as materialized CTEs; every
     distance is the identical fixed-order fold in both engines, so

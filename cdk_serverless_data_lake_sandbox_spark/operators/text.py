@@ -1151,6 +1151,10 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
       single-reducer sort), left-broadcast-join the exploded token
       stream, regroup per doc in position order."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # NULL text yields no row on either strategy (and in the oracle,
+    # whose token explode drops it): filter up front so the paths
+    # cannot diverge on size(NULL) = -1
+    d = d.where(F.col("text").isNotNull())
     if _VOCAB_K > _IDS_LITERAL_MAX:
         return _tokenize_ids_join(d)
     words = F.split(F.trim(F.col("text")), r"\s+")

@@ -2127,8 +2127,13 @@ def stream_knn_insert(stream: DataFrame, index_dir: str, out_dir: str):
         # vectors_delta row — the vec_id-keyed scoring join would then
         # count that node twice per beam expansion and skew every
         # subsequent cut. First delivery stays canonical.
-        batch = batch.join(
-            ev.select("vec_id"), "vec_id", "left_anti"
+        batch = (
+            batch.join(ev.select("vec_id"), "vec_id", "left_anti")
+            # within-batch duplicates (one trigger folding two files)
+            # must also collapse; min over the array column keeps the
+            # choice deterministic if payloads ever differ
+            .groupBy("vec_id")
+            .agg(F.min("embedding").alias("embedding"))
         ).localCheckpoint()
         if batch.isEmpty():
             return
@@ -2368,6 +2373,11 @@ def stream_kcenter_maintain(stream: DataFrame, state_dir: str, out_dir: str):
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(cen_dir, f"batch_id={batch_id}")
         )
+        # an admission can be merged away by a later doubling in the
+        # SAME batch; the log lists only admissions that survived, so
+        # it always joins cleanly against the paired snapshot
+        final_ids = {cid for cid, _ in centers}
+        admitted = [v for v in admitted if v in final_ids]
         spark.createDataFrame(
             [(batch_id, v, radius) for v in admitted]
             or [(batch_id, None, radius)],

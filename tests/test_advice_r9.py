@@ -140,9 +140,12 @@ def test_stream_knn_insert_redelivery_dedup(spark, tmp_path):
     spark.createDataFrame([Row(vec_id=1000, embedding=v0)], schema).repartition(
         1
     ).write.parquet(drop)
-    # batch 2 re-delivers 1000 alongside new vector 1001
+    # batch 2 re-delivers 1000 alongside new vector 1001 — and 1001
+    # TWICE within the batch (one trigger, duplicated row): the
+    # within-batch dedupe must collapse it too (review r9)
     spark.createDataFrame(
-        [Row(vec_id=1000, embedding=v0), Row(vec_id=1001, embedding=v0)],
+        [Row(vec_id=1000, embedding=v0), Row(vec_id=1001, embedding=v0),
+         Row(vec_id=1001, embedding=v0)],
         schema,
     ).repartition(1).write.mode("append").parquet(drop)
 

@@ -76,6 +76,20 @@ def test_tokenize_ids_join_path_bit_identical(spark):
 
     d = load_tables(spark, SF_SMALL, ("documents",))["documents"]
     default = _rows(T.tokenize_to_ids(spark, SF_SMALL))
+    # NULL text must yield no row on EITHER strategy (review r9):
+    # size(split(NULL)) is -1, which the literal path must not emit
+    from pyspark.sql import functions as F
+
+    with_null = d.unionByName(
+        d.limit(1).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    assert _rows(T._tokenize_ids_join(with_null)) == _rows(
+        T._tokenize_ids_join(d)
+    )
     joined = _rows(T._tokenize_ids_join(d))
     assert joined == default and len(default) > 0
 
