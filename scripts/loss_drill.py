@@ -12,7 +12,7 @@ with the bit-exact result of an undisturbed local[4] baseline.
 Writes LOSS_DRILL_r08.json at the repo root; exit 1 if no executor was
 killed (the drill didn't actually drill) or the result diverged.
 
-Usage: python scripts/loss_drill.py [sf_dir] [out_json]
+Usage: python scripts/loss_drill.py [sf_dir] [out_json] [op]
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ sys.path.insert(0, ".")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "LOSS_DRILL_r08.json"
+OP = sys.argv[3] if len(sys.argv) > 3 else "copurchase_pagerank"
 
 
 def executor_pids() -> list[int]:
@@ -53,7 +54,7 @@ def main() -> None:
 
     from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
 
-    q = all_queries()["copurchase_pagerank"]
+    q = all_queries()[OP]
 
     base = (
         SparkSession.builder.master("local[4]")
@@ -111,7 +112,7 @@ def main() -> None:
     art = {
         "master": "local-cluster[2,2,1536]",
         "materializer": "auto (resolved: reliable)",
-        "op": "copurchase_pagerank",
+        "op": OP,
         "sf_dir": SF,
         "executor_killed": killed.get("pid") is not None,
         "killed_pid": killed.get("pid"),
