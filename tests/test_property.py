@@ -446,3 +446,131 @@ def test_strip_dup_chars_matches_reference(spark, texts):
     }
     want = {i: row for i, row in enumerate(_ref_strip_chars(texts, k=5))}
     assert got == want
+
+
+# ---------------------------------------------------------------- r9
+_bpe_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(_bpe_words, min_size=1, max_size=6))
+def test_bpe_oracle_replay_matches_reference_on_random_corpora(docs):
+    """The generated DuckDB BPE-trainer replay (_bpe_stats_oracle)
+    must reproduce the pure-Python batched-BPE fold on ARBITRARY
+    corpora, not just the shipped tables — the oracle generator's own
+    correctness, checked engine-to-engine without Spark."""
+    from collections import Counter
+
+    import duckdb
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _BPE_BATCH,
+        _BPE_MERGES,
+        _bpe_stats_oracle,
+        select_disjoint_batch,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    wc = Counter(w for t in texts for w in t.strip().split() if w)
+
+    # pure-Python reference: the shared selection rule + leftmost fold
+    def merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    while len(merges) < _BPE_MERGES:
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        ranked = sorted(
+            ((a, b, n) for (a, b), n in pc.items() if n >= 2),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[: max(_BPE_BATCH * 8, 8)]
+        batch = select_disjoint_batch(
+            ranked, _BPE_BATCH, len(merges), _BPE_MERGES
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        for a, b in batch:
+            vocab = {w: merge(s, a, b) for w, s in vocab.items()}
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.strip().split() if w]
+        if ws:
+            expect[i] = (len(ws), sum(len(vocab[w]) for w in ws))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_bpe_stats_oracle()).fetchall()
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-8, max_value=8),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_kcenter_oracle_replay_matches_reference_on_random_vectors(vecs):
+    """The unrolled k-center oracle must reproduce the pure-Python
+    greedy farthest-point fold on arbitrary vector sets (integer
+    coordinates keep every distance exact in both engines)."""
+    import duckdb
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _KCENTER_K,
+        _kcenter_oracle,
+    )
+
+    pts = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    chosen = [(1, 0, 0.0)]
+    dmin = {i: d2(e, pts[0][1]) for i, e in pts}
+    for r in range(2, _KCENTER_K + 1):
+        nxt = min(dmin, key=lambda i: (-dmin[i], i))
+        chosen.append((r, nxt, dmin[nxt]))
+        ce = pts[nxt][1]
+        for i, e in pts:
+            dmin[i] = min(dmin[i], d2(e, ce))
+    expect = {r: (v, round(d, 6)) for r, v, d in chosen}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, e) for i, e in pts],
+    )
+    got = {
+        r[0]: (r[1], r[2]) for r in con.execute(_kcenter_oracle()).fetchall()
+    }
+    assert got == expect
