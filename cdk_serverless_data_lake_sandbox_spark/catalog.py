@@ -496,6 +496,108 @@ class Lake:
         ]
         return max(versions, default=-1)
 
+    # ------------------------------------- atomic multi-table publish
+    def publish_tables(self, zone: str, dfs: dict) -> int:
+        """Cross-table ATOMIC publish (D32): write every table's new
+        snapshot into per-transaction staging directories, then commit
+        them all with ONE manifest-file rename — so readers through
+        :meth:`read_published` either see the complete new set or the
+        complete previous one, never a mix (the property a corpus +
+        its derived indexes need when republished together; per-table
+        ``write_version`` cannot give it).
+
+        The atomicity primitive is a single ``os.replace`` of
+        ``_commits/commit_<N>.json`` (POSIX-atomic rename; on an
+        object store, one object PUT). A crash after any number of
+        staging writes but before the rename leaves no commit record:
+        readers are untouched and :meth:`vacuum_staging` reclaims the
+        orphans. Commit numbers are monotone; the newest commit wins.
+        Returns the commit id."""
+        import json
+        import shutil
+        import uuid
+
+        zroot = self.zones[zone]
+        cdir = os.path.join(zroot, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        txid = uuid.uuid4().hex[:12]
+        staged = {}
+        for table, df in sorted(dfs.items()):
+            rel = os.path.join(table, f"txn={txid}")
+            df.write.mode("errorifexists").parquet(
+                os.path.join(zroot, rel)
+            )
+            staged[table] = rel
+        commit_id = self._latest_commit(cdir) + 1
+        tmp = os.path.join(cdir, f"_tmp_{txid}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"commit": commit_id, "tables": staged}, fh)
+        final = os.path.join(cdir, f"commit_{commit_id:09d}.json")
+        os.replace(tmp, final)  # THE atomic step
+        for table, rel in staged.items():
+            path = os.path.join(zroot, rel)
+            self.register(zone, table, path, self.spark.read.parquet(path))
+        return commit_id
+
+    def read_published(self, zone: str, table: str) -> DataFrame:
+        """Read ``table`` at the newest COMMITTED multi-table
+        publish. Staged-but-uncommitted transactions are invisible."""
+        import json
+
+        zroot = self.zones[zone]
+        cdir = os.path.join(zroot, "_commits")
+        cid = self._latest_commit(cdir)
+        if cid < 0:
+            raise FileNotFoundError(f"no commits in zone {zone!r}")
+        with open(os.path.join(cdir, f"commit_{cid:09d}.json")) as fh:
+            manifest = json.load(fh)
+        rel = manifest["tables"].get(table)
+        if rel is None:
+            raise KeyError(
+                f"table {table!r} not in commit {cid} of zone {zone!r}"
+            )
+        return self.spark.read.parquet(os.path.join(zroot, rel))
+
+    def vacuum_staging(self, zone: str) -> list[str]:
+        """Reclaim staging directories no committed manifest
+        references — crash debris from publishes that never reached
+        their atomic rename (plus superseded snapshots older than the
+        retained commits). Keeps every txn any commit references."""
+        import json
+        import shutil
+
+        zroot = self.zones[zone]
+        cdir = os.path.join(zroot, "_commits")
+        live = set()
+        if os.path.isdir(cdir):
+            for f in os.listdir(cdir):
+                if f.startswith("commit_") and f.endswith(".json"):
+                    with open(os.path.join(cdir, f)) as fh:
+                        live.update(json.load(fh)["tables"].values())
+        removed = []
+        for table in os.listdir(zroot) if os.path.isdir(zroot) else []:
+            tdir = os.path.join(zroot, table)
+            if table == "_commits" or not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if not d.startswith("txn="):
+                    continue
+                rel = os.path.join(table, d)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(zroot, rel))
+                    removed.append(rel)
+        return sorted(removed)
+
+    def _latest_commit(self, cdir: str) -> int:
+        if not os.path.isdir(cdir):
+            return -1
+        ids = [
+            int(f[len("commit_"):-len(".json")])
+            for f in os.listdir(cdir)
+            if f.startswith("commit_") and f.endswith(".json")
+        ]
+        return max(ids, default=-1)
+
 
 class ResultsZone:
     """Query-results location — the Athena workgroup analog.

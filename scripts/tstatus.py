@@ -39,6 +39,7 @@ COMPONENTS: dict[str, str] = {
     "C31": "dedup_incremental",
     "C111": "modality_dedup_report",
     "E50": "stream_kcenter_maintain",
+    "D32": "publish_tables",
     "C59": "observe_metrics",
     "C68": "plan_minhash_bands",
     "C86": "ivf_index_build",

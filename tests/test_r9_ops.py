@@ -310,3 +310,60 @@ def test_stream_kcenter_single_center_state(spark, tmp_path):
     assert last == 1  # both batches processed
     rows = snaps.where(snaps.batch_id == last).collect()
     assert [int(r.center_id) for r in rows] == [1]
+
+
+def test_publish_tables_atomic_consistency(spark, tmp_path):
+    """D32: readers see either the complete new multi-table set or the
+    complete previous one — a crash after staging but before the
+    commit rename leaves the previous commit fully visible, and
+    vacuum_staging reclaims exactly the orphaned transaction."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.add_zone("processed")
+
+    docs1 = spark.range(5).withColumnRenamed("id", "doc_id")
+    idx1 = spark.range(5).selectExpr("id AS doc_id", "id * 10 AS fp")
+    c1 = lake.publish_tables("processed", {"docs": docs1, "index": idx1})
+    assert lake.read_published("processed", "docs").count() == 5
+    assert lake.read_published("processed", "index").count() == 5
+
+    # second publish: both tables advance together
+    docs2 = spark.range(7).withColumnRenamed("id", "doc_id")
+    idx2 = spark.range(7).selectExpr("id AS doc_id", "id * 10 AS fp")
+    c2 = lake.publish_tables("processed", {"docs": docs2, "index": idx2})
+    assert c2 == c1 + 1
+    assert lake.read_published("processed", "docs").count() == 7
+    assert lake.read_published("processed", "index").count() == 7
+
+    # simulate a crash: stage a third set WITHOUT the commit rename
+    zroot = lake.zones["processed"]
+    docs3 = spark.range(9).withColumnRenamed("id", "doc_id")
+    docs3.write.parquet(os.path.join(zroot, "docs", "txn=deadbeef0000"))
+    # readers still see the complete committed pair
+    assert lake.read_published("processed", "docs").count() == 7
+    assert lake.read_published("processed", "index").count() == 7
+
+    # vacuum reclaims exactly the orphan, never committed snapshots
+    removed = lake.vacuum_staging("processed")
+    assert removed == [os.path.join("docs", "txn=deadbeef0000")]
+    assert lake.read_published("processed", "docs").count() == 7
+    assert lake.read_published("processed", "index").count() == 7
+
+
+def test_publish_tables_survives_reopen(spark, tmp_path):
+    """The newest committed set resolves from disk state alone
+    (commit manifests), so a fresh Lake.open sees it."""
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+
+    root = str(tmp_path / "lake")
+    lake = Lake(spark, root)
+    lake.add_zone("processed")
+    lake.publish_tables(
+        "processed",
+        {"docs": spark.range(4).withColumnRenamed("id", "doc_id")},
+    )
+    lake2 = Lake.open(spark, root)
+    assert lake2.read_published("processed", "docs").count() == 4
