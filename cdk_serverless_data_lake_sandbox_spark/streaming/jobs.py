@@ -2007,6 +2007,13 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
     priority as the batch operator, so a burst of one domain admits a
     stable pseudo-random subset, not arrival order.
 
+    At-least-once safety (r9): within-batch duplicate doc_ids
+    collapse deterministically before ranking, and docs a PRIOR batch
+    already admitted anti-join away against the admitted-id snapshot
+    (bounded by cap x sources — the set cannot outgrow the caps it
+    enforces), so re-delivery can neither double-admit nor burn a
+    source's budget twice.
+
     Replay safety (the E45 per-batch-delta recipe, with one twist):
     admitted counts persist as one overwrite-written delta per batch
     under ``admitted/batch_id=N``, and batch N's admissions read ONLY
@@ -2024,6 +2031,7 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
     from cdk_serverless_data_lake_sandbox_spark.operators.curation import _DFC_CAP
 
     counts_dir = os.path.join(state_dir, "admitted")
+    ids_dir = os.path.join(state_dir, "admitted_ids")
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -2042,6 +2050,24 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
             md5_priority,
         )
 
+        # at-least-once guards (r9, mirroring E47/E48): collapse
+        # within-batch duplicate doc_ids deterministically (min
+        # payload), and anti-join docs ALREADY ADMITTED by a prior
+        # batch — the admitted-id set is bounded by cap x sources, so
+        # it persists as a full snapshot per batch (E48 recipe).
+        batch = (
+            batch.groupBy("doc_id")
+            .agg(F.min(F.struct("source", "text")).alias("_s"))
+            .select("doc_id", "_s.source", "_s.text")
+        )
+        ids_dirs = _committed_batch_dirs(ids_dir, batch_id)
+        prior_ids = (
+            spark.read.parquet(ids_dirs[-1]) if ids_dirs else None
+        )
+        if prior_ids is not None:
+            batch = batch.join(
+                prior_ids.select("doc_id"), "doc_id", "left_anti"
+            )
         p = batch.withColumn("_priority", md5_priority("dfc"))
         w = PWindow.partitionBy("source").orderBy("_priority", "doc_id")
         ranked = p.withColumn("_rk", F.row_number().over(w))
@@ -2061,6 +2087,12 @@ def stream_domain_cap_gate(stream: DataFrame, state_dir: str, out_dir: str):
         )
         delta.write.mode("overwrite").parquet(
             os.path.join(counts_dir, f"batch_id={batch_id}")
+        )
+        new_ids = admitted.select("doc_id")
+        if prior_ids is not None:
+            new_ids = prior_ids.select("doc_id").unionByName(new_ids)
+        new_ids.write.mode("overwrite").parquet(
+            os.path.join(ids_dir, f"batch_id={batch_id}")
         )
         admitted.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
@@ -2205,8 +2237,16 @@ def stream_reservoir_sample(stream: DataFrame, state_dir: str, out_dir: str):
             md5_priority,
         )
 
-        arrivals = batch.select(
-            "doc_id", "source", "text", md5_priority("rsv").alias("priority")
+        # within-batch duplicate doc_ids collapse deterministically
+        # (min payload) before ranking — two copies in one trigger
+        # must not occupy two reservoir slots (r9, the E47 guard)
+        arrivals = (
+            batch.groupBy("doc_id")
+            .agg(F.min(F.struct("source", "text")).alias("_s"))
+            .select(
+                "doc_id", "_s.source", "_s.text",
+                md5_priority("rsv").alias("priority"),
+            )
         )
         snap_dirs = _committed_batch_dirs(res_dir, batch_id)
         if snap_dirs:

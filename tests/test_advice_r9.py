@@ -260,3 +260,109 @@ def test_modality_dedup_report_planted_corpus(spark, tmp_path):
         for r in qs["image_dhash_dedup"](spark, sf_dir).collect()
     }
     assert img.get((0, 1)) == 0
+
+
+def test_stream_domain_cap_redelivery_and_dup_guard(spark, tmp_path):
+    """E46 at-least-once guards (r9): a doc re-delivered in a later
+    batch is not re-admitted and does not burn a second budget slot;
+    a within-batch duplicate occupies one slot."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import _DFC_CAP
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_domain_cap_gate,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    # batch 1: 5 docs, doc 0 duplicated within the batch
+    b1 = [(i, "srcA", f"doc {i}") for i in range(5)] + [(0, "srcA", "doc 0")]
+    # batch 2: re-delivers docs 1 and 2, plus enough new docs to reach
+    # the cap — the re-deliveries must not consume budget
+    b2 = [(1, "srcA", "doc 1"), (2, "srcA", "doc 2")] + [
+        (i, "srcA", f"doc {i}") for i in range(20, 28)
+    ]
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(b1, schema).repartition(1).write.parquet(drop)
+    spark.createDataFrame(b2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(drop)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stream_domain_cap_gate(
+            stream, str(tmp_path / "state"), str(tmp_path / "out")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from tests.conftest import await_stream_done
+
+    await_stream_done(q)
+    q.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    ids = sorted(r.doc_id for r in rows)
+    # every admitted doc exactly once
+    assert len(ids) == len(set(ids))
+    # batch 1 admitted 5 distinct; batch 2 admitted 5 more new docs
+    # (cap 10), with no re-admission of 1/2
+    assert len(ids) == _DFC_CAP
+    assert set(range(5)) <= set(ids)
+    assert len([i for i in ids if i >= 20]) == _DFC_CAP - 5
+
+
+def test_stream_reservoir_within_batch_duplicate(spark, tmp_path):
+    """E48: a doc_id duplicated inside ONE trigger occupies one slot."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        _RES_SIZE,
+        stream_reservoir_sample,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [(i, "srcA", f"doc {i}") for i in range(4)] * 3  # each x3
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(drop)
+
+    stream = spark.readStream.schema(schema).parquet(drop)
+    q = (
+        stream_reservoir_sample(
+            stream, str(tmp_path / "state"), str(tmp_path / "out")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from tests.conftest import await_stream_done
+
+    await_stream_done(q)
+    q.stop()
+    snaps = spark.read.parquet(str(tmp_path / "state/reservoir"))
+    final_id = snaps.agg({"batch_id": "max"}).first()[0]
+    got = sorted(
+        r.doc_id for r in snaps.where(snaps.batch_id == final_id).collect()
+    )
+    assert got == [0, 1, 2, 3]  # 4 distinct docs, one slot each
+    assert len(got) <= _RES_SIZE
