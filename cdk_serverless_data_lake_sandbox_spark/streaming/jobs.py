@@ -1908,7 +1908,14 @@ def stream_boilerplate_gate(
     set is aggregated from the delta tree at probe time (delta count
     grows with batches; a compaction pass can collapse them the
     minhash_index_compact way). Output lands under ``batch_id=N``
-    overwrite too, so the whole gate is marker-free idempotent."""
+    overwrite too, so the whole gate is marker-free idempotent.
+
+    At-least-once note: a re-delivered doc inflates its prefix's
+    count by one. Unlike the E46 cap or E48 reservoir (hard budget /
+    slot semantics, which carry id-level guards since r9), this state
+    feeds a >= threshold HEURISTIC — inflation can only strip a
+    banner slightly earlier, never corrupt a budget — so the
+    bounded-id-set guard is deliberately not paid here."""
     import os
 
     from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
