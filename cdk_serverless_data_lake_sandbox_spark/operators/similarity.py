@@ -3358,3 +3358,170 @@ def kcenter_assignment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_dist2"),
         F.round(F.max("d"), 6).alias("max_dist2"),
     )
+
+
+# ---------------------------------------------------------------- C139
+# LSH-candidate bitext mining: the SCALE path of C136. The exact
+# cross-side grid is quadratic in corpus size; here candidates are
+# pairs sharing any LSH bucket (the C7 plan-time-constant
+# hyperplanes), scored exactly, with the margin's neighborhood
+# averages taken over each side's top-k CANDIDATES. Same output
+# contract as C136; recall against it is test-pinned.
+
+
+def _bitext_lsh_oracle() -> str:
+    b = " UNION ALL\n".join(
+        f"SELECT vec_id, label, {t} AS tbl,"
+        f" {_bucket_sql('embedding', t)} AS bucket"
+        " FROM embeddings WHERE label IN (0, 1)"
+        for t in range(_N_TABLES)
+    )
+    return f"""
+WITH bk AS MATERIALIZED ({b}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS src_id, t.vec_id AS tgt_id
+  FROM bk a JOIN bk t ON a.tbl = t.tbl AND a.bucket = t.bucket
+  WHERE a.label = 0 AND t.label = 1
+),
+sc AS MATERIALIZED (
+  SELECT c.src_id, c.tgt_id,
+    {_SQL_DOT.format(a="a.embedding", b="t.embedding")}
+      / ({_SQL_NORM.format(a="a.embedding")}
+         * {_SQL_NORM.format(a="t.embedding")}) AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.src_id
+  JOIN embeddings t ON t.vec_id = c.tgt_id
+),
+rk AS MATERIALIZED (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY src_id
+        ORDER BY cosine DESC, tgt_id) AS r_src,
+    ROW_NUMBER() OVER (PARTITION BY tgt_id
+        ORDER BY cosine DESC, src_id) AS r_tgt
+  FROM sc
+),
+ax AS (
+  SELECT src_id, list_sum(list(cosine ORDER BY r_src))
+    / LEAST({_BITEXT_K}, COUNT(*)) AS a_src
+  FROM rk WHERE r_src <= {_BITEXT_K} GROUP BY src_id
+),
+ay AS (
+  SELECT tgt_id, list_sum(list(cosine ORDER BY r_tgt))
+    / LEAST({_BITEXT_K}, COUNT(*)) AS a_tgt
+  FROM rk WHERE r_tgt <= {_BITEXT_K} GROUP BY tgt_id
+),
+m AS (
+  SELECT rk.src_id, rk.tgt_id, rk.cosine,
+    rk.cosine / ((ax.a_src + ay.a_tgt) / 2) AS margin
+  FROM rk JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+  WHERE rk.r_src <= {_BITEXT_K}
+)
+SELECT src_id, tgt_id,
+  ROUND(cosine, 6) AS cosine, ROUND(margin, 6) AS margin
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+      ORDER BY margin DESC, tgt_id) AS rr
+  FROM m
+) WHERE rr = 1 AND margin >= {_BITEXT_MARGIN_T}
+"""
+
+
+@register("bitext_margin_mining_lsh", oracle=_bitext_lsh_oracle())
+def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C136's ratio-margin bitext miner on LSH candidates — the form
+    that survives corpus scale: both sides bucket through the C7
+    hyperplane tables (plan-time literal weights), candidates are
+    cross-side pairs sharing any bucket (a (tbl, bucket)-keyed join,
+    never the full grid), scoring and the margin tail are exactly
+    C136's. A neighborhood with fewer than k candidates averages over
+    what it has (LEAST(k, count)); recall vs the exact miner is
+    test-pinned. Hash-exact: the buckets, cosines, and rank-ordered
+    folds replay identically in DuckDB."""
+    e = _emb(spark, sf_dir).where(F.col("label").isin(0, 1))
+    dim = _emb_dim(e)
+    tables = []
+    for t in range(_N_TABLES):
+        tables.append(
+            e.select(
+                "vec_id", "label", F.lit(t).alias("tbl"),
+                _bucket_expr("embedding", t, dim).alias("bucket"),
+            )
+        )
+    bk = tables[0]
+    for t in tables[1:]:
+        bk = bk.unionAll(t)
+    bk = pin(bk)
+    cand = (
+        bk.where(F.col("label") == 0)
+        .select(F.col("vec_id").alias("src_id"), "tbl", "bucket")
+        .join(
+            bk.where(F.col("label") == 1).select(
+                F.col("vec_id").alias("tgt_id"), "tbl", "bucket"
+            ),
+            ["tbl", "bucket"],
+        )
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+    a = e.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    b = e.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    scored = pin(
+        cand.join(a, "src_id").join(b, "tgt_id").select(
+            "src_id", "tgt_id",
+            (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "tgt_id")
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("cosine"), "src_id")
+    rk = pin(
+        scored.select(
+            "src_id", "tgt_id", "cosine",
+            F.row_number().over(w_src).alias("r_src"),
+            F.row_number().over(w_tgt).alias("r_tgt"),
+        )
+    )
+
+    def avgk(df: DataFrame, key: str, rank: str) -> DataFrame:
+        return (
+            df.where(F.col(rank) <= _BITEXT_K)
+            .groupBy(key)
+            .agg(
+                F.expr(
+                    f"aggregate(transform(array_sort(collect_list("
+                    f"struct({rank}, cosine))), s -> s.cosine),"
+                    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                    f" / least({_BITEXT_K}, count(*))"
+                ).alias(f"a_{key}")
+            )
+        )
+
+    ax = avgk(rk, "src_id", "r_src")
+    ay = avgk(rk, "tgt_id", "r_tgt")
+    m = (
+        rk.where(F.col("r_src") <= _BITEXT_K)
+        .join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .select(
+            "src_id", "tgt_id", "cosine",
+            (
+                F.col("cosine")
+                / ((F.col("a_src_id") + F.col("a_tgt_id")) / 2)
+            ).alias("margin"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
+    return (
+        m.withColumn("rr", F.row_number().over(w_best))
+        .where((F.col("rr") == 1) & (F.col("margin") >= _BITEXT_MARGIN_T))
+        .select(
+            "src_id", "tgt_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )

@@ -367,3 +367,24 @@ def test_publish_tables_survives_reopen(spark, tmp_path):
     )
     lake2 = Lake.open(spark, root)
     assert lake2.read_published("processed", "docs").count() == 4
+
+
+def test_bitext_lsh_recall_vs_exact(spark):
+    """The LSH-candidate miner recovers most of the exact miner's
+    pairs (candidate recall is the only loss source — scoring and
+    margin are identical), and obeys the same per-pair contracts."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _BITEXT_MARGIN_T,
+        bitext_margin_mining,
+        bitext_margin_mining_lsh,
+    )
+
+    exact = {
+        (r.src_id, r.tgt_id) for r in bitext_margin_mining(spark, SF_SMALL).collect()
+    }
+    rows = bitext_margin_mining_lsh(spark, SF_SMALL).collect()
+    got = {(r.src_id, r.tgt_id) for r in rows}
+    assert len({r.src_id for r in rows}) == len(rows)
+    assert all(r.margin >= _BITEXT_MARGIN_T for r in rows)
+    recall = len(exact & got) / max(1, len(exact))
+    assert recall >= 0.5, f"bitext LSH recall {recall:.2f}"
