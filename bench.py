@@ -85,6 +85,7 @@ HEADLINE = [
     "bitext_margin_mining",
     "coreset_kcenter",
     "kcenter_assignment_profile",
+    "bitext_margin_mining_lsh",
 ]
 
 

@@ -2445,3 +2445,37 @@ def _kc_merge(centers, radius, d2):
         if all(d2(emb, ke) > radius for _, ke in kept):
             kept.append((cid, emb))
     return kept
+
+
+# ---------------------------------------------------------------- E-maint
+def vacuum_batch_snapshots(path: str, keep_last: int = 3) -> list[int]:
+    """Retention for FULL-SNAPSHOT state trees (E46 admitted-ids, E48
+    reservoir, E50 centers): every batch leaves a complete snapshot,
+    so only the newest matters for correctness — older ones exist for
+    replay of in-flight batches and for audit. Drops all but the
+    newest ``keep_last`` committed snapshots (numeric batch order, the
+    r9 sort discipline) and returns the batch ids removed.
+
+    Safe bound: Structured Streaming replays at most the LAST
+    uncommitted batch, which reads strictly-prior state — so
+    keep_last >= 2 always preserves what any replay can ask for;
+    the default keeps one more for audit headroom. NOT for per-batch
+    DELTA trees (E45 counts, E47 edge deltas) — those fold history
+    and need the compaction path instead."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return []
+    snaps = []
+    for d in os.listdir(path):
+        if d.startswith("batch_id="):
+            try:
+                snaps.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                continue
+    snaps.sort()
+    drop = snaps[:-keep_last] if keep_last > 0 else snaps
+    for bid in drop:
+        shutil.rmtree(os.path.join(path, f"batch_id={bid}"), ignore_errors=True)
+    return drop

@@ -40,6 +40,7 @@ COMPONENTS: dict[str, str] = {
     "C111": "modality_dedup_report",
     "E50": "stream_kcenter_maintain",
     "D32": "publish_tables",
+    "E51": "vacuum_batch_snapshots",
     "C59": "observe_metrics",
     "C68": "plan_minhash_bands",
     "C86": "ivf_index_build",

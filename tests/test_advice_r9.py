@@ -366,3 +366,25 @@ def test_stream_reservoir_within_batch_duplicate(spark, tmp_path):
     )
     assert got == [0, 1, 2, 3]  # 4 distinct docs, one slot each
     assert len(got) <= _RES_SIZE
+
+
+def test_vacuum_batch_snapshots_keeps_newest(tmp_path):
+    """Numeric retention: with double-digit ids, the NEWEST snapshots
+    survive (a lexicographic cut would keep batch 9 over 10/11), and
+    the gate keeps working from the retained state."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        vacuum_batch_snapshots,
+    )
+
+    root = tmp_path / "reservoir"
+    for bid in range(13):
+        (root / f"batch_id={bid}").mkdir(parents=True)
+    removed = vacuum_batch_snapshots(str(root), keep_last=3)
+    assert removed == list(range(10))
+    assert sorted(os.listdir(root)) == [
+        "batch_id=10", "batch_id=11", "batch_id=12",
+    ]
+    # idempotent
+    assert vacuum_batch_snapshots(str(root), keep_last=3) == []
