@@ -2692,3 +2692,116 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .where(F.col("n_pairs") >= _SG_MIN)
     )
+
+
+# ---------------------------------------------------------------- C140
+# Poisson bootstrap CI (the massive-data bootstrap: per doc and
+# replicate, a deterministic Poisson(1) weight replaces resampling —
+# weights are independent across docs, so replicate sums are ONE
+# map-side-combinable aggregation over a single corpus scan, where a
+# classic bootstrap would re-scan per replicate). Weights derive from
+# the portable Horner hash, so DuckDB replays every replicate
+# bit-for-bit; weighted sums are integer-exact, and the only float ops
+# (u < cdf literal, S/W, nearest-rank pick) are identical IEEE ops.
+_BOOT_R = 64
+_BOOT_CAP = 6
+# Poisson(1) CDF literals, shared verbatim by both engines
+_BOOT_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+)
+# nearest-rank indices (1-based) for a 2.5%/97.5% interval over R
+_BOOT_LO = max(1, -(-25 * _BOOT_R // 1000))
+_BOOT_HI = -(-975 * _BOOT_R // 1000)
+
+
+def _boot_k_case(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE {_BOOT_CAP} END)"
+
+
+def _boot_oracle() -> str:
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _PH_M,
+        _horner_sql,
+    )
+
+    key = ("('boot|' || CAST(doc_id AS VARCHAR) || '|'"
+           " || CAST(r AS VARCHAR))")
+    u = f"(CAST({_horner_sql(key)} AS DOUBLE) / {_PH_M})"
+    return f"""
+WITH x AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS v FROM documents),
+rep AS (
+  SELECT x.doc_id, x.v, r, {_boot_k_case(u)} AS k
+  FROM x, UNNEST(range({_BOOT_R})) t(r)
+),
+means AS (
+  SELECT r, CAST(SUM(k * v) AS DOUBLE) / SUM(k) AS m
+  FROM rep GROUP BY r HAVING SUM(k) > 0
+),
+ordered AS (SELECT list(m ORDER BY m) AS ms FROM means)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n_docs,
+  ROUND((SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM x), 6) AS mean_len,
+  CAST({_BOOT_R} AS INTEGER) AS n_replicates,
+  ROUND(ms[{_BOOT_LO}], 6) AS ci_low,
+  ROUND(ms[{_BOOT_HI}], 6) AS ci_high
+FROM ordered
+"""
+
+
+@register("bootstrap_ci_doclen", oracle=_boot_oracle())
+def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean document length: each doc
+    carries a deterministic Poisson(1) weight per replicate (Horner
+    hash -> uniform -> inverse CDF, capped), replicate means are
+    weighted integer sums, and the interval is the nearest-rank
+    2.5/97.5 percentile of the _BOOT_R replicate means. The
+    statistics recipe for "how sure is this corpus metric" at 100 TB:
+    ONE corpus scan computes all replicates as map-side-combinable
+    sums (the in-row transform emits _BOOT_R (k, k*v) pairs per doc),
+    where naive resampling would re-scan per replicate.
+
+    Engine-exactness: weights and weighted sums are integers; the
+    uniform threshold comparisons, the S/W division, and the
+    nearest-rank picks are the identical IEEE ops in both engines, so
+    the report is hash-exact."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
+        _PH_M,
+        _horner_spark,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    x = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").cast("bigint").alias("v")
+    )
+    key = ("concat('boot|', CAST(doc_id AS STRING), '|',"
+           " CAST(r AS STRING))")
+    u = f"(CAST({_horner_spark(key)} AS DOUBLE) / {_PH_M}D)"
+    pairs = F.expr(
+        f"transform(sequence(0, {_BOOT_R - 1}), r ->"
+        f" named_struct('r', r, 'k', {_boot_k_case(u)}))"
+    )
+    rep = x.select("v", F.explode(pairs).alias("p")).select(
+        "v", F.col("p.r").alias("r"), F.col("p.k").alias("k")
+    )
+    means = (
+        rep.groupBy("r")
+        .agg(F.sum(F.col("k") * F.col("v")).alias("s"), F.sum("k").alias("w"))
+        .where(F.col("w") > 0)
+        .select((F.col("s").cast("double") / F.col("w")).alias("m"))
+    )
+    ordered = means.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    stats = x.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("v").cast("double") / F.count("*")).alias("_mean"),
+    )
+    return stats.crossJoin(F.broadcast(ordered)).select(
+        "n_docs",
+        F.round("_mean", 6).alias("mean_len"),
+        F.lit(_BOOT_R).cast("int").alias("n_replicates"),
+        F.round(F.expr(f"element_at(ms, {_BOOT_LO})"), 6).alias("ci_low"),
+        F.round(F.expr(f"element_at(ms, {_BOOT_HI})"), 6).alias("ci_high"),
+    )

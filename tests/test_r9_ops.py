@@ -388,3 +388,34 @@ def test_bitext_lsh_recall_vs_exact(spark):
     assert all(r.margin >= _BITEXT_MARGIN_T for r in rows)
     recall = len(exact & got) / max(1, len(exact))
     assert recall >= 0.5, f"bitext LSH recall {recall:.2f}"
+
+
+def test_bootstrap_ci_brackets_mean_and_is_calibrated(spark):
+    """The CI brackets the point estimate, is reasonably tight on a
+    500-doc corpus (Poisson-bootstrap SE of the mean ~ sd/sqrt(n)),
+    and the replicate machinery is deterministic across runs."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        bootstrap_ci_doclen,
+    )
+
+    r = bootstrap_ci_doclen(spark, SF_SMALL).first()
+    assert r.ci_low <= r.mean_len <= r.ci_high
+    width = r.ci_high - r.ci_low
+    assert 0 < width < r.mean_len  # sane scale
+    # deterministic
+    r2 = bootstrap_ci_doclen(spark, SF_SMALL).first()
+    assert (r.ci_low, r.ci_high) == (r2.ci_low, r2.ci_high)
+    # calibration sanity vs the normal-theory interval: same order of
+    # magnitude (loose factor-3 band; both estimate the same SE)
+    import math
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    d = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    st = d.agg(
+        F.stddev_pop(F.length("text")).alias("sd"),
+        F.count("*").alias("n"),
+    ).first()
+    se = st.sd / math.sqrt(st.n)
+    assert 3.92 * se / 3 < width < 3.92 * se * 3, (width, se)
