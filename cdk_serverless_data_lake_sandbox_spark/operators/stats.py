@@ -2732,7 +2732,7 @@ def _boot_oracle() -> str:
            " || CAST(r AS VARCHAR))")
     u = f"(CAST({_horner_sql(key)} AS DOUBLE) / {_PH_M})"
     return f"""
-WITH x AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS v FROM documents),
+WITH x AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS v FROM documents WHERE text IS NOT NULL),
 rep AS (
   SELECT x.doc_id, x.v, r, {_boot_k_case(u)} AS k
   FROM x, UNNEST(range({_BOOT_R})) t(r)
