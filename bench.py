@@ -86,6 +86,7 @@ HEADLINE = [
     "coreset_kcenter",
     "kcenter_assignment_profile",
     "bitext_margin_mining_lsh",
+    "bootstrap_ci_doclen",
 ]
 
 

@@ -2705,6 +2705,13 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (u < cdf literal, S/W, nearest-rank pick) are identical IEEE ops.
 _BOOT_R = 64
 _BOOT_CAP = 6
+# integer multiply-mod mixing for the per-(doc, replicate) uniform:
+# pure int64 arithmetic (every intermediate < 1.2e18), identical in
+# both engines, and ~5x cheaper than a per-char string hash — the
+# corpus pays R integer mixes per row, zero array allocations
+_BOOT_M = 1099511627689  # 40-bit prime (the portable-hash modulus)
+_BOOT_A1 = 1000003
+_BOOT_A2 = 999983
 # Poisson(1) CDF literals, shared verbatim by both engines
 _BOOT_CDF = (
     "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
@@ -2722,15 +2729,22 @@ def _boot_k_case(u: str) -> str:
     return f"(CASE {cases} ELSE {_BOOT_CAP} END)"
 
 
-def _boot_oracle() -> str:
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
-        _PH_M,
-        _horner_sql,
-    )
+def _boot_u(doc: str, r: str) -> str:
+    """Engine-portable uniform in [0, 1): multiply-mod rounds of the
+    40-bit prime, valid as BOTH Spark SQL and DuckDB SQL. The
+    replicate index enters MULTIPLICATIVELY against the doc mix (a
+    per-doc stride), not additively — an additive round made all 64
+    replicate uniforms of a doc near-identical (probed in-session:
+    the CI stopped bracketing the mean). Every intermediate stays
+    under 1.2e18 (int64-safe, no DuckDB overflow error)."""
+    h1 = f"((({doc}) + 12345) * {_BOOT_A1}) % {_BOOT_M}"
+    t = f"(({h1}) * (({r}) + 2)) % {_BOOT_M}"
+    h2 = f"(({t}) * {_BOOT_A2}) % {_BOOT_M}"
+    return f"(CAST({h2} AS DOUBLE) / {_BOOT_M})"
 
-    key = ("('boot|' || CAST(doc_id AS VARCHAR) || '|'"
-           " || CAST(r AS VARCHAR))")
-    u = f"(CAST({_horner_sql(key)} AS DOUBLE) / {_PH_M})"
+
+def _boot_oracle() -> str:
+    u = _boot_u("doc_id", "r")
     return f"""
 WITH x AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS v FROM documents WHERE text IS NOT NULL),
 rep AS (
@@ -2755,8 +2769,8 @@ FROM ordered
 @register("bootstrap_ci_doclen", oracle=_boot_oracle())
 def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for mean document length: each doc
-    carries a deterministic Poisson(1) weight per replicate (Horner
-    hash -> uniform -> inverse CDF, capped), replicate means are
+    carries a deterministic Poisson(1) weight per replicate (integer
+    multiply-mod mix -> uniform -> inverse CDF, capped), replicate means are
     weighted integer sums, and the interval is the nearest-rank
     2.5/97.5 percentile of the _BOOT_R replicate means. The
     statistics recipe for "how sure is this corpus metric" at 100 TB:
@@ -2768,24 +2782,21 @@ def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform threshold comparisons, the S/W division, and the
     nearest-rank picks are the identical IEEE ops in both engines, so
     the report is hash-exact."""
-    from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
-        _PH_M,
-        _horner_spark,
-    )
-
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     x = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.length("text").cast("bigint").alias("v")
     )
-    key = ("concat('boot|', CAST(doc_id AS STRING), '|',"
-           " CAST(r AS STRING))")
-    u = f"(CAST({_horner_spark(key)} AS DOUBLE) / {_PH_M}D)"
+    u = _boot_u("doc_id", "r")
+    # mix ONCE per (doc, replicate); the 6-way CDF CASE then reads
+    # the u COLUMN instead of re-inlining the mix per branch
     pairs = F.expr(
         f"transform(sequence(0, {_BOOT_R - 1}), r ->"
-        f" named_struct('r', r, 'k', {_boot_k_case(u)}))"
+        f" named_struct('r', r, 'u', {u}))"
     )
     rep = x.select("v", F.explode(pairs).alias("p")).select(
-        "v", F.col("p.r").alias("r"), F.col("p.k").alias("k")
+        "v",
+        F.col("p.r").alias("r"),
+        F.expr(_boot_k_case("p.u")).alias("k"),
     )
     means = (
         rep.groupBy("r")
