@@ -506,15 +506,14 @@ class Lake:
         its derived indexes need when republished together; per-table
         ``write_version`` cannot give it).
 
-        The atomicity primitive is a single ``os.replace`` of
-        ``_commits/commit_<N>.json`` (POSIX-atomic rename; on an
-        object store, one object PUT). A crash after any number of
+        The atomicity primitive is a single exclusive ``os.link`` of
+        ``_commits/commit_<N>.json`` (POSIX-atomic, loud on id
+        collision; on an object store, one conditional object PUT). A crash after any number of
         staging writes but before the rename leaves no commit record:
         readers are untouched and :meth:`vacuum_staging` reclaims the
         orphans. Commit numbers are monotone; the newest commit wins.
         Returns the commit id."""
         import json
-        import shutil
         import uuid
 
         zroot = self.zones[zone]
@@ -528,12 +527,28 @@ class Lake:
                 os.path.join(zroot, rel)
             )
             staged[table] = rel
-        commit_id = self._latest_commit(cdir) + 1
         tmp = os.path.join(cdir, f"_tmp_{txid}.json")
-        with open(tmp, "w") as fh:
-            json.dump({"commit": commit_id, "tables": staged}, fh)
-        final = os.path.join(cdir, f"commit_{commit_id:09d}.json")
-        os.replace(tmp, final)  # THE atomic step
+        try:
+            while True:
+                commit_id = self._latest_commit(cdir) + 1
+                with open(tmp, "w") as fh:
+                    json.dump({"commit": commit_id, "tables": staged}, fh)
+                final = os.path.join(cdir, f"commit_{commit_id:09d}.json")
+                # THE atomic step. os.link (not replace): creating the
+                # destination FAILS LOUDLY if a concurrent publisher
+                # claimed the same id — an os.replace would clobber its
+                # committed manifest and silently lose that publish —
+                # and the loop then retries with the next id.
+                try:
+                    os.link(tmp, final)
+                    break
+                except FileExistsError:
+                    continue
+        finally:
+            # the temp manifest must not outlive the call: a crash
+            # BEFORE the link leaves debris vacuum_staging ages out
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         for table, rel in staged.items():
             path = os.path.join(zroot, rel)
             self.register(zone, table, path, self.spark.read.parquet(path))
@@ -558,23 +573,55 @@ class Lake:
             )
         return self.spark.read.parquet(os.path.join(zroot, rel))
 
-    def vacuum_staging(self, zone: str) -> list[str]:
+    def vacuum_staging(
+        self,
+        zone: str,
+        min_age_sec: float = 3600.0,
+        keep_commits: int | None = None,
+    ) -> list[str]:
         """Reclaim staging directories no committed manifest
         references — crash debris from publishes that never reached
-        their atomic rename (plus superseded snapshots older than the
-        retained commits). Keeps every txn any commit references."""
+        their atomic link — plus orphaned temp manifests, and (with
+        ``keep_commits``) superseded commits and their snapshots.
+
+        ``min_age_sec`` is the IN-FLIGHT guard: a publish that has
+        staged its tables but not yet linked its manifest looks
+        exactly like crash debris, so only staging older than the
+        grace period is eligible (tests pass 0 to reclaim
+        immediately; a scheduled vacuum keeps the default, far longer
+        than any publish's staging-to-link window).
+
+        ``keep_commits=K`` drops all but the newest K commit
+        manifests first; their now-unreferenced snapshots then
+        reclaim like any orphan — the retention cut that bounds a
+        zone's footprint at K full snapshots plus the live one."""
         import json
         import shutil
+        import time
 
         zroot = self.zones[zone]
         cdir = os.path.join(zroot, "_commits")
+        removed = []
+        now = time.time()
+        if keep_commits is not None and os.path.isdir(cdir):
+            ids = sorted(
+                int(f[len("commit_"):-len(".json")])
+                for f in os.listdir(cdir)
+                if f.startswith("commit_") and f.endswith(".json")
+                and f[len("commit_"):-len(".json")].isdigit()
+            )
+            for cid in ids[:-keep_commits] if keep_commits > 0 else ids:
+                os.unlink(os.path.join(cdir, f"commit_{cid:09d}.json"))
         live = set()
         if os.path.isdir(cdir):
             for f in os.listdir(cdir):
+                fp = os.path.join(cdir, f)
                 if f.startswith("commit_") and f.endswith(".json"):
-                    with open(os.path.join(cdir, f)) as fh:
+                    with open(fp) as fh:
                         live.update(json.load(fh)["tables"].values())
-        removed = []
+                elif f.startswith("_tmp_") and f.endswith(".json"):
+                    if now - os.path.getmtime(fp) >= min_age_sec:
+                        os.unlink(fp)
         for table in os.listdir(zroot) if os.path.isdir(zroot) else []:
             tdir = os.path.join(zroot, table)
             if table == "_commits" or not os.path.isdir(tdir):
@@ -583,9 +630,13 @@ class Lake:
                 if not d.startswith("txn="):
                     continue
                 rel = os.path.join(table, d)
-                if rel not in live:
-                    shutil.rmtree(os.path.join(zroot, rel))
-                    removed.append(rel)
+                full = os.path.join(zroot, rel)
+                if rel in live:
+                    continue
+                if now - os.path.getmtime(full) < min_age_sec:
+                    continue  # possibly an in-flight publish
+                shutil.rmtree(full)
+                removed.append(rel)
         return sorted(removed)
 
     def _latest_commit(self, cdir: str) -> int:
@@ -595,6 +646,7 @@ class Lake:
             int(f[len("commit_"):-len(".json")])
             for f in os.listdir(cdir)
             if f.startswith("commit_") and f.endswith(".json")
+            and f[len("commit_"):-len(".json")].isdigit()
         ]
         return max(ids, default=-1)
 

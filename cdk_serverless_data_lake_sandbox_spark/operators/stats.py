@@ -2705,13 +2705,13 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (u < cdf literal, S/W, nearest-rank pick) are identical IEEE ops.
 _BOOT_R = 64
 _BOOT_CAP = 6
-# integer multiply-mod mixing for the per-(doc, replicate) uniform:
-# pure int64 arithmetic (every intermediate < 1.2e18), identical in
-# both engines, and ~5x cheaper than a per-char string hash — the
-# corpus pays R integer mixes per row, zero array allocations
-_BOOT_M = 1099511627689  # 40-bit prime (the portable-hash modulus)
-_BOOT_A1 = 1000003
-_BOOT_A2 = 999983
+# the per-(doc, replicate) uniform comes from NATIVE md5 (the
+# md5_priority precedent — identical lowercase hex in both engines,
+# C-speed, no per-char SQL fold): 48 hash bits scale to [0, 1).
+# Multiply-mod mixing was tried first and rejected twice in-session:
+# affine mixes make each doc's replicates (or each replicate's docs)
+# a rank-1 lattice, under-dispersing the bootstrap.
+_BOOT_SCALE = 1 << 48
 # Poisson(1) CDF literals, shared verbatim by both engines
 _BOOT_CDF = (
     "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
@@ -2729,22 +2729,24 @@ def _boot_k_case(u: str) -> str:
     return f"(CASE {cases} ELSE {_BOOT_CAP} END)"
 
 
-def _boot_u(doc: str, r: str) -> str:
-    """Engine-portable uniform in [0, 1): multiply-mod rounds of the
-    40-bit prime, valid as BOTH Spark SQL and DuckDB SQL. The
-    replicate index enters MULTIPLICATIVELY against the doc mix (a
-    per-doc stride), not additively — an additive round made all 64
-    replicate uniforms of a doc near-identical (probed in-session:
-    the CI stopped bracketing the mean). Every intermediate stays
-    under 1.2e18 (int64-safe, no DuckDB overflow error)."""
-    h1 = f"((({doc}) + 12345) * {_BOOT_A1}) % {_BOOT_M}"
-    t = f"(({h1}) * (({r}) + 2)) % {_BOOT_M}"
-    h2 = f"(({t}) * {_BOOT_A2}) % {_BOOT_M}"
-    return f"(CAST({h2} AS DOUBLE) / {_BOOT_M})"
+def _boot_u_spark(doc: str, r: str) -> str:
+    return (
+        f"(CAST(conv(substring(md5(concat(CAST({doc} AS STRING), '|',"
+        f" CAST({r} AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        f" / CAST({_BOOT_SCALE} AS DOUBLE))"
+    )
+
+
+def _boot_u_sql(doc: str, r: str) -> str:
+    return (
+        f"(CAST(('0x' || SUBSTR(md5(CAST({doc} AS VARCHAR) || '|' ||"
+        f" CAST({r} AS VARCHAR)), 1, 12)) AS BIGINT)"
+        f" / CAST({_BOOT_SCALE} AS DOUBLE))"
+    )
 
 
 def _boot_oracle() -> str:
-    u = _boot_u("doc_id", "r")
+    u = _boot_u_sql("doc_id", "r")
     return f"""
 WITH x AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS v FROM documents WHERE text IS NOT NULL),
 rep AS (
@@ -2769,8 +2771,8 @@ FROM ordered
 @register("bootstrap_ci_doclen", oracle=_boot_oracle())
 def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for mean document length: each doc
-    carries a deterministic Poisson(1) weight per replicate (integer
-    multiply-mod mix -> uniform -> inverse CDF, capped), replicate means are
+    carries a deterministic Poisson(1) weight per replicate (native
+    md5 -> 48-bit uniform -> inverse CDF, capped), replicate means are
     weighted integer sums, and the interval is the nearest-rank
     2.5/97.5 percentile of the _BOOT_R replicate means. The
     statistics recipe for "how sure is this corpus metric" at 100 TB:
@@ -2786,9 +2788,9 @@ def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.length("text").cast("bigint").alias("v")
     )
-    u = _boot_u("doc_id", "r")
-    # mix ONCE per (doc, replicate); the 6-way CDF CASE then reads
-    # the u COLUMN instead of re-inlining the mix per branch
+    u = _boot_u_spark("doc_id", "r")
+    # hash ONCE per (doc, replicate); the 6-way CDF CASE then reads
+    # the u COLUMN instead of re-inlining the hash per branch
     pairs = F.expr(
         f"transform(sequence(0, {_BOOT_R - 1}), r ->"
         f" named_struct('r', r, 'u', {u}))"

@@ -2892,8 +2892,16 @@ def tokenizer_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-keyed, AQE broadcasts), aggregated by language with
     map-side combine over exact int64s; the two ratios are final
     divisions."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
     docs = _docs(spark, sf_dir)
-    seg = _ulm_final_seg(docs)
+    # same keyed frame as unigram_tokenize_corpus: one training per
+    # application serves both ops (r9 review)
+    seg = materialize_lazy(
+        spark, f"ulm-final-seg:{sf_dir}", lambda: _ulm_final_seg(docs)
+    )
     wseg = seg.select("w", F.size("toks").cast("bigint").alias("np"))
     dtoks = (
         docs.select(

@@ -9,7 +9,8 @@ materializer (``auto`` resolves local-cluster to ``reliable`` since
 r8), SIGKILLs one executor JVM mid-run, and asserts the job completes
 with the bit-exact result of an undisturbed local[4] baseline.
 
-Writes LOSS_DRILL_r08.json at the repo root; exit 1 if no executor was
+Writes LOSS_DRILL_LATEST.json (override via argv[2] — round artifacts
+pass LOSS_DRILL_r{N}.json explicitly); exit 1 if no executor was
 killed (the drill didn't actually drill) or the result diverged.
 
 Usage: python scripts/loss_drill.py [sf_dir] [out_json] [op]
@@ -28,7 +29,7 @@ import time
 sys.path.insert(0, ".")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "LOSS_DRILL_r08.json"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "LOSS_DRILL_LATEST.json"
 OP = sys.argv[3] if len(sys.argv) > 3 else "copurchase_pagerank"
 
 

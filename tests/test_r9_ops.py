@@ -347,7 +347,7 @@ def test_publish_tables_atomic_consistency(spark, tmp_path):
     assert lake.read_published("processed", "index").count() == 7
 
     # vacuum reclaims exactly the orphan, never committed snapshots
-    removed = lake.vacuum_staging("processed")
+    removed = lake.vacuum_staging("processed", min_age_sec=0)
     assert removed == [os.path.join("docs", "txn=deadbeef0000")]
     assert lake.read_published("processed", "docs").count() == 7
     assert lake.read_published("processed", "index").count() == 7
@@ -413,9 +413,60 @@ def test_bootstrap_ci_brackets_mean_and_is_calibrated(spark):
     from pyspark.sql import functions as F
 
     d = load_tables(spark, SF_SMALL, ("documents",))["documents"]
-    st = d.agg(
+    st = d.where(F.col("text").isNotNull()).agg(
         F.stddev_pop(F.length("text")).alias("sd"),
         F.count("*").alias("n"),
     ).first()
     se = st.sd / math.sqrt(st.n)
     assert 3.92 * se / 3 < width < 3.92 * se * 3, (width, se)
+
+
+def test_publish_vacuum_grace_and_commit_retention(spark, tmp_path):
+    """r9 review hardening: staging younger than the grace period
+    survives vacuum (an in-flight publish must not be reclaimed),
+    keep_commits drops superseded snapshots, and a commit-id
+    collision retries loudly instead of clobbering."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.add_zone("processed")
+    zroot = lake.zones["processed"]
+
+    lake.publish_tables(
+        "processed", {"docs": spark.range(3).withColumnRenamed("id", "doc_id")}
+    )
+    # fresh orphan: survives a vacuum with the default grace period
+    spark.range(9).write.parquet(os.path.join(zroot, "docs", "txn=inflight0001"))
+    assert lake.vacuum_staging("processed") == []
+    assert lake.vacuum_staging("processed", min_age_sec=0) == [
+        os.path.join("docs", "txn=inflight0001")
+    ]
+
+    # a manually planted conflicting commit id: publish retries past it
+    nxt = lake._latest_commit(os.path.join(zroot, "_commits")) + 1
+    with open(
+        os.path.join(zroot, "_commits", f"commit_{nxt:09d}.json"), "w"
+    ) as fh:
+        fh.write('{"commit": %d, "tables": {}}' % nxt)
+    cid = lake.publish_tables(
+        "processed", {"docs": spark.range(5).withColumnRenamed("id", "doc_id")}
+    )
+    assert cid == nxt + 1
+    assert lake.read_published("processed", "docs").count() == 5
+
+    # retention: keep only the newest commit; older snapshots reclaim
+    lake.publish_tables(
+        "processed", {"docs": spark.range(6).withColumnRenamed("id", "doc_id")}
+    )
+    removed = lake.vacuum_staging("processed", min_age_sec=0, keep_commits=1)
+    assert len(removed) >= 1
+    assert lake.read_published("processed", "docs").count() == 6
+
+    # malformed commit filename is skipped, not fatal
+    with open(
+        os.path.join(zroot, "_commits", "commit_latest.json"), "w"
+    ) as fh:
+        fh.write("{}")
+    assert lake.read_published("processed", "docs").count() == 6
