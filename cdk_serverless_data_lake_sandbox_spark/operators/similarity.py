@@ -243,12 +243,14 @@ def _emb_dim(e: DataFrame) -> int:
     return int(row.d) if row is not None else _ORACLE_DIM
 
 
-def _bucket_expr(vec: str, table: int, dim: int) -> Column:
-    """LSH bucket id: sign bits of dot products against _N_PLANES
+def _bucket_expr(
+    vec: str, table: int, dim: int, n_planes: int = _N_PLANES
+) -> Column:
+    """LSH bucket id: sign bits of dot products against ``n_planes``
     deterministic pseudo-random hyperplanes (literal weights, no
     stored model). Engine-portable; `_bucket_sql` is the DuckDB twin."""
     bits = []
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         ws = ", ".join(
             f"(CAST({m} AS DOUBLE) / 1000.0D)" for m in _plane_ints(table, p, dim)
         )
@@ -3426,6 +3428,47 @@ FROM (
 """
 
 
+# per-side cardinality above which the bitext miner adds hyperplanes:
+# with FIXED planes the buckets-per-table count is constant, so
+# cross-side candidates stay quadratic (merely the full grid divided
+# by a constant — the r9 sf3 soak measured 8.2x wall on 3x data).
+# Holding bucket OCCUPANCY constant instead (planes ~ log2(n/occ))
+# keeps candidates ~ 8 * n * occ, i.e. linear. The gate sits above
+# every oracle-checked SF (sf0.001/0.01/0.1 are <= ~2k per side), so
+# the static 4-plane oracle stays exact everywhere the driver and
+# xsf_check run; past the gate the plan changes, the semantics
+# (exact scoring of LSH candidates) do not.
+_BITEXT_LSH_OCC = 128  # max per-side bucket occupancy past the gate
+# (gate = OCC * 2^4 = 2048 per side — still above every oracle-checked
+# SF's ~2000, so the static 4-plane oracle stays exact there)
+# Hot-bucket posting cap (the dedup-family auto-guard discipline):
+# CLUSTERED sides defeat hyperplane pruning — a tight cluster falls on
+# the same side of most hyperplanes, so its bucket stays grid-dense no
+# matter how many planes are added (probed at the sf3 tier: 14.4M
+# candidates = 40% of the full grid). Each (tbl, bucket, side) posting
+# keeps its _BITEXT_MAX_POSTING best by deterministic md5 priority;
+# the dense regions a cap truncates are hub territory, exactly where
+# the ratio margin rejects pairs anyway. Inert below the cap — which
+# includes every oracle-checked SF (occupancy <= ~60 there).
+_BITEXT_MAX_POSTING = 256
+
+
+def _bitext_planes(n_side: int) -> int:
+    import math
+
+    if n_side <= _BITEXT_LSH_OCC * (1 << _N_PLANES):
+        return _N_PLANES
+    # ceil keeps occupancy <= _BITEXT_LSH_OCC (a floor left the plane
+    # count unchanged just past the gate — probed at the sf3 tier)
+    return min(
+        16,
+        max(
+            _N_PLANES + 1,
+            math.ceil(math.log2(max(2, n_side / _BITEXT_LSH_OCC))),
+        ),
+    )
+
+
 @register("bitext_margin_mining_lsh", oracle=_bitext_lsh_oracle())
 def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C136's ratio-margin bitext miner on LSH candidates — the form
@@ -3436,21 +3479,36 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     C136's. A neighborhood with fewer than k candidates averages over
     what it has (LEAST(k, count)); recall vs the exact miner is
     test-pinned. Hash-exact: the buckets, cosines, and rank-ordered
-    folds replay identically in DuckDB."""
+    folds replay identically in DuckDB (plane count is 4 at every
+    oracle-checked SF; past the _bitext_planes occupancy gate more
+    hyperplanes keep the candidate volume linear — see the gate
+    comment)."""
     e = _emb(spark, sf_dir).where(F.col("label").isin(0, 1))
     dim = _emb_dim(e)
+    n_side = (
+        e.groupBy("label").count().agg(F.max("count")).first()[0] or 0
+    )
+    planes = _bitext_planes(int(n_side))
     tables = []
     for t in range(_N_TABLES):
         tables.append(
             e.select(
                 "vec_id", "label", F.lit(t).alias("tbl"),
-                _bucket_expr("embedding", t, dim).alias("bucket"),
+                _bucket_expr("embedding", t, dim, planes).alias("bucket"),
             )
         )
     bk = tables[0]
     for t in tables[1:]:
         bk = bk.unionAll(t)
-    bk = pin(bk)
+    w_post = Window.partitionBy("tbl", "bucket", "label").orderBy(
+        F.md5(F.concat(F.lit("btx|"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    bk = pin(
+        bk.withColumn("_pk", F.row_number().over(w_post))
+        .where(F.col("_pk") <= _BITEXT_MAX_POSTING)
+        .drop("_pk")
+    )
     cand = (
         bk.where(F.col("label") == 0)
         .select(F.col("vec_id").alias("src_id"), "tbl", "bucket")
