@@ -544,6 +544,14 @@ class Lake:
                     break
                 except FileExistsError:
                     continue
+                except FileNotFoundError:
+                    # a concurrent vacuum_staging aged out OUR temp
+                    # manifest between the dump and the link (possible
+                    # when min_age_sec is small relative to the
+                    # staging-to-link window — r9 advice). The loop
+                    # top rewrites it, so just go around again; the
+                    # committed-manifest namespace is untouched.
+                    continue
         finally:
             # the temp manifest must not outlive the call: a crash
             # BEFORE the link leaves debris vacuum_staging ages out

@@ -44,6 +44,29 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, deduplicated, symmetrized, with the source node's degree
     attached (``src``, ``dst``, ``src_deg``).
 
+    Built ONCE per (application, sf_dir) through ``materialize_lazy``
+    — the kNN-graph precedent (similarity.py `_knn_graph_shared`):
+    eight graph ops (B93–B96, B99, B109, B110, B113's static siblings)
+    walk the SAME edge set, so one application run pays the
+    three-shuffle build once and every later caller re-scans the
+    scratch parquet (r9 verdict item 1). At production scale the
+    equivalent is the persisted D23 graph artifact; this keyed scratch
+    is its per-application twin."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
+    return materialize_lazy(
+        spark,
+        f"copurchase-edges:{sf_dir}",
+        lambda: _copurchase_edges_frame(spark, sf_dir),
+    )
+
+
+def _copurchase_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge-list dataflow (always reached via the keyed
+    :func:`copurchase_edges` wrapper).
+
     Build shape: per-order part sets (one map-side-combinable
     aggregation — per-order sets are tiny, so the in-row pair
     expansion is bounded), symmetric pairs expanded INSIDE the row
@@ -66,11 +89,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("src")
-    # pin(): local[*] -> localCheckpoint; cluster masters default to
-    # the reliable scratch-parquet materializer (executor-loss-safe).
-    return sym.withColumn(
-        "src_deg", F.count("*").over(w)
-    ).transform(pin)
+    # No pin() here: the keyed materialize_lazy wrapper lands the
+    # result in scratch parquet, which both truncates lineage and is
+    # executor-loss-safe — a second checkpoint would be pure waste.
+    return sym.withColumn("src_deg", F.count("*").over(w))
 
 
 def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:

@@ -3434,13 +3434,13 @@ FROM (
 # by a constant — the r9 sf3 soak measured 8.2x wall on 3x data).
 # Holding bucket OCCUPANCY constant instead (planes ~ log2(n/occ))
 # keeps candidates ~ 8 * n * occ, i.e. linear. The gate sits above
-# every oracle-checked SF (sf0.001/0.01/0.1 are <= ~2k per side), so
-# the static 4-plane oracle stays exact everywhere the driver and
-# xsf_check run; past the gate the plan changes, the semantics
-# (exact scoring of LSH candidates) do not.
+# every oracle-checked SF — MEASURED side sizes are 56 (sf0.001), 50
+# (sf0.01), 199 (sf0.1) — so the static 4-plane oracle stays exact
+# everywhere the driver and xsf_check run; past the gate the plan
+# changes, the semantics (exact scoring of LSH candidates) do not.
 _BITEXT_LSH_OCC = 128  # max per-side bucket occupancy past the gate
-# (gate = OCC * 2^4 = 2048 per side — still above every oracle-checked
-# SF's ~2000, so the static 4-plane oracle stays exact there)
+# (gate = OCC * 2^4 = 2048 per side — 10x above the largest
+# oracle-checked side's measured 199)
 # Hot-bucket posting cap (the dedup-family auto-guard discipline):
 # CLUSTERED sides defeat hyperplane pruning — a tight cluster falls on
 # the same side of most hyperplanes, so its bucket stays grid-dense no
@@ -3448,8 +3448,12 @@ _BITEXT_LSH_OCC = 128  # max per-side bucket occupancy past the gate
 # candidates = 40% of the full grid). Each (tbl, bucket, side) posting
 # keeps its _BITEXT_MAX_POSTING best by deterministic md5 priority;
 # the dense regions a cap truncates are hub territory, exactly where
-# the ratio margin rejects pairs anyway. Inert below the cap — which
-# includes every oracle-checked SF (occupancy <= ~60 there).
+# the ratio margin rejects pairs anyway. MEASURED posting occupancy at
+# the oracle-checked SFs: max 27 / 23 / 79, mean 6.3 / 5.6 / 16.0 for
+# sf0.001 / 0.01 / 0.1 — so the cap is inert there by a 3.2x margin,
+# and the query body ASSERTS that inertness whenever it runs in the
+# 4-plane regime (r9 advice: the oracle models neither guard, so gate
+# drift must fail loudly at the source, not as a hash mismatch).
 _BITEXT_MAX_POSTING = 256
 
 
@@ -3504,11 +3508,22 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("btx|"), F.col("vec_id").cast("string"))),
         "vec_id",
     )
-    bk = pin(
-        bk.withColumn("_pk", F.row_number().over(w_post))
-        .where(F.col("_pk") <= _BITEXT_MAX_POSTING)
-        .drop("_pk")
-    )
+    pre = pin(bk.withColumn("_pk", F.row_number().over(w_post)))
+    if planes == _N_PLANES:
+        # 4-plane regime == the regime the static oracle models, so
+        # BOTH guards must be inert here: fail loudly at the source if
+        # data drift ever makes the posting cap truncate (one bounded
+        # max() over the already-pinned bucketed frame — r9 advice).
+        max_posting = pre.agg(F.max("_pk")).first()[0] or 0
+        if max_posting > _BITEXT_MAX_POSTING:
+            raise AssertionError(
+                "bitext_margin_mining_lsh: posting cap would truncate "
+                f"in the 4-plane (oracle-exact) regime — max occupancy "
+                f"{max_posting} > {_BITEXT_MAX_POSTING}; the registered "
+                "oracle does not model the cap, so this data needs the "
+                "engaged-guard tier (raise _BITEXT_LSH_OCC review)"
+            )
+    bk = pre.where(F.col("_pk") <= _BITEXT_MAX_POSTING).drop("_pk")
     cand = (
         bk.where(F.col("label") == 0)
         .select(F.col("vec_id").alias("src_id"), "tbl", "bucket")

@@ -2757,13 +2757,15 @@ means AS (
   SELECT r, CAST(SUM(k * v) AS DOUBLE) / SUM(k) AS m
   FROM rep GROUP BY r HAVING SUM(k) > 0
 ),
-ordered AS (SELECT list(m ORDER BY m) AS ms FROM means)
+ordered AS (SELECT COALESCE(list(m ORDER BY m), []) AS ms FROM means)
 SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n_docs,
   ROUND((SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM x), 6) AS mean_len,
-  CAST({_BOOT_R} AS INTEGER) AS n_replicates,
-  ROUND(ms[{_BOOT_LO}], 6) AS ci_low,
-  ROUND(ms[{_BOOT_HI}], 6) AS ci_high
+  CAST(len(ms) AS INTEGER) AS n_replicates,
+  CASE WHEN len(ms) > 0
+       THEN ROUND(ms[LEAST({_BOOT_LO}, len(ms))], 6) END AS ci_low,
+  CASE WHEN len(ms) > 0
+       THEN ROUND(ms[LEAST({_BOOT_HI}, len(ms))], 6) END AS ci_high
 FROM ordered
 """
 
@@ -2811,10 +2813,21 @@ def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("v").cast("double") / F.count("*")).alias("_mean"),
     )
+    # n_replicates is the SURVIVING replicate count (the HAVING-style
+    # w > 0 filter can in principle drop replicates on a tiny corpus),
+    # and the nearest-rank indices clamp to it so a short list yields
+    # NULL-free, in-bounds picks instead of silent out-of-range NULLs
+    # mislabeled as a 64-replicate interval (r9 advice).
     return stats.crossJoin(F.broadcast(ordered)).select(
         "n_docs",
         F.round("_mean", 6).alias("mean_len"),
-        F.lit(_BOOT_R).cast("int").alias("n_replicates"),
-        F.round(F.expr(f"element_at(ms, {_BOOT_LO})"), 6).alias("ci_low"),
-        F.round(F.expr(f"element_at(ms, {_BOOT_HI})"), 6).alias("ci_high"),
+        F.size("ms").alias("n_replicates"),
+        F.expr(
+            f"CASE WHEN size(ms) > 0 THEN"
+            f" round(element_at(ms, least({_BOOT_LO}, size(ms))), 6) END"
+        ).alias("ci_low"),
+        F.expr(
+            f"CASE WHEN size(ms) > 0 THEN"
+            f" round(element_at(ms, least({_BOOT_HI}, size(ms))), 6) END"
+        ).alias("ci_high"),
     )

@@ -2619,11 +2619,20 @@ FROM assembled"""
 
 
 
-# Vocabulary rows the single-row-map stitch path will broadcast. A
-# few million (w, np, wlp, wtxt) entries is comfortably executor-RAM
-# sized; past that, the explode+regroup path takes over (same
-# two-strategy count gate as min_label_components, pipeline.py).
+# Vocabulary rows the single-row-map stitch path will broadcast.
 _ULM_BCAST_MAX = 4_000_000
+# ...but ENTRY COUNT is not the binding limit: the map collapses to
+# ONE row, and Spark's single-row / broadcast ceilings are byte-sized
+# (2 GB hard), with wtxt payload length — not cardinality — dominating
+# (r9 advice). The gate therefore also estimates the map row's bytes
+# (key + struct overhead + both string payloads) and routes to the
+# shuffle path past ~256 MB, an order of magnitude under the hard
+# ceiling so torrent-broadcast chunking and task-side copies keep
+# headroom.
+_ULM_BCAST_BYTES = 256 * 1024 * 1024
+# per-entry UnsafeRow overhead estimate: 8B key offset+len, struct
+# header, long np, double wlp, string offsets + padding
+_ULM_ENTRY_OVERHEAD = 48
 
 
 def _ulm_assemble(docs: DataFrame, seg: DataFrame) -> DataFrame:
@@ -2631,7 +2640,8 @@ def _ulm_assemble(docs: DataFrame, seg: DataFrame) -> DataFrame:
     the inline C133 apply and the D31 artifact apply). Two strategies
     behind a vocabulary-count gate, pinned bit-identical by test:
 
-    - map stitch (vocab <= _ULM_BCAST_MAX): collapse the per-word
+    - map stitch (vocab <= _ULM_BCAST_MAX entries AND estimated
+      map-row payload <= _ULM_BCAST_BYTES): collapse the per-word
       segmentation to ONE map row, broadcast it, and rebuild every
       document in-row — ZERO shuffle, one corpus scan (the r8 soak
       flagged the explode path's doc-keyed reassembly shuffle as this
@@ -2649,12 +2659,27 @@ def _ulm_assemble(docs: DataFrame, seg: DataFrame) -> DataFrame:
         F.expr("element_at(dp, 2 * length(w) - 1)").alias("wlp"),
         F.array_join(F.reverse("toks"), " ").alias("wtxt"),
     )
-    # vocab-sized count, limit-capped so a huge vocab pays at most
-    # _ULM_BCAST_MAX+1 rows of counting; column pruning drops the DP
-    # projections here
-    if wseg.select("w").limit(_ULM_BCAST_MAX + 1).count() <= _ULM_BCAST_MAX:
+    # one map-side-combinable probe over the (Heaps-law small) word
+    # table: entry count AND estimated map-row bytes — the byte bound
+    # is the one that actually binds (single-row/broadcast limits are
+    # byte-sized; wtxt length, not cardinality, dominates)
+    probe = wseg.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.length("w") + F.length("wtxt") + F.lit(_ULM_ENTRY_OVERHEAD)
+        ).alias("b"),
+    ).first()
+    if _ulm_map_gate(probe.n, probe.b):
         return _ulm_assemble_map(docs, wseg)
     return _ulm_assemble_shuffle(docs, wseg)
+
+
+def _ulm_map_gate(n_entries: int, est_bytes: int | None) -> bool:
+    """Pure routing predicate (unit-testable without a 256 MB vocab):
+    the map-stitch path needs BOTH bounds — entry count for driver
+    fold cost, estimated bytes for Spark's single-row/broadcast
+    ceilings, which payload length alone can blow at low cardinality."""
+    return n_entries <= _ULM_BCAST_MAX and (est_bytes or 0) <= _ULM_BCAST_BYTES
 
 
 def _ulm_assemble_map(docs: DataFrame, wseg: DataFrame) -> DataFrame:

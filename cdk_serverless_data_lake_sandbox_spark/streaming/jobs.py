@@ -2325,14 +2325,27 @@ _KC_FOLD_MAX = 4096   # driver-fold guard: survivors above this re-double
 
 def stream_kcenter_maintain(stream: DataFrame, state_dir: str, out_dir: str):
     """Streaming k-center coverage maintainer — the ONLINE half of the
-    C137 coreset (Charikar et al. doubling algorithm): keep <= K
-    centers and a radius R such that every vector seen so far lies
-    within R (squared L2) of some center; an arrival farther than R
-    from every center becomes a center, and when the budget overflows,
-    R doubles and centers within the new R of an earlier center merge
-    away. The curation use: a live, bounded geometric summary of an
-    unbounded embedding stream (eval seeding, drift sentinels) without
-    re-running the batch selector.
+    C137 coreset (Charikar et al. doubling algorithm, run on SQUARED
+    L2): keep <= K centers and a working radius R; an arrival farther
+    than R from every center becomes a center, and when the budget
+    overflows, R doubles and centers within the new R of an earlier
+    center merge away.
+
+    Coverage contract (what radius2 in the snapshot MEANS): squared
+    distances do not satisfy the triangle inequality, so a merge that
+    drops a center does NOT keep its points within the new R — each
+    doubling can at most quadruple the true squared covering radius
+    of forgotten points ((a+b)^2 <= 2a^2+2b^2 applied per merge
+    chain). The guarantee is therefore the COMPOUNDED bound the E50
+    test pins: every vector ever seen lies within a bounded factor
+    (16x at the test's doubling depth; 4^d after d doublings past
+    its admission) of the final radius2 — not within radius2 itself.
+    Readers needing a true covering radius must scale radius2 by 4
+    per doubling (the admissions log carries radius2 per batch, so
+    the doubling count is log2(radius2 / _KC_R0)) or re-assign
+    against the centers (C138). The curation use: a live,
+    bounded geometric summary of an unbounded embedding stream (eval
+    seeding, drift sentinels) without re-running the batch selector.
 
     Within-batch determinism: arrivals fold in vec_id order, so
     replays and arrival-order permutations of equal content produce

@@ -1,0 +1,171 @@
+"""Round-10 advice regressions.
+
+1. `_ulm_assemble`'s map-stitch gate must bound the broadcast map by
+   ESTIMATED BYTES, not entry count alone: the map collapses to one
+   row, and Spark's single-row/broadcast ceilings are byte-sized, so
+   4M long-wtxt entries can blow them while passing a count gate.
+2. `publish_tables` must survive a concurrent `vacuum_staging` aging
+   out its temp manifest between the dump and the atomic link — the
+   retry loop rewrites the manifest instead of dying on
+   FileNotFoundError and aborting an otherwise-complete publish.
+3. `bootstrap_ci_doclen` must report the SURVIVING replicate count
+   and clamp its nearest-rank picks to it (the w > 0 filter can drop
+   replicates on a tiny corpus; fixed indices 2/63 then index past
+   the list and yield NULL bounds mislabeled as a 64-replicate CI).
+4. `bitext_margin_mining_lsh` must fail LOUDLY when the hot-bucket
+   posting cap would truncate in the 4-plane regime — the regime its
+   registered oracle models with neither guard.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.compare import assert_frames_match
+from tests.conftest import SF_SMALL
+
+
+def test_ulm_map_gate_is_byte_bounded():
+    from cdk_serverless_data_lake_sandbox_spark.operators.text import (
+        _ULM_BCAST_BYTES,
+        _ULM_BCAST_MAX,
+        _ulm_map_gate,
+    )
+
+    # small vocab, small payload: map path
+    assert _ulm_map_gate(10_000, 1_000_000)
+    # entry count over the cap: shuffle path regardless of bytes
+    assert not _ulm_map_gate(_ULM_BCAST_MAX + 1, 1_000_000)
+    # LOW cardinality but huge wtxt payload: the r9-advice case — the
+    # count gate alone would broadcast this; the byte gate must not
+    assert not _ulm_map_gate(50_000, _ULM_BCAST_BYTES + 1)
+    # empty vocab (sum over zero rows is NULL): map path, no crash
+    assert _ulm_map_gate(0, None)
+
+
+def test_publish_survives_tmp_manifest_vacuumed_mid_link(spark, tmp_path, monkeypatch):
+    """Delete the temp manifest just before the first link attempt —
+    exactly what an aggressive vacuum_staging does — and assert the
+    publish still commits with readable tables."""
+    import os
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.add_zone("processed")
+    real_link = os.link
+    state = {"sabotaged": False}
+
+    def sabotaging_link(src, dst):
+        if not state["sabotaged"] and os.path.basename(src).startswith("_tmp_"):
+            state["sabotaged"] = True
+            os.unlink(src)  # the vacuum racing us
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", sabotaging_link)
+    cid = lake.publish_tables(
+        "processed", {"t": spark.range(5).toDF("id")}
+    )
+    monkeypatch.undo()
+    assert state["sabotaged"], "test harness never exercised the race"
+    assert cid == 0
+    got = lake.read_published("processed", "t")
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4]
+    # no temp-manifest debris left behind
+    cdir = tmp_path / "lake" / "processed" / "_commits"
+    assert not [f for f in os.listdir(cdir) if f.startswith("_tmp_")]
+
+
+def test_bootstrap_ci_reports_surviving_replicates(spark, tmp_path):
+    """Two one-char docs: a deterministic ~13% of the 64 Poisson
+    replicates draw weight 0 for both docs and are dropped by the
+    w > 0 filter. n_replicates must equal the survivor count, the
+    rank picks must clamp in-bounds (non-NULL CI), and Spark must
+    still match the registered oracle hash-exactly on this corpus."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        _BOOT_R,
+        bootstrap_ci_doclen,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_oracles
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2], dtype="int64"),
+            "text": ["a", "bb"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": pd.array([1, 2], dtype="int64"),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(sf / "documents.parquet"))
+
+    got = bootstrap_ci_doclen(spark, str(sf)).toPandas()
+    n_rep = int(got.loc[0, "n_replicates"])
+    assert 0 < n_rep < _BOOT_R, (
+        "planted corpus was chosen so SOME (not all) replicates drop; "
+        f"got {n_rep}/{_BOOT_R} — the degenerate path is not exercised"
+    )
+    assert got.loc[0, "ci_low"] == got.loc[0, "ci_low"]  # not NaN
+    assert got.loc[0, "ci_high"] == got.loc[0, "ci_high"]
+    assert got.loc[0, "ci_low"] <= got.loc[0, "ci_high"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = con.execute(all_oracles()["bootstrap_ci_doclen"]).df()
+    assert_frames_match(got, oracle, "bootstrap_ci_doclen/degenerate")
+
+
+def test_bitext_lsh_posting_cap_fails_loudly_when_engaged(spark, tmp_path):
+    """300 identical vectors per side: every vector of a side lands in
+    the same (tbl, bucket) posting, occupancy 300 > the 256 cap, while
+    n_side=300 keeps the 4-plane (oracle-exact) regime — the op must
+    raise at the source instead of silently truncating candidates the
+    oracle would still count."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        bitext_margin_mining_lsh,
+    )
+
+    n = 300
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(2 * n), dtype="int64"),
+            "embedding": [[1.0, 0.5, -0.25, 2.0]] * (2 * n),
+            "label": pd.array([0] * n + [1] * n, dtype="int32"),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(emb), str(sf / "embeddings.parquet")
+    )
+    with pytest.raises(AssertionError, match="posting cap"):
+        bitext_margin_mining_lsh(spark, str(sf)).collect()
+
+
+def test_bitext_lsh_guards_inert_at_oracle_sf(spark, duck_small):
+    """At the oracle-checked SF the assertion path runs and passes —
+    and the result still matches the guard-free oracle."""
+    from cdk_serverless_data_lake_sandbox_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    got = all_queries()["bitext_margin_mining_lsh"](spark, SF_SMALL).toPandas()
+    oracle = duck_small.execute(
+        all_oracles()["bitext_margin_mining_lsh"]
+    ).df()
+    assert_frames_match(got, oracle, "bitext_margin_mining_lsh/sf0.001")
