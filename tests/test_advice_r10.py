@@ -169,3 +169,62 @@ def test_bitext_lsh_guards_inert_at_oracle_sf(spark, duck_small):
         all_oracles()["bitext_margin_mining_lsh"]
     ).df()
     assert_frames_match(got, oracle, "bitext_margin_mining_lsh/sf0.001")
+
+
+def test_bitext_lsh_recall_floor_with_guards_engaged(spark, tmp_path):
+    """r9 verdict item 2: recall vs the exact C136 miner in the tier
+    where BOTH guards fire — adaptive plane count above 4 AND the
+    posting cap truncating hot buckets. The planted corpus's tight hub
+    cluster floods its bucket (truncation), and the exact miner mines
+    ZERO pairs from it (the margin rejects mutual near-duplicates) —
+    the design claim that the cap truncates only margin-rejected
+    territory. Background pairs are the denominator; floor 0.75
+    (measured 0.85, see SOAK_r10_bitext_recall.json)."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _BITEXT_MAX_POSTING,
+        _N_PLANES,
+        _N_TABLES,
+        _bitext_planes,
+        _bucket_expr,
+        _emb,
+        _emb_dim,
+        bitext_margin_mining,
+        bitext_margin_mining_lsh,
+    )
+    from tests.bitext_fixtures import mined_pairs, plant_engaged_bitext_corpus
+
+    d = str(tmp_path / "btx")
+    n_side = plant_engaged_bitext_corpus(d)
+    planes = _bitext_planes(n_side)
+    assert planes > _N_PLANES  # plane gate engaged
+
+    e = _emb(spark, d)
+    dim = _emb_dim(e)
+    bk = None
+    for t in range(_N_TABLES):
+        x = e.select(
+            "vec_id", "label", F.lit(t).alias("tbl"),
+            _bucket_expr("embedding", t, dim, planes).alias("bucket"),
+        )
+        bk = x if bk is None else bk.unionAll(x)
+    truncated = (
+        bk.groupBy("tbl", "bucket", "label")
+        .count()
+        .where(F.col("count") > _BITEXT_MAX_POSTING)
+        .count()
+    )
+    assert truncated > 0  # posting cap engaged
+
+    exact = mined_pairs(bitext_margin_mining(spark, d))
+    n_bg = 32 * 80  # fixture default background population
+    assert len(exact) > 2000, "exact miner should mine the background"
+    assert not [p for p in exact if p[0] >= n_bg], (
+        "hub-cluster pairs must be margin-rejected by the EXACT miner; "
+        "if any appear, the cap now truncates mineable territory and "
+        "the floor below no longer isolates guard-induced loss"
+    )
+    lsh = mined_pairs(bitext_margin_mining_lsh(spark, d))
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.75, f"engaged-guard recall {recall:.3f} < 0.75"
