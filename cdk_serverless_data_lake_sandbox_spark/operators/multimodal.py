@@ -1694,6 +1694,43 @@ def image_dhash(media: DataFrame) -> DataFrame:
 _DHASH_HAMMING_MAX = 8
 
 
+def hash_band_pairs(sigs: DataFrame, col: str, hamming_max: int) -> DataFrame:
+    """The RELATIONAL tail of the 64-bit perceptual dedups, shared by
+    the image (C108) and audio (C109) ops and their planted-signature
+    oracle twins (r9 verdict item 3): band ``col`` into four 16-bit
+    chunks, expand candidate pairs INSIDE each posting (never a
+    pairwise self-join), score by exact hamming via bit_count(xor),
+    keep <= ``hamming_max``, DISTINCT across chunks. Returns
+    (a, b, hamming)."""
+    chunks = ", ".join(
+        f"named_struct('chunk', {c}, 'key', shiftright({col}, {c * 16}) & 65535)"
+        for c in range(4)
+    )
+    banded = sigs.select(
+        "doc_id", col, F.explode(F.expr(f"array({chunks})")).alias("b")
+    ).select(
+        "doc_id", col, F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key")
+    )
+    buckets = (
+        banded.groupBy("chunk", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", col))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_expr = f"""
+      flatten(transform(ms, (x, i) ->
+        transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+          named_struct('a', x.doc_id, 'b', y.doc_id,
+                       'hamming', bit_count(x.{col} ^ y.{col})))))
+    """
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
+        .where(F.col("hamming") <= hamming_max)
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
 @register("image_dhash_dedup")  # perceptual hash -> rows-only check
 def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format near-duplicate IMAGE detection: dHash each
@@ -1708,31 +1745,7 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = attach_image_variants(docs)
     sigs = image_dhash(media).where(F.col("dhash").isNotNull())
-    chunks = ", ".join(
-        f"named_struct('chunk', {c}, 'key', shiftright(dhash, {c * 16}) & 65535)"
-        for c in range(4)
-    )
-    banded = sigs.select(
-        "doc_id", "dhash", F.explode(F.expr(f"array({chunks})")).alias("b")
-    ).select("doc_id", "dhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
-    buckets = (
-        banded.groupBy("chunk", "key")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "dhash"))).alias("ms"))
-        .where(F.size("ms") > 1)
-    )
-    pair_expr = """
-      flatten(transform(ms, (x, i) ->
-        transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-          named_struct('a', x.doc_id, 'b', y.doc_id,
-                       'hamming', bit_count(x.dhash ^ y.dhash)))))
-    """
-    return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.a", "p.b", "p.hamming")
-        .where(F.col("hamming") <= _DHASH_HAMMING_MAX)
-        .distinct()
-        .orderBy("a", "b")
-    )
+    return hash_band_pairs(sigs, "dhash", _DHASH_HAMMING_MAX)
 
 
 # ---------------------------------------------------------------- C109
@@ -1850,31 +1863,7 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = attach_audio_variants(docs)
     sigs = audio_fingerprint(media).where(F.col("afp").isNotNull())
-    chunks = ", ".join(
-        f"named_struct('chunk', {c}, 'key', shiftright(afp, {c * 16}) & 65535)"
-        for c in range(4)
-    )
-    banded = sigs.select(
-        "doc_id", "afp", F.explode(F.expr(f"array({chunks})")).alias("b")
-    ).select("doc_id", "afp", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
-    buckets = (
-        banded.groupBy("chunk", "key")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "afp"))).alias("ms"))
-        .where(F.size("ms") > 1)
-    )
-    pair_expr = """
-      flatten(transform(ms, (x, i) ->
-        transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-          named_struct('a', x.doc_id, 'b', y.doc_id,
-                       'hamming', bit_count(x.afp ^ y.afp)))))
-    """
-    return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.a", "p.b", "p.hamming")
-        .where(F.col("hamming") <= _AFP_HAMMING_MAX)
-        .distinct()
-        .orderBy("a", "b")
-    )
+    return hash_band_pairs(sigs, "afp", _AFP_HAMMING_MAX)
 
 
 # ---------------------------------------------------------------- C110
@@ -2023,6 +2012,16 @@ def video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = video_frame_hashes(attach_video_variants(docs)).where(
         F.size("frame_hashes") > 0
     )
+    return frameset_jaccard_pairs(sigs, _VID_JACCARD_TAU)
+
+
+def frameset_jaccard_pairs(sigs: DataFrame, tau: float) -> DataFrame:
+    """The RELATIONAL tail of the video dedup (C110), shared with its
+    planted-signature oracle twin (r9 verdict item 3): inverted index
+    on frame hash (videos sharing ANY key are candidates — no pairwise
+    scan), exact set Jaccard from the shared-key count, threshold at
+    ``tau``. Takes (doc_id, frame_hashes) with DISTINCT keys per doc;
+    returns (a, b, n_shared_frames, jaccard)."""
     sized = sigs.select(
         "doc_id", "frame_hashes", F.size("frame_hashes").alias("n_frames")
     )
@@ -2055,7 +2054,7 @@ def video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("bigint").alias("n_shared_frames"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= _VID_JACCARD_TAU)
+        .where(F.col("jaccard") >= tau)
         .orderBy("a", "b")
     )
 
@@ -2119,6 +2118,158 @@ def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:] + [text_dups]:
         out = out.unionByName(p)
     return out.orderBy("modality")
+
+
+# ------------------------------------------------------ C141-C143
+# Planted-signature oracle twins for the perceptual-dedup tails (r9
+# verdict item 3): the decode/hash halves of C108-C110 are genuinely
+# non-SQL (the stdlib codecs), but everything AFTER the signature is a
+# deterministic relational plan. These ops drive the VERY SAME tail
+# functions (`hash_band_pairs`, `frameset_jaccard_pairs`) with
+# signatures both engines derive from the documents table — md5-hex ->
+# BIGINT, the bootstrap/md5-priority portability recipe — so the
+# banding, in-posting pair expansion, bit_count scoring, and
+# set-Jaccard legs become hash-exact driver-gated instead of
+# pytest-pinned. Planted structure: documents sharing (lang, source)
+# share a 60-bit base signature with two doc-individual low-bit flips
+# (pairwise hamming <= 4), so the banding/hamming path mines exactly
+# the same-group pairs; cross-group bucket collisions are scored and
+# rejected like any far candidate.
+_PLANT_FLIP_BITS = 12  # flips stay in the low 12 bits (< one chunk)
+
+
+def _planted_sig_spark(salt: str) -> str:
+    base = (
+        f"shiftleft(shiftright(CAST(conv(substring(md5(concat('{salt}|',"
+        f" lang, '|', source)), 1, 15), 16, 10) AS BIGINT),"
+        f" {_PLANT_FLIP_BITS}), {_PLANT_FLIP_BITS})"
+    )
+    flips = " ^ ".join(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(conv(substring(md5(concat("
+        f"'{salt}{k}|', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT)"
+        f" % {_PLANT_FLIP_BITS})"
+        for k in (1, 2)
+    )
+    return f"({base} ^ {flips})"
+
+
+def _planted_sig_sql(salt: str) -> str:
+    base = (
+        f"((CAST(('0x' || substr(md5('{salt}|' || lang || '|' || source),"
+        f" 1, 15)) AS BIGINT) >> {_PLANT_FLIP_BITS}) << {_PLANT_FLIP_BITS})"
+    )
+    sig = base
+    for k in (1, 2):
+        flip = (
+            f"(CAST(1 AS BIGINT) << (CAST(('0x' || substr(md5('{salt}{k}|'"
+            f" || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+            f" % {_PLANT_FLIP_BITS}))"
+        )
+        sig = f"xor({sig}, {flip})"
+    return sig
+
+
+def _band_scoring_oracle(salt: str, hamming_max: int) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, {_planted_sig_sql(salt)} AS h
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+banded AS (
+  SELECT doc_id, h, c AS chunk, ((h >> (c * 16)) & 65535) AS key
+  FROM s, UNNEST(range(4)) AS u(c)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {hamming_max}
+"""
+
+
+def _planted_band_sigs(spark: SparkSession, sf_dir: str, salt: str, col: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    ).select("doc_id", F.expr(_planted_sig_spark(salt)).alias(col))
+
+
+@register("dhash_band_scoring", oracle=_band_scoring_oracle("img", _DHASH_HAMMING_MAX))
+def dhash_band_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C108's banding + bit_count scoring leg on planted signatures:
+    runs the image dedup's exact tail (`hash_band_pairs`, hamming cap
+    8) over engine-portable md5-derived 64-bit signatures, making the
+    relational half of the perceptual image dedup hash-exact
+    driver-gated (the codec half stays pytest-pinned — C108)."""
+    sigs = _planted_band_sigs(spark, sf_dir, "img", "dhash")
+    return hash_band_pairs(sigs, "dhash", _DHASH_HAMMING_MAX)
+
+
+@register("afp_band_scoring", oracle=_band_scoring_oracle("afp", _AFP_HAMMING_MAX))
+def afp_band_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C109's banding + bit_count scoring leg on planted signatures —
+    the audio twin of :func:`dhash_band_scoring` (hamming cap 10, the
+    audio op's own constant, exercised verbatim)."""
+    sigs = _planted_band_sigs(spark, sf_dir, "afp", "afp")
+    return hash_band_pairs(sigs, "afp", _AFP_HAMMING_MAX)
+
+
+# Planted frame sets for the video tail: each doc emits 10 keys — the
+# first (doc_id % 11) drawn from its (lang, source) group's shared
+# sequence, the rest doc-unique — so same-group docs overlap by
+# min(k_a, k_b) keys and Jaccard = min / (20 - min) crosses the 0.5
+# threshold exactly when both docs carry >= 7 group keys. Thresholded
+# and sub-threshold candidates both occur, so the tau cut is exercised.
+_VFG_N = 10
+
+
+def _frameset_scoring_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN i <= doc_id % {_VFG_N + 1}
+      THEN CAST(('0x' || substr(md5('vfg|' || lang || '|' || source ||
+           '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      ELSE CAST(('0x' || substr(md5('vfd|' || CAST(doc_id AS VARCHAR) ||
+           '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+    END AS fh
+  FROM documents, UNNEST(range(1, {_VFG_N + 1})) AS u(i)
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+n AS (SELECT doc_id, COUNT(*) AS nf FROM s GROUP BY doc_id),
+sh AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ns
+  FROM s a JOIN s b ON a.fh = b.fh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT sh.a, sh.b, CAST(sh.ns AS BIGINT) AS n_shared_frames,
+  ROUND(CAST(sh.ns AS DOUBLE) / (na.nf + nb.nf - sh.ns), 6) AS jaccard
+FROM sh JOIN n na ON na.doc_id = sh.a JOIN n nb ON nb.doc_id = sh.b
+WHERE CAST(sh.ns AS DOUBLE) / (na.nf + nb.nf - sh.ns) >= {_VID_JACCARD_TAU}
+"""
+
+
+@register("framehash_jaccard_scoring", oracle=_frameset_scoring_oracle())
+def framehash_jaccard_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C110's inverted-index set-Jaccard leg on planted frame sets:
+    runs the video dedup's exact tail (`frameset_jaccard_pairs`, tau
+    0.5) over engine-portable per-doc key sets, making the relational
+    half of the perceptual video dedup hash-exact driver-gated (the
+    frame decode stays pytest-pinned — C110)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = F.expr(
+        f"""transform(sequence(1, {_VFG_N}), i ->
+          CASE WHEN i <= doc_id % {_VFG_N + 1}
+            THEN CAST(conv(substring(md5(concat('vfg|', lang, '|', source,
+                 '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)
+            ELSE CAST(conv(substring(md5(concat('vfd|',
+                 CAST(doc_id AS STRING), '|', CAST(i AS STRING))), 1, 15),
+                 16, 10) AS BIGINT) END)"""
+    )
+    sigs = docs.where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    ).select("doc_id", frames.alias("frame_hashes"))
+    return frameset_jaccard_pairs(sigs, _VID_JACCARD_TAU)
 
 
 # ---------------------------------------------------------------- C118
