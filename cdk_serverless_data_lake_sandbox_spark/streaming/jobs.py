@@ -2460,6 +2460,173 @@ def _kc_merge(centers, radius, d2):
     return kept
 
 
+# ---------------------------------------------------------------- E52
+def stream_semantic_dedup_gate(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    min_cosine: float = 0.9,
+    probes: int = 4,
+):
+    """Semantic (embedding-level) near-dup ingest gate — the E31
+    recipe at the embedding tier, completing the ingest-gate family
+    (text exact E12 / MinHash E31 / char-span E32 / image E38): each
+    micro-batch of (vec_id, embedding) rows (1) quantizes against the
+    persisted IVF coarse centroids (C86's layout; bootstrap elects
+    them from the first batch, the E35 recipe), (2) probes its
+    ``probes`` nearest stored cells — a PARTITION-PRUNED members read,
+    never the full index — and drops arrivals whose exact cosine
+    against any ADMITTED vector clears ``min_cosine``, (3) appends the
+    survivors (with norms) to the cell-partitioned members tree, so
+    later batches dedup against everything admitted so far. Each
+    vector is embedded once, ever; batch cost is batch-sized times
+    probes/cells of the index.
+
+    Composes with a C86 ``ivf_index_build`` artifact: point it at an
+    existing index and the gate probes + grows that index in place
+    (same centroids/members layout, same ``nrm`` column). NOT for
+    E35's batch_id-partitioned ingest tree — that maintainer has no
+    admit decision, this gate owns its members layout.
+
+    Within a batch, exact vec_id dropDuplicates runs first;
+    batch-internal near-dup pairs are admitted together (the E31
+    caveat — run a batch self-join or a compaction pass if that
+    matters). Batch-retry safety is the full E31 protocol: output
+    lands under ``batch_id=N`` with overwrite, a marker commits LAST,
+    a retry that finds completed output reuses the stored admit
+    decision instead of re-deciding against the already-grown index
+    (which would drop the whole batch as self-duplicates), and the
+    members append anti-joins vec_ids the index already holds so a
+    crash loop never accumulates duplicate member rows."""
+    import os
+
+    from pyspark.sql import Window
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _dot,
+        _norm,
+    )
+
+    cents_dir = os.path.join(index_dir, "centroids")
+    members_dir = os.path.join(index_dir, "members")
+    manifest_dir = os.path.join(index_dir, "manifest")
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        marker = os.path.join(manifest_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        batch_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            fresh = spark.read.parquet(batch_dir)
+        else:
+            batch = batch.dropDuplicates(["vec_id"])
+            if not os.path.exists(os.path.join(cents_dir, "_SUCCESS")):
+                (
+                    batch.orderBy("vec_id")
+                    .limit(_N_CENTROIDS)
+                    .select(
+                        F.col("vec_id").alias("cent_id"),
+                        F.col("embedding").alias("ce"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(cents_dir)
+                )
+            if os.path.exists(members_dir):
+                cents = spark.read.parquet(cents_dir)
+                cos_c = _dot("embedding", "ce") / (
+                    _norm("embedding") * _norm("ce")
+                )
+                probe = (
+                    batch.crossJoin(F.broadcast(cents))
+                    .select(
+                        "vec_id", "embedding",
+                        F.col("cent_id"), cos_c.alias("c_cos"),
+                    )
+                    .withColumn(
+                        "pr",
+                        F.row_number().over(
+                            Window.partitionBy("vec_id").orderBy(
+                                F.desc("c_cos"), "cent_id"
+                            )
+                        ),
+                    )
+                    .where(F.col("pr") <= probes)
+                    .select(
+                        "vec_id",
+                        F.col("embedding").alias("eq"),
+                        _norm("embedding").alias("nq"),
+                        F.col("cent_id").alias("cell"),
+                    )
+                )
+                # bounded probed-cell set -> PARTITION-pruning
+                # predicate on the members scan (ivf_index_query's
+                # move): the gate reads probes/cells of the index,
+                # not the corpus
+                cells = sorted(
+                    r["cell"] for r in probe.select("cell").distinct().collect()
+                )
+                members = (
+                    spark.read.parquet(members_dir)
+                    .where(F.col("cell").isin(cells))
+                    .withColumnRenamed("vec_id", "member_id")
+                )
+                cosine = _dot("eq", "embedding") / (F.col("nq") * F.col("nrm"))
+                dups = (
+                    F.broadcast(probe)
+                    .join(members, "cell")
+                    .where(cosine >= F.lit(min_cosine))
+                    .select("vec_id")
+                    .distinct()
+                )
+                fresh = batch.join(dups, "vec_id", "left_anti")
+            else:
+                fresh = batch
+            fresh.write.mode("overwrite").parquet(batch_dir)
+            fresh = spark.read.parquet(batch_dir)
+        cents = spark.read.parquet(cents_dir)
+        cos_c = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+        assign = (
+            fresh.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cent_id", cos_c.alias("c_cos"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("nid")),
+                ).alias("cell"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
+        if os.path.exists(members_dir):
+            already = (
+                spark.read.parquet(members_dir)
+                .join(
+                    F.broadcast(assign.select("vec_id")), "vec_id", "left_semi"
+                )
+                .select("vec_id")
+                .distinct()
+            )
+            assign = assign.join(already, "vec_id", "left_anti")
+        (
+            assign.select(
+                "vec_id", "embedding", _norm("embedding").alias("nrm"), "cell"
+            )
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(members_dir)
+        )
+        os.makedirs(manifest_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return stream.writeStream.foreachBatch(gate)
+
+
 # ---------------------------------------------------------------- E-maint
 def vacuum_batch_snapshots(path: str, keep_last: int = 3) -> list[int]:
     """Retention for FULL-SNAPSHOT state trees (E46 admitted-ids, E48

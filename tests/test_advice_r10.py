@@ -228,3 +228,168 @@ def test_bitext_lsh_recall_floor_with_guards_engaged(spark, tmp_path):
     lsh = mined_pairs(bitext_margin_mining_lsh(spark, d))
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.75, f"engaged-guard recall {recall:.3f} < 0.75"
+
+
+# ---------------------------------------------------------------- E52
+def test_stream_semantic_dedup_gate_drops_near_dups_and_replays(spark, tmp_path):
+    """E52 (r9 verdict item 5): the embedding-level ingest gate probes
+    a C86-built IVF index, drops a cosine-near copy of a CORPUS vector
+    on first sight, drops a near-copy of a batch-1 ADMIT in batch 2
+    (proving index growth), admits novel vectors — and a simulated
+    crash-before-marker replay reuses the stored admit decisions
+    byte-for-byte (no duplicates, no re-drops)."""
+    import os
+
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        ivf_index_build,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_semantic_dedup_gate,
+    )
+    from tests.conftest import await_stream_done
+
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(spark, SF_SMALL, idx)
+    emb = load_tables(spark, SF_SMALL, ("embeddings",))["embeddings"]
+    src = emb.orderBy("vec_id").limit(2).collect()
+    corpus_vec = [float(x) for x in src[0].embedding]
+
+    rng = np.random.default_rng(11)
+    novel1 = rng.standard_normal(64).astype(np.float32).tolist()
+    novel2 = rng.standard_normal(64).astype(np.float32).tolist()
+    # preconditions (deterministic given the fixed corpus + seed):
+    # novel vectors are far from every corpus vector; the near-copies
+    # are scale-perturbed (cosine-identical) twins of their sources
+    mx = emb.selectExpr(
+        "max(aggregate(zip_with(embedding, array({0}),"
+        " (x, y) -> CAST(x AS DOUBLE) * y), 0.0d, (a, v) -> a + v)"
+        " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)"
+        " * x), 0.0d, (a, v) -> a + v)) * {1})) AS m".format(
+            ", ".join(f"CAST({v} AS DOUBLE)" for v in novel1),
+            float(np.linalg.norm(novel1)),
+        )
+    ).first()[0]
+    assert mx < 0.9, f"seed 11 novel vector too close to corpus ({mx:.3f})"
+
+    batch1 = [
+        (900001, [v * 1.01 for v in corpus_vec]),  # corpus near-copy -> drop
+        (900002, novel1),  # admit
+    ]
+    batch2 = [
+        (900003, [v * 0.99 for v in novel1]),  # batch-1-admit copy -> drop
+        (900004, novel2),  # admit
+    ]
+    drop = str(tmp_path / "drop")
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(batch1, schema).repartition(1).write.parquet(drop)
+    spark.createDataFrame(batch2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(drop)
+
+    def run(ck: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            stream_semantic_dedup_gate(stream, idx, str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream_done(q)
+        q.stop()
+
+    run("ck1")
+    admitted = set(
+        spark.read.parquet(str(tmp_path / "out")).toPandas().vec_id
+    )
+    assert admitted == {900002, 900004}, admitted
+    members = spark.read.parquet(os.path.join(idx, "members")).toPandas()
+    assert members.vec_id.is_unique
+    assert {900002, 900004} <= set(members.vec_id)
+    assert not {900001, 900003} & set(members.vec_id)
+
+    # crash-before-marker replay: durable admit decisions reused
+    for m in os.listdir(os.path.join(idx, "manifest")):
+        os.remove(os.path.join(idx, "manifest", m))
+    run("ck2")
+    replayed = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert set(replayed.vec_id) == {900002, 900004}
+    assert replayed.vec_id.is_unique
+    members2 = spark.read.parquet(os.path.join(idx, "members")).toPandas()
+    assert members2.vec_id.is_unique
+    assert len(members2) == len(members)
+
+
+def test_stream_semantic_dedup_gate_bootstrap_batch_twin(spark, tmp_path):
+    """Bootstrap path (no prior index): the gate's admit set over two
+    micro-batches equals a pure-Python fold of the same algorithm —
+    exact cosine vs everything admitted so far, first batch electing
+    the centroids. Planted two-cluster geometry keeps the IVF probe
+    exact (a copy's nearest centroid is its source's cell)."""
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_semantic_dedup_gate,
+    )
+    from tests.conftest import await_stream_done
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+
+    def jitter(i, eps):
+        v = base[i] + eps * rng.standard_normal(16)
+        return (v / np.linalg.norm(v)).astype(np.float32).tolist()
+
+    batch1 = [(i, jitter(i, 0.0)) for i in range(4)]  # 4 distinct seeds
+    batch2 = [
+        (10, jitter(0, 0.05)),  # near base 0 -> drop
+        (11, jitter(4, 0.0)),   # novel -> admit
+        (12, jitter(1, 0.05)),  # near base 1 -> drop
+        (13, jitter(5, 0.0)),   # novel -> admit
+    ]
+
+    # pure-Python fold of the same admit rule (exact cosine >= 0.9
+    # against everything admitted so far; batch 1 all-admit after
+    # vec_id dedup)
+    admitted_ref = [v for _, v in batch1]
+    expect = {i for i, _ in batch1}
+    for vid, v in batch2:
+        cos = max(
+            float(np.dot(v, a) / (np.linalg.norm(v) * np.linalg.norm(a)))
+            for a in admitted_ref
+        )
+        if cos < 0.9:
+            admitted_ref.append(v)
+            expect.add(vid)
+
+    drop = str(tmp_path / "drop")
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(batch1, schema).repartition(1).write.parquet(drop)
+    spark.createDataFrame(batch2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(drop)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        stream_semantic_dedup_gate(
+            stream, str(tmp_path / "idx"), str(tmp_path / "out")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q)
+    q.stop()
+    got = set(spark.read.parquet(str(tmp_path / "out")).toPandas().vec_id)
+    assert expect == {0, 1, 2, 3, 11, 13}  # the fold found the planted truth
+    assert got == expect, (got, expect)
