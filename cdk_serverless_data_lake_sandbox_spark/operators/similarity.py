@@ -535,6 +535,32 @@ def _exact_rescore(e: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _exact_rescore_carried(e: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """:func:`_exact_rescore` for scorers that CARRY the selected
+    candidates' raw embeddings out of the scoring stage as ``ec``
+    (Arrow ``take`` — no value conversion): the candidate set is
+    bounded (partitions x margin x queries rows), so shipping its
+    float32 arrays through the shuffle costs less than the second
+    full corpus scan the id-only rescore pays to re-fetch them (the
+    r10 one-boot probe measured that re-scan as ann_topk_arrow's
+    post-r9 drift). The JVM folds read exactly the bytes the corpus
+    scan would deliver, so the output stays bit-identical to
+    :func:`ann_topk_bruteforce` and the shared exact oracle."""
+    qj = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        _norm("embedding").alias("nq"),
+    )
+    cosine = _dot("eq", "ec") / (F.col("nq") * _norm("ec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qj), "query_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @register("ann_topk_vectorized", oracle=_ANN_ORACLE)
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k again, but scored in an Arrow-batched pandas
@@ -1391,7 +1417,7 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ queries.T  # (batch, n_queries)
             nids = batch.column(0).to_numpy(zero_copy_only=False)
-            out_q, out_n = [], []
+            out_q, idx_all = [], []
             for qi, qid in enumerate(ids):
                 col = sims[:, qi]
                 cand_idx = np.nonzero(nids != qid)[0]
@@ -1401,19 +1427,27 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 order = np.lexsort((nids[cand_idx], -col[cand_idx]))
                 top = cand_idx[order][: _ANN_MARGIN_FACTOR * k]
                 out_q.extend([qid] * len(top))
-                out_n.extend(nids[top])
+                idx_all.extend(top)
+            take = pa.array(np.asarray(idx_all, dtype=np.int64))
+            # carry the RAW float32 embeddings of the selected
+            # candidates out of the scoring stage (Arrow take — no
+            # value conversion): the rescore then folds over exactly
+            # the bytes a second corpus scan would deliver, without
+            # paying that scan (r10 one-boot probe: the rescore's
+            # corpus re-read was the post-r9 drift on this query).
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_q, pa.int64()),
-                    pa.array(np.asarray(out_n, dtype=np.int64), pa.int64()),
+                    batch.column(0).take(take),
+                    emb.take(take),
                 ],
-                names=["query_id", "neighbor_id"],
+                names=["query_id", "neighbor_id", "ec"],
             )
 
     partial = e.select("vec_id", "embedding").mapInArrow(
-        score, "query_id long, neighbor_id long"
+        score, "query_id long, neighbor_id long, ec array<float>"
     )
-    return _exact_rescore(e, partial, k)
+    return _exact_rescore_carried(e, partial, k)
 
 
 # ---------------------------------------------------------------- C69
