@@ -1435,3 +1435,109 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("keep_rank") <= _DFC_CAP)
         .select("doc_id", "source", "keep_rank", "source_docs")
     )
+
+
+# ---------------------------------------------------------------- C144
+_TVD_ORACLE = """
+WITH w AS (
+  SELECT source, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+wc AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a
+  FROM w GROUP BY source, word
+),
+tw AS (SELECT word, CAST(SUM(a) AS BIGINT) AS t FROM wc GROUP BY word),
+ns AS (
+  SELECT source, CAST(SUM(a) AS BIGINT) AS n_tokens,
+    CAST(SUM(SUM(a)) OVER () AS BIGINT) AS n_total
+  FROM wc GROUP BY source
+),
+num AS (
+  SELECT wc.source,
+    SUM(CAST(ABS(wc.a * (s.n_total - s.n_tokens)
+        - (tw.t - wc.a) * s.n_tokens) AS DECIMAL(38,0))) AS present,
+    CAST(SUM(tw.t) AS BIGINT) AS seen_mass
+  FROM wc JOIN tw ON tw.word = wc.word JOIN ns s ON s.source = wc.source
+  GROUP BY wc.source
+)
+SELECT s.source, s.n_tokens,
+  ROUND(0.5 * (CAST(num.present AS DOUBLE)
+      + CAST(s.n_total - num.seen_mass AS DOUBLE) * s.n_tokens)
+    / (CAST(s.n_tokens AS DOUBLE) * (s.n_total - s.n_tokens)), 6)
+    AS tvd_vs_rest
+FROM ns s JOIN num ON num.source = s.source
+WHERE s.n_total > s.n_tokens
+ORDER BY tvd_vs_rest DESC, s.source
+"""
+
+
+@register("source_drift_tvd", oracle=_TVD_ORACLE)
+def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOTAL-VARIATION distance between a source's word
+    distribution and the rest of the corpus — the exact, unbinned
+    drift diagnostic next to C55's binned PSI: TVD = 0.5 * sum_i
+    |p_i - q_i| is the largest possible probability gap any event set
+    can show, so a source with tvd 0.3 can shift any downstream
+    statistic by up to 30%. Ranked descending, it is the "which crawl
+    segment is most unlike the rest" triage view.
+
+    Integer-exact by construction (no float sums over unordered
+    rows): |a_i*(N-ns) - (T_i-a_i)*ns| sums in DECIMAL(38,0), words
+    ABSENT from a source contribute in closed form ((N - seen_mass) *
+    ns — their |0 - q_i| masses need no rows), and the single double
+    division + round happens once per source. Shapes: one shuffle for
+    (source, word) counts; the word totals and source totals derive
+    from it map-side; output is sources-sized."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = docs.where(F.col("text").isNotNull()).select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    wc = w.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    tw = wc.groupBy("word").agg(F.sum("a").cast("bigint").alias("t"))
+    ns = (
+        wc.groupBy("source")
+        .agg(F.sum("a").cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "n_total", F.sum("n_tokens").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    num = (
+        wc.join(tw, "word")
+        .join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("a") * (F.col("n_total") - F.col("n_tokens"))
+                    - (F.col("t") - F.col("a")) * F.col("n_tokens")
+                ).cast("decimal(38,0)")
+            ).alias("present"),
+            F.sum("t").cast("bigint").alias("seen_mass"),
+        )
+    )
+    return (
+        ns.join(num, "source")
+        .where(F.col("n_total") > F.col("n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                0.5
+                * (
+                    F.col("present").cast("double")
+                    + (F.col("n_total") - F.col("seen_mass")).cast("double")
+                    * F.col("n_tokens")
+                )
+                / (
+                    F.col("n_tokens").cast("double")
+                    * (F.col("n_total") - F.col("n_tokens"))
+                ),
+                6,
+            ).alias("tvd_vs_rest"),
+        )
+        .orderBy(F.desc("tvd_vs_rest"), "source")
+    )

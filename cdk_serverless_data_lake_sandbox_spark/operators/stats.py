@@ -2831,3 +2831,117 @@ def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" round(element_at(ms, least({_BOOT_HI}, size(ms))), 6) END"
         ).alias("ci_high"),
     )
+
+
+# ---------------------------------------------------------------- B116
+_TS_ORACLE = """
+WITH r AS (
+  SELECT p.p_brand AS brand,
+    CAST(YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) AS BIGINT) AS x,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+      AS DECIMAL(18,4))) AS DOUBLE) AS y
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+sl AS (
+  SELECT a.brand, (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM r a JOIN r b ON a.brand = b.brand AND a.x < b.x
+),
+med AS (
+  SELECT brand, ss[CAST(CEIL(len(ss) / 2.0) AS INTEGER)] AS slope,
+    CAST(len(ss) AS BIGINT) AS n_pairs
+  FROM (SELECT brand, list(s ORDER BY s) AS ss FROM sl GROUP BY brand)
+),
+ic AS (
+  SELECT r.brand, m.slope, m.n_pairs,
+    CAST(COUNT(*) AS BIGINT) AS n_months,
+    list(r.y - m.slope * r.x ORDER BY r.y - m.slope * r.x) AS vs
+  FROM r JOIN med m ON m.brand = r.brand
+  GROUP BY r.brand, m.slope, m.n_pairs
+)
+SELECT brand, n_months, n_pairs,
+  ROUND(slope, 6) AS slope,
+  ROUND(vs[CAST(CEIL(n_months / 2.0) AS INTEGER)], 6) AS intercept
+FROM ic ORDER BY brand
+"""
+
+
+@register("theil_sen_trend", oracle=_TS_ORACLE)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust monthly revenue trend per brand by the Theil-Sen
+    estimator (Sen 1968): slope = median of all pairwise
+    month-to-month slopes, intercept = median residual — the
+    outlier-resistant alternative to B49's least-squares fit (one
+    promo-spike month moves OLS, not the pairwise median).
+
+    Scale shape: ONE shuffle builds the (brand, month) revenue table
+    (DECIMAL-summed, calendar-bounded: <= ~84 months per brand), each
+    brand's points collect into one row, and the O(m^2) pairwise
+    slopes (<= ~3.5k values) expand IN-ROW — never a self-join. The
+    medians are nearest-rank element picks of in-row sorted arrays,
+    so no cross-row float summation exists anywhere; slope/intercept
+    are single IEEE-identical values, hash-exact vs the oracle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "part"))
+    r = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("y")
+        )
+    )
+    pts = r.groupBy("brand").agg(
+        F.array_sort(F.collect_list(F.struct("x", "y"))).alias("pts")
+    )
+    slopes = pts.select(
+        "brand",
+        "pts",
+        F.expr(
+            "array_sort(flatten(transform(pts, (p, i) ->"
+            " transform(slice(pts, i + 2, size(pts) - i - 1), q ->"
+            " (q.y - p.y) / CAST(q.x - p.x AS DOUBLE)))))"
+        ).alias("ss"),
+    )
+    med = slopes.select(
+        "brand",
+        "pts",
+        F.size("pts").cast("bigint").alias("n_months"),
+        F.size("ss").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "element_at(ss, CAST(CEIL(size(ss) / 2.0) AS INT))"
+        ).alias("slope"),
+    )
+    return med.select(
+        "brand",
+        "n_months",
+        "n_pairs",
+        F.round("slope", 6).alias("slope"),
+        F.round(
+            F.expr(
+                "element_at(array_sort(transform(pts, p ->"
+                " p.y - slope * p.x)),"
+                " CAST(CEIL(size(pts) / 2.0) AS INT))"
+            ),
+            6,
+        ).alias("intercept"),
+    ).orderBy("brand")

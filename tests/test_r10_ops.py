@@ -1,0 +1,118 @@
+"""Round-10 new operators: semantic pins beyond the oracle hash.
+
+- theil_sen_trend (B116): the pairwise-median slope must shrug off a
+  single outlier month that moves the least-squares fit — the
+  robustness property that justifies the op's existence.
+- source_drift_tvd (C144): TVD in [0, 1]; a source sharing no words
+  with the rest scores exactly 1; two identically-distributed halves
+  score ~0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_theil_sen_ignores_single_outlier_month(spark, tmp_path):
+    """Planted y = 10x + 5 over 24 months with ONE 100x spike: the
+    Theil-Sen slope stays ~10 (the spike corrupts only 23 of 276
+    pairwise slopes, far from the median), where OLS would report a
+    slope inflated by the spike."""
+    import pandas as pd
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        theil_sen_trend,
+    )
+
+    # one brand, one part, one order+lineitem per month
+    months = list(range(1, 25))
+    import datetime
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(months, dtype="int64"),
+            # DATE column (date32), not pandas ns-timestamps — Spark 4
+            # refuses TIMESTAMP(NANOS) parquet
+            "o_orderdate": [
+                datetime.date(1995 + (m - 1) // 12, (m - 1) % 12 + 1, 15)
+                for m in months
+            ],
+        }
+    )
+    # revenue 10x + 5, except month 12 spikes 100x
+    def rev(m):
+        base = 10.0 * m + 5.0
+        return base * 100 if m == 12 else base
+
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": pd.array(months, dtype="int64"),
+            "l_partkey": pd.array([1] * len(months), dtype="int64"),
+            "l_extendedprice": [rev(m) for m in months],
+            "l_discount": [0.0] * len(months),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": pd.array([1], dtype="int64"),
+            "p_brand": ["Brand#1"],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for name, df in (
+        ("orders", orders),
+        ("lineitem", lineitem),
+        ("part", part),
+    ):
+        pq.write_table(pa.Table.from_pandas(df), str(sf / f"{name}.parquet"))
+
+    row = theil_sen_trend(spark, str(sf)).collect()[0]
+    assert row.n_months == 24
+    assert row.n_pairs == 24 * 23 // 2
+    assert abs(row.slope - 10.0) < 1.0, row.slope  # OLS would be ~ +45
+    # x is the ABSOLUTE month index (1995*12 + month = 23941 for the
+    # first point), so the planted line y = 10*(x - 23940) + 5 has
+    # intercept 10*(-23940) + 5 = -239395 in that coordinate system
+    assert abs(row.intercept - (-239395.0)) < 400.0, row.intercept
+
+
+def test_source_drift_tvd_bounds_and_extremes(spark, tmp_path):
+    """A source disjoint from the rest scores exactly 1.0; two sources
+    with identical word multisets score 0.0; everything is in [0, 1]."""
+    import pandas as pd
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        source_drift_tvd,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(6), dtype="int64"),
+            "text": [
+                "apple banana apple",   # twin_a
+                "apple banana apple",   # twin_b (identical distribution)
+                "apple banana apple",   # twin_a again
+                "apple banana apple",   # twin_b again
+                "zebra quark zebra",    # alien: disjoint vocabulary
+                "zebra quark zebra",    # alien again
+            ],
+            "lang": ["en"] * 6,
+            "source": ["twin_a", "twin_b", "twin_a", "twin_b", "alien", "alien"],
+            "n_chars": pd.array([17] * 6, dtype="int64"),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(sf / "documents.parquet"))
+
+    got = {r.source: r.tvd_vs_rest for r in source_drift_tvd(spark, str(sf)).collect()}
+    assert got["alien"] == 1.0
+    assert np.isclose(got["twin_a"], got["twin_b"])
+    for v in got.values():
+        assert 0.0 <= v <= 1.0
+    # twins vs rest are NOT identical distributions (the rest includes
+    # the alien), but twin-vs-twin symmetry must hold exactly
+    assert got["twin_a"] < got["alien"]
