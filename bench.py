@@ -87,6 +87,12 @@ HEADLINE = [
     "kcenter_assignment_profile",
     "bitext_margin_mining_lsh",
     "bootstrap_ci_doclen",
+    # r10 additions
+    "dhash_band_scoring",
+    "afp_band_scoring",
+    "framehash_jaccard_scoring",
+    "theil_sen_trend",
+    "source_drift_tvd",
 ]
 
 
