@@ -93,6 +93,7 @@ HEADLINE = [
     "framehash_jaccard_scoring",
     "theil_sen_trend",
     "source_drift_tvd",
+    "ks_drift_doclen",
 ]
 
 

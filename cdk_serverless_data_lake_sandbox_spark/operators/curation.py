@@ -1541,3 +1541,123 @@ def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("tvd_vs_rest"), "source")
     )
+
+
+# ---------------------------------------------------------------- C145
+_KS_ORACLE = """
+WITH d AS (
+  SELECT source, CAST(LENGTH(text) AS BIGINT) AS x
+  FROM documents WHERE text IS NOT NULL
+),
+wc AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+    CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_total
+  FROM wc GROUP BY source
+),
+grid AS (
+  SELECT s.source, xs.x, COALESCE(wc.c, 0) AS c
+  FROM (SELECT DISTINCT x FROM wc) xs
+  CROSS JOIN (SELECT DISTINCT source FROM wc) s
+  LEFT JOIN wc ON wc.source = s.source AND wc.x = xs.x
+),
+cum AS (
+  SELECT source, x,
+    SUM(c) OVER (PARTITION BY source ORDER BY x) AS cum_s
+  FROM grid
+),
+tot AS (
+  SELECT x, SUM(c) AS cx FROM grid GROUP BY x
+),
+cumall AS (
+  SELECT x, SUM(cx) OVER (ORDER BY x) AS cum_all FROM tot
+),
+gaps AS (
+  SELECT c.source, s.n_docs, s.n_total,
+    MAX(ABS(c.cum_s * (s.n_total - s.n_docs)
+        - (a.cum_all - c.cum_s) * s.n_docs)) AS dnum
+  FROM cum c
+  JOIN cumall a ON a.x = c.x
+  JOIN ns s ON s.source = c.source
+  GROUP BY c.source, s.n_docs, s.n_total
+)
+SELECT source, n_docs,
+  ROUND(CAST(dnum AS DOUBLE)
+    / (CAST(n_docs AS DOUBLE) * (n_total - n_docs)), 6) AS ks_stat
+FROM gaps WHERE n_total > n_docs
+ORDER BY ks_stat DESC, source
+"""
+
+
+@register("ks_drift_doclen", oracle=_KS_ORACLE)
+def ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov statistic on document
+    LENGTH vs the rest of the corpus — the numeric-feature drift
+    check beside C144's word-distribution TVD and C55's binned PSI:
+    KS = max_x |F_source(x) - F_rest(x)| is distribution-free and
+    catches shape changes (a source of uniformly truncated docs) that
+    mean/percentile monitors miss.
+
+    Integer-exact: the max runs over |cum_s*(N-ns) - cum_rest*ns|
+    (exact BIGINT arithmetic at any corpus size that fits one engine;
+    the single double division + round happens once per source).
+    Scale shape: one shuffle for (source, length) counts; the
+    evaluation grid is sources x DISTINCT lengths (value-domain-
+    bounded, not corpus-bounded), cumulated by a window PARTITIONED
+    BY source — no single-partition stage."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.where(F.col("text").isNotNull()).select(
+        "source", F.length("text").cast("bigint").alias("x")
+    )
+    wc = d.groupBy("source", "x").agg(F.count("*").cast("bigint").alias("c"))
+    ns = (
+        wc.groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("n_docs"))
+        .withColumn(
+            "n_total",
+            F.sum("n_docs").over(Window.partitionBy()).cast("bigint"),
+        )
+    )
+    xs = wc.select("x").distinct()
+    sources = wc.select("source").distinct()
+    grid = (
+        xs.crossJoin(sources)
+        .join(wc, ["source", "x"], "left")
+        .select("source", "x", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_s = Window.partitionBy("source").orderBy("x")
+    cum = grid.select(
+        "source", "x", F.sum("c").over(w_s).alias("cum_s")
+    )
+    tot = grid.groupBy("x").agg(F.sum("c").alias("cx"))
+    w_all = Window.partitionBy(F.lit(0)).orderBy("x")
+    cumall = tot.select("x", F.sum("cx").over(w_all).alias("cum_all"))
+    gaps = (
+        cum.join(F.broadcast(cumall), "x")
+        .join(F.broadcast(ns), "source")
+        .groupBy("source", "n_docs", "n_total")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("n_total") - F.col("n_docs"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_docs")
+                )
+            ).alias("dnum")
+        )
+    )
+    return (
+        gaps.where(F.col("n_total") > F.col("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("dnum").cast("double")
+                / (
+                    F.col("n_docs").cast("double")
+                    * (F.col("n_total") - F.col("n_docs"))
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy(F.desc("ks_stat"), "source")
+    )

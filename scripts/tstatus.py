@@ -41,6 +41,7 @@ COMPONENTS: dict[str, str] = {
     "E50": "stream_kcenter_maintain",
     "D32": "publish_tables",
     "E51": "vacuum_batch_snapshots",
+    "E52": "stream_semantic_dedup_gate",
     "D33": "scan_lineage",
     "C59": "observe_metrics",
     "C68": "plan_minhash_bands",

@@ -6,6 +6,8 @@
 - source_drift_tvd (C144): TVD in [0, 1]; a source sharing no words
   with the rest scores exactly 1; two identically-distributed halves
   score ~0.
+- ks_drift_doclen (C145): KS in [0, 1]; fully length-separated
+  sources score exactly 1.
 """
 
 from __future__ import annotations
@@ -116,3 +118,44 @@ def test_source_drift_tvd_bounds_and_extremes(spark, tmp_path):
     # twins vs rest are NOT identical distributions (the rest includes
     # the alien), but twin-vs-twin symmetry must hold exactly
     assert got["twin_a"] < got["alien"]
+
+
+def test_ks_drift_doclen_bounds_and_extremes(spark, tmp_path):
+    """KS in [0, 1]; a source whose lengths all sit strictly above the
+    rest scores 1.0; a source length-identical to the rest scores 0."""
+    import pandas as pd
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        ks_drift_doclen,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(8), dtype="int64"),
+            "text": [
+                "aa", "bbbb",          # mirror_a: lengths {2, 4}
+                "cc", "dddd",          # mirror_b: same lengths
+                "ee", "ffff",          # one more length per mirror
+                "x" * 50, "y" * 60,    # tall: strictly longer than all
+            ],
+            "lang": ["en"] * 8,
+            "source": [
+                "mirror_a", "mirror_a",
+                "mirror_b", "mirror_b",
+                "mirror_a", "mirror_b",
+                "tall", "tall",
+            ],
+            "n_chars": pd.array([2, 4, 2, 4, 2, 4, 50, 60], dtype="int64"),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(sf / "documents.parquet"))
+
+    got = {r.source: r.ks_stat for r in ks_drift_doclen(spark, str(sf)).collect()}
+    assert got["tall"] == 1.0  # CDFs fully separated
+    for v in got.values():
+        assert 0.0 <= v <= 1.0
+    # mirror_a = lengths {2,2,4}, mirror_b = {2,4,4}: close but not
+    # equal distributions — both far below the separated source
+    assert max(got["mirror_a"], got["mirror_b"]) < got["tall"]
