@@ -1455,8 +1455,10 @@ ns AS (
 ),
 num AS (
   SELECT wc.source,
-    SUM(CAST(ABS(wc.a * (s.n_total - s.n_tokens)
-        - (tw.t - wc.a) * s.n_tokens) AS DECIMAL(38,0))) AS present,
+    SUM(ABS(CAST(wc.a AS DECIMAL(19,0))
+          * CAST(s.n_total - s.n_tokens AS DECIMAL(19,0))
+        - CAST(tw.t - wc.a AS DECIMAL(19,0))
+          * CAST(s.n_tokens AS DECIMAL(19,0)))) AS present,
     CAST(SUM(tw.t) AS BIGINT) AS seen_mass
   FROM wc JOIN tw ON tw.word = wc.word JOIN ns s ON s.source = wc.source
   GROUP BY wc.source
@@ -1483,12 +1485,15 @@ def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment is most unlike the rest" triage view.
 
     Integer-exact by construction (no float sums over unordered
-    rows): |a_i*(N-ns) - (T_i-a_i)*ns| sums in DECIMAL(38,0), words
-    ABSENT from a source contribute in closed form ((N - seen_mass) *
-    ns — their |0 - q_i| masses need no rows), and the single double
-    division + round happens once per source. Shapes: one shuffle for
-    (source, word) counts; the word totals and source totals derive
-    from it map-side; output is sources-sized."""
+    rows): |a_i*(N-ns) - (T_i-a_i)*ns| is computed with decimal(19,0)
+    operands (exact decimal(38,0) products — int64 would overflow
+    near 1e19) and summed in decimal, words ABSENT from a source
+    contribute in closed form ((N - seen_mass) * ns — their |0 - q_i|
+    masses need no rows), and the single double division + round
+    happens once per source. Shapes: ONE corpus-sized shuffle builds
+    the (source, word) counts; every later aggregation/join (word
+    totals, source totals, the scoring join) is word-table-sized
+    (Heaps-law small) or sources-sized."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     w = docs.where(F.col("text").isNotNull()).select(
         "source",
@@ -1510,11 +1515,19 @@ def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), "source")
         .groupBy("source")
         .agg(
+            # cast BEFORE multiplying (r10 review): the cross-products
+            # are count * corpus-size and overflow int64 around 1e19 —
+            # far below the op's claimed scale. decimal(19,0) operands
+            # give exact decimal(38,0) products in both engines.
             F.sum(
                 F.abs(
-                    F.col("a") * (F.col("n_total") - F.col("n_tokens"))
-                    - (F.col("t") - F.col("a")) * F.col("n_tokens")
-                ).cast("decimal(38,0)")
+                    F.col("a").cast("decimal(19,0)")
+                    * (F.col("n_total") - F.col("n_tokens")).cast(
+                        "decimal(19,0)"
+                    )
+                    - (F.col("t") - F.col("a")).cast("decimal(19,0)")
+                    * F.col("n_tokens").cast("decimal(19,0)")
+                )
             ).alias("present"),
             F.sum("t").cast("bigint").alias("seen_mass"),
         )
@@ -1574,8 +1587,10 @@ cumall AS (
 ),
 gaps AS (
   SELECT c.source, s.n_docs, s.n_total,
-    MAX(ABS(c.cum_s * (s.n_total - s.n_docs)
-        - (a.cum_all - c.cum_s) * s.n_docs)) AS dnum
+    MAX(ABS(CAST(c.cum_s AS DECIMAL(19,0))
+          * CAST(s.n_total - s.n_docs AS DECIMAL(19,0))
+        - CAST(a.cum_all - c.cum_s AS DECIMAL(19,0))
+          * CAST(s.n_docs AS DECIMAL(19,0)))) AS dnum
   FROM cum c
   JOIN cumall a ON a.x = c.x
   JOIN ns s ON s.source = c.source
@@ -1599,8 +1614,9 @@ def ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/percentile monitors miss.
 
     Integer-exact: the max runs over |cum_s*(N-ns) - cum_rest*ns|
-    (exact BIGINT arithmetic at any corpus size that fits one engine;
-    the single double division + round happens once per source).
+    with decimal(19,0) operands (exact decimal(38,0) cross-products —
+    int64 would overflow near 1e19; the single double division +
+    round happens once per source).
     Scale shape: one shuffle for (source, length) counts; the
     evaluation grid is sources x DISTINCT lengths (value-domain-
     bounded, not corpus-bounded), cumulated by a window PARTITIONED
@@ -1637,10 +1653,19 @@ def ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), "source")
         .groupBy("source", "n_docs", "n_total")
         .agg(
+            # decimal operands before the multiply — the int64
+            # cross-product overflows around 1e19 (r10 review; the
+            # C144 fix, same shape)
             F.max(
                 F.abs(
-                    F.col("cum_s") * (F.col("n_total") - F.col("n_docs"))
-                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_docs")
+                    F.col("cum_s").cast("decimal(19,0)")
+                    * (F.col("n_total") - F.col("n_docs")).cast(
+                        "decimal(19,0)"
+                    )
+                    - (F.col("cum_all") - F.col("cum_s")).cast(
+                        "decimal(19,0)"
+                    )
+                    * F.col("n_docs").cast("decimal(19,0)")
                 )
             ).alias("dnum")
         )

@@ -2910,8 +2910,14 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
-    pts = r.groupBy("brand").agg(
-        F.array_sort(F.collect_list(F.struct("x", "y"))).alias("pts")
+    # >= 2 months or no slope exists: a one-month brand has an empty
+    # pairwise-slope list, and element_at(ss, 0) THROWS in Spark while
+    # the oracle's self-join silently drops the brand — mirror the
+    # oracle's drop explicitly (r10 review).
+    pts = (
+        r.groupBy("brand")
+        .agg(F.array_sort(F.collect_list(F.struct("x", "y"))).alias("pts"))
+        .where(F.size("pts") >= 2)
     )
     slopes = pts.select(
         "brand",

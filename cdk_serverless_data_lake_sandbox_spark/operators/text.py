@@ -2663,10 +2663,15 @@ def _ulm_assemble(docs: DataFrame, seg: DataFrame) -> DataFrame:
     # table: entry count AND estimated map-row bytes — the byte bound
     # is the one that actually binds (single-row/broadcast limits are
     # byte-sized; wtxt length, not cardinality, dominates)
+    # octet_length, not length (r10 review): UnsafeRow stores UTF-8
+    # BYTES, and char counts under-estimate CJK payloads up to 4x —
+    # the gate must measure what the 2 GB ceiling measures
     probe = wseg.agg(
         F.count("*").alias("n"),
         F.sum(
-            F.length("w") + F.length("wtxt") + F.lit(_ULM_ENTRY_OVERHEAD)
+            F.octet_length("w")
+            + F.octet_length("wtxt")
+            + F.lit(_ULM_ENTRY_OVERHEAD)
         ).alias("b"),
     ).first()
     if _ulm_map_gate(probe.n, probe.b):

@@ -2575,10 +2575,16 @@ def stream_semantic_dedup_gate(
                     .withColumnRenamed("vec_id", "member_id")
                 )
                 cosine = _dot("eq", "embedding") / (F.col("nq") * F.col("nrm"))
+                # NaN guard (r10 review): a zero-norm vector on either
+                # side makes cosine 0/0 = NaN, and Spark orders NaN
+                # ABOVE every number, so a bare >= would count it as a
+                # duplicate hit — one zero vector in a cell would then
+                # silently reject every later arrival probing it.
+                # Degenerate vectors are never near-dup evidence.
                 dups = (
                     F.broadcast(probe)
                     .join(members, "cell")
-                    .where(cosine >= F.lit(min_cosine))
+                    .where((~F.isnan(cosine)) & (cosine >= F.lit(min_cosine)))
                     .select("vec_id")
                     .distinct()
                 )
@@ -2602,8 +2608,18 @@ def stream_semantic_dedup_gate(
             )
         )
         if os.path.exists(members_dir):
+            # replay guard, CELL-PRUNED (r10 review): centroids are
+            # frozen after bootstrap, so a replayed vec_id re-assigns
+            # to the same cell its prior member row lives in — the
+            # duplicate check only needs the batch's own cells, not a
+            # full-index scan per micro-batch (the op's cost contract
+            # is batch-sized x probes/cells).
+            own_cells = sorted(
+                r["cell"] for r in assign.select("cell").distinct().collect()
+            )
             already = (
                 spark.read.parquet(members_dir)
+                .where(F.col("cell").isin(own_cells))
                 .join(
                     F.broadcast(assign.select("vec_id")), "vec_id", "left_semi"
                 )

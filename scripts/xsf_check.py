@@ -143,16 +143,26 @@ def rotate(n: int, rnd: int, out: str) -> int:
         results[name] = rec
         print(f"  {'FAIL' if bad else 'OK  '} {name}: "
               f"{rec['sf0.001']} | {rec['sf0.1']}", flush=True)
+    # MERGE into an existing artifact (late-round ops graded after the
+    # main rotation land in the same round file instead of clobbering
+    # it — r10 review finding)
+    prior: dict = {}
+    try:
+        with open(out) as fh:
+            prior = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    merged = {**prior.get("results", {}), **results}
     art = {
         "_meta": {
             "round": rnd,
-            "picked": len(picked),
+            "picked": len(merged),
             "failed": failed,
             "note": "stalest-first cross-SF oracle parity rotation; "
                     "sf0.001 + sf0.1 legs per op (sf0.1 exclusions "
                     "named inline)",
         },
-        "results": results,
+        "results": merged,
     }
     with open(out, "w") as fh:
         json.dump(art, fh, indent=1)
