@@ -94,6 +94,7 @@ HEADLINE = [
     "theil_sen_trend",
     "source_drift_tvd",
     "ks_drift_doclen",
+    "mann_whitney_latency",
 ]
 
 

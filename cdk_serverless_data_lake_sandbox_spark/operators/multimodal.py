@@ -2130,19 +2130,25 @@ def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT, the bootstrap/md5-priority portability recipe — so the
 # banding, in-posting pair expansion, bit_count scoring, and
 # set-Jaccard legs become hash-exact driver-gated instead of
-# pytest-pinned. Planted structure: documents sharing (lang, source)
-# share a 60-bit base signature with two doc-individual low-bit flips
-# (pairwise hamming <= 4), so the banding/hamming path mines exactly
-# the same-group pairs; cross-group bucket collisions are scored and
-# rejected like any far candidate.
+# pytest-pinned. Planted structure: documents sharing (lang, source,
+# doc_id block) share a 60-bit base signature with two doc-individual
+# low-bit flips (pairwise hamming <= 4), so the banding/hamming path
+# mines exactly the same-group pairs; cross-group bucket collisions
+# are scored and rejected like any far candidate. The doc_id // 64
+# block term BOUNDS planted group size — without it the groups (and
+# therefore the pair OUTPUT) grow with the corpus and the twins go
+# output-quadratic (r10 soak measured 12-21x on 10x data); bounded
+# groups are also how real perceptual dup clusters behave.
 _PLANT_FLIP_BITS = 12  # flips stay in the low 12 bits (< one chunk)
+_PLANT_BLOCK = 64      # planted dup-group bound (docs per group)
 
 
 def _planted_sig_spark(salt: str) -> str:
     base = (
         f"shiftleft(shiftright(CAST(conv(substring(md5(concat('{salt}|',"
-        f" lang, '|', source)), 1, 15), 16, 10) AS BIGINT),"
-        f" {_PLANT_FLIP_BITS}), {_PLANT_FLIP_BITS})"
+        f" lang, '|', source, '|',"
+        f" CAST(doc_id DIV {_PLANT_BLOCK} AS STRING))), 1, 15), 16, 10)"
+        f" AS BIGINT), {_PLANT_FLIP_BITS}), {_PLANT_FLIP_BITS})"
     )
     flips = " ^ ".join(
         f"shiftleft(CAST(1 AS BIGINT), CAST(conv(substring(md5(concat("
@@ -2155,7 +2161,8 @@ def _planted_sig_spark(salt: str) -> str:
 
 def _planted_sig_sql(salt: str) -> str:
     base = (
-        f"((CAST(('0x' || substr(md5('{salt}|' || lang || '|' || source),"
+        f"((CAST(('0x' || substr(md5('{salt}|' || lang || '|' || source"
+        f" || '|' || CAST(doc_id // {_PLANT_BLOCK} AS VARCHAR)),"
         f" 1, 15)) AS BIGINT) >> {_PLANT_FLIP_BITS}) << {_PLANT_FLIP_BITS})"
     )
     sig = base
@@ -2229,6 +2236,7 @@ WITH s AS (
   SELECT DISTINCT doc_id,
     CASE WHEN i <= doc_id % {_VFG_N + 1}
       THEN CAST(('0x' || substr(md5('vfg|' || lang || '|' || source ||
+           '|' || CAST(doc_id // {_PLANT_BLOCK} AS VARCHAR) ||
            '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
       ELSE CAST(('0x' || substr(md5('vfd|' || CAST(doc_id AS VARCHAR) ||
            '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -2261,6 +2269,7 @@ def framehash_jaccard_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""transform(sequence(1, {_VFG_N}), i ->
           CASE WHEN i <= doc_id % {_VFG_N + 1}
             THEN CAST(conv(substring(md5(concat('vfg|', lang, '|', source,
+                 '|', CAST(doc_id DIV {_PLANT_BLOCK} AS STRING),
                  '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)
             ELSE CAST(conv(substring(md5(concat('vfd|',
                  CAST(doc_id AS STRING), '|', CAST(i AS STRING))), 1, 15),

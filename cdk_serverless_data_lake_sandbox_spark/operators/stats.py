@@ -2951,3 +2951,142 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------- B117
+_MW_ORACLE = """
+WITH lat AS (
+  SELECT o.o_orderpriority AS grp,
+    CAST(DATE_DIFF('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS v
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY v),
+rk AS (
+  SELECT v, c,
+    2 * COALESCE(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+      AS r2
+  FROM vc
+),
+gv AS (
+  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS a FROM lat GROUP BY grp, v
+),
+gs AS (
+  SELECT gv.grp,
+    CAST(SUM(gv.a) AS BIGINT) AS n1,
+    SUM(CAST(gv.a AS DECIMAL(19,0)) * CAST(rk.r2 AS DECIMAL(19,0)))
+      AS r2sum
+  FROM gv JOIN rk ON rk.v = gv.v
+  GROUP BY gv.grp
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+    CAST(SUM(CAST(c AS DECIMAL(19,0)) * c * c - c) AS DOUBLE) AS tie3
+  FROM vc
+)
+SELECT grp AS priority, n1 AS n_lines,
+  ROUND((CAST(r2sum AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)
+         - CAST(n1 AS DOUBLE) * (t.n - n1)) / 2, 1) AS u_minus_mu,
+  ROUND(((CAST(r2sum AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)
+          - CAST(n1 AS DOUBLE) * (t.n - n1)) / 2)
+    / SQRT(CAST(n1 AS DOUBLE) * (t.n - n1) / 12.0
+           * ((t.n + 1) - t.tie3
+              / (CAST(t.n AS DOUBLE) * (t.n - 1)))), 6) AS z,
+  ROUND(1.0 - (CAST(r2sum AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+    / (CAST(n1 AS DOUBLE) * (t.n - n1)), 6) AS rank_biserial
+FROM gs CROSS JOIN tot t
+ORDER BY priority
+"""
+
+
+@register("mann_whitney_latency", oracle=_MW_ORACLE)
+def mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric priority-class comparison of ship latency
+    (l_shipdate - o_orderdate, days): for each order priority, the
+    Mann-Whitney U of its latencies vs all other priorities, reported
+    as the centered statistic (U - mu), the tie-corrected z, and the
+    rank-biserial effect size — "does URGENT actually ship faster"
+    answered without assuming a latency distribution, beside B85's
+    percentile view.
+
+    Determinism: average-tie ranks are carried DOUBLED (2*below +
+    ties + 1 — an integer), per-group rank sums accumulate in
+    decimal(19,0) products (exact), and the only float ops are the
+    final per-group divisions/sqrt on identical integer inputs. The
+    global rank table is one window over DISTINCT latency VALUES —
+    value-domain-bounded (~130 day values), never corpus-sized."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    lat = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("v"),
+    )
+    vc = lat.groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy(F.lit(0)).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rk = vc.select(
+        "v",
+        "c",
+        (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+            "r2"
+        ),
+    )
+    gv = lat.groupBy("grp", "v").agg(F.count("*").cast("bigint").alias("a"))
+    gs = (
+        gv.join(F.broadcast(rk), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("a").cast("bigint").alias("n1"),
+            F.sum(
+                F.col("a").cast("decimal(19,0)")
+                * F.col("r2").cast("decimal(19,0)")
+            ).alias("r2sum"),
+        )
+    )
+    tot = vc.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        )
+        .cast("double")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    u2_centered = (
+        F.col("r2sum").cast("double")
+        - n1d * (F.col("n1") + 1)
+        - n1d * (F.col("n") - F.col("n1"))
+    )
+    sigma = F.sqrt(
+        n1d
+        * (F.col("n") - F.col("n1"))
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie3")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    return (
+        gs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias("priority"),
+            F.col("n1").alias("n_lines"),
+            F.round(u2_centered / 2, 1).alias("u_minus_mu"),
+            F.round((u2_centered / 2) / sigma, 6).alias("z"),
+            F.round(
+                1.0
+                - (
+                    F.col("r2sum").cast("double")
+                    - n1d * (F.col("n1") + 1)
+                )
+                / (n1d * (F.col("n") - F.col("n1"))),
+                6,
+            ).alias("rank_biserial"),
+        )
+        .orderBy("priority")
+    )

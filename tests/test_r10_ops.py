@@ -159,3 +159,48 @@ def test_ks_drift_doclen_bounds_and_extremes(spark, tmp_path):
     # mirror_a = lengths {2,2,4}, mirror_b = {2,4,4}: close but not
     # equal distributions — both far below the separated source
     assert max(got["mirror_a"], got["mirror_b"]) < got["tall"]
+
+
+def test_mann_whitney_detects_separated_latencies(spark, tmp_path):
+    """Two priorities with fully separated ship latencies: the slow
+    group's rank-biserial is -1 (its latencies rank above every other
+    value -> U = 0), the fast group's is +1, and z signs agree."""
+    import datetime
+
+    import pandas as pd
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        mann_whitney_latency,
+    )
+
+    n = 40
+    base = datetime.date(1995, 3, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(2 * n), dtype="int64"),
+            "o_orderdate": [base] * (2 * n),
+            "o_orderpriority": ["1-FAST"] * n + ["5-SLOW"] * n,
+        }
+    )
+    # fast ships in 1-5 days, slow in 50-54 — disjoint ranges
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": pd.array(range(2 * n), dtype="int64"),
+            "l_shipdate": [
+                base + datetime.timedelta(days=1 + i % 5) for i in range(n)
+            ]
+            + [
+                base + datetime.timedelta(days=50 + i % 5) for i in range(n)
+            ],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(orders), str(sf / "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(lineitem), str(sf / "lineitem.parquet"))
+
+    got = {r.priority: r for r in mann_whitney_latency(spark, str(sf)).collect()}
+    assert got["1-FAST"].rank_biserial == 1.0   # all fast below all slow
+    assert got["5-SLOW"].rank_biserial == -1.0
+    assert got["1-FAST"].z < -5 < 5 < got["5-SLOW"].z
+    assert got["1-FAST"].u_minus_mu == -got["5-SLOW"].u_minus_mu
