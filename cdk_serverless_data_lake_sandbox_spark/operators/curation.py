@@ -1495,13 +1495,26 @@ def source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals, source totals, the scoring join) is word-table-sized
     (Heaps-law small) or sources-sized."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return source_tvd_report(source_word_counts(docs))
+
+
+def source_word_counts(docs: DataFrame) -> DataFrame:
+    """(source, word, a) counts — the SUM-MERGEABLE state the TVD
+    report folds over (shared by the C144 batch op and the E53
+    streaming monitor's per-batch deltas)."""
     w = docs.where(F.col("text").isNotNull()).select(
         "source",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
     )
-    wc = w.groupBy("source", "word").agg(
+    return w.groupBy("source", "word").agg(
         F.count("*").cast("bigint").alias("a")
     )
+
+
+def source_tvd_report(wc: DataFrame) -> DataFrame:
+    """The TVD dataflow over a (source, word, a) counts frame — the
+    C144 tail, also served by E53's fold-on-read (summed batch deltas
+    ARE this frame, so the streamed report is batch-twin exact)."""
     tw = wc.groupBy("word").agg(F.sum("a").cast("bigint").alias("t"))
     ns = (
         wc.groupBy("source")

@@ -2643,6 +2643,70 @@ def stream_semantic_dedup_gate(
     return stream.writeStream.foreachBatch(gate)
 
 
+# ---------------------------------------------------------------- E53
+def stream_source_tvd_monitor(stream: DataFrame, counts_dir: str):
+    """Continuous source-drift monitoring at ingest — C144's
+    total-variation report served from streamed state: each
+    micro-batch's (source, word) count deltas land under their own
+    ``batch_id=N`` partition (dynamic overwrite — a crash retry
+    re-overwrites exactly its own partition, the E34/E36 mergeable-
+    sketch recipe; no read-modify-write on shared state), and
+    :func:`read_source_tvd` folds all partitions by SUM into exactly
+    the counts frame the batch op builds — so the streamed TVD report
+    is bit-identical to running C144 over the union of every batch
+    (test-pinned). Within a batch, exact doc_id dropDuplicates runs
+    first; cross-batch re-delivery of the same doc_id double-counts
+    (counts are sum-merged — route at-least-once sources through an
+    E12/E31-style admit gate first if that matters)."""
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+            source_word_counts,
+        )
+
+        spark = batch.sparkSession
+        prior = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                source_word_counts(batch.dropDuplicates(["doc_id"]))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(counts_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prior
+            )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_source_tvd(spark: SparkSession, counts_dir: str) -> DataFrame:
+    """Fold the per-batch count deltas by SUM and serve C144's TVD
+    report over them (identical to the one-pass batch build)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        source_tvd_report,
+    )
+
+    wc = (
+        spark.read.parquet(counts_dir)
+        .groupBy("source", "word")
+        .agg(F.sum("a").cast("bigint").alias("a"))
+    )
+    return source_tvd_report(wc)
+
+
 # ---------------------------------------------------------------- E-maint
 def vacuum_batch_snapshots(path: str, keep_last: int = 3) -> list[int]:
     """Retention for FULL-SNAPSHOT state trees (E46 admitted-ids, E48

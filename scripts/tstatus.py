@@ -42,6 +42,7 @@ COMPONENTS: dict[str, str] = {
     "D32": "publish_tables",
     "E51": "vacuum_batch_snapshots",
     "E52": "stream_semantic_dedup_gate",
+    "E53": "stream_source_tvd_monitor",
     "D33": "scan_lineage",
     "C59": "observe_metrics",
     "C68": "plan_minhash_bands",

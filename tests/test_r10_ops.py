@@ -204,3 +204,49 @@ def test_mann_whitney_detects_separated_latencies(spark, tmp_path):
     assert got["5-SLOW"].rank_biserial == -1.0
     assert got["1-FAST"].z < -5 < 5 < got["5-SLOW"].z
     assert got["1-FAST"].u_minus_mu == -got["5-SLOW"].u_minus_mu
+
+
+# ---------------------------------------------------------------- E53
+def test_stream_tvd_monitor_batch_twin(spark, tmp_path):
+    """Three streamed document batches: the folded streaming TVD
+    report equals the batch C144 dataflow over the union, row for
+    row — and a replayed partition (dynamic overwrite) changes
+    nothing."""
+    import pandas as pd
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.curation import (
+        source_tvd_report,
+        source_word_counts,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        read_source_tvd,
+        stream_source_tvd_monitor,
+    )
+    from tests.compare import assert_frames_match
+    from tests.conftest import SF_SMALL, await_stream_done
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    drop = str(tmp_path / "drop")
+    for lo, hi in ((0, 150), (150, 300), (300, 500)):
+        (
+            docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .repartition(1)
+            .write.mode("append")
+            .parquet(drop)
+        )
+    schema = docs.select("doc_id", "text", "lang", "source", "n_chars").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    counts = str(tmp_path / "counts")
+    q = stream_source_tvd_monitor(stream, counts)
+    await_stream_done(q)
+    q.stop()
+
+    got = read_source_tvd(spark, counts).toPandas()
+    want = source_tvd_report(source_word_counts(docs)).toPandas()
+    assert_frames_match(got, want, "stream_tvd/batch_twin")
