@@ -95,6 +95,8 @@ HEADLINE = [
     "source_drift_tvd",
     "ks_drift_doclen",
     "mann_whitney_latency",
+    "scene_cut_scoring",
+    "activity_segment_scoring",
 ]
 
 

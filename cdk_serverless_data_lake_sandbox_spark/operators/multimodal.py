@@ -2351,6 +2351,14 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = video_frame_hash_seq(attach_video_variants(docs)).where(
         F.size("frame_seq") >= 2
     )
+    return scene_cut_report(seqs)
+
+
+def scene_cut_report(seqs: DataFrame) -> DataFrame:
+    """The RELATIONAL tail of the scene-cut detector, shared by C118
+    and its planted-sequence oracle twin (C146): consecutive-frame
+    hamming deltas, threshold cuts, per-video delta stats — all in-row
+    JVM bit math over a (doc_id, frame_seq array<bigint>) frame."""
     deltas = F.expr(
         "transform(sequence(2, size(frame_seq)), i -> "
         "bit_count(element_at(frame_seq, i) ^ element_at(frame_seq, i - 1)))"
@@ -2389,6 +2397,94 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- C146
+# Planted-sequence oracle twin for C118's scene-cut tail (the C141
+# discipline): 12-frame hash sequences with a doc-dependent shot
+# boundary — within-shot frames share a 60-bit base with one low-bit
+# flip (consecutive hamming <= 2 << the 16 threshold), the boundary
+# jumps to a fresh base (~30 differing bits) — so the expected cut
+# position is exactly the boundary and the deltas/cuts/stats tail is
+# hash-checked end to end.
+_VSC_N = 12
+_VSC_FLIP_SPACE = 8  # within-shot flips stay in the low 8 bits
+
+
+def _vsc_hash_spark() -> str:
+    shot = f"IF(i <= 2 + doc_id % 9, 1, 2)"
+    base = (
+        f"shiftleft(shiftright(CAST(conv(substring(md5(concat('vsc|',"
+        f" CAST(doc_id AS STRING), '|', CAST({shot} AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT), {_VSC_FLIP_SPACE}), {_VSC_FLIP_SPACE})"
+    )
+    flip = (
+        f"shiftleft(CAST(1 AS BIGINT), CAST(conv(substring(md5(concat("
+        f"'vscf|', CAST(doc_id AS STRING), '|', CAST(i AS STRING))),"
+        f" 1, 2), 16, 10) AS INT) % {_VSC_FLIP_SPACE})"
+    )
+    return f"({base} ^ {flip})"
+
+
+def _vsc_oracle() -> str:
+    shot = "CASE WHEN i <= 2 + doc_id % 9 THEN 1 ELSE 2 END"
+    base = (
+        f"((CAST(('0x' || substr(md5('vsc|' || CAST(doc_id AS VARCHAR)"
+        f" || '|' || CAST({shot} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" >> {_VSC_FLIP_SPACE}) << {_VSC_FLIP_SPACE})"
+    )
+    flip = (
+        f"(CAST(1 AS BIGINT) << (CAST(('0x' || substr(md5('vscf|'"
+        f" || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)),"
+        f" 1, 2)) AS BIGINT) % {_VSC_FLIP_SPACE}))"
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, i, xor({base}, {flip}) AS h
+  FROM documents, UNNEST(range(1, {_VSC_N + 1})) AS u(i)
+),
+seq AS (SELECT doc_id, list(h ORDER BY i) AS fs FROM f GROUP BY doc_id),
+d AS (
+  SELECT doc_id, CAST(len(fs) AS INTEGER) AS n_frames,
+    list_transform(generate_series(2, len(fs)),
+      i -> bit_count(xor(fs[i], fs[i - 1]))) AS ds
+  FROM seq
+),
+c AS (
+  SELECT doc_id, n_frames, ds,
+    list_filter(list_transform(ds,
+      (x, j) -> CASE WHEN x > {_SCENE_CUT_HAMMING} THEN j ELSE -1 END),
+      v -> v >= 0) AS cuts
+  FROM d
+)
+SELECT doc_id, n_frames,
+  CAST(len(cuts) AS INTEGER) AS n_cuts,
+  -- COALESCE: DuckDB's array_to_string over an EMPTY list yields
+  -- NULL where Spark's array_join yields '' (a cut-free doc exists
+  -- at sf0.1 — max_delta exactly at, not over, the threshold)
+  COALESCE(array_to_string(
+    list_transform(cuts, x -> CAST(x AS VARCHAR)), ','), '')
+    AS cut_positions,
+  ROUND(CAST(list_sum(ds) AS DOUBLE) / len(ds), 4) AS mean_delta,
+  CAST(list_max(ds) AS INTEGER) AS max_delta
+FROM c ORDER BY doc_id
+"""
+
+
+@register("scene_cut_scoring", oracle=_vsc_oracle())
+def scene_cut_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118's hamming-delta scene-cut leg on planted frame-hash
+    sequences: the real detector's exact tail (`scene_cut_report`,
+    shared code) over engine-portable md5-derived sequences with a
+    known shot boundary per document — making the relational half of
+    the scene detector hash-exact driver-gated (the per-frame codec
+    decode stays pytest-pinned in C118)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = F.expr(
+        f"transform(sequence(1, {_VSC_N}), i -> {_vsc_hash_spark()})"
+    )
+    seqs = docs.select("doc_id", frames.alias("frame_seq"))
+    return scene_cut_report(seqs)
 
 
 # ---------------------------------------------------------------- C119
@@ -2471,6 +2567,90 @@ def activity_segments_frame(frames: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- C147
+# Planted-energy oracle twin for C119's segmentation tail (the C141
+# discipline): 25-frame RMS sequences of md5-derived integers cast to
+# double — the relative threshold (peak * 0.1) and every comparison
+# are exact on integer-valued doubles, so the in-row run-merge fold
+# replays in DuckDB as a windows-based gaps-and-islands plan and the
+# report is hash-exact. The real decode stays pytest-pinned in C119.
+_VAD_PLANT_N = 25
+
+
+def _vad_plant_val(engine: str) -> str:
+    if engine == "spark":
+        return (
+            "CAST(CAST(conv(substring(md5(concat('vad|',"
+            " CAST(doc_id AS STRING), '|', CAST(i AS STRING))), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000 AS DOUBLE)"
+        )
+    return (
+        "CAST(CAST(('0x' || substr(md5('vad|' || CAST(doc_id AS VARCHAR)"
+        " || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 1000 AS DOUBLE)"
+    )
+
+
+def _vad_plant_oracle() -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, i, {_vad_plant_val('duck')} AS v
+  FROM documents, UNNEST(range(1, {_VAD_PLANT_N + 1})) AS u(i)
+),
+mx AS (SELECT doc_id, MAX(v) AS mx FROM r GROUP BY doc_id),
+a AS (
+  SELECT r.doc_id, r.i,
+    CASE WHEN r.v > mx.mx * {_VAD_REL_THRESHOLD} THEN 1 ELSE 0 END AS act
+  FROM r JOIN mx ON mx.doc_id = r.doc_id
+),
+isl AS (
+  SELECT doc_id, i,
+    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM a WHERE act = 1
+),
+runs AS (
+  SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY doc_id, grp
+),
+agg AS (
+  SELECT a.doc_id,
+    CAST(SUM(a.act) AS BIGINT) AS n_active
+  FROM a GROUP BY a.doc_id
+)
+SELECT g.doc_id,
+  CAST(16000 AS INTEGER) AS sample_rate,
+  CAST({_VAD_PLANT_N} AS INTEGER) AS n_frames,
+  CAST(COALESCE(rs.n_seg, 0) AS INTEGER) AS n_segments,
+  ROUND(CAST(g.n_active AS DOUBLE) / {_VAD_PLANT_N}, 4) AS active_ratio,
+  CAST(COALESCE(rs.best, 0) AS INTEGER) AS longest_run_frames
+FROM agg g
+LEFT JOIN (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_seg,
+    CAST(MAX(len) AS INTEGER) AS best
+  FROM runs GROUP BY doc_id
+) rs ON rs.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register("activity_segment_scoring", oracle=_vad_plant_oracle())
+def activity_segment_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C119's threshold + run-merge segmentation leg on planted energy
+    sequences: the real VAD's exact tail (`activity_segments_frame`,
+    shared code) over engine-portable integer-valued RMS frames,
+    making the relational half of the audio segmenter hash-exact
+    driver-gated (the WAV decode stays pytest-pinned in C119)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = docs.select(
+        "doc_id",
+        F.lit(16000).alias("sample_rate"),
+        F.expr(
+            f"transform(sequence(1, {_VAD_PLANT_N}),"
+            f" i -> {_vad_plant_val('spark')})"
+        ).alias("rms"),
+    )
+    return activity_segments_frame(frames)
 
 
 @register("audio_activity_segments")  # real decode -> rows-only check
