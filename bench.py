@@ -97,6 +97,8 @@ HEADLINE = [
     "mann_whitney_latency",
     "scene_cut_scoring",
     "activity_segment_scoring",
+    "supplier_hierarchy_rollup",
+    "variant_props_profile",
 ]
 
 

@@ -1573,3 +1573,50 @@ def markov_anomaly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mean_lp", "user_id")
         .limit(_MK_BOTTOM)
     )
+
+
+# ---------------------------------------------------------------- B119
+_VARIANT_ORACLE = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))
+    AS BIGINT) AS n_with_k,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+    AS INTEGER) AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+    AS INTEGER) AS max_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+    AS BIGINT) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("variant_props_profile", oracle=_VARIANT_ORACLE)
+def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profiling through Spark 4's VARIANT type: the
+    props JSON parses ONCE per row into a binary variant
+    (``parse_json``) and every field extraction afterwards is a typed
+    ``try_variant_get`` over that parsed form — the engine-native
+    successor to per-path ``get_json_object`` string re-parsing
+    (B17's shape), and the right plan when one payload feeds many
+    extractions. Missing paths yield NULL (try_ semantics), so the
+    n_with_k / min / max / sum profile is exactly what the JSON-text
+    oracle computes; integer aggregates keep the report hash-exact."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.expr(
+            "try_variant_get(parse_json(props), '$.k', 'int')"
+        ).alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

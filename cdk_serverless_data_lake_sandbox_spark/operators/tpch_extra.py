@@ -674,3 +674,59 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("delta"), 2).alias("total_abs_delta"),
         F.round(F.max("delta"), 2).alias("max_abs_delta"),
     )
+
+
+# ---------------------------------------------------------------- B118
+_HIER_ORACLE = """
+WITH RECURSIVE chain(suppkey, root, depth, bal) AS (
+  SELECT s_suppkey, s_suppkey, 0, CAST(s_acctbal AS DECIMAL(18,2))
+  FROM supplier WHERE s_suppkey < 10
+  UNION ALL
+  SELECT s.s_suppkey, c.root, c.depth + 1,
+    CAST(s.s_acctbal AS DECIMAL(18,2))
+  FROM supplier s JOIN chain c ON s.s_suppkey // 10 = c.suppkey
+  WHERE s.s_suppkey >= 10
+)
+SELECT root AS root_suppkey,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(MAX(depth) AS INTEGER) AS max_depth,
+  CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS subtree_acctbal
+FROM chain GROUP BY root ORDER BY root
+"""
+
+
+@register("supplier_hierarchy_rollup", oracle=_HIER_ORACLE)
+def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reporting-chain rollup via a RECURSIVE CTE — the
+    Spark 4 engine feature (WITH RECURSIVE landed in 4.0) exercised
+    as a first-class operator: suppliers form a synthetic hierarchy
+    (parent = suppkey div 10, roots below 10 — the decimal-trie shape
+    a real org/BOM table would carry as an explicit parent column),
+    and the recursion computes every supplier's root, depth, and the
+    per-root subtree size/DECIMAL balance rollup. The iterative
+    union-expansion is executed BY CATALYST (each recursion step is
+    one distributed join), not a driver loop — the declarative form
+    of the graph module's hand-rolled iterations, correct wherever
+    the hierarchy is a forest (guaranteed here: parent < child).
+
+    DuckDB replays the identical WITH RECURSIVE (both engines follow
+    the SQL-standard UNION ALL semantics), so the report is
+    hash-exact."""
+    t = load_tables(spark, sf_dir, ("supplier",))["supplier"]
+    t.createOrReplaceTempView("_supplier_hier_src")
+    return spark.sql("""
+WITH RECURSIVE chain(suppkey, root, depth, bal) AS (
+  SELECT s_suppkey, s_suppkey, 0, CAST(s_acctbal AS DECIMAL(18,2))
+  FROM _supplier_hier_src WHERE s_suppkey < 10
+  UNION ALL
+  SELECT s.s_suppkey, c.root, c.depth + 1,
+    CAST(s.s_acctbal AS DECIMAL(18,2))
+  FROM _supplier_hier_src s JOIN chain c ON s.s_suppkey DIV 10 = c.suppkey
+  WHERE s.s_suppkey >= 10
+)
+SELECT root AS root_suppkey,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(MAX(depth) AS INT) AS max_depth,
+  CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS subtree_acctbal
+FROM chain GROUP BY root ORDER BY root
+""")

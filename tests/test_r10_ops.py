@@ -250,3 +250,34 @@ def test_stream_tvd_monitor_batch_twin(spark, tmp_path):
     got = read_source_tvd(spark, counts).toPandas()
     want = source_tvd_report(source_word_counts(docs)).toPandas()
     assert_frames_match(got, want, "stream_tvd/batch_twin")
+
+
+def test_recursive_hierarchy_reaches_planted_depth(spark, tmp_path):
+    """Suppliers 0..999 under the div-10 parent rule form a 3-level
+    trie (987 -> 98 -> 9, two hops): the recursive CTE must walk ALL
+    levels — depth 2 present (one deeper than the driver corpus's 100
+    suppliers exercise), subtree sizes exact (root 9 owns 9, the 90s,
+    and the 900s: 1 + 10 + 100 = 111)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdk_serverless_data_lake_sandbox_spark.operators.tpch_extra import (
+        supplier_hierarchy_rollup,
+    )
+
+    sup = pd.DataFrame(
+        {
+            "s_suppkey": pd.array(range(1000), dtype="int64"),
+            "s_acctbal": [1.0] * 1000,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(sup), str(sf / "supplier.parquet"))
+    rows = {r.root_suppkey: r for r in supplier_hierarchy_rollup(spark, str(sf)).collect()}
+    assert rows[9].max_depth == 2
+    assert rows[9].n_suppliers == 111
+    assert rows[9].subtree_acctbal == 111.0
+    assert rows[0].n_suppliers == 1 and rows[0].max_depth == 0
+    assert sum(r.n_suppliers for r in rows.values()) == 1000
