@@ -2707,6 +2707,50 @@ def read_source_tvd(spark: SparkSession, counts_dir: str) -> DataFrame:
     return source_tvd_report(wc)
 
 
+# ---------------------------------------------------------------- E54
+def inspect_stream_state(
+    spark: SparkSession, checkpoint_dir: str, **options
+) -> DataFrame:
+    """Read a Structured Streaming checkpoint's STATE STORE as a
+    DataFrame (Spark's ``statestore`` data source): the typed
+    key/value rows Spark keeps per stateful operator — windows
+    mid-aggregation, dedup horizons, join buffers — become queryable
+    like any table, WITHOUT touching the running job. The ops
+    debugging primitive behind "why is this watermark not evicting" /
+    "which keys hold the state": pass ``batchId``/``operatorId``/
+    ``storeName`` through ``options`` to pin a snapshot (defaults:
+    latest committed batch, operator 0)."""
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(checkpoint_dir)
+
+
+def stream_state_profile(
+    spark: SparkSession, checkpoint_dir: str, **options
+) -> DataFrame:
+    """Per-partition state-row counts plus each partition's share —
+    the SKEW triage view over :func:`inspect_stream_state` (a hot key
+    group concentrating state on one partition is the streaming twin
+    of a skewed shuffle key; this is where it becomes visible)."""
+    from pyspark.sql import Window
+
+    st = inspect_stream_state(spark, checkpoint_dir, **options)
+    per = st.groupBy("partition_id").agg(
+        F.count("*").cast("bigint").alias("n_keys")
+    )
+    # the window runs over the PARTITION-count-bounded aggregate
+    # (shuffle-partition cardinality, never key cardinality)
+    return per.select(
+        "partition_id",
+        "n_keys",
+        F.round(
+            F.col("n_keys") / F.sum("n_keys").over(Window.partitionBy()),
+            4,
+        ).alias("share"),
+    ).orderBy("partition_id")
+
+
 # ---------------------------------------------------------------- E-maint
 def vacuum_batch_snapshots(path: str, keep_last: int = 3) -> list[int]:
     """Retention for FULL-SNAPSHOT state trees (E46 admitted-ids, E48

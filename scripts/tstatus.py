@@ -43,6 +43,7 @@ COMPONENTS: dict[str, str] = {
     "E51": "vacuum_batch_snapshots",
     "E52": "stream_semantic_dedup_gate",
     "E53": "stream_source_tvd_monitor",
+    "E54": "inspect_stream_state",
     "D33": "scan_lineage",
     "C59": "observe_metrics",
     "C68": "plan_minhash_bands",

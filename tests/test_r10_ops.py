@@ -281,3 +281,66 @@ def test_recursive_hierarchy_reaches_planted_depth(spark, tmp_path):
     assert rows[9].subtree_acctbal == 111.0
     assert rows[0].n_suppliers == 1 and rows[0].max_depth == 0
     assert sum(r.n_suppliers for r in rows.values()) == 1000
+
+
+# ---------------------------------------------------------------- E54
+def test_stream_state_inspection_matches_live_aggregation(spark, tmp_path):
+    """The statestore reader surfaces exactly the windowed-aggregation
+    state a stateful query holds: one row per (window, event_type)
+    with the running count/sum, and the skew profile's counts sum to
+    the key count."""
+    import datetime
+
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        inspect_stream_state,
+        stream_state_profile,
+        windowed_counts,
+    )
+    from tests.conftest import await_stream_done
+
+    drop = str(tmp_path / "drop")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 2, i % 5), f"t{i % 3}", float(i))
+        for i in range(30)
+    ]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows, schema).write.parquet(drop)
+    stream = spark.readStream.schema(schema).parquet(drop)
+    ck = str(tmp_path / "ck")
+    q = (
+        windowed_counts(stream)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream_done(q)
+    q.stop()
+
+    st = inspect_stream_state(spark, ck)
+    got = {
+        (r.key.window.start, r.key.event_type): (r.value["count"], r.value["sum"])
+        for r in st.collect()
+    }
+    # batch ground truth: same grouping over the same rows — but the
+    # state holds only windows NOT yet finalized by the watermark
+    # (append mode emits + EVICTS closed windows; max ts is 04:00 on
+    # day 2, so day 1's window is gone and day 2's is open). The
+    # eviction itself is part of what the reader lets you verify.
+    import collections
+
+    want: dict = collections.defaultdict(lambda: [0, 0.0])
+    for i, (eid, ts, et, v) in enumerate(rows):
+        key = (datetime.datetime(ts.year, ts.month, ts.day), et)
+        want[key][0] += 1
+        want[key][1] += v
+    open_day = datetime.datetime(2024, 1, 2)
+    expect = {
+        k: (c, s) for k, (c, s) in want.items() if k[0] == open_day
+    }
+    assert got == expect, got
+
+    prof = stream_state_profile(spark, ck).collect()
+    assert sum(r.n_keys for r in prof) == len(got)
+    assert abs(sum(r.share for r in prof) - 1.0) < 0.01
