@@ -73,3 +73,133 @@ def federated_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(kv), F.col("c_nationkey").cast("string") == F.col("id"))
         .select("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
     )
+
+
+# ---------------------------------------------------------------- A16
+# The SCAN half of the federated connector, as a CUSTOM PYTHON DATA
+# SOURCE (Spark 4's DataSource API — the official extension point a
+# real remote-store connector would use): DynamoDB's parallel Scan
+# reads a table as TotalSegments independent segment cursors; here a
+# KVStore exports to hash-segmented JSONL and the ``kvscan`` source
+# plans ONE input partition per segment, so executors scan segments
+# in parallel exactly like the connector's worker fan-out. Point
+# lookups prune to the single segment the key hashes to (pushFilters
+# — the filters are returned unconsumed, so Spark still applies them
+# exactly; pruning is purely an I/O optimization, the
+# partial-pushdown contract).
+_KVSCAN_MANIFEST = "_kvscan.json"
+
+
+def _kv_segment(key: str, n_segments: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_segments
+
+
+def export_kv_segments(store: KVStore, path: str, n_segments: int = 8) -> dict:
+    """Write the store as hash-segmented JSONL + a manifest — the
+    durable 'remote table' the ``kvscan`` source plans against."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    items = store.scan()
+    cols = sorted({c for it in items for c in it})
+    segs: list[list[dict]] = [[] for _ in range(n_segments)]
+    for it in items:
+        segs[_kv_segment(it["id"], n_segments)].append(it)
+    for i, seg in enumerate(segs):
+        with open(os.path.join(path, f"segment_{i}.jsonl"), "w") as fh:
+            for it in seg:
+                fh.write(json.dumps(it) + "\n")
+    manifest = {"n_segments": n_segments, "columns": cols}
+    with open(os.path.join(path, _KVSCAN_MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def make_kvscan_source():
+    """Build the ``kvscan`` DataSource class (deferred import so the
+    module stays importable on Spark versions without the Python
+    DataSource API)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        In,
+        InputPartition,
+    )
+
+    class KVScanReader(DataSourceReader):
+        def __init__(self, options):
+            import json
+            import os
+
+            self.path = options["path"]
+            with open(os.path.join(self.path, _KVSCAN_MANIFEST)) as fh:
+                self.manifest = json.load(fh)
+            self.target_keys: list[str] | None = None
+
+        def pushFilters(self, filters):
+            # segment pruning from id equality/membership; every
+            # filter is RETURNED (unconsumed), so Spark re-applies
+            # them exactly — pruning can only skip whole segments
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("id",):
+                    self.target_keys = [str(f.value)]
+                elif isinstance(f, In) and f.attribute == ("id",):
+                    self.target_keys = [str(v) for v in f.value]
+            return filters
+
+        def partitions(self):
+            n = self.manifest["n_segments"]
+            if self.target_keys is not None:
+                segs = sorted({_kv_segment(k, n) for k in self.target_keys})
+            else:
+                segs = list(range(n))
+            return [InputPartition(i) for i in segs]
+
+        def read(self, partition):
+            import json
+            import os
+
+            cols = self.manifest["columns"]
+            seg_path = os.path.join(
+                self.path, f"segment_{partition.value}.jsonl"
+            )
+            with open(seg_path) as fh:
+                for line in fh:
+                    it = json.loads(line)
+                    yield tuple(it.get(c) for c in cols)
+
+    class KVScanSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "kvscan"
+
+        def schema(self):
+            import json
+            import os
+
+            with open(
+                os.path.join(self.options["path"], _KVSCAN_MANIFEST)
+            ) as fh:
+                cols = json.load(fh)["columns"]
+            return ", ".join(f"{c} string" for c in cols)
+
+        def reader(self, schema):
+            return KVScanReader(self.options)
+
+    return KVScanSource
+
+
+def register_kvscan(spark: SparkSession) -> None:
+    """Register the ``kvscan`` format on this session:
+    ``spark.read.format('kvscan').option('path', dir).load()``.
+
+    Python-source filter pushdown ships DISABLED by default (Spark
+    4.1); a reader implementing pushFilters REFUSES to initialize
+    without the conf, so registration enables it — a runtime SQL conf,
+    safe to set per-session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(make_kvscan_source())

@@ -35,6 +35,7 @@ COMPONENTS: dict[str, str] = {
     "A13": "crawl_xml",
     "A14": "delete_table",  # write-side governance (Lake.write/delete)
     "A15": "test:test_audit_log_concurrent_writers_land_intact_rows",
+    "A16": "register_kvscan",
     "C13": "decode_real_media",
     "C31": "dedup_incremental",
     "C111": "modality_dedup_report",

@@ -344,3 +344,44 @@ def test_stream_state_inspection_matches_live_aggregation(spark, tmp_path):
     prof = stream_state_profile(spark, ck).collect()
     assert sum(r.n_keys for r in prof) == len(got)
     assert abs(sum(r.share for r in prof) - 1.0) < 0.01
+
+
+# ---------------------------------------------------------------- A16
+def test_kvscan_source_parallel_segments_and_pruning(spark, tmp_path):
+    """The kvscan custom data source plans one input partition per
+    export segment (the DynamoDB parallel-Scan shape), returns the
+    full store on an unfiltered scan, and a point lookup prunes to
+    the single segment its key hashes to — with the filter still
+    applied exactly (returned unconsumed)."""
+    from pyspark.sql import functions as F
+
+    from cdk_serverless_data_lake_sandbox_spark.sources.kv import (
+        KVStore,
+        export_kv_segments,
+        register_kvscan,
+    )
+
+    store = KVStore()
+    for i in range(100):
+        store.put_item({"id": f"k{i}", "color": f"c{i % 7}", "size": str(i)})
+    d = str(tmp_path / "kv")
+    export_kv_segments(store, d, n_segments=8)
+    register_kvscan(spark)
+
+    df = spark.read.format("kvscan").option("path", d).load()
+    assert df.rdd.getNumPartitions() == 8
+    got = {r.id: (r.color, r.size) for r in df.collect()}
+    assert got == {
+        it["id"]: (it["color"], it["size"]) for it in store.scan()
+    }
+
+    pt = df.where(F.col("id") == "k42")
+    assert pt.rdd.getNumPartitions() == 1  # segment-pruned I/O
+    assert [(r.id, r.size) for r in pt.collect()] == [("k42", "42")]
+    # exactness: a key absent from the store returns nothing even
+    # though its hash segment exists and is scanned
+    assert df.where(F.col("id") == "nope").count() == 0
+    # In-membership prunes to the union of the keys' segments
+    inq = df.where(F.col("id").isin("k1", "k2"))
+    assert inq.rdd.getNumPartitions() <= 2
+    assert {r.id for r in inq.collect()} == {"k1", "k2"}
