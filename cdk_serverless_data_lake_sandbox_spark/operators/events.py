@@ -1579,13 +1579,13 @@ def markov_anomaly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_ORACLE = """
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))
+  CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
     AS BIGINT) AS n_with_k,
-  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+  CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
     AS INTEGER) AS min_k,
-  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
     AS INTEGER) AS max_k,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
     AS BIGINT) AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -1599,14 +1599,20 @@ def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``try_variant_get`` over that parsed form — the engine-native
     successor to per-path ``get_json_object`` string re-parsing
     (B17's shape), and the right plan when one payload feeds many
-    extractions. Missing paths yield NULL (try_ semantics), so the
-    n_with_k / min / max / sum profile is exactly what the JSON-text
-    oracle computes; integer aggregates keep the report hash-exact."""
+    extractions. Missing paths, malformed JSON, and non-int values
+    all yield NULL (try_ semantics end to end, TRY_CAST on the oracle
+    side), so the n_with_k / min / max / sum profile is exactly what
+    the JSON-text oracle computes; integer aggregates keep the report
+    hash-exact."""
     ev = _events(spark, sf_dir)
     v = ev.select(
         "event_type",
+        # try_parse_json + try_variant_get: malformed JSON or a
+        # non-int / overflowing k yields NULL on BOTH engines (the
+        # oracle mirrors with TRY_CAST) instead of one side raising
+        # (r10 review)
         F.expr(
-            "try_variant_get(parse_json(props), '$.k', 'int')"
+            "try_variant_get(try_parse_json(props), '$.k', 'int')"
         ).alias("k"),
     )
     return (

@@ -3023,7 +3023,12 @@ def mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("v"),
     )
-    vc = lat.groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
+    gv = lat.groupBy("grp", "v").agg(F.count("*").cast("bigint").alias("a"))
+    # vc derives from gv (a ~priorities x day-values table), so the
+    # heavy lineitem-orders join aggregates ONCE — building vc from
+    # lat would execute that join a second time under a different
+    # shuffle key with no exchange reuse (r10 review)
+    vc = gv.groupBy("v").agg(F.sum("a").cast("bigint").alias("c"))
     w = Window.partitionBy(F.lit(0)).orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -3034,7 +3039,6 @@ def mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
-    gv = lat.groupBy("grp", "v").agg(F.count("*").cast("bigint").alias("a"))
     gs = (
         gv.join(F.broadcast(rk), "v")
         .groupBy("grp")

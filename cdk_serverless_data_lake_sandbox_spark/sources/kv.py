@@ -39,12 +39,18 @@ class KVStore:
     def scan(self) -> list[dict[str, Any]]:
         return [self._items[k] for k in sorted(self._items)]
 
+    def columns(self) -> list[str]:
+        """Sorted union of attribute names — THE schema rule, shared
+        by the broadcast path (to_df) and the kvscan export so the two
+        federation surfaces can never silently disagree."""
+        return sorted({c for it in self._items.values() for c in it})
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Federate the store into SQL: scan -> DataFrame. The scan is
         a metadata-sized read (dimension data); downstream joins
         broadcast it."""
         items = self.scan()
-        cols = sorted({c for it in items for c in it})
+        cols = self.columns()
         schema = StructType([StructField(c, StringType()) for c in cols])
         rows = [tuple(it.get(c) for c in cols) for it in items]
         return spark.createDataFrame(rows, schema)
@@ -104,7 +110,7 @@ def export_kv_segments(store: KVStore, path: str, n_segments: int = 8) -> dict:
 
     os.makedirs(path, exist_ok=True)
     items = store.scan()
-    cols = sorted({c for it in items for c in it})
+    cols = store.columns()
     segs: list[list[dict]] = [[] for _ in range(n_segments)]
     for it in items:
         segs[_kv_segment(it["id"], n_segments)].append(it)
@@ -131,13 +137,27 @@ def make_kvscan_source():
     )
 
     class KVScanReader(DataSourceReader):
-        def __init__(self, options):
+        def __init__(self, options, schema):
             import json
             import os
 
             self.path = options["path"]
             with open(os.path.join(self.path, _KVSCAN_MANIFEST)) as fh:
                 self.manifest = json.load(fh)
+            # honor the EFFECTIVE schema (a user-supplied .schema()
+            # may reorder or subset columns): rows are emitted in ITS
+            # field order, mapped by NAME — positional emission against
+            # the manifest order would silently misalign (r10 review)
+            unknown = [
+                f.name for f in schema.fields
+                if f.name not in self.manifest["columns"]
+            ]
+            if unknown:
+                raise ValueError(
+                    f"kvscan: schema columns {unknown} not in export "
+                    f"manifest {self.manifest['columns']}"
+                )
+            self.cols = [f.name for f in schema.fields]
             self.target_keys: list[str] | None = None
 
         def pushFilters(self, filters):
@@ -163,7 +183,7 @@ def make_kvscan_source():
             import json
             import os
 
-            cols = self.manifest["columns"]
+            cols = self.cols
             seg_path = os.path.join(
                 self.path, f"segment_{partition.value}.jsonl"
             )
@@ -185,10 +205,17 @@ def make_kvscan_source():
                 os.path.join(self.options["path"], _KVSCAN_MANIFEST)
             ) as fh:
                 cols = json.load(fh)["columns"]
-            return ", ".join(f"{c} string" for c in cols)
+            if not cols:
+                raise ValueError(
+                    "kvscan: export manifest has no columns (empty "
+                    "store) — nothing to plan a scan over"
+                )
+            # backtick-quote: attribute names are arbitrary strings
+            # (a KV store accepts 'my col'), not SQL identifiers
+            return ", ".join(f"`{c}` string" for c in cols)
 
         def reader(self, schema):
-            return KVScanReader(self.options)
+            return KVScanReader(self.options, schema)
 
     return KVScanSource
 

@@ -251,6 +251,22 @@ def test_stream_tvd_monitor_batch_twin(spark, tmp_path):
     want = source_tvd_report(source_word_counts(docs)).toPandas()
     assert_frames_match(got, want, "stream_tvd/batch_twin")
 
+    # replay idempotence: re-deliver the SAME batches (fresh
+    # checkpoint, same file order -> same batch ids) — dynamic
+    # overwrite must rewrite each batch partition in place, so the
+    # folded report is unchanged; an append-mode regression would
+    # double every count here
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q2 = stream_source_tvd_monitor(stream2, counts)
+    await_stream_done(q2)
+    q2.stop()
+    replayed = read_source_tvd(spark, counts).toPandas()
+    assert_frames_match(replayed, want, "stream_tvd/replay_idempotent")
+
 
 def test_recursive_hierarchy_reaches_planted_depth(spark, tmp_path):
     """Suppliers 0..999 under the div-10 parent rule form a 3-level
