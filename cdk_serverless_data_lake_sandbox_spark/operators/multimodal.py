@@ -1372,6 +1372,13 @@ def modality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media_mixed(
         load_tables(spark, sf_dir, ("documents",))["documents"]
     )
+    return modality_profile_report(media)
+
+
+def modality_profile_report(media: DataFrame) -> DataFrame:
+    """The magic-byte classify + aggregate tail over a (doc_id, media
+    binary) frame — shared by C76 and its planted-payload oracle twin
+    (C148), so the sniffing expressions themselves are hash-checked."""
     head = F.hex(F.expr("substring(media, 1, 4)"))
     modality = (
         F.when(head.startswith(_MAGIC["jpeg"]), "jpeg")
@@ -1389,7 +1396,64 @@ def modality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_bytes").cast("bigint").alias("min_bytes"),
             F.max("n_bytes").cast("bigint").alias("max_bytes"),
         )
+        .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------- C148
+# Planted-payload oracle twin for C76 (the C141 discipline): payloads
+# are built from hex strings both engines derive from doc_id — a real
+# magic signature chosen by doc_id % 5 ('unknown' included) plus a
+# doc_id-sized md5 body — then Spark runs the REAL binary sniffing
+# tail (unhex -> substring -> hex prefix match) while the oracle
+# computes the intended classification arithmetically. A classifier
+# bug (wrong magic, wrong prefix length, byte-vs-char length) would
+# diverge from the planted intent and fail the hash.
+_PLANT_SIGS = ["FFD8FFE0", "89504E47", "52494646", "47494638", "00112233"]
+_PLANT_NAMES = ["jpeg", "png", "wav", "gif", "unknown"]
+
+
+def _modality_plant_oracle() -> str:
+    name_case = " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(_PLANT_NAMES)
+    )
+    return f"""
+WITH m AS (
+  SELECT CASE doc_id % 5 {name_case} END AS modality,
+    CAST(4 + 16 * (doc_id % 4 + 1) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT modality,
+  COUNT(*) AS n_payloads,
+  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+  CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+  CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM m GROUP BY modality ORDER BY modality
+"""
+
+
+@register("modality_sniff_scoring", oracle=_modality_plant_oracle())
+def modality_sniff_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76's magic-byte sniffing leg on planted payloads: real binary
+    columns (unhex of engine-portable hex), the real classify +
+    aggregate tail (`modality_profile_report`, shared code), checked
+    against an oracle that knows each payload's INTENDED modality and
+    byte size — so the prefix expressions, not just the aggregation,
+    are under the hash gate."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = F.expr(
+        "element_at(array({}), CAST(doc_id % 5 + 1 AS INT))".format(
+            ", ".join(f"'{s}'" for s in _PLANT_SIGS)
+        )
+    )
+    body = F.expr(
+        "repeat(upper(md5(CAST(doc_id AS STRING))),"
+        " CAST(doc_id % 4 + 1 AS INT))"
+    )
+    media = docs.select(
+        "doc_id", F.unhex(F.concat(sig, body)).alias("media")
+    )
+    return modality_profile_report(media)
 
 
 # ------------------------------------------------------------- GIF
