@@ -3485,9 +3485,10 @@ _BITEXT_LSH_OCC = 128  # max per-side bucket occupancy past the gate
 # the ratio margin rejects pairs anyway. MEASURED posting occupancy at
 # the oracle-checked SFs: max 27 / 23 / 79, mean 6.3 / 5.6 / 16.0 for
 # sf0.001 / 0.01 / 0.1 — so the cap is inert there by a 3.2x margin,
-# and the query body ASSERTS that inertness whenever it runs in the
-# 4-plane regime (r9 advice: the oracle models neither guard, so gate
-# drift must fail loudly at the source, not as a hash mismatch).
+# and the query body WARNS loudly whenever truncation engages in the
+# 4-plane regime (r9 advice wanted a source-level signal; a hard
+# raise was tried first and rejected — duplicate-heavy corpora like
+# the cloned sf1 soak tier legitimately live in that regime, r10).
 _BITEXT_MAX_POSTING = 256
 
 
@@ -3544,18 +3545,29 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = pin(bk.withColumn("_pk", F.row_number().over(w_post)))
     if planes == _N_PLANES:
-        # 4-plane regime == the regime the static oracle models, so
-        # BOTH guards must be inert here: fail loudly at the source if
-        # data drift ever makes the posting cap truncate (one bounded
-        # max() over the already-pinned bucketed frame — r9 advice).
+        # 4-plane regime == the regime the static oracle models. The
+        # cap engaging here is NOT automatically an error: a
+        # duplicate-heavy corpus (the r10 sf1 soak tier clones every
+        # vector 10x) keeps the side count under the plane gate while
+        # flooding buckets — exactly the hub territory the cap exists
+        # to bound, and more planes cannot split exact duplicates. So
+        # the guard is a LOUD WARNING at the source (one bounded max()
+        # over the already-pinned frame — r9 advice): at the
+        # oracle-checked SFs it stays silent (measured occupancy <= 79
+        # vs the 256 cap), and if data drift ever engages it THERE the
+        # warning names the cause while the driver's hash gate still
+        # fails the comparison.
         max_posting = pre.agg(F.max("_pk")).first()[0] or 0
         if max_posting > _BITEXT_MAX_POSTING:
-            raise AssertionError(
-                "bitext_margin_mining_lsh: posting cap would truncate "
-                f"in the 4-plane (oracle-exact) regime — max occupancy "
-                f"{max_posting} > {_BITEXT_MAX_POSTING}; the registered "
-                "oracle does not model the cap, so this data needs the "
-                "engaged-guard tier (raise _BITEXT_LSH_OCC review)"
+            import warnings
+
+            warnings.warn(
+                "bitext_margin_mining_lsh: posting cap truncating in "
+                f"the 4-plane regime (max occupancy {max_posting} > "
+                f"{_BITEXT_MAX_POSTING}) — duplicate-heavy buckets are "
+                "being bounded; results will not match the guard-free "
+                "exact oracle on this data",
+                stacklevel=2,
             )
     bk = pre.where(F.col("_pk") <= _BITEXT_MAX_POSTING).drop("_pk")
     cand = (

@@ -125,12 +125,14 @@ def test_bootstrap_ci_reports_surviving_replicates(spark, tmp_path):
     assert_frames_match(got, oracle, "bootstrap_ci_doclen/degenerate")
 
 
-def test_bitext_lsh_posting_cap_fails_loudly_when_engaged(spark, tmp_path):
+def test_bitext_lsh_posting_cap_warns_loudly_when_engaged(spark, tmp_path):
     """300 identical vectors per side: every vector of a side lands in
     the same (tbl, bucket) posting, occupancy 300 > the 256 cap, while
-    n_side=300 keeps the 4-plane (oracle-exact) regime — the op must
-    raise at the source instead of silently truncating candidates the
-    oracle would still count."""
+    n_side=300 keeps the 4-plane regime — the op must WARN at the
+    source (naming the truncation) and complete with capped postings.
+    A hard raise would reject legitimate duplicate-heavy corpora —
+    exactly the hub territory the cap exists to bound (the r10 sf1
+    soak tier clones every vector 10x and lives in this regime)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -152,8 +154,11 @@ def test_bitext_lsh_posting_cap_fails_loudly_when_engaged(spark, tmp_path):
     pq.write_table(
         pa.Table.from_pandas(emb), str(sf / "embeddings.parquet")
     )
-    with pytest.raises(AssertionError, match="posting cap"):
-        bitext_margin_mining_lsh(spark, str(sf)).collect()
+    with pytest.warns(UserWarning, match="posting cap truncating"):
+        rows = bitext_margin_mining_lsh(spark, str(sf)).collect()
+    # identical vectors are mutual near-dups with margin ~1.0 — the
+    # ratio cut rejects them all, so the capped mining yields nothing
+    assert rows == []
 
 
 def test_bitext_lsh_guards_inert_at_oracle_sf(spark, duck_small):
