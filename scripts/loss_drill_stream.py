@@ -137,6 +137,23 @@ def run_gate(master: str, root: str, kill: bool) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[2] == "semantic":
+        art = drill_semantic()
+        print(json.dumps(art))
+        prior = {}
+        if os.path.exists(OUT):
+            with open(OUT) as fh:
+                prior = json.load(fh)
+        prior["stream_semantic_dedup_gate"] = art
+        with open(OUT, "w") as fh:
+            json.dump(prior, fh, indent=1)
+        ok = art["executor_killed"] and all(
+            art[k] for k in (
+                "admitted_identical", "members_identical",
+                "centroids_identical", "markers_identical",
+            )
+        )
+        sys.exit(0 if ok else 1)
     ref_root = tempfile.mkdtemp(prefix="ld-stream-ref-")
     drill_root = tempfile.mkdtemp(prefix="ld-stream-drill-")
     try:
@@ -175,6 +192,138 @@ def main() -> None:
             )
         )
         sys.exit(0 if ok else 1)
+    finally:
+        shutil.rmtree(ref_root, ignore_errors=True)
+        shutil.rmtree(drill_root, ignore_errors=True)
+
+
+
+def run_semantic_gate(master: str, root: str, kill: bool) -> dict:
+    """E52 drill twin: IVF index build, three streamed embedding
+    batches through stream_semantic_dedup_gate, then a row-level
+    snapshot of its durable state (admitted output, members,
+    centroids, markers)."""
+    from pyspark.sql import SparkSession
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+    from cdk_serverless_data_lake_sandbox_spark.operators.similarity import (
+        ivf_index_build,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.streaming.jobs import (
+        stream_semantic_dedup_gate,
+    )
+
+    b = SparkSession.builder.master(master).appName("loss-drill-sem")
+    b = b.config("spark.sql.shuffle.partitions", "8")
+    if master.startswith("local-cluster"):
+        b = b.config("spark.executor.memory", "1g")
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_tables(spark, SF, ("embeddings",))["embeddings"]
+    idx = os.path.join(root, "ivf")
+    out_dir = os.path.join(root, "out")
+    # corpus index from the low vec_ids; the stream delivers the
+    # rest. ivf_index_build reads via _emb(spark, sf_dir), so stage
+    # the corpus slice as embeddings.parquet in its own dir.
+    corpus_dir = os.path.join(root, "corpus_sf")
+    os.makedirs(corpus_dir, exist_ok=True)
+    (
+        emb.where("vec_id < 300")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(corpus_dir, "embeddings.parquet"))
+    )
+    ivf_index_build(spark, corpus_dir, idx)
+
+    drop = os.path.join(root, "drop")
+    for lo, hi in ((300, 370), (370, 440), (440, 500)):
+        (
+            emb.where(f"vec_id >= {lo} AND vec_id < {hi}")
+            .select("vec_id", "embedding")
+            .repartition(4)
+            .write.mode("append")
+            .parquet(drop)
+        )
+
+    killed: dict = {}
+    if kill:
+        def killer() -> None:
+            deadline = time.time() + 180
+            while time.time() < deadline and not killed:
+                pids = executor_pids()
+                underway = os.path.isdir(
+                    os.path.join(out_dir, "batch_id=0")
+                )
+                if len(pids) >= 2 and underway:
+                    os.kill(pids[0], signal.SIGKILL)
+                    killed["pid"] = pids[0]
+                    return
+                time.sleep(0.1)
+
+        threading.Thread(target=killer, daemon=True).start()
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop)
+    )
+    q = (
+        stream_semantic_dedup_gate(stream, idx, out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 600
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(5)
+    if q.exception() is not None:
+        raise RuntimeError(str(q.exception()))
+    q.stop()
+
+    def rows(path: str) -> list:
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            tuple(
+                tuple(v) if isinstance(v, list) else v for v in r
+            )
+            for r in spark.read.parquet(path).collect()
+        )
+
+    state = {
+        "admitted": rows(out_dir),
+        "members": rows(os.path.join(idx, "members")),
+        "centroids": rows(os.path.join(idx, "centroids")),
+        "markers": sorted(os.listdir(os.path.join(idx, "manifest"))),
+        "killed_pid": killed.get("pid"),
+    }
+    spark.stop()
+    return state
+
+
+def drill_semantic() -> dict:
+    ref_root = tempfile.mkdtemp(prefix="ld-sem-ref-")
+    drill_root = tempfile.mkdtemp(prefix="ld-sem-drill-")
+    try:
+        ref = run_semantic_gate("local[4]", ref_root, kill=False)
+        got = run_semantic_gate(
+            "local-cluster[2,2,1536]", drill_root, kill=True
+        )
+        return {
+            "op": "stream_semantic_dedup_gate",
+            "master": "local-cluster[2,2,1536]",
+            "protocol": "batch_id output + marker-last + cell-pruned append anti-join",
+            "executor_killed": got["killed_pid"] is not None,
+            "killed_pid": got["killed_pid"],
+            "admitted_rows": len(got["admitted"]),
+            "member_rows": len(got["members"]),
+            "markers": got["markers"],
+            "admitted_identical": got["admitted"] == ref["admitted"],
+            "members_identical": got["members"] == ref["members"],
+            "centroids_identical": got["centroids"] == ref["centroids"],
+            "markers_identical": got["markers"] == ref["markers"],
+        }
     finally:
         shutil.rmtree(ref_root, ignore_errors=True)
         shutil.rmtree(drill_root, ignore_errors=True)
