@@ -8,6 +8,19 @@ check any round's output against the 2x gate mechanically with
 ``python scripts/baseline_check.py BENCH_rNN.json`` and adjudicate
 per-query deltas with ``scripts/one_boot_probe.py`` before calling
 them regressions.
+
+CAPTURE-SIZE CONTRACT (r11): the driver records only the LAST 2000
+characters of this script's stdout, and the round-10 line (67 queries,
+full names) reached 2020 characters — the capture started mid-JSON and
+``parsed`` came back null, breaking the mechanical gate on the
+committed artifact.  The final line therefore keys the extended
+headline (positions 21+) by the short aliases in ``EXT_ALIAS`` while
+the shared-20 keep their full round-1 names for cross-round
+comparability; ``scripts/baseline_check.py`` expands the aliases back
+before gating, and ``MAX_LINE`` is asserted so a future growth of the
+headline list fails HERE (in our tests) instead of producing another
+truncated capture.  A full-name expansion line is printed immediately
+before the final line for human readers of the raw log.
 """
 
 from __future__ import annotations
@@ -101,6 +114,65 @@ HEADLINE = [
     "variant_props_profile",
 ]
 
+# Short stdout keys for headline positions 21+ (see the capture-size
+# contract in the module docstring).  COMMITTED LITERAL — never
+# regenerate mechanically: the 2/sd2-style disambiguators depend on
+# insertion order and the aliases are part of the artifact format.
+EXT_ALIAS = {
+    "containment_dedup": "cd",
+    "segment_dedup": "sd",
+    "bm25_retrieval": "br",
+    "semantic_dedup": "sd2",
+    "ann_topk_arrow": "ata",
+    "strip_dup_spans": "sds",
+    "cdc_chunk_dedup": "ccd",
+    "embedding_dim_ablation": "eda",
+    "histogram_rollup_percentiles": "hrp",
+    "top_paths": "tp",
+    "strip_dup_chars": "sdc",
+    "hybrid_retrieval_rrf": "hrr",
+    "copurchase_pagerank": "cp",
+    "mmr_diversify": "md",
+    "count_min_words": "cmw",
+    "copurchase_triangles": "ct",
+    "hll_distinct_users": "hdu",
+    "winnowing_fingerprints": "wf",
+    "winnowing_pairs": "wp",
+    "kneser_ney_logprob": "knl",
+    "part_skyline": "ps",
+    "burst_detection": "bd",
+    "cluster_balanced_sample": "cbs",
+    "decontaminate_strip": "ds",
+    "vocab_coverage_curve": "vcc",
+    "knn_graph_nn_descent": "kgnd",
+    "graph_ann_search": "gas",
+    "skipgram_pairs": "sp",
+    "cooccurrence_pmi": "cp2",
+    "unigram_lm_tokenizer": "ult",
+    "unigram_tokenize_corpus": "utc",
+    "bitext_margin_mining": "bmm",
+    "coreset_kcenter": "ck",
+    "kcenter_assignment_profile": "kap",
+    "bitext_margin_mining_lsh": "bmml",
+    "bootstrap_ci_doclen": "bcd",
+    "dhash_band_scoring": "dbs",
+    "afp_band_scoring": "abs",
+    "framehash_jaccard_scoring": "fjs",
+    "theil_sen_trend": "tst",
+    "source_drift_tvd": "sdt",
+    "ks_drift_doclen": "kdd",
+    "mann_whitney_latency": "mwl",
+    "scene_cut_scoring": "scs",
+    "activity_segment_scoring": "ass",
+    "supplier_hierarchy_rollup": "shr",
+    "variant_props_profile": "vpp",
+}
+
+# Hard budget for the final stdout line: the driver keeps 2000 chars,
+# and the line must START inside that window (plus trailing newline
+# and a little pre-line noise headroom).
+MAX_LINE = 1900
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,18 +198,25 @@ def main() -> None:
     # the 20-query prefix is unchanged since r1 — its subtotal is the
     # cross-round comparable number; the r3 additions extend coverage.
     shared20 = round(sum(v for k, v in results.items() if k in HEADLINE[:20]), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "shared20_total_sec": shared20,
-                "queries": results,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "shared20_total_sec": shared20,
+        "queries": {k: v for k, v in results.items() if k in HEADLINE[:20]},
+        "ext": {EXT_ALIAS[k]: v for k, v in results.items() if k in EXT_ALIAS},
+        "sf": sf,
+    }
+    # human-readable full-name expansion for raw-log readers; scrolls
+    # out of the driver's 2000-char tail before the final line lands.
+    print(json.dumps({"metric": "headline_full_names", "queries": results, "sf": sf}))
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) <= MAX_LINE, (
+        f"final bench line is {len(line)} chars > MAX_LINE={MAX_LINE}; the "
+        "driver keeps only 2000 chars of stdout — shorten EXT_ALIAS keys or "
+        "trim the headline before the capture truncates again"
     )
+    print(line)
     spark.stop()
 
 

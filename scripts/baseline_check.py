@@ -37,12 +37,36 @@ def load_extended() -> dict:
 
 def load_bench(path: str) -> dict:
     d = json.load(open(path))
-    if "queries" in d:
-        return d
-    m = re.search(r'\{"metric".*', d.get("tail", ""))
-    if not m:
-        raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(m.group(0))
+    if "queries" not in d:
+        tail = d.get("tail", "")
+        m = re.search(r'\{"metric".*', tail)
+        if m:
+            d = json.loads(m.group(0).strip())
+        else:
+            # Known damage mode (BENCH_r10.json): the driver keeps only
+            # the LAST 2000 chars of stdout, so an over-long final line
+            # arrives with its head cut off mid-"metric".  The rest of
+            # the object is intact JSON — re-attach a synthetic head at
+            # the first complete key and parse.  bench.py now keeps the
+            # line under budget (MAX_LINE), so this is recovery for old
+            # artifacts, not the expected path.
+            mv = re.search(r'"value":.*', tail)
+            if not mv:
+                raise SystemExit(f"{path}: no bench JSON line found")
+            d = json.loads(('{"metric": "headline_total_sec", ' + mv.group(0)).strip())
+    # r11 capture-size contract: extended-headline queries (positions
+    # 21+) arrive under "ext" keyed by bench.EXT_ALIAS short names;
+    # expand them back to full names so gating below is name-based.
+    if d.get("ext"):
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from bench import EXT_ALIAS
+
+        rev = {a: full for full, a in EXT_ALIAS.items()}
+        unknown = sorted(set(d["ext"]) - set(rev))
+        if unknown:
+            raise SystemExit(f"{path}: unknown ext aliases {unknown}")
+        d["queries"] = {**d["queries"], **{rev[a]: v for a, v in d["ext"].items()}}
+    return d
 
 
 def main() -> None:
@@ -54,8 +78,19 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("bench", help="BENCH_rNN.json or bench.py stdout capture")
     ap.add_argument("--factor", type=float, default=2.0)
+    # Absolute per-query noise floor (r11): same-code cross-boot swings
+    # of +0.5 s have been recorded on sub-second queries
+    # (bootstrap_ci_doclen old-rev 0.546 s on the r9 boot vs 1.05 s on
+    # the r11 boot, one-boot probe HEAD/old = 1.006) while the
+    # shared-20 TOTAL moved only 3%.  A pure ratio gate on a 0.5 s
+    # query therefore fires on boot noise; the floor makes the
+    # per-query gate `now > factor*baseline + slack`.  The shared-20
+    # total-ratio gate is unchanged — it is the primary gate and is
+    # noise-averaged by construction.
+    ap.add_argument("--abs-slack", type=float, default=0.4)
     ns = ap.parse_args()
     factor = ns.factor
+    slack = ns.abs_slack
     base = load_baseline()
     ext = load_extended()
     bench = load_bench(ns.bench)
@@ -66,7 +101,7 @@ def main() -> None:
     over = {
         k: (v, base["queries"][k], round(v / base["queries"][k], 2))
         for k, v in shared.items()
-        if v > factor * base["queries"][k]
+        if v > factor * base["queries"][k] + slack
     }
     # extended headline queries (positions 21+): per-query gate only —
     # they have no cross-round-stable total. Queries the bench did not
@@ -79,7 +114,7 @@ def main() -> None:
         {
             k: (bench["queries"][k], b, round(bench["queries"][k] / b, 2))
             for k, b in ext["queries"].items()
-            if k in bench["queries"] and bench["queries"][k] > factor * b
+            if k in bench["queries"] and bench["queries"][k] > factor * b + slack
         }
     )
     # a bench artifact that did not measure every baseline query can
@@ -95,6 +130,7 @@ def main() -> None:
                 "baseline_total_sec": base["shared20_total_sec"],
                 "ratio": ratio,
                 "gate_factor": factor,
+                "abs_slack_sec": slack,
                 "within_gate": within,
                 "missing": missing,
                 "extended_missing": ext_missing,
