@@ -1912,6 +1912,25 @@ def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C95
+def compression_sizes_tail(sizes: DataFrame) -> DataFrame:
+    """The relational tail shared by the real zlib operator and the
+    planted scoring twin (C149): per-document ratio from (doc_id,
+    n_bytes, n_compressed), rounded in the JVM (HALF_UP, the DuckDB
+    ROUND pair) — zero-byte docs report ratio 0.0 like the original
+    in-UDF arithmetic did."""
+    return sizes.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_compressed") / F.col("n_bytes"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("compression_ratio"),
+    )
+
+
 def compression_ratio_frame(docs: DataFrame) -> DataFrame:
     """Per-document zlib compression ratio — the classic "too
     compressible = templated/repetitive, incompressible = noise"
@@ -1929,38 +1948,89 @@ def compression_ratio_frame(docs: DataFrame) -> DataFrame:
     repetitive-vs-diverse ordering invariant."""
     import pandas as pd
 
-    schema = (
-        "doc_id long, n_bytes long, n_compressed long, compression_ratio double"
-    )
-
     def batches(it):
         import zlib
 
         for pdf in it:
             raw = [t.encode("utf-8") for t in pdf["text"]]
-            comp = [len(zlib.compress(b, 6)) for b in raw]
-            nb = [len(b) for b in raw]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": nb,
-                    "n_compressed": comp,
-                    "compression_ratio": [
-                        round(c / b, 6) if b else 0.0
-                        for c, b in zip(comp, nb)
-                    ],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_compressed": [len(zlib.compress(b, 6)) for b in raw],
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(batches, schema)
+    sizes = docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, n_bytes long, n_compressed long"
+    )
+    return compression_sizes_tail(sizes)
 
 
 @register("compression_ratio")
 def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered (rows-only) entry for
     :func:`compression_ratio_frame` — no oracle because DuckDB has no
-    compressor; the pytest gate compares against direct zlib."""
+    compressor; the pytest gate compares against direct zlib, and the
+    ratio tail is hash-exact driver-gated through the planted twin
+    (C149 `compressed_size_scoring`, shared `compression_sizes_tail`)."""
     return compression_ratio_frame(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- C149
+# Planted-payload scoring twin for C95 (r10 verdict item 4, the C141
+# recipe): zlib itself is genuinely non-SQL, but everything around the
+# deflate call is deterministic arithmetic both engines can compute —
+# the UTF-8 byte length (Spark octet_length / DuckDB strlen; multi-byte langs
+# in the corpus make this a real check, not a char-count alias) and
+# the ratio tail (shared `compression_sizes_tail` code). The planted
+# "compressed size" mimics a deflate profile deterministically:
+# 20 bytes of fixed overhead plus an md5-derived remainder bounded by
+# the payload size, so tiny docs "expand" past 1.0 exactly like real
+# zlib output and the zero-byte guard is exercised from the corpus's
+# empty docs.
+_CZS_SALT = "czs"
+
+
+_COMPRESSED_SIZE_ORACLE = f"""
+WITH sizes AS (
+  SELECT doc_id,
+    CAST(strlen(text) AS BIGINT) AS n_bytes,
+    20 + (CAST(('0x' || substr(md5('{_CZS_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % GREATEST(CAST(strlen(text) AS BIGINT) - 19, 1)) AS n_compressed
+  FROM documents
+)
+SELECT doc_id, n_bytes, n_compressed,
+  CASE WHEN n_bytes > 0
+    THEN ROUND(CAST(n_compressed AS DOUBLE) / n_bytes, 6)
+    ELSE 0.0 END AS compression_ratio
+FROM sizes
+"""
+
+
+@register("compressed_size_scoring", oracle=_COMPRESSED_SIZE_ORACLE)
+def compressed_size_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C95's byte-length + ratio arithmetic made hash-exact: planted
+    deterministic per-doc "compressed sizes" (md5-derived, bounded by
+    the real UTF-8 byte length) run the real operator's exact tail
+    (`compression_sizes_tail`, shared code) — only the zlib call stays
+    pytest-pinned in C95 itself."""
+    docs = _docs(spark, sf_dir)
+    planted = (
+        F.lit(20)
+        + F.expr(
+            f"CAST(conv(substring(md5(concat('{_CZS_SALT}|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % F.greatest(
+            F.octet_length("text").cast("long") - F.lit(19), F.lit(1).cast("long")
+        )
+    )
+    sizes = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        planted.cast("long").alias("n_compressed"),
+    )
+    return compression_sizes_tail(sizes)
 
 
 # ---------------------------------------------------------------- C98

@@ -1,0 +1,79 @@
+"""Round-11 verdict items: the C72 PCA oracle and the C95 scoring twin.
+
+The heavy verification is the driver hash gate (both ops registered
+with oracles, checked at three SFs in scripts/xsf_check.py runs); the
+tests here pin the properties the gate can't see.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdk_serverless_data_lake_sandbox_spark.registry import (  # noqa: E402
+    all_oracles,
+    all_queries,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from cdk_serverless_data_lake_sandbox_spark.session import get_spark
+
+    s = get_spark(app_name="test-verdict-r11")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_pca_and_compression_twin_are_oracle_backed():
+    oracles = all_oracles()
+    assert "embedding_pca_variance" in oracles
+    assert "compressed_size_scoring" in oracles
+
+
+def test_compression_twin_shares_the_real_tail(spark):
+    """Twin and real op must emit the identical schema (same shared
+    tail code), and the planted sizes must exercise both regimes the
+    real zlib output has: compressible docs (ratio < 1) and
+    tiny-doc expansion (ratio > 1 when n_bytes < 20 + remainder)."""
+    qs = all_queries()
+    twin = qs["compressed_size_scoring"](spark, SF_SMALL)
+    real = qs["compression_ratio"](spark, SF_SMALL)
+    assert twin.schema == real.schema
+    rows = twin.collect()
+    assert all(r.n_compressed >= 20 for r in rows)
+    assert all(
+        r.n_compressed <= max(r.n_bytes, 20) for r in rows
+    ), "plant must stay bounded by the payload (modulo the 20-byte floor)"
+    ratios = [r.compression_ratio for r in rows if r.n_bytes > 0]
+    assert any(x < 1.0 for x in ratios)
+
+
+def test_pca_spectrum_still_matches_numpy_after_oracle_flip(spark):
+    """The oracle flip changed only output rounding (JVM HALF_UP);
+    the spectrum itself must still be the eigvalsh spectrum."""
+    import numpy as np
+
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+
+    emb = load_tables(spark, SF_SMALL, ("embeddings",))["embeddings"]
+    m = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    want = evals[:8] / evals.sum()
+    got = (
+        all_queries()["embedding_pca_variance"](spark, SF_SMALL)
+        .orderBy("component")
+        .collect()
+    )
+    for i, r in enumerate(got):
+        assert abs(r.explained_variance - want[i]) < 1e-6
