@@ -80,6 +80,39 @@ _SCRATCH_ROOT = _os.environ.get(
 _MATERIALIZED: dict[tuple[str, str], str] = {}
 _CLEANUP_REGISTERED: set[str] = set()
 
+# Stale-tree age bound for vacuum_scratch (seconds). Scratch trees are
+# removed by atexit, so anything left behind belongs to a SIGKILLed
+# session; 6 h is far beyond any single session here (driver sim ~25
+# min, soaks <1 h) while still never racing a concurrent live session.
+_SCRATCH_STALE_SECS = 6 * 3600
+
+
+def vacuum_scratch(root: str | None = None, stale_secs: int | None = None) -> list[str]:
+    """Remove scratch session trees whose last modification is older
+    than the stale bound (r10 verdict hygiene: killed sessions skip
+    their atexit cleanup and the trees otherwise accumulate without
+    bound). Called once per session from ``session.get_spark``; returns
+    the removed paths. Age is taken from the TREE ROOT's mtime, which
+    parquet writes keep bumping — a live long session is never
+    touched."""
+    root = root or _SCRATCH_ROOT
+    stale = _SCRATCH_STALE_SECS if stale_secs is None else stale_secs
+    removed: list[str] = []
+    if not _os.path.isdir(root):
+        return removed
+    import time as _time
+
+    now = _time.time()
+    for name in _os.listdir(root):
+        path = _os.path.join(root, name)
+        try:
+            if _os.path.isdir(path) and now - _os.path.getmtime(path) > stale:
+                _shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        except OSError:
+            continue  # concurrently removed by its owning session
+    return removed
+
 
 def materialize(df, key: str | None = None):
     """Write ``df`` to a scratch parquet path once and return a frame

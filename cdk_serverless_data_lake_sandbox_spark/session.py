@@ -25,6 +25,11 @@ def get_spark(
     # JVM's environment, so the vendored protobuf path (needed by the
     # transformWithStateInPandas worker) has to be in PYTHONPATH now.
     ensure_protobuf()
+    # Reclaim scratch trees left by SIGKILLed sessions (atexit never
+    # ran there); age-bounded so concurrent live sessions are safe.
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import vacuum_scratch
+
+    vacuum_scratch()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

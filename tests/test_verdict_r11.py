@@ -56,6 +56,28 @@ def test_compression_twin_shares_the_real_tail(spark):
     assert any(x < 1.0 for x in ratios)
 
 
+def test_vacuum_scratch_removes_only_stale_trees(tmp_path):
+    """Killed sessions skip their atexit scratch cleanup; the
+    session-start vacuum must reclaim their trees by age without
+    touching anything a live session could own."""
+    import os
+    import time
+
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        vacuum_scratch,
+    )
+
+    old = tmp_path / "local-dead"
+    new = tmp_path / "local-live"
+    old.mkdir()
+    new.mkdir()
+    stale = time.time() - 7 * 3600
+    os.utime(old, (stale, stale))
+    removed = vacuum_scratch(str(tmp_path))
+    assert removed == [str(old)]
+    assert not old.exists() and new.exists()
+
+
 def test_pca_spectrum_still_matches_numpy_after_oracle_flip(spark):
     """The oracle flip changed only output rounding (JVM HALF_UP);
     the spectrum itself must still be the eigvalsh spectrum."""
