@@ -1637,8 +1637,10 @@ SELECT CONCAT(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
   COUNT(*) AS n_customers,
   CAST(ROUND(AVG(recency_days), 4) AS DOUBLE) AS avg_recency_days,
   CAST(ROUND(AVG(frequency), 4) AS DOUBLE) AS avg_frequency,
-  CAST(ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,10))) AS DOUBLE)
-             / COUNT(*), 2) AS DOUBLE) AS avg_monetary
+  -- integer-cent round-half-up mirror of the Spark side (see the
+  -- operator comment: double round() diverges at .xx5 boundaries)
+  CAST((2 * SUM(CAST(ROUND(monetary * 100) AS BIGINT)) + COUNT(*))
+       // (2 * COUNT(*)) AS DOUBLE) / 100 AS avg_monetary
 FROM scored
 GROUP BY 1 ORDER BY segment
 """
@@ -1719,12 +1721,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
             F.round(F.avg("frequency"), 4).alias("avg_frequency"),
-            # decimal-exact mean: a double AVG is accumulation-order
-            # dependent and flips the 2-decimal round at boundaries
-            F.round(
-                F.sum(F.col("monetary").cast("decimal(28,10)")).cast("double")
-                / F.count("*"),
-                2,
+            # integer-cent mean: per-customer monetary is exact at 2dp,
+            # so sum cents as BIGINT and round-half-up the rational
+            # cents/n as (2c+n) DIV 2n — double division followed by
+            # round() flips the last cent across engines when the true
+            # mean sits at a .xx5 boundary (caught by the r11 cross-SF
+            # rotation), because Spark rounds the shortest decimal repr
+            # HALF_UP while DuckDB rounds the binary double to nearest
+            (
+                F.expr(
+                    "(2 * sum(CAST(round(monetary * 100) AS BIGINT))"
+                    " + count(*)) DIV (2 * count(*))"
+                ).cast("double")
+                / 100.0
             ).alias("avg_monetary"),
         )
         .orderBy("segment")

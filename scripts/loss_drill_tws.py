@@ -132,10 +132,10 @@ def run_tws(master: str, root: str, kill: bool) -> dict:
         raise RuntimeError(str(q.exception()))
     q.stop()
 
+    # value struct carries stateful._STATE_SCHEMA's field names (n, v)
     state = inspect_stream_state(spark, ckpt, stateVarName="totals").collect()
     tree = sorted(
-        (r.key.user_id, r.value.n_events, round(r.value.total_value, 4))
-        for r in state
+        (r.key.user_id, r.value.n, round(r.value.v, 4)) for r in state
     )
     n_batches = len(os.listdir(os.path.join(ckpt, "commits")))
     spark.stop()
@@ -158,7 +158,7 @@ def main() -> None:
         "ref_state_keys": len(ref["tree"]),
         "batches_committed": got["n_batches"],
         "state_tree_identical": got["tree"] == ref["tree"],
-        "value_compare": "n_events exact, total_value at 4dp (chunk-order float sum)",
+        "value_compare": "n (count) exact, v (sum) at 4dp (chunk-order float sum)",
     }
     print(json.dumps(art))
     prior = {}

