@@ -475,11 +475,19 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- B53
 _RANKDIST_ORACLE = """
+WITH ranked AS (
+  SELECT c_custkey,
+    ROW_NUMBER() OVER w AS rn,
+    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+)
 SELECT c_custkey,
-  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pr,
-  CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cd
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+  CASE WHEN n = 1 THEN CAST(0 AS DOUBLE)
+       ELSE CAST((2 * (rn - 1) * 1000000 + (n - 1)) // (2 * (n - 1))
+                 AS DOUBLE) / 1000000 END AS pr,
+  CAST((2 * rn * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000 AS cd
+FROM ranked
 """
 
 
@@ -487,13 +495,38 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 def rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of each customer's balance within its
     nation — rank-statistic windows partitioned by nation, so the
-    sort is per-nation, never global."""
+    sort is per-nation, never global.
+
+    The 6dp rounding is integer arithmetic over the exact rationals
+    (the c_custkey tiebreak makes the order total, so pr and cd are
+    (rn-1)/(n-1) and rn/n): round(double, 6) flips the last digit
+    between engines when the rational lands exactly on a .xxxxxx5
+    boundary — e.g. cd = 33300/64000 = 0.5203125 rounded 0.520313 by
+    Spark (HALF_UP on the shortest decimal repr) but 0.520312 by
+    DuckDB (binary double is a hair below the boundary); caught live
+    by the r11 cross-SF rotation at sf0.1."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    wn = Window.partitionBy("c_nationkey")
+    ranked = c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.select(
+        "c_custkey",
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "CAST((2 * (rn - 1) * 1000000 + (n - 1))"
+                " DIV (2 * (n - 1)) AS DOUBLE)"
+            )
+            / 1000000
+        )
+        .alias("pr"),
+        (F.expr("CAST((2 * rn * 1000000 + n) DIV (2 * n) AS DOUBLE)") / 1000000).alias(
+            "cd"
+        ),
     )
 
 
@@ -782,14 +815,19 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B61
-# The sketch retains up to _QSCALE_ACC samples before compressing; at
-# or below that row count percentile_approx is EXACT and returns the
-# order statistic at 1-based rank ceil(p * n) (probed against sorted
-# data for n in {10, 11, 1500, 15000}), which is what the oracle's
-# window-rank selection replays. Above it the sketch's epsilon bound
-# takes over (the 100 TB mode — the oracle covers every gate/test SF,
-# the error-bound test covers the compressed regime).
-_QSCALE_ACC = 50000
+# Below its retention bound percentile_approx is EXACT and returns
+# the order statistic at 1-based rank ceil(p * n), which the oracle's
+# window-rank selection replays. The bound is NOT "n <= accuracy":
+# per-partition partials each stay exact, but MERGING partials can
+# trigger compression well before the head fills — at accuracy 50000
+# a 30k-row group (orders/priority at sf0.1) came back 2-5 ranks off
+# under local[32]'s 32-way merge (caught by the r11 cross-SF
+# rotation); accuracy 100000 was rank-exact there, carried here at 2x
+# margin. Probed exact for n in {10, 11, 1500, 15000, 30000}. Above
+# the bound the epsilon guarantee takes over (the 100 TB mode — the
+# oracle covers every gate/test SF, the error-bound test covers the
+# compressed regime).
+_QSCALE_ACC = 200000
 
 _QSCALE_ORACLE = f"""
 WITH ranked AS (

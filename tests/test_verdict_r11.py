@@ -117,3 +117,57 @@ def test_rfm_avg_monetary_is_exact_cents(spark):
     for r in rows:
         cents = r.avg_monetary * 100
         assert abs(cents - round(cents)) < 1e-6, r.segment
+
+
+def test_rank_distribution_six_dp_is_exact_integer_rounding(spark):
+    """r11 XSF regression twin of the rfm cents fix: pr/cd must be
+    integer half-up rounding of the exact rationals (rn-1)/(n-1) and
+    rn/n — round(double, 6) diverges between engines at .xxxxxx5
+    boundaries. Recompute both from collected ranks and require
+    equality to the last representable digit."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
+        rank_distribution,
+    )
+    from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+
+    got = {r.c_custkey: (r.pr, r.cd) for r in rank_distribution(spark, SF_SMALL).collect()}
+    cust = (
+        load_tables(spark, SF_SMALL, ("customer",))["customer"]
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .collect()
+    )
+    by_nation: dict = {}
+    for r in cust:
+        by_nation.setdefault(r.c_nationkey, []).append((r.c_acctbal, r.c_custkey))
+    checked = 0
+    for rows in by_nation.values():
+        rows.sort()
+        n = len(rows)
+        for i, (_, ck) in enumerate(rows, start=1):
+            pr = 0.0 if n == 1 else ((2 * (i - 1) * 10**6 + (n - 1)) // (2 * (n - 1))) / 1e6
+            cd = ((2 * i * 10**6 + n) // (2 * n)) / 1e6
+            assert got[ck] == (pr, cd), ck
+            checked += 1
+    assert checked == len(got) > 0
+
+
+def test_percentile_sketch_exact_through_partial_merges(spark):
+    """r11 XSF regression: exactness of percentile_approx must hold
+    under the 32-way partial MERGE, not just the single-partition
+    head ("n <= accuracy" was a false bound — 30k rows/group at
+    accuracy 50000 came back ranks off). Pin the carried accuracy
+    against the exact order statistic on a 30k-row spread-out frame."""
+    from cdk_serverless_data_lake_sandbox_spark.operators.stats import _QSCALE_ACC
+
+    n = 30000
+    df = spark.range(n).repartition(32).select(
+        (F.hash(F.col("id").cast("string")).cast("double")).alias("x")
+    )
+    got = df.agg(
+        F.percentile_approx("x", [0.5, 0.95, 0.99], _QSCALE_ACC).alias("p")
+    ).first()["p"]
+    xs = sorted(r.x for r in df.collect())
+    import math
+
+    for p, g in zip((0.5, 0.95, 0.99), got):
+        assert g == xs[max(math.ceil(p * n), 1) - 1]
