@@ -61,6 +61,42 @@ def sql_dec(expr: str, scale: int = 4) -> str:
     return f"CAST({expr} AS DECIMAL(18,{scale}))"
 
 
+def round_rat(num_sql: str, den_sql: str, dp: int) -> Column:
+    """Exact half-away-from-zero rounding of the rational num/den to
+    ``dp`` decimals, in 64-bit integer arithmetic.
+
+    This exists because ``round(double, dp)`` is NOT engine-portable
+    on exact rationals: Spark rounds the shortest decimal repr of the
+    double HALF_UP while DuckDB rounds the binary double to nearest,
+    so a quotient landing exactly on a .<dp digits>5 boundary flips
+    the last digit between them (three live hits in the r11 cross-SF
+    rotation: rfm avg cents, cume_dist k/64000, sketch quantiles).
+    Integer ratios hit such boundaries routinely (denominators full
+    of 2s and 5s — group counts, corpus sizes); continuous doubles
+    effectively never do (17-digit shortest reprs).
+
+    Both args are SQL fragments over in-scope columns and must be
+    integer-valued; ``den`` must be positive. Overflow bound:
+    2*|num|*10^dp < 2^63 (|num| < 4.6e14 at dp 4, 4.6e12 at dp 6).
+    Mirror the oracle side with :func:`sql_round_rat`."""
+    s = 10 ** dp
+    mag = (
+        f"CAST((2 * ABS(CAST(({num_sql}) AS BIGINT)) * {s} + ({den_sql}))"
+        f" DIV (2 * ({den_sql})) AS DOUBLE)"
+    )
+    return F.expr(f"SIGN({num_sql}) * {mag}") / s
+
+
+def sql_round_rat(num_sql: str, den_sql: str, dp: int) -> str:
+    """DuckDB mirror of :func:`round_rat` (``//`` floors like DIV
+    truncates — identical on the non-negative magnitude)."""
+    s = 10 ** dp
+    return (
+        f"(SIGN({num_sql}) * CAST((2 * ABS(CAST(({num_sql}) AS BIGINT)) * {s}"
+        f" + ({den_sql})) // (2 * ({den_sql})) AS DOUBLE) / {s})"
+    )
+
+
 # ---------------------------------------------------------------- scratch
 # Materialized intermediates. Spark has no common-subplan reuse: a frame
 # referenced in k branches of one plan is recomputed k times. For cheap

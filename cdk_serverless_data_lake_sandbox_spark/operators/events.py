@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money, money_sum
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    dec,
+    money,
+    money_sum,
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -419,8 +425,8 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_STATS_ORACLE = f"""
 WITH sessions AS ({_SESSION_ORACLE})
 SELECT user_id, COUNT(*) AS n_sessions,
-  CAST(ROUND(AVG(DATE_DIFF('second', session_start, session_end)), 4) AS DOUBLE)
-    AS avg_session_s,
+  {sql_round_rat("SUM(DATE_DIFF('second', session_start, session_end))",
+                 'COUNT(*)', 4)} AS avg_session_s,
   CAST(MAX(DATE_DIFF('second', session_start, session_end)) AS BIGINT)
     AS max_session_s,
   CAST(SUM(n_events) AS BIGINT) AS total_events
@@ -436,11 +442,22 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare whole-second truncations on both engines."""
     sessions = sessionize(spark, sf_dir)
     dur = F.col("session_end").cast("long") - F.col("session_start").cast("long")
-    return sessions.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.round(F.avg(dur), 4).alias("avg_session_s"),
-        F.max(dur).cast("bigint").alias("max_session_s"),
-        F.sum("n_events").cast("bigint").alias("total_events"),
+    # integer-exact mean seconds (round_rat over the duration sum)
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(dur).alias("_sd"),
+            F.max(dur).cast("bigint").alias("max_session_s"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            round_rat("_sd", "n_sessions", 4).alias("avg_session_s"),
+            "max_session_s",
+            "total_events",
+        )
     )
 
 
@@ -541,7 +558,7 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B68
-_REPEAT_ORACLE = """
+_REPEAT_ORACLE = f"""
 WITH purchases AS (
   SELECT user_id, ts,
     epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
@@ -549,7 +566,8 @@ WITH purchases AS (
   FROM events WHERE event_type = 'purchase'
 )
 SELECT user_id, COUNT(gap_us) AS n_repeats,
-  CAST(ROUND(AVG(CAST(gap_us AS DOUBLE)) / 3600e6, 4) AS DOUBLE) AS avg_gap_hours
+  {sql_round_rat('SUM(gap_us)', 'COUNT(gap_us) * 3600000000', 4)}
+    AS avg_gap_hours
 FROM purchases WHERE gap_us IS NOT NULL
 GROUP BY user_id
 """
@@ -567,9 +585,21 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
     ).where(F.col("gap_us").isNotNull())
-    return purchases.groupBy("user_id").agg(
-        F.count("gap_us").alias("n_repeats"),
-        F.round(F.avg(F.col("gap_us").cast("double")) / 3.6e9, 4).alias("avg_gap_hours"),
+    # integer-exact mean hours: the rational sum(gap_us) /
+    # (n * 3.6e9 us-per-hour) rounded with round_rat
+    return (
+        purchases.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_repeats"),
+            F.sum("gap_us").alias("_sg"),
+        )
+        .select(
+            "user_id",
+            "n_repeats",
+            round_rat("_sg", "n_repeats * 3600000000", 4).alias(
+                "avg_gap_hours"
+            ),
+        )
     )
 
 

@@ -16,7 +16,14 @@ from pyspark.sql.window import Window
 from decimal import Decimal
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, materialize, money, money_sum
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    dec,
+    materialize,
+    money,
+    money_sum,
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -782,16 +789,20 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B60
-_MOM_ORACLE = """
+_MOM_ORACLE = f"""
 WITH monthly AS (
   SELECT DATE_TRUNC('month', o_orderdate) AS month,
     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
+),
+cents AS (
+  SELECT month, revenue, CAST(ROUND(revenue * 100) AS BIGINT) AS rev_c,
+    LAG(CAST(ROUND(revenue * 100) AS BIGINT)) OVER (ORDER BY month) AS prev_c
+  FROM monthly
 )
 SELECT month, revenue,
-  CAST(ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
-      / LAG(revenue) OVER (ORDER BY month), 4) AS DOUBLE) AS mom_pct
-FROM monthly
+  {sql_round_rat('100 * (rev_c - prev_c)', 'prev_c', 4)} AS mom_pct
+FROM cents
 """
 
 
@@ -806,11 +817,19 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum("o_totalprice", 2).alias("revenue")
     )
     w = Window.orderBy("month")
-    prev = F.lag("revenue").over(w)
-    return monthly.select(
-        "month",
-        "revenue",
-        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    # exact-cents growth ratio: revenue is an exact 2dp value, so the
+    # percentage is the rational 100*(Δcents)/prev_cents — rounded in
+    # integer arithmetic (round_rat), not on the double quotient
+    return (
+        monthly.withColumn(
+            "rev_c", F.expr("CAST(round(revenue * 100) AS BIGINT)")
+        )
+        .withColumn("prev_c", F.lag("rev_c").over(w))
+        .select(
+            "month",
+            "revenue",
+            round_rat("100 * (rev_c - prev_c)", "prev_c", 4).alias("mom_pct"),
+        )
     )
 
 
@@ -1063,15 +1082,19 @@ def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B71
-_SEGMENT_ORACLE = """
-SELECT c.c_mktsegment AS segment,
-  COUNT(DISTINCT c.c_custkey) AS n_customers,
-  COUNT(o.o_orderkey) AS n_orders,
-  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
-  CAST(ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-      / COUNT(DISTINCT c.c_custkey), 4) AS DOUBLE) AS revenue_per_customer
-FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-GROUP BY c.c_mktsegment
+_SEGMENT_ORACLE = f"""
+WITH agg AS (
+  SELECT c.c_mktsegment AS segment,
+    COUNT(DISTINCT c.c_custkey) AS n_customers,
+    COUNT(o.o_orderkey) AS n_orders,
+    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT segment, n_customers, n_orders,
+  CAST(rev_c AS DOUBLE) / 100 AS revenue,
+  {sql_round_rat('rev_c', '100 * n_customers', 4)} AS revenue_per_customer
+FROM agg
 """
 
 
@@ -1081,7 +1104,9 @@ def segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per customer in one left-join aggregation (customers with
     no orders still count in the denominator)."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
-    rev = F.sum(dec("o_totalprice", 2))
+    # exact integer cents end-to-end: revenue_per_customer is the
+    # rational cents/(100*n) rounded with round_rat — the double
+    # quotient's round(., 4) is not engine-portable at boundaries
     return (
         t["customer"]
         .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
@@ -1089,8 +1114,16 @@ def segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("c_custkey").alias("n_customers"),
             F.count("o_orderkey").alias("n_orders"),
-            money(rev).alias("revenue"),
-            F.round(rev.cast("double") / F.count_distinct("c_custkey"), 4).alias(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("rev_c"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "n_orders",
+            (F.col("rev_c").cast("double") / 100).alias("revenue"),
+            round_rat("rev_c", "100 * n_customers", 4).alias(
                 "revenue_per_customer"
             ),
         )
@@ -1125,7 +1158,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B73
-_PARETO_ORACLE = """
+_PARETO_ORACLE = f"""
 WITH cust_rev AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY o_custkey
@@ -1139,8 +1172,7 @@ WITH cust_rev AS (
 SELECT CAST(SUM(CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8
       THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_top_customers,
   CAST(MAX(n_customers) AS BIGINT) AS n_customers,
-  CAST(ROUND(CAST(SUM(CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8
-      THEN 1 ELSE 0 END) + 1 AS DOUBLE) / MAX(n_customers), 4) AS DOUBLE) AS top_share
+  {sql_round_rat('SUM(CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8 THEN 1 ELSE 0 END) + 1', 'MAX(n_customers)', 4)} AS top_share
 FROM ranked
 """
 
@@ -1170,7 +1202,12 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         n_top.cast("bigint").alias("n_top_customers"),
         F.lit(n_customers).cast("bigint").alias("n_customers"),
-        F.round(n_top.cast("double") / n_customers, 4).alias("top_share"),
+    ).select(
+        "n_top_customers",
+        "n_customers",
+        # integer-exact 4dp share (round_rat): round(double k/n, 4)
+        # flips at .xxxx5 boundaries between engines
+        round_rat("n_top_customers", "n_customers", 4).alias("top_share"),
     )
 
 
@@ -1215,13 +1252,13 @@ _SKEW_ORACLE = f"""
 WITH c AS (
   SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
 ), s AS (
-  SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_n, SUM(n) AS total
+  SELECT SUM(n) AS total, COUNT(*) AS n_keys
   FROM c
 )
 SELECT user_id, n,
-  CAST(ROUND(CAST(n AS DOUBLE) / total, 6) AS DOUBLE) AS share,
-  CAST(ROUND(CAST(n AS DOUBLE) / avg_n, 4) AS DOUBLE) AS skew_ratio,
-  CAST(CEIL(CAST(n AS DOUBLE) / avg_n) AS BIGINT) AS suggested_salts
+  {sql_round_rat('n', 'total', 6)} AS share,
+  {sql_round_rat('n * n_keys', 'total', 4)} AS skew_ratio,
+  CAST((n * n_keys + total - 1) // total AS BIGINT) AS suggested_salts
 FROM c, s ORDER BY n DESC, user_id LIMIT {_SKEW_TOP}
 """
 
@@ -1237,22 +1274,22 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic cost stays trivial at any scale."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    s = c.agg(
-        (F.sum("n").cast("double") / F.count("*")).alias("avg_n"),
-        F.sum("n").alias("total"),
-    )
+    s = c.agg(F.sum("n").alias("total"), F.count("*").alias("n_keys"))
+    # integer-exact ratios: share/skew/salts are rationals of counts
+    # (n/total, n*keys/total); round_rat + integer ceil keep them
+    # engine-portable at rounding boundaries (ceil of a double
+    # quotient can even land on the wrong integer when the exact
+    # ratio is integral)
     return (
         c.crossJoin(F.broadcast(s))
         .select(
             "user_id",
             "n",
-            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
-            F.round(F.col("n").cast("double") / F.col("avg_n"), 4).alias(
-                "skew_ratio"
-            ),
-            F.ceil(F.col("n").cast("double") / F.col("avg_n"))
-            .cast("bigint")
-            .alias("suggested_salts"),
+            round_rat("n", "total", 6).alias("share"),
+            round_rat("n * n_keys", "total", 4).alias("skew_ratio"),
+            F.expr(
+                "CAST((n * n_keys + total - 1) DIV total AS BIGINT)"
+            ).alias("suggested_salts"),
         )
         .orderBy(F.desc("n"), "user_id")
         .limit(_SKEW_TOP)
@@ -1443,10 +1480,9 @@ WITH ob AS (
   GROUP BY a.p_brand, b.p_brand
 )
 SELECT brand_a, brand_b, n_both,
-  CAST(ROUND(CAST(n_both AS DOUBLE) / n.n_baskets, 6) AS DOUBLE) AS support,
-  CAST(ROUND(CAST(n_both AS DOUBLE) / sa.n, 6) AS DOUBLE) AS confidence,
-  CAST(ROUND(CAST(n_both AS DOUBLE) * n.n_baskets / (sa.n * sb.n), 6)
-    AS DOUBLE) AS lift
+  {sql_round_rat('n_both', 'n.n_baskets', 6)} AS support,
+  {sql_round_rat('n_both', 'sa.n', 6)} AS confidence,
+  {sql_round_rat('n_both * n.n_baskets', 'sa.n * sb.n', 6)} AS lift
 FROM pairs
 JOIN singles sa ON sa.p_brand = brand_a
 JOIN singles sb ON sb.p_brand = brand_b
@@ -1514,18 +1550,11 @@ def brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_both",
-            F.round(F.col("n_both").cast("double") / F.col("n_baskets"), 6).alias(
-                "support"
-            ),
-            F.round(F.col("n_both").cast("double") / F.col("_na"), 6).alias(
-                "confidence"
-            ),
-            F.round(
-                F.col("n_both").cast("double")
-                * F.col("n_baskets")
-                / (F.col("_na") * F.col("_nb")),
-                6,
-            ).alias("lift"),
+            # integer-exact association metrics (round_rat): all
+            # three are rationals of basket counts
+            round_rat("n_both", "n_baskets", 6).alias("support"),
+            round_rat("n_both", "_na", 6).alias("confidence"),
+            round_rat("n_both * n_baskets", "_na * _nb", 6).alias("lift"),
         )
     )
 
@@ -1637,7 +1666,7 @@ def join_size_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B100
-_RFM_ORACLE = """
+_RFM_ORACLE = f"""
 WITH mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
 base AS (
   SELECT o.o_custkey AS cust,
@@ -1673,12 +1702,10 @@ scored AS (
 SELECT CONCAT(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
               CAST(m_score AS VARCHAR)) AS segment,
   COUNT(*) AS n_customers,
-  CAST(ROUND(AVG(recency_days), 4) AS DOUBLE) AS avg_recency_days,
-  CAST(ROUND(AVG(frequency), 4) AS DOUBLE) AS avg_frequency,
-  -- integer-cent round-half-up mirror of the Spark side (see the
-  -- operator comment: double round() diverges at .xx5 boundaries)
-  CAST((2 * SUM(CAST(ROUND(monetary * 100) AS BIGINT)) + COUNT(*))
-       // (2 * COUNT(*)) AS DOUBLE) / 100 AS avg_monetary
+  {sql_round_rat('SUM(recency_days)', 'COUNT(*)', 4)} AS avg_recency_days,
+  {sql_round_rat('SUM(frequency)', 'COUNT(*)', 4)} AS avg_frequency,
+  {sql_round_rat('SUM(CAST(ROUND(monetary * 100) AS BIGINT))',
+                 '100 * COUNT(*)', 2)} AS avg_monetary
 FROM scored
 GROUP BY 1 ORDER BY segment
 """
@@ -1757,22 +1784,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
-            F.round(F.avg("frequency"), 4).alias("avg_frequency"),
-            # integer-cent mean: per-customer monetary is exact at 2dp,
-            # so sum cents as BIGINT and round-half-up the rational
-            # cents/n as (2c+n) DIV 2n — double division followed by
-            # round() flips the last cent across engines when the true
-            # mean sits at a .xx5 boundary (caught by the r11 cross-SF
-            # rotation), because Spark rounds the shortest decimal repr
-            # HALF_UP while DuckDB rounds the binary double to nearest
-            (
-                F.expr(
-                    "(2 * sum(CAST(round(monetary * 100) AS BIGINT))"
-                    " + count(*)) DIV (2 * count(*))"
-                ).cast("double")
-                / 100.0
-            ).alias("avg_monetary"),
+            F.sum("recency_days").alias("_sr"),
+            F.sum("frequency").alias("_sf"),
+            F.sum(F.expr("CAST(round(monetary * 100) AS BIGINT)")).alias(
+                "_sc"
+            ),
+        )
+        # integer-exact means (round_rat): every one is a rational of
+        # exact integers — recency-day sums, order counts, and cents
+        # (per-customer monetary is exact at 2dp). A double quotient
+        # + round() flips the last digit across engines at .xx5
+        # boundaries (caught live by the r11 cross-SF rotation: a
+        # segment's cents mean landed on .445)
+        .select(
+            "segment",
+            "n_customers",
+            round_rat("_sr", "n_customers", 4).alias("avg_recency_days"),
+            round_rat("_sf", "n_customers", 4).alias("avg_frequency"),
+            round_rat("_sc", "100 * n_customers", 2).alias("avg_monetary"),
         )
         .orderBy("segment")
     )
@@ -2160,7 +2189,7 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B107
-_WEEKDAY_ORACLE = """
+_WEEKDAY_ORACLE = f"""
 WITH daily AS (
   SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
   FROM events GROUP BY 1, 2
@@ -2173,9 +2202,8 @@ overall AS (
 )
 SELECT k.event_type, CAST(k.dow AS INTEGER) AS dow,
   COUNT(*) AS n_days,
-  ROUND(CAST(SUM(k.n) AS DOUBLE) / COUNT(*), 4) AS mean_daily,
-  ROUND((CAST(SUM(k.n) AS DOUBLE) / COUNT(*))
-        / (CAST(o.st AS DOUBLE) / o.ct), 6) AS seasonal_index
+  {sql_round_rat('SUM(k.n)', 'COUNT(*)', 4)} AS mean_daily,
+  {sql_round_rat('SUM(k.n) * o.ct', 'COUNT(*) * o.st', 6)} AS seasonal_index
 FROM keyed k JOIN overall o ON o.event_type = k.event_type
 GROUP BY k.event_type, k.dow, o.st, o.ct
 ORDER BY k.event_type, dow
@@ -2213,14 +2241,10 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("dow").cast("int").alias("dow"),
             "n_days",
-            F.round(F.col("sn").cast("double") / F.col("n_days"), 4).alias(
-                "mean_daily"
-            ),
-            F.round(
-                (F.col("sn").cast("double") / F.col("n_days"))
-                / (F.col("st").cast("double") / F.col("ct")),
-                6,
-            ).alias("seasonal_index"),
+            # integer-exact rationals (round_rat): mean = sn/days,
+            # index = (sn/days)/(st/ct) = sn*ct / (days*st)
+            round_rat("sn", "n_days", 4).alias("mean_daily"),
+            round_rat("sn * ct", "n_days * st", 6).alias("seasonal_index"),
         )
         .orderBy("event_type", "dow")
     )
@@ -2415,13 +2439,13 @@ series AS (
   FROM daily GROUP BY event_type
 ),
 rates AS (
-  SELECT event_type, xs, nd,
+  SELECT event_type, xs, nd, total,
     CAST(total AS DOUBLE) / nd AS r0,
     CAST({_BURST_S} AS DOUBLE) * (CAST(total AS DOUBLE) / nd) AS r1
   FROM series WHERE nd >= 2
 ),
 fit AS (
-  SELECT event_type, nd, r0, r1,
+  SELECT event_type, nd, total, r0, r1,
     list_reduce(
       list_prepend(
         [r0 - xs[1] * LN(r0),
@@ -2444,7 +2468,7 @@ SELECT event_type, CAST(nd AS INTEGER) AS n_days,
   CAST(CASE WHEN st[2] < st[1] THEN st[4] ELSE st[3] END AS BIGINT)
     AS burst_days,
   ROUND(CASE WHEN st[2] < st[1] THEN st[2] ELSE st[1] END, 6) AS path_cost,
-  ROUND(r0, 6) AS base_rate
+  {sql_round_rat('total', 'nd', 6)} AS base_rate
 FROM fit ORDER BY event_type
 """
 
@@ -2482,6 +2506,7 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "xs",
         "nd",
+        "total",
         (F.col("total").cast("double") / F.col("nd")).alias("r0"),
         (
             F.lit(_BURST_S).cast("double")
@@ -2491,6 +2516,7 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = rates.select(
         "event_type",
         "nd",
+        "total",
         "r0",
         F.expr(_burst_fold_spark()).alias("st"),
     )
@@ -2508,7 +2534,10 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("path_cost"),
-        F.round("r0", 6).alias("base_rate"),
+        # base_rate is the rational total/nd — integer-exact 6dp
+        # (r0 stays double: it feeds the Viterbi fold identically on
+        # both engines)
+        round_rat("total", "nd", 6).alias("base_rate"),
     ).orderBy("event_type")
 
 
