@@ -80,9 +80,10 @@ def round_rat(num_sql: str, den_sql: str, dp: int) -> Column:
     2*|num|*10^dp < 2^63 (|num| < 4.6e14 at dp 4, 4.6e12 at dp 6).
     Mirror the oracle side with :func:`sql_round_rat`."""
     s = 10 ** dp
+    den = f"CAST(({den_sql}) AS BIGINT)"
     mag = (
-        f"CAST((2 * ABS(CAST(({num_sql}) AS BIGINT)) * {s} + ({den_sql}))"
-        f" DIV (2 * ({den_sql})) AS DOUBLE)"
+        f"CAST((2 * ABS(CAST(({num_sql}) AS BIGINT)) * {s} + {den})"
+        f" DIV (2 * {den}) AS DOUBLE)"
     )
     return F.expr(f"SIGN({num_sql}) * {mag}") / s
 
@@ -91,9 +92,10 @@ def sql_round_rat(num_sql: str, den_sql: str, dp: int) -> str:
     """DuckDB mirror of :func:`round_rat` (``//`` floors like DIV
     truncates — identical on the non-negative magnitude)."""
     s = 10 ** dp
+    den = f"CAST(({den_sql}) AS BIGINT)"
     return (
         f"(SIGN({num_sql}) * CAST((2 * ABS(CAST(({num_sql}) AS BIGINT)) * {s}"
-        f" + ({den_sql})) // (2 * ({den_sql})) AS DOUBLE) / {s})"
+        f" + {den}) // (2 * {den}) AS DOUBLE) / {s})"
     )
 
 

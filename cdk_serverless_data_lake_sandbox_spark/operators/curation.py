@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -397,11 +401,12 @@ WITH t AS (
   FROM documents GROUP BY source
 ), s AS (
   SELECT source, n_tokens,
-    CAST(n_tokens AS DOUBLE) / (SELECT SUM(CAST(n_tokens AS DOUBLE)) FROM t) AS share
+    CAST(n_tokens AS DOUBLE) / (SELECT SUM(CAST(n_tokens AS DOUBLE)) FROM t) AS share,
+    (SELECT SUM(n_tokens) FROM t) AS tot
   FROM t
 )
 SELECT source, n_tokens,
-  CAST(ROUND(share, 6) AS DOUBLE) AS share,
+  {sql_round_rat('n_tokens', 'tot', 6)} AS share,
   CAST(ROUND(POW(share, {_MIX_ALPHA})
       / (SELECT SUM(POW(share, {_MIX_ALPHA})) FROM s), 6) AS DOUBLE) AS weight
 FROM s
@@ -425,13 +430,17 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t.crossJoin(F.broadcast(total)).select(
         "source",
         "n_tokens",
+        "_tot",
         (F.col("n_tokens").cast("double") / F.col("_tot")).alias("_share"),
     )
     z = s.agg(F.sum(F.pow("_share", F.lit(_MIX_ALPHA))).alias("_z"))
     return s.crossJoin(F.broadcast(z)).select(
         "source",
         "n_tokens",
-        F.round("_share", 6).alias("share"),
+        # integer-exact share (round_rat); the alpha-powered weight
+        # stays double (transcendental, 17-digit reprs don't straddle
+        # rounding boundaries)
+        round_rat("n_tokens", "_tot", 6).alias("share"),
         F.round(F.pow("_share", F.lit(_MIX_ALPHA)) / F.col("_z"), 6).alias("weight"),
     )
 
@@ -498,8 +507,8 @@ WITH w AS (
 )
 SELECT g.doc_id, COUNT(*) AS n_grams,
   COUNT(*) FILTER (WHERE f.mind = g.doc_id) AS n_novel,
-  CAST(ROUND(CAST(COUNT(*) FILTER (WHERE f.mind = g.doc_id) AS DOUBLE)
-      / COUNT(*), 6) AS DOUBLE) AS novelty
+  {sql_round_rat("COUNT(*) FILTER (WHERE f.mind = g.doc_id)", 'COUNT(*)', 6)}
+    AS novelty
 FROM g JOIN f USING (gram) GROUP BY g.doc_id
 """
 
@@ -531,10 +540,13 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         g.join(f, "gram")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            novel.alias("n_novel"),
-            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        .agg(F.count("*").alias("n_grams"), novel.alias("n_novel"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            # integer-exact novelty rate (round_rat)
+            round_rat("n_novel", "n_grams", 6).alias("novelty"),
         )
     )
 
@@ -951,7 +963,7 @@ SELECT s.lang,
        WHEN s.bpt > mom.mu + {_PPL_Z} * mom.sigma THEN 'tail'
        ELSE 'middle' END AS bucket,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
-  ROUND(CAST(COUNT(*) AS DOUBLE) / mom.n, 6) AS share,
+  {sql_round_rat('COUNT(*)', 'mom.n', 6)} AS share,
   CAST(ROUND(SUM(CAST(s.bpt AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE) AS avg_bits
 FROM scored s JOIN mom ON s.lang = mom.lang
 GROUP BY s.lang, mom.n,
@@ -1011,8 +1023,16 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.count("*").cast("double") / F.first("n"), 6).alias("share"),
+            F.first("n").alias("_n"),
             F.round(F.sum(dbpt) / F.count("*"), 4).cast("double").alias("avg_bits"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            # integer-exact share (round_rat)
+            round_rat("n_docs", "_n", 6).alias("share"),
+            "avg_bits",
         )
     )
 

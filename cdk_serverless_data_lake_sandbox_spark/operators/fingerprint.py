@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
 from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
     materialize_lazy,
+    round_rat,
+    sql_round_rat,
 )
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
@@ -165,9 +167,9 @@ per_doc AS (
 SELECT doc_id,
   CAST(n_grams AS BIGINT) AS n_grams,
   CAST(n_fp AS BIGINT) AS n_fingerprints,
-  ROUND(CAST(n_fp AS DOUBLE) / n_grams, 6) AS fp_density,
+  {sql_round_rat('n_fp', 'n_grams', 6)} AS fp_density,
   CAST(n_shared_hashes AS BIGINT) AS n_shared_hashes,
-  ROUND(CAST(n_shared_hashes AS DOUBLE) / n_hashes, 6) AS shared_frac
+  {sql_round_rat('n_shared_hashes', 'n_hashes', 6)} AS shared_frac
 FROM per_doc
 ORDER BY doc_id
 """
@@ -208,13 +210,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.col("n_fp").cast("bigint").alias("n_fingerprints"),
-        F.round(F.col("n_fp").cast("double") / F.col("n_grams"), 6).alias(
-            "fp_density"
-        ),
+        # integer-exact fractions (round_rat)
+        round_rat("n_fp", "n_grams", 6).alias("fp_density"),
         F.col("n_shared_hashes").cast("bigint").alias("n_shared_hashes"),
-        F.round(
-            F.col("n_shared_hashes").cast("double") / F.col("n_hashes"), 6
-        ).alias("shared_frac"),
+        round_rat("n_shared_hashes", "n_hashes", 6).alias("shared_frac"),
     ).orderBy("doc_id")
 
 

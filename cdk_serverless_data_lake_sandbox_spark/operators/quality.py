@@ -13,6 +13,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -250,14 +254,14 @@ scored AS (
   SELECT s.doc_id, s.score, g.keep, 1 + {decile} AS decile
   FROM s JOIN g USING (doc_id) CROSS JOIN cuts c
 ),
-tot AS (SELECT CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS base_rate FROM scored)
+tot AS (SELECT SUM(keep) AS tk, COUNT(*) AS tn FROM scored)
 SELECT CAST(decile AS INTEGER) AS decile,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
-  ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
-  ROUND((CAST(SUM(keep) AS DOUBLE) / COUNT(*)) / t.base_rate, 6) AS lift,
+  {sql_round_rat('SUM(keep)', 'COUNT(*)', 6)} AS keep_rate,
+  {sql_round_rat('SUM(keep) * t.tn', 'COUNT(*) * t.tk', 6)} AS lift,
   ROUND(AVG(score), 6) AS mean_score
 FROM scored CROSS JOIN tot t
-GROUP BY decile, t.base_rate
+GROUP BY decile, t.tk, t.tn
 ORDER BY decile
 """
 
@@ -297,21 +301,23 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "keep", decile.alias("decile"))
     )
     tot = scored.agg(
-        (F.sum("keep").cast("double") / F.count("*")).alias("base_rate")
+        F.sum("keep").alias("_tk"), F.count("*").alias("_tn")
     )
+    # integer-exact rates (round_rat): keep_rate = k/n, lift =
+    # (k/n)/(K/N) = k*N / (n*K) — all four are counts
     return (
         scored.groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            (F.sum("keep").cast("double") / F.count("*")).alias("_kr"),
+            F.sum("keep").alias("_k"),
             F.round(F.avg("score"), 6).alias("mean_score"),
         )
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("decile").cast("int").alias("decile"),
             "n_docs",
-            F.round(F.col("_kr"), 6).alias("keep_rate"),
-            F.round(F.col("_kr") / F.col("base_rate"), 6).alias("lift"),
+            round_rat("_k", "n_docs", 6).alias("keep_rate"),
+            round_rat("_k * _tn", "n_docs * _tk", 6).alias("lift"),
             "mean_score",
         )
         .orderBy("decile")

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import pin
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    pin,
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _COSINE_TAU = 0.3
@@ -1099,8 +1103,8 @@ scored AS (
 )
 SELECT query_id,
   CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
-  CAST(ROUND(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
-      / COUNT(*), 4) AS DOUBLE) AS purity
+  {sql_round_rat('SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)',
+                  'COUNT(*)', 4)} AS purity
 FROM topk GROUP BY query_id
 """
 
@@ -1135,9 +1139,18 @@ def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOP_K)
     )
     same = F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
-    return topk.groupBy("query_id").agg(
-        same.cast("bigint").alias("n_same_label"),
-        F.round(same.cast("double") / F.count("*"), 4).alias("purity"),
+    # integer-exact purity fraction (round_rat)
+    return (
+        topk.groupBy("query_id")
+        .agg(
+            same.cast("bigint").alias("n_same_label"),
+            F.count("*").alias("_nn"),
+        )
+        .select(
+            "query_id",
+            "n_same_label",
+            round_rat("n_same_label", "_nn", 4).alias("purity"),
+        )
     )
 
 

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize, pin
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    materialize,
+    pin,
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -887,8 +892,8 @@ WITH toks AS (
 SELECT t.doc_id,
   COUNT(*) AS n_tokens,
   CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
-  CAST(ROUND(CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
-      / COUNT(*), 6) AS DOUBLE) AS oov_rate
+  {sql_round_rat("COUNT(*) FILTER (WHERE v.token IS NULL)", 'COUNT(*)', 6)}
+    AS oov_rate
 FROM toks t LEFT JOIN vocab v ON t.token = v.token
 GROUP BY t.doc_id
 """
@@ -923,13 +928,16 @@ def vocab_oov_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oov = F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).cast(
         "bigint"
     )
+    # integer-exact rate (round_rat over the oov/total counts)
     return (
         toks.join(F.broadcast(vocab), "token", "left")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            oov.alias("n_oov"),
-            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+        .agg(F.count("*").alias("n_tokens"), oov.alias("n_oov"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            round_rat("n_oov", "n_tokens", 6).alias("oov_rate"),
         )
     )
 
@@ -1046,7 +1054,7 @@ WITH h AS (
 ), tot AS (SELECT COUNT(*) AS n FROM s)
 SELECT split, COUNT(*) AS n_docs,
   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-  CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 4) AS DOUBLE) AS doc_share
+  {sql_round_rat('COUNT(*)', 'tot.n', 4)} AS doc_share
 FROM s, tot GROUP BY split, tot.n
 """
 
@@ -1089,11 +1097,14 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.round(F.count("*").cast("double") / F.col("_n"), 4).alias(
-                "doc_share"
-            ),
         )
-        .drop("_n")
+        .select(
+            "split",
+            "n_docs",
+            "total_chars",
+            # integer-exact share (round_rat)
+            round_rat("n_docs", "_n", 4).alias("doc_share"),
+        )
     )
 
 
@@ -1728,7 +1739,7 @@ btot0 AS (SELECT 0 AS already)"""
 bnp AS (SELECT w, len(syms) AS n_pieces FROM bv{_BPE_MERGES})
 SELECT bwf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
   CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
-  ROUND(SUM(n_pieces) / COUNT(*), 4) AS fertility
+  {sql_round_rat('SUM(n_pieces)', 'COUNT(*)', 4)} AS fertility
 FROM bwf JOIN bnp USING (w) GROUP BY bwf.doc_id"""
 
 
@@ -1769,7 +1780,13 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_words"),
             F.sum("n_pieces").cast("bigint").alias("n_pieces"),
-            F.round(F.sum("n_pieces") / F.count("*"), 4).alias("fertility"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            # integer-exact pieces-per-word (round_rat)
+            round_rat("n_pieces", "n_words", 4).alias("fertility"),
         )
     )
 
@@ -1918,13 +1935,14 @@ def compression_sizes_tail(sizes: DataFrame) -> DataFrame:
     n_bytes, n_compressed), rounded in the JVM (HALF_UP, the DuckDB
     ROUND pair) — zero-byte docs report ratio 0.0 like the original
     in-UDF arithmetic did."""
+    # integer-exact ratio (round_rat): both byte counts are ints
     return sizes.select(
         "doc_id",
         "n_bytes",
         "n_compressed",
         F.when(
             F.col("n_bytes") > 0,
-            F.round(F.col("n_compressed") / F.col("n_bytes"), 6),
+            round_rat("n_compressed", "n_bytes", 6),
         )
         .otherwise(F.lit(0.0))
         .alias("compression_ratio"),
@@ -2002,7 +2020,7 @@ WITH sizes AS (
 )
 SELECT doc_id, n_bytes, n_compressed,
   CASE WHEN n_bytes > 0
-    THEN ROUND(CAST(n_compressed AS DOUBLE) / n_bytes, 6)
+    THEN {sql_round_rat('n_compressed', 'n_bytes', 6)}
     ELSE 0.0 END AS compression_ratio
 FROM sizes
 """
