@@ -171,3 +171,59 @@ def test_percentile_sketch_exact_through_partial_merges(spark):
 
     for p, g in zip((0.5, 0.95, 0.99), got):
         assert g == xs[max(math.ceil(p * n), 1) - 1]
+
+
+def test_round_rat_matches_fraction_half_up_on_both_engines(spark):
+    """The round_rat/sql_round_rat pair must implement EXACT
+    half-away-from-zero rounding of num/den on both engines,
+    including the .<dp>5 boundary cases where round(double, dp)
+    diverges between Spark and DuckDB (the r11 bug class). Ground
+    truth is Fraction arithmetic."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        round_rat,
+        sql_round_rat,
+    )
+
+    cases = [
+        # (num, den, dp) — boundary-heavy: quotient*10^dp ends in .5
+        (33300, 64000, 6),     # 0.5203125 -> 0.520313 (the live cd hit)
+        (1, 2, 0),             # 0.5 -> 1
+        (3, 2, 0),             # 1.5 -> 2
+        (-3, 2, 0),            # -1.5 -> -2 (away from zero)
+        (445, 1000, 2),        # 0.445 -> 0.45 (the live cents hit)
+        (-445, 1000, 2),       # -0.445 -> -0.45
+        (123456, 7, 4),        # non-terminating
+        (0, 5, 6),
+        (999995, 10**6 * 2, 6),  # 0.4999975
+        (25, 10000, 2),        # 0.0025 -> 0.0 (half at dp+1? no: .00)
+        (15, 1000, 2),         # 0.015 -> 0.02
+    ]
+    rows = spark.createDataFrame(
+        [(n, d, i) for i, (n, d, _) in enumerate(cases)], "num long, den long, i long"
+    )
+    got_spark = {}
+    for i, (_, _, dp) in enumerate(cases):
+        r = (
+            rows.where(F.col("i") == i)
+            .select(round_rat("num", "den", dp).alias("v"))
+            .first()
+        )
+        got_spark[i] = r.v
+    con = duckdb.connect()
+    for i, (n, d, dp) in enumerate(cases):
+        want_fr = Fraction(n, d)
+        sign = -1 if want_fr < 0 else 1
+        scaled = abs(want_fr) * 10**dp
+        want = sign * ((2 * scaled.numerator + scaled.denominator)
+                       // (2 * scaled.denominator)) / 10**dp
+        # independently: half-up of the exact rational
+        assert got_spark[i] == want, (cases[i], got_spark[i], want)
+        duck = con.execute(
+            f"SELECT {sql_round_rat('num', 'den', dp)} AS v"
+            f" FROM (SELECT CAST({n} AS BIGINT) num, CAST({d} AS BIGINT) den)"
+        ).fetchone()[0]
+        assert duck == want, (cases[i], duck, want)
