@@ -941,10 +941,11 @@ SELECT
   COUNT(CASE WHEN first_purchase >= first_signup
          AND first_purchase < first_signup + INTERVAL {_WF_WINDOW_DAYS} DAYS
         THEN 1 END) AS n_purchase_7d,
-  CAST(ROUND(CAST(COUNT(CASE WHEN first_purchase >= first_signup
-         AND first_purchase < first_signup + INTERVAL {_WF_WINDOW_DAYS} DAYS
-        THEN 1 END) AS DOUBLE)
-    / NULLIF(COUNT(first_signup), 0), 6) AS DOUBLE) AS purchase_cvr_7d
+  {sql_round_rat('COUNT(CASE WHEN first_purchase >= first_signup'
+                 ' AND first_purchase < first_signup'
+                 ' + INTERVAL ' + str(_WF_WINDOW_DAYS) + ' DAYS'
+                 ' THEN 1 END)',
+                 'NULLIF(COUNT(first_signup), 0)', 6)} AS purchase_cvr_7d
 FROM firsts
 """
 
@@ -978,14 +979,18 @@ def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_purch = F.count(F.when(in_window("first_purchase"), 1))
+    # integer-exact conversion rate (round_rat; null on zero signups)
     return firsts.agg(
         F.count("first_signup").alias("n_signup"),
         F.count(F.when(in_window("first_click"), 1)).alias("n_click_7d"),
         n_purch.alias("n_purchase_7d"),
-        F.round(
-            n_purch.cast("double") / F.nullif(F.count("first_signup"), F.lit(0)),
-            6,
-        ).alias("purchase_cvr_7d"),
+    ).select(
+        "n_signup",
+        "n_click_7d",
+        "n_purchase_7d",
+        round_rat("n_purchase_7d", "nullif(n_signup, 0)", 6).alias(
+            "purchase_cvr_7d"
+        ),
     )
 
 
@@ -1441,7 +1446,7 @@ def repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B114
-_MARKOV_ORACLE = """
+_MARKOV_ORACLE = f"""
 WITH s AS (
   SELECT event_type,
     LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1453,8 +1458,9 @@ WITH s AS (
   FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT from_type, to_type, n_transitions,
-  ROUND(CAST(n_transitions AS DOUBLE)
-    / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob,
+  {sql_round_rat('n_transitions',
+                 'SUM(n_transitions) OVER (PARTITION BY from_type)', 6)}
+    AS prob,
   ROW_NUMBER() OVER (PARTITION BY from_type
     ORDER BY n_transitions DESC, to_type) AS rank
 FROM t
@@ -1489,14 +1495,19 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("from_type").orderBy(
         F.desc("n_transitions"), "to_type"
     )
+    # integer-exact row probability (round_rat over the windowed sum)
     return t.select(
-        "from_type", "to_type", "n_transitions",
-        F.round(
-            F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(w_from),
-            6,
-        ).alias("prob"),
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(w_from).alias("_tot"),
         F.row_number().over(w_rank).alias("rank"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        round_rat("n_transitions", "_tot", 6).alias("prob"),
+        "rank",
     )
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import pin
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    pin,
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _DAMP = 0.85
@@ -389,7 +393,7 @@ pernode AS (
 SELECT CAST(d.node AS BIGINT) AS part_key,
   CAST(d.deg AS BIGINT) AS n_copurchase,
   CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
-  ROUND(CAST(2 AS DOUBLE) * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+  {sql_round_rat('2 * COALESCE(p.n_tri, 0)', 'd.deg * (d.deg - 1)', 6)}
     AS clustering_coef
 FROM deg d LEFT JOIN pernode p ON p.node = d.node
 WHERE d.deg > 1
@@ -457,10 +461,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").cast("bigint").alias("part_key"),
             F.col("deg").cast("bigint").alias("n_copurchase"),
             F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
-            F.round(
-                F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
-                / (F.col("deg") * (F.col("deg") - 1)),
-                6,
+            # integer-exact cc = 2*tri / deg*(deg-1) (round_rat)
+            round_rat(
+                "2 * coalesce(n_tri, 0)", "deg * (deg - 1)", 6
             ).alias("clustering_coef"),
         )
         .orderBy(F.desc("n_triangles"), "part_key")
@@ -1201,7 +1204,7 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B113
-_TREND_ORACLE = """
+_TREND_ORACLE = f"""
 WITH lo AS (
   SELECT l.l_orderkey, l.l_partkey, DATE_TRUNC('month', o.o_orderdate) AS m
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1218,8 +1221,8 @@ SELECT pm.m AS month,
   CAST(COUNT(*) AS BIGINT) AS n_active_edges,
   CAST(SUM(CASE WHEN pm.m = f.first_m THEN 1 ELSE 0 END) AS BIGINT)
     AS n_new_edges,
-  ROUND(CAST(SUM(CASE WHEN pm.m = f.first_m THEN 1 ELSE 0 END) AS DOUBLE)
-        / COUNT(*), 6) AS new_frac
+  {sql_round_rat('SUM(CASE WHEN pm.m = f.first_m THEN 1 ELSE 0 END)',
+                 'COUNT(*)', 6)} AS new_frac
 FROM pm JOIN firsts f ON f.pa = pm.pa AND f.pb = pm.pb
 GROUP BY pm.m ORDER BY month
 """
@@ -1272,9 +1275,13 @@ def copurchase_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_active_edges"),
             F.sum("is_new").cast("bigint").alias("n_new_edges"),
-            F.round(
-                F.sum("is_new").cast("double") / F.count("*"), 6
-            ).alias("new_frac"),
+        )
+        .select(
+            "month",
+            "n_active_edges",
+            "n_new_edges",
+            # integer-exact share (round_rat)
+            round_rat("n_new_edges", "n_active_edges", 6).alias("new_frac"),
         )
         .orderBy("month")
     )

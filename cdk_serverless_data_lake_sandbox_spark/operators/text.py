@@ -241,15 +241,15 @@ def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C28
-_READING_ORACLE = """
+_RL_STRIPPED = "LEN(REPLACE(REPLACE(text, ' ', ''), '.', ''))"
+_RL_WORDS = "LEN(string_split_regex(TRIM(text), '\\s+'))"
+_RL_SENTS = "GREATEST(LEN(string_split_regex(text, '[.!?]+')) - 1, 1)"
+_READING_ORACLE = f"""
 SELECT doc_id,
-  LEN(string_split_regex(TRIM(text), '\\s+')) AS n_words,
+  {_RL_WORDS} AS n_words,
   LEN(string_split_regex(text, '[.!?]+')) - 1 AS n_sentences,
-  CAST(ROUND(CAST(LEN(REPLACE(REPLACE(text, ' ', ''), '.', '')) AS DOUBLE)
-      / LEN(string_split_regex(TRIM(text), '\\s+')), 4) AS DOUBLE) AS chars_per_word,
-  CAST(ROUND(CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE)
-      / GREATEST(LEN(string_split_regex(text, '[.!?]+')) - 1, 1), 4) AS DOUBLE)
-    AS words_per_sentence
+  {sql_round_rat(_RL_STRIPPED, _RL_WORDS, 4)} AS chars_per_word,
+  {sql_round_rat(_RL_WORDS, _RL_SENTS, 4)} AS words_per_sentence
 FROM documents
 """
 
@@ -269,9 +269,16 @@ def reading_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_words.alias("n_words"),
         n_sentences.alias("n_sentences"),
-        F.round(stripped.cast("double") / n_words, 4).alias("chars_per_word"),
-        F.round(
-            n_words.cast("double") / F.greatest(n_sentences, F.lit(1)), 4
+        # integer-exact ratios (round_rat; r11 rounding-audit class)
+        round_rat(
+            "length(regexp_replace(text, '[ .]', ''))",
+            "size(split(trim(text), '\\\\s+'))",
+            4,
+        ).alias("chars_per_word"),
+        round_rat(
+            "size(split(trim(text), '\\\\s+'))",
+            "greatest(size(split(text, '[.!?]+')) - 1, 1)",
+            4,
         ).alias("words_per_sentence"),
     )
 
@@ -323,11 +330,11 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C30
-_DUPRATE_ORACLE = """
+_DUPRATE_ORACLE = f"""
 SELECT source, COUNT(*) AS n_docs,
   COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
-  CAST(ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
-      / COUNT(*), 6) AS DOUBLE) AS dup_rate
+  {sql_round_rat('COUNT(*) - COUNT(DISTINCT md5(text))', 'COUNT(*)', 6)}
+    AS dup_rate
 FROM documents GROUP BY source
 """
 
@@ -338,14 +345,21 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     that decides which feed needs dedup attention first. One pass:
     count vs distinct content-hash count per source."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_exact_dups"),
-        F.round(
-            (F.count("*") - F.count_distinct(F.md5("text"))).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("dup_rate"),
+    # integer-exact rate (round_rat; r11 rounding-audit class)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.count_distinct(F.md5("text"))).alias(
+                "n_exact_dups"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dups",
+            round_rat("n_exact_dups", "n_docs", 6).alias("dup_rate"),
+        )
     )
 
 
@@ -2984,10 +2998,8 @@ SELECT lang,
   CAST(COUNT(*) AS BIGINT) AS n_words,
   CAST(SUM(s.np) AS BIGINT) AS n_pieces,
   CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
-  ROUND(CAST(SUM(s.np) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-    AS pieces_per_word,
-  ROUND(CAST(SUM(len(d.w)) AS DOUBLE) / CAST(SUM(s.np) AS DOUBLE), 6)
-    AS chars_per_piece
+  (SIGN(SUM(s.np)) * CAST((2 * ABS(CAST((SUM(s.np)) AS BIGINT)) * 1000000 + CAST((COUNT(*)) AS BIGINT)) // (2 * CAST((COUNT(*)) AS BIGINT)) AS DOUBLE) / 1000000) AS pieces_per_word,
+  (SIGN(SUM(len(d.w))) * CAST((2 * ABS(CAST((SUM(len(d.w))) AS BIGINT)) * 1000000 + CAST((SUM(s.np)) AS BIGINT)) // (2 * CAST((SUM(s.np)) AS BIGINT)) AS DOUBLE) / 1000000) AS chars_per_piece
 FROM tdtoks d JOIN twseg s ON s.w = d.w
 GROUP BY lang"""
     )
@@ -3035,13 +3047,15 @@ def tokenizer_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_words"),
             F.sum("np").alias("n_pieces"),
             F.sum(F.length("w")).alias("n_chars"),
-            F.round(
-                F.sum("np").cast("double") / F.count("*").cast("double"), 6
-            ).alias("pieces_per_word"),
-            F.round(
-                F.sum(F.length("w")).cast("double")
-                / F.sum("np").cast("double"),
-                6,
-            ).alias("chars_per_piece"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            "n_chars",
+            # integer-exact ratios (round_rat)
+            round_rat("n_pieces", "n_words", 6).alias("pieces_per_word"),
+            round_rat("n_chars", "n_pieces", 6).alias("chars_per_piece"),
         )
     )
