@@ -61,7 +61,7 @@ def sql_dec(expr: str, scale: int = 4) -> str:
     return f"CAST({expr} AS DECIMAL(18,{scale}))"
 
 
-def round_rat(num_sql: str, den_sql: str, dp: int) -> Column:
+def round_rat(num_sql: str, den_sql: str, dp: int, wide: bool = False) -> Column:
     """Exact half-away-from-zero rounding of the rational num/den to
     ``dp`` decimals, in 64-bit integer arithmetic.
 
@@ -77,24 +77,29 @@ def round_rat(num_sql: str, den_sql: str, dp: int) -> Column:
 
     Both args are SQL fragments over in-scope columns and must be
     integer-valued; ``den`` must be positive. Overflow bound:
-    2*|num|*10^dp < 2^63 (|num| < 4.6e14 at dp 4, 4.6e12 at dp 6).
+    2*|num|*10^dp < 2^63 (|num| < 4.6e14 at dp 4, 4.6e12 at dp 6) —
+    pass ``wide=True`` to run the magnitude arithmetic in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) when the scaled
+    numerator can exceed that (e.g. 10^9-scaled decimal sums).
     Mirror the oracle side with :func:`sql_round_rat`."""
     s = 10 ** dp
-    den = f"CAST(({den_sql}) AS BIGINT)"
+    ity = "DECIMAL(38,0)" if wide else "BIGINT"
+    den = f"CAST(({den_sql}) AS {ity})"
     mag = (
-        f"CAST((2 * ABS(CAST(({num_sql}) AS BIGINT)) * {s} + {den})"
+        f"CAST((2 * ABS(CAST(({num_sql}) AS {ity})) * {s} + {den})"
         f" DIV (2 * {den}) AS DOUBLE)"
     )
     return F.expr(f"SIGN({num_sql}) * {mag}") / s
 
 
-def sql_round_rat(num_sql: str, den_sql: str, dp: int) -> str:
+def sql_round_rat(num_sql: str, den_sql: str, dp: int, wide: bool = False) -> str:
     """DuckDB mirror of :func:`round_rat` (``//`` floors like DIV
     truncates — identical on the non-negative magnitude)."""
     s = 10 ** dp
-    den = f"CAST(({den_sql}) AS BIGINT)"
+    ity = "HUGEINT" if wide else "BIGINT"
+    den = f"CAST(({den_sql}) AS {ity})"
     return (
-        f"(SIGN({num_sql}) * CAST((2 * ABS(CAST(({num_sql}) AS BIGINT)) * {s}"
+        f"(SIGN({num_sql}) * CAST((2 * ABS(CAST(({num_sql}) AS {ity})) * {s}"
         f" + {den}) // (2 * {den}) AS DOUBLE) / {s})"
     )
 

@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import dec, money, money_sum, pin
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    dec,
+    money,
+    money_sum,
+    pin,
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -769,7 +776,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- B111
 _SKY_BUCKET = 100.0  # fixed price-bucket width for the prune stage
 
-_SKYLINE_ORACLE = """
+_SKYLINE_ORACLE = f"""
 SELECT p.p_partkey AS part_key, p.p_retailprice AS retail_price,
   CAST(p.p_size AS BIGINT) AS size
 FROM part p
@@ -874,8 +881,9 @@ SELECT CAST(tgt.c AS DOUBLE) AS coverage_target,
       THEN i END) AS vocab_size,
   CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= CEIL(tgt.c * tot.T)
       THEN cum END) AS BIGINT) AS tokens_covered,
-  ROUND(1 - MIN(CASE WHEN CAST(cum AS DOUBLE) >= CEIL(tgt.c * tot.T)
-      THEN CAST(cum AS DOUBLE) END) / tot.T, 6) AS oov_rate
+  {sql_round_rat('tot.T - MIN(CASE WHEN CAST(cum AS DOUBLE)'
+                 ' >= CEIL(tgt.c * tot.T) THEN cum END)',
+                 'tot.T', 6)} AS oov_rate
 FROM ranked, tot, tgt
 GROUP BY tgt.c, tot.T
 """
@@ -926,8 +934,11 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(float(t)).alias("coverage_target"),
                 F.col(f"_v{i}").alias("vocab_size"),
                 F.col(f"_c{i}").cast("bigint").alias("tokens_covered"),
-                F.round(
-                    F.lit(1.0) - F.col(f"_c{i}") / F.lit(t_double), 6
+                # integer-exact oov = (T - covered)/T (round_rat)
+                round_rat(
+                    f"CAST({int(total)} - _c{i} AS BIGINT)",
+                    str(int(total)),
+                    6,
                 ).alias("oov_rate"),
             )
             for i, t in enumerate(_COVERAGE_TARGETS)

@@ -456,10 +456,11 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-  CAST(ROUND(CAST(SUM(CAST(CAST(re_t AS DOUBLE) / ws AS DECIMAL(18,9)))
-      AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_fertility,
-  CAST(ROUND(CAST(SUM(re_t) AS DOUBLE) / SUM(ws), 6) AS DOUBLE)
-    AS corpus_fertility
+  {sql_round_rat('SUM(CAST(ROUND(CAST(CAST(CAST(re_t AS DOUBLE) / ws'
+                 ' AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000)'
+                 ' AS BIGINT))',
+                 'COUNT(*) * 1000000000', 6, wide=True)} AS mean_fertility,
+  {sql_round_rat('SUM(re_t)', 'SUM(ws)', 6)} AS corpus_fertility
 FROM t GROUP BY lang
 """
 
@@ -476,18 +477,20 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     re_t = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
     per = d.select("lang", ws.alias("ws"), re_t.alias("re_t"))
+    # integer-exact means: the per-doc ratio is pinned at 9dp by the
+    # decimal cast, so mean_fertility is the rational
+    # sum(ratio*1e9)/(n*1e9) (wide round_rat — the scaled sum
+    # outgrows BIGINT) and corpus_fertility is a plain count ratio
     return per.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(
-            F.sum(
-                (F.col("re_t").cast("double") / F.col("ws")).cast("decimal(18,9)")
-            ).cast("double")
-            / F.count("*"),
+        round_rat(
+            "sum(CAST(round(CAST(CAST(re_t AS DOUBLE) / ws"
+            " AS DECIMAL(18,9)) * 1000000000) AS BIGINT))",
+            "count(*) * 1000000000",
             6,
+            wide=True,
         ).alias("mean_fertility"),
-        F.round(F.sum("re_t").cast("double") / F.sum("ws"), 6).alias(
-            "corpus_fertility"
-        ),
+        round_rat("sum(re_t)", "sum(ws)", 6).alias("corpus_fertility"),
     )
 
 
@@ -964,7 +967,8 @@ SELECT s.lang,
        ELSE 'middle' END AS bucket,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   {sql_round_rat('COUNT(*)', 'mom.n', 6)} AS share,
-  CAST(ROUND(SUM(CAST(s.bpt AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE) AS avg_bits
+  {sql_round_rat('SUM(CAST(ROUND(CAST(s.bpt AS DECIMAL(18,4)) * 10000)'
+                 ' AS BIGINT))', 'COUNT(*) * 10000', 4)} AS avg_bits
 FROM scored s JOIN mom ON s.lang = mom.lang
 GROUP BY s.lang, mom.n,
   CASE WHEN s.bpt < mom.mu - {_PPL_Z} * mom.sigma THEN 'head'
@@ -1024,7 +1028,14 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.first("n").alias("_n"),
-            F.round(F.sum(dbpt) / F.count("*"), 4).cast("double").alias("avg_bits"),
+            # integer-exact mean: bpt pinned at 4dp by the decimal
+            # cast, so the mean is sum(bpt*1e4)/(n*1e4) (round_rat)
+            round_rat(
+                "sum(CAST(round(CAST(bpt AS DECIMAL(18,4)) * 10000)"
+                " AS BIGINT))",
+                "count(*) * 10000",
+                4,
+            ).alias("avg_bits"),
         )
         .select(
             "lang",
@@ -1458,7 +1469,7 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C144
-_TVD_ORACLE = """
+_TVD_ORACLE = f"""
 WITH w AS (
   SELECT source, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
   FROM documents WHERE text IS NOT NULL
@@ -1484,10 +1495,10 @@ num AS (
   GROUP BY wc.source
 )
 SELECT s.source, s.n_tokens,
-  ROUND(0.5 * (CAST(num.present AS DOUBLE)
-      + CAST(s.n_total - num.seen_mass AS DOUBLE) * s.n_tokens)
-    / (CAST(s.n_tokens AS DOUBLE) * (s.n_total - s.n_tokens)), 6)
-    AS tvd_vs_rest
+  {sql_round_rat('CAST(num.present AS HUGEINT)'
+                 ' + CAST(s.n_total - num.seen_mass AS HUGEINT) * s.n_tokens',
+                 '2 * CAST(s.n_tokens AS HUGEINT) * (s.n_total - s.n_tokens)',
+                 6, wide=True)} AS tvd_vs_rest
 FROM ns s JOIN num ON num.source = s.source
 WHERE s.n_total > s.n_tokens
 ORDER BY tvd_vs_rest DESC, s.source
@@ -1571,18 +1582,15 @@ def source_tvd_report(wc: DataFrame) -> DataFrame:
         .select(
             "source",
             "n_tokens",
-            F.round(
-                0.5
-                * (
-                    F.col("present").cast("double")
-                    + (F.col("n_total") - F.col("seen_mass")).cast("double")
-                    * F.col("n_tokens")
-                )
-                / (
-                    F.col("n_tokens").cast("double")
-                    * (F.col("n_total") - F.col("n_tokens"))
-                ),
+            # integer-exact TVD: every term is an exact integer, so
+            # the statistic is num/(2*q) — wide round_rat
+            round_rat(
+                "CAST(present AS DECIMAL(38,0))"
+                " + CAST(n_total - seen_mass AS DECIMAL(38,0)) * n_tokens",
+                "2 * CAST(n_tokens AS DECIMAL(38,0))"
+                " * (n_total - n_tokens)",
                 6,
+                wide=True,
             ).alias("tvd_vs_rest"),
         )
         .orderBy(F.desc("tvd_vs_rest"), "source")
@@ -1590,7 +1598,7 @@ def source_tvd_report(wc: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C145
-_KS_ORACLE = """
+_KS_ORACLE = f"""
 WITH d AS (
   SELECT source, CAST(LENGTH(text) AS BIGINT) AS x
   FROM documents WHERE text IS NOT NULL
@@ -1630,8 +1638,9 @@ gaps AS (
   GROUP BY c.source, s.n_docs, s.n_total
 )
 SELECT source, n_docs,
-  ROUND(CAST(dnum AS DOUBLE)
-    / (CAST(n_docs AS DOUBLE) * (n_total - n_docs)), 6) AS ks_stat
+  {sql_round_rat('CAST(dnum AS HUGEINT)',
+                 'CAST(n_docs AS HUGEINT) * (n_total - n_docs)', 6,
+                 wide=True)} AS ks_stat
 FROM gaps WHERE n_total > n_docs
 ORDER BY ks_stat DESC, source
 """
@@ -1708,13 +1717,12 @@ def ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.round(
-                F.col("dnum").cast("double")
-                / (
-                    F.col("n_docs").cast("double")
-                    * (F.col("n_total") - F.col("n_docs"))
-                ),
+            # integer-exact KS statistic (wide round_rat)
+            round_rat(
+                "CAST(dnum AS DECIMAL(38,0))",
+                "CAST(n_docs AS DECIMAL(38,0)) * (n_total - n_docs)",
                 6,
+                wide=True,
             ).alias("ks_stat"),
         )
         .orderBy(F.desc("ks_stat"), "source")

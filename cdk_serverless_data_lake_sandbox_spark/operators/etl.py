@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import pin
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    pin,
+    round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 from cdk_serverless_data_lake_sandbox_spark.sources.crawler import CsvClassifier, crawl_delimited
 
@@ -475,10 +478,9 @@ def file_skipping_report(
         F.sum(F.when(F.col("skippable"), F.col("n_rows")).otherwise(0))
         .cast("bigint")
         .alias("skippable_rows"),
-        F.round(
-            F.sum(F.when(F.col("skippable"), F.col("n_bytes")).otherwise(0))
-            / F.sum("n_bytes"),
-            4,
+        # integer-exact byte fraction (round_rat)
+        round_rat(
+            "sum(IF(skippable, n_bytes, 0))", "sum(n_bytes)", 4
         ).alias("skippable_byte_fraction"),
     )
 

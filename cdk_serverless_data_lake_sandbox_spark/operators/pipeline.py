@@ -25,6 +25,10 @@ from cdk_serverless_data_lake_sandbox_spark.operators.stats import (
     _strata_case_sql,
     sample_threshold_col,
 )
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 _MIN_WORDS, _MAX_WORDS = 20, 5000
@@ -392,8 +396,8 @@ SELECT shard,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-  CAST(ROUND(CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(DISTINCT seq_id) * 256.0), 6)
-    AS DOUBLE) AS fill_ratio
+  {sql_round_rat('SUM(n_tokens)', 'COUNT(DISTINCT seq_id) * 256', 6)}
+    AS fill_ratio
 FROM packed GROUP BY shard
 """
 
@@ -454,7 +458,8 @@ def training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(
-            F.sum("n_tokens").cast("double") / (F.countDistinct("seq_id") * 256.0), 6
+        # integer-exact fill ratio (round_rat)
+        round_rat(
+            "sum(n_tokens)", "count(DISTINCT seq_id) * 256", 6
         ).alias("fill_ratio"),
     )

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
-from cdk_serverless_data_lake_sandbox_spark.operators._helpers import materialize
+from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    materialize,
+    round_rat,
+    sql_round_rat,
+)
 from cdk_serverless_data_lake_sandbox_spark.registry import register
 
 
@@ -45,7 +49,7 @@ WITH t AS (
 )
 SELECT shard, CAST(FLOOR(cum / {_SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
   COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
-  CAST(ROUND(SUM(n_tokens) / {_SEQ_BUDGET}.0, 6) AS DOUBLE) AS fill_ratio
+  {sql_round_rat('SUM(n_tokens)', str(_SEQ_BUDGET), 6)} AS fill_ratio
 FROM c GROUP BY shard, CAST(FLOOR(cum / {_SEQ_BUDGET}.0) AS BIGINT)
 """
 
@@ -83,9 +87,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
-            F.round(F.sum("n_tokens") / F.lit(float(_SEQ_BUDGET)), 6).alias(
-                "fill_ratio"
-            ),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "n_docs",
+            "seq_tokens",
+            # integer-exact fill ratio (round_rat; r11 audit class)
+            round_rat("seq_tokens", str(_SEQ_BUDGET), 6).alias("fill_ratio"),
         )
     )
 
@@ -154,8 +163,8 @@ WITH w AS (
 )
 SELECT p.doc_id, COUNT(*) AS n_spans,
   COUNT(*) FILTER (WHERE c.nd >= 2) AS n_dup_spans,
-  CAST(ROUND(CAST(COUNT(*) FILTER (WHERE c.nd >= 2) AS DOUBLE) / COUNT(*), 6)
-    AS DOUBLE) AS dup_fraction
+  {sql_round_rat("COUNT(*) FILTER (WHERE c.nd >= 2)", 'COUNT(*)', 6)}
+    AS dup_fraction
 FROM pos p JOIN cnt c USING (span)
 GROUP BY p.doc_id
 """
@@ -193,12 +202,13 @@ def dup_span_profile(
     return (
         pos.join(cnt, "span_h")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            n_dup.alias("n_dup_spans"),
-            F.round(
-                n_dup.cast("double") / F.count("*"), 6
-            ).alias("dup_fraction"),
+        .agg(F.count("*").alias("n_spans"), n_dup.alias("n_dup_spans"))
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            # integer-exact fraction (round_rat)
+            round_rat("n_dup_spans", "n_spans", 6).alias("dup_fraction"),
         )
     )
 
@@ -301,8 +311,9 @@ WITH scales AS (
   FROM embeddings, sarr
 )
 SELECT label, COUNT(*) AS n_vectors,
-  CAST(ROUND(CAST(SUM(CAST(err_sum AS DECIMAL(18,9))) AS DOUBLE)
-      / (COUNT(*) * {_EMB_DIM}), 6) AS DOUBLE) AS mean_abs_err,
+  {sql_round_rat('SUM(CAST(ROUND(err_sum * 1000000000) AS BIGINT))',
+                 'COUNT(*) * ' + str(_EMB_DIM) + ' * 1000000000', 6,
+                 wide=True)} AS mean_abs_err,
   CAST(ROUND(MAX(err_max), 6) AS DOUBLE) AS max_abs_err
 FROM per_row GROUP BY label
 """
@@ -351,12 +362,17 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_max(_err)").alias("err_max"),
         )
     )
+    # err_sum is 9dp-exact after the decimal cast, so the mean is the
+    # rational sum(err*1e9) / (n*dim*1e9) — wide (decimal/hugeint)
+    # round_rat because the 1e9-scaled numerator outgrows BIGINT
     return per_row.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(
-            F.sum(F.col("err_sum").cast("decimal(18,9)")).cast("double")
-            / (F.count("*") * _EMB_DIM),
+        round_rat(
+            "sum(CAST(round(CAST(err_sum AS DECIMAL(18,9)) * 1000000000)"
+            " AS BIGINT))",
+            f"count(*) * {_EMB_DIM} * 1000000000",
             6,
+            wide=True,
         ).alias("mean_abs_err"),
         F.round(F.max("err_max"), 6).alias("max_abs_err"),
     )

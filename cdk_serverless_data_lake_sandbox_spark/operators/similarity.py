@@ -647,7 +647,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- C26
-_CENTROID_ORACLE = """
+_CENTROID_ORACLE = f"""
 WITH pos_vals AS (
   SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS val
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(pos)
@@ -1733,8 +1733,9 @@ per AS (
 )
 SELECT method,
   COUNT(*) AS n_queries,
-  ROUND(CAST(SUM(n_hits) AS DOUBLE) / SUM(k), 4) AS recall_at_k,
-  ROUND(MIN(CAST(n_hits AS DOUBLE) / k), 4) AS worst_query_recall
+  {sql_round_rat('SUM(n_hits)', 'SUM(k)', 4)} AS recall_at_k,
+  {sql_round_rat('MIN(n_hits * 10000 // k)', '10000', 4)}
+    AS worst_query_recall
 FROM per GROUP BY method
 """
 
@@ -1784,11 +1785,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         union.groupBy("method")
         .agg(
             F.count("*").alias("n_queries"),
-            F.round(
-                F.sum("n_hits").cast("double") / F.sum("k"), 4
-            ).alias("recall_at_k"),
-            F.round(
-                F.min(F.col("n_hits").cast("double") / F.col("k")), 4
+            # integer-exact recalls (round_rat). worst-query: min of
+            # per-row rationals via floor-scaled integer ranks
+            # (min(floor(h*1e4/k)) picks the same row as min(h/k) up
+            # to the 4dp resolution the output carries), then the
+            # identity /1e4 through round_rat keeps both engines on
+            # the same integer
+            round_rat("sum(n_hits)", "sum(k)", 4).alias("recall_at_k"),
+            round_rat(
+                "min(n_hits * 10000 DIV k)", "10000", 4
             ).alias("worst_query_recall"),
         )
     )
@@ -3092,8 +3097,7 @@ exact AS (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT e.query_id,
   CAST(COUNT(g.neighbor_id) AS BIGINT) AS n_hits,
-  ROUND(CAST(COUNT(g.neighbor_id) AS DOUBLE)
-    / CAST({_TOP_K} AS DOUBLE), 4) AS recall
+  {sql_round_rat('COUNT(g.neighbor_id)', str(_TOP_K), 4)} AS recall
 FROM exact e LEFT JOIN gas_out g
   ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id
 GROUP BY e.query_id"""
@@ -3121,9 +3125,8 @@ def graph_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("_hit").alias("n_hits"),
-            F.round(
-                F.count("_hit").cast("double") / F.lit(float(_TOP_K)), 4
-            ).alias("recall"),
+            # integer-exact recall fraction (round_rat)
+            round_rat("count(_hit)", str(_TOP_K), 4).alias("recall"),
         )
     )
 
@@ -3431,8 +3434,9 @@ assign AS MATERIALIZED (
 )
 SELECT round, center_id,
   CAST(COUNT(*) AS BIGINT) AS n_assigned,
-  ROUND(CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
-    AS mean_dist2,
+  {sql_round_rat('SUM(CAST(ROUND(CAST(CAST(d AS DECIMAL(28,12))'
+                 ' AS DECIMAL(38,12)) * 1000000000000) AS HUGEINT))',
+                 'COUNT(*) * 1000000000000', 6, wide=True)} AS mean_dist2,
   ROUND(MAX(d), 6) AS max_dist2
 FROM assign GROUP BY round, center_id"""
 
@@ -3490,12 +3494,14 @@ def kcenter_assignment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("round", "center_id").agg(
         F.count("*").cast("bigint").alias("n_assigned"),
-        F.round(
-            (
-                F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
-                / F.count("*")
-            ),
+        # integer-exact mean: d is 12dp-pinned by the decimal cast,
+        # so the mean is sum(d*1e12)/(n*1e12) — wide round_rat
+        round_rat(
+            "sum(CAST(round(CAST(d AS DECIMAL(28,12)) * 1000000000000)"
+            " AS DECIMAL(38,0)))",
+            "count(*) * 1000000000000",
             6,
+            wide=True,
         ).alias("mean_dist2"),
         F.round(F.max("d"), 6).alias("max_dist2"),
     )

@@ -910,7 +910,7 @@ def quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B63
-_GINI_ORACLE = """
+_GINI_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
 ), ranked AS (
@@ -918,10 +918,10 @@ WITH per_user AS (
     COUNT(*) OVER () AS total_users
   FROM per_user
 )
-SELECT CAST(ROUND(
-  CAST(SUM(CAST((2 * i - total_users - 1) * n AS DECIMAL(38,0))) AS DOUBLE)
-    / (MAX(total_users) * CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE)),
-  6) AS DOUBLE) AS gini,
+SELECT
+  {sql_round_rat('SUM(CAST((2 * i - total_users - 1) * n AS HUGEINT))',
+                 'MAX(total_users) * SUM(CAST(n AS HUGEINT))', 6,
+                 wide=True)} AS gini,
   CAST(MAX(total_users) AS BIGINT) AS n_users
 FROM ranked
 """
@@ -943,13 +943,19 @@ def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user, F.col("n"), [F.col("user_id")]
     )
     term = ((2 * F.col("_i") - n_users - 1) * F.col("n")).cast("decimal(38,0)")
-    return ranked.agg(
-        F.round(
-            F.sum(term).cast("double")
-            / (n_users * F.sum(F.col("n").cast("decimal(38,0)")).cast("double")),
-            6,
-        ).alias("gini"),
-        F.lit(n_users).cast("bigint").alias("n_users"),
+    # integer-exact gini: numerator and denominator are exact integer
+    # sums — wide round_rat (scaled terms outgrow BIGINT)
+    return (
+        ranked.agg(
+            F.sum(term).alias("_num"),
+            F.sum(F.col("n").cast("decimal(38,0)")).alias("_den"),
+        )
+        .select(
+            round_rat(
+                "_num", f"{n_users} * _den", 6, wide=True
+            ).alias("gini"),
+            F.lit(n_users).cast("bigint").alias("n_users"),
+        )
     )
 
 
@@ -1620,8 +1626,7 @@ WITH a AS (
   FROM a JOIN b ON a.k = b.k
 ), tot AS (SELECT SUM(out_rows) AS total_out FROM contrib)
 SELECT k AS join_key, n_a, n_b, CAST(out_rows AS BIGINT) AS out_rows,
-  CAST(ROUND(CAST(out_rows AS DOUBLE) / tot.total_out, 6) AS DOUBLE)
-    AS out_share
+  {sql_round_rat('out_rows', 'tot.total_out', 6)} AS out_share
 FROM contrib, tot
 ORDER BY out_rows DESC, join_key LIMIT {_JOINSIZE_TOPK}
 """
@@ -1656,9 +1661,8 @@ def join_size_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.col("out_rows").cast("bigint").alias("out_rows"),
-            F.round(F.col("out_rows").cast("double") / F.col("_total"), 6).alias(
-                "out_share"
-            ),
+            # integer-exact share (round_rat)
+            round_rat("out_rows", "_total", 6).alias("out_share"),
         )
         .orderBy(F.col("out_rows").desc(), "join_key")
         .limit(_JOINSIZE_TOPK)
@@ -3030,7 +3034,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- B117
-_MW_ORACLE = """
+_MW_ORACLE = f"""
 WITH lat AS (
   SELECT o.o_orderpriority AS grp,
     CAST(DATE_DIFF('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS v
@@ -3068,8 +3072,8 @@ SELECT grp AS priority, n1 AS n_lines,
     / SQRT(CAST(n1 AS DOUBLE) * (t.n - n1) / 12.0
            * ((t.n + 1) - t.tie3
               / (CAST(t.n AS DOUBLE) * (t.n - 1)))), 6) AS z,
-  ROUND(1.0 - (CAST(r2sum AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
-    / (CAST(n1 AS DOUBLE) * (t.n - n1)), 6) AS rank_biserial
+  {sql_round_rat('n1 * (t.n - n1) - (CAST(r2sum AS HUGEINT) - n1 * (n1 + 1))',
+                 'n1 * (t.n - n1)', 6, wide=True)} AS rank_biserial
 FROM gs CROSS JOIN tot t
 ORDER BY priority
 """
@@ -3158,14 +3162,16 @@ def mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").alias("n_lines"),
             F.round(u2_centered / 2, 1).alias("u_minus_mu"),
             F.round((u2_centered / 2) / sigma, 6).alias("z"),
-            F.round(
-                1.0
-                - (
-                    F.col("r2sum").cast("double")
-                    - n1d * (F.col("n1") + 1)
-                )
-                / (n1d * (F.col("n") - F.col("n1"))),
+            # integer-exact rank-biserial: r2sum (the DOUBLED rank
+            # sum) is integer-valued, so the effect size is the
+            # rational (q - p)/q with q = n1*(n-n1) — wide round_rat
+            # (p outgrows BIGINT past ~sf1)
+            round_rat(
+                "n1 * (n - n1)"
+                " - (CAST(r2sum AS DECIMAL(38,0)) - n1 * (n1 + 1))",
+                "n1 * (n - n1)",
                 6,
+                wide=True,
             ).alias("rank_biserial"),
         )
         .orderBy("priority")

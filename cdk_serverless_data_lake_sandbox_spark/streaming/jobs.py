@@ -2741,14 +2741,22 @@ def stream_state_profile(
     )
     # the window runs over the PARTITION-count-bounded aggregate
     # (shuffle-partition cardinality, never key cardinality)
-    return per.select(
-        "partition_id",
-        "n_keys",
-        F.round(
-            F.col("n_keys") / F.sum("n_keys").over(Window.partitionBy()),
-            4,
-        ).alias("share"),
-    ).orderBy("partition_id")
+    # integer-exact share (round_rat; r11 rounding-audit class)
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import round_rat
+
+    return (
+        per.select(
+            "partition_id",
+            "n_keys",
+            F.sum("n_keys").over(Window.partitionBy()).alias("_tot"),
+        )
+        .select(
+            "partition_id",
+            "n_keys",
+            round_rat("n_keys", "_tot", 4).alias("share"),
+        )
+        .orderBy("partition_id")
+    )
 
 
 # ---------------------------------------------------------------- E-maint

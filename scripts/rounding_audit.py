@@ -82,6 +82,50 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("stats.py", "price_elasticity"): (
         "log-log regression slope ratio — transcendental operands"
     ),
+    ("_helpers.py", "money_sum"): (
+        "long-cents fast path: sum(cents)/10^scale rounded at scale "
+        "digits is always the integer cents value — value*10^scale "
+        "is an integer, a .5 boundary at that digit cannot occur"
+    ),
+    ("analytics.py", "_edge"): (
+        "histogram bin edge lo + (b+1)*width/BINS — width is a "
+        "continuous double range (max-min of doubles)"
+    ),
+    ("analytics.py", "percentiles_from_bins"): (
+        "bin width/BINS — continuous double range"
+    ),
+    ("curation.py", "unimax_mix"): (
+        "epochs/budget_share divide the alpha-powered allocation "
+        "(transcendental pow) — continuous numerator"
+    ),
+    ("events.py", "score_cells"): (
+        "z-score (n-mean)/std — std is a stddev (continuous); the "
+        "detector cannot see it because std_n is a plain column"
+    ),
+    ("events.py", "markov_anomaly_users"): (
+        "mean_lp sums n*log-prob terms — transcendental numerator "
+        "carried through a column"
+    ),
+    ("multimodal.py", "scene_cut_report"): (
+        "media family, rows-only (no oracle hash gate)"
+    ),
+    ("multimodal.py", "activity_segments_frame"): (
+        "media family, rows-only (no oracle hash gate)"
+    ),
+    ("shaping.py", "token_budget_allocation"): (
+        "epochs divide the alpha-powered allocation (transcendental "
+        "pow) — continuous numerator"
+    ),
+    ("stats.py", "time_weighted_avg"): (
+        "sum(value*dt)/sum(dt) — value is a continuous double "
+        "measurement, numerator not an integer rational"
+    ),
+    ("stats.py", "mann_whitney_latency"): (
+        "u_minus_mu = int/2 rounded at 1dp: value*10 = 5*int is "
+        "always an integer, boundary impossible; z divides by a "
+        "sqrt (continuous). rank_biserial (the one true integer "
+        "rational) IS round_rat-converted"
+    ),
 }
 
 

@@ -227,3 +227,45 @@ def test_round_rat_matches_fraction_half_up_on_both_engines(spark):
             f" FROM (SELECT CAST({n} AS BIGINT) num, CAST({d} AS BIGINT) den)"
         ).fetchone()[0]
         assert duck == want, (cases[i], duck, want)
+
+
+def test_rounding_audit_detector_and_gate():
+    """Meta-test for scripts/rounding_audit.py (the detector must
+    catch bad code, not just pass clean code): a divided F.round is
+    flagged REVIEW, a transcendental operand classes continuous, a
+    round_rat conversion produces no site at all. And the real tree
+    must currently gate clean (0 unreviewed)."""
+    import subprocess
+    import sys as _sys
+
+    sys.path.insert(0, "scripts")
+    from rounding_audit import audit_source
+
+    bad = (
+        "from pyspark.sql import functions as F\n"
+        "def op(df):\n"
+        "    return df.select(F.round(F.col('a') / F.col('b'), 4))\n"
+    )
+    found = audit_source("x.py", bad)
+    assert len(found) == 1 and found[0].cls == "REVIEW"
+
+    cont = (
+        "from pyspark.sql import functions as F\n"
+        "def op(df):\n"
+        "    return df.select(F.round(F.pow('a', 2) / F.col('b'), 4))\n"
+    )
+    assert audit_source("x.py", cont)[0].cls == "continuous"
+
+    ok = (
+        "from helpers import round_rat\n"
+        "def op(df):\n"
+        "    return df.select(round_rat('a', 'b', 4))\n"
+    )
+    assert audit_source("x.py", ok) == []
+
+    r = subprocess.run(
+        [_sys.executable, "scripts/rounding_audit.py"],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
