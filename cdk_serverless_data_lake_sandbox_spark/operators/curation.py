@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
 from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+    pin,
     round_rat,
     sql_round_rat,
 )
@@ -1667,6 +1668,9 @@ def ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.where(F.col("text").isNotNull()).select(
         "source", F.length("text").cast("bigint").alias("x")
     )
+    # wc fans into four branches, but AQE's runtime exchange reuse
+    # already deduplicates the identical count shuffle (r11 pin A/B:
+    # no win), so the frame stays lazily shared.
     wc = d.groupBy("source", "x").agg(F.count("*").cast("bigint").alias("c"))
     ns = (
         wc.groupBy("source")

@@ -130,24 +130,26 @@ def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
     for _ in range(iters):
         r_side = F.broadcast(ranks) if n <= _BCAST_NODES else ranks
-        contrib = (
+        # In a SYMMETRIZED graph every node has at least one incoming
+        # edge (its own symmetric partner), so the dst aggregation
+        # already covers every node — the rank rebuild is a projection
+        # of contrib itself, not a left join back onto nodes (r11:
+        # that join was one Exchange + one nodes scan per iteration
+        # for rows whose COALESCE(m, 0) branch can never fire).
+        ranks = (
             edges.join(r_side, edges.src == ranks.node)
             .select(
                 F.col("dst"),
                 (F.col("rank") / F.col("src_deg")).cast(_DEC).alias("c"),
             )
             .groupBy("dst")
-            .agg(F.sum("c").cast("double").alias("m"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
+            .agg(
                 (
                     (F.lit(1.0) - F.lit(damping)) / F.lit(n)
-                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("rank"),
+                    + F.lit(damping) * F.sum("c").cast("double")
+                ).alias("rank")
             )
+            .select(F.col("dst").alias("node"), "rank")
             .transform(pin)
         )
     return ranks.join(nodes, "node").select("node", "rank", "deg")
@@ -259,9 +261,17 @@ def personalized_pagerank(
     teleport = F.col("is_seed").cast("double") / F.lit(ns)
     ranks = seeded.select("node", teleport.alias("rank"))
     base = seeded.select("node", "deg", "is_seed", teleport.alias("tele"))
+    # teleport mass is nonzero ONLY at the seeds, and in a symmetrized
+    # graph every node receives a contribution — so the per-iteration
+    # rebuild joins contrib with the (seed-sized, broadcastable)
+    # teleport table instead of the full node set (r11; see
+    # pagerank() for the unweighted analog).
+    seed_tele = base.where(F.col("is_seed") == 1).select(
+        F.col("node").alias("tnode"), "tele"
+    )
     for _ in range(iters):
         r_side = F.broadcast(ranks) if n <= _BCAST_NODES else ranks
-        contrib = (
+        ranks = (
             edges.join(r_side, edges.src == ranks.node)
             .select(
                 F.col("dst"),
@@ -269,14 +279,17 @@ def personalized_pagerank(
             )
             .groupBy("dst")
             .agg(F.sum("c").cast("double").alias("m"))
+            .join(F.broadcast(seed_tele), F.col("dst") == F.col("tnode"), "left")
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    (F.lit(1.0) - F.lit(damping))
+                    * F.coalesce(F.col("tele"), F.lit(0.0))
+                    + F.lit(damping) * F.col("m")
+                ).alias("rank"),
+            )
+            .transform(pin)
         )
-        ranks = base.join(contrib, base.node == contrib.dst, "left").select(
-            "node",
-            (
-                (F.lit(1.0) - F.lit(damping)) * F.col("tele")
-                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-            ).alias("rank"),
-        ).transform(pin)
     return ranks.join(base.select("node", "deg", "is_seed"), "node")
 
 
@@ -431,6 +444,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .transform(pin)
     )
+    # Wedge build stays the codegen'd self-join on src (r11 A/B: an
+    # adjacency-list collect + in-row ordered-pair expansion removed
+    # one Exchange but ran 8.5x SLOWER at sf0.1 — the nested
+    # transform/flatten expansion is interpreted, and 9M wedge structs
+    # through the expression interpreter dwarf the shuffle it saved).
     b = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("w"))
     wedges = (
         oriented.join(b, oriented.src == b.src2)
@@ -445,9 +463,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast edge set was ~1.5x SLOWER — the driver-side build of
     # a millions-entry broadcast map dwarfs the wedge shuffle it
     # saves, and at 100 TB the edge set does not broadcast anyway.
+    # (v < w already holds for every wedge, so the probe keys are the
+    # plain columns, not least/greatest recomputations.)
     tri = wedges.join(
         canon,
-        (F.least("v", "w") == F.col("ca")) & (F.greatest("v", "w") == F.col("cb")),
+        (F.col("v") == F.col("ca")) & (F.col("w") == F.col("cb")),
     ).select("src", "v", "w")
     pernode = (
         tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
@@ -822,24 +842,22 @@ def copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
     for _ in range(_ITERS):
         r_side = F.broadcast(ranks) if n <= _BCAST_NODES else ranks
-        contrib = (
+        # symmetrized edges -> every node receives a contribution, so
+        # the rebuild projects contrib directly (see pagerank()).
+        ranks = (
             edges.join(r_side, edges.src == ranks.node)
             .select(
                 F.col("dst"),
                 (F.col("rank") * F.col("w") / F.col("ws")).cast(_DEC).alias("c"),
             )
             .groupBy("dst")
-            .agg(F.sum("c").cast("double").alias("m"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
+            .agg(
                 (
                     (F.lit(1.0) - F.lit(_DAMP)) / F.lit(n)
-                    + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("rank"),
+                    + F.lit(_DAMP) * F.sum("c").cast("double")
+                ).alias("rank")
             )
+            .select(F.col("dst").alias("node"), "rank")
             .transform(pin)
         )
     return (

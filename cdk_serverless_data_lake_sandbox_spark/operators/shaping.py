@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from cdk_serverless_data_lake_sandbox_spark.catalog import load_tables
 from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
     materialize,
+    pin,
     round_rat,
     sql_round_rat,
 )
@@ -786,6 +787,10 @@ def strip_dup_spans_frame(
         .select("doc_id", F.explode(spans).alias("s"))
         .select("doc_id", F.col("s.p0").alias("p0"), F.col("s.span_h").alias("span_h"))
     )
+    # materialize, not pin: the extraction is word-level (cheap) and
+    # the keyed scratch is shared across CALLS in one application —
+    # an r11 A/B of pin-per-call here measured 1.14x slower than the
+    # cached scratch re-read.
     pos = materialize(pos, key=scratch_key)
     own = (
         pos.groupBy("span_h")
@@ -899,6 +904,90 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- C101
 _CHAR_K = 50  # Lee et al. 2022's 50-character duplicate threshold
 
+# Odd multiplier for the rolling char-k-gram hash (the FNV-1a prime;
+# any random odd 64-bit constant works — odd => invertible mod 2^64,
+# which is what lets the prefix form vectorize).
+_ROLL_B = 1099511628211
+
+
+def _char_kgram_rows_arrow(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, p0, h) — one row per character position, h a 64-bit
+    rolling polynomial hash of the char-k-gram starting there.
+
+    r11: this used to be an in-row ``transform(sequence(...), i ->
+    xxhash64(substring(text, i, k)))`` — an interpreted higher-order
+    expression allocating a k-char substring per position (O(n*k)
+    bytes through the expression interpreter; measured 1.9 s of
+    strip_dup_chars' 3.0 s at sf0.1). It is now a ``mapInArrow``
+    stage handing whole Arrow batches to NumPy (guide-§4.2 shape):
+    char codes via UTF-32 (code-point-exact, same unit as Spark's
+    ``substring``), then the k-gram hashes fall out of a prefix
+    polynomial in O(n) fully vectorized uint64 arithmetic
+    (wrap-around IS mod 2^64; the multiplier is odd, so B^-1 exists
+    and prefixes vectorize as cumsum(c_j * B^-j) * B^i).
+
+    The hash VALUE is an internal grouping key only (the oracle
+    groups by raw span text); equal k-grams hash equal by
+    construction, and distinct k-grams collide with the same 2^-64
+    birthday-bound trade the xxhash64 version documented. Only the
+    (doc_id, text) columns cross the Python boundary, and the stage
+    is a pure map — no shuffle, initialization per task, linear in
+    corpus bytes at any scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = "doc_id bigint, p0 int, h bigint"
+    kk = int(k)
+
+    def extract(batches):
+        B = np.uint64(_ROLL_B)
+        inv = np.uint64(pow(_ROLL_B, -1, 1 << 64))
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_d, out_p, out_h = [], [], []
+            for did, s in zip(doc_ids, texts):
+                if s is None:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint64)
+                n = codes.size
+                m = n - kk + 1
+                if m <= 0:
+                    continue
+                # pw[i] = B^i, invpw[i] = B^-i  (mod 2^64, wraparound)
+                pw = np.ones(n + 1, dtype=np.uint64)
+                np.cumprod(np.full(n, B, dtype=np.uint64), out=pw[1:])
+                invpw = np.ones(n, dtype=np.uint64)
+                np.cumprod(np.full(n - 1, inv, dtype=np.uint64), out=invpw[1:])
+                # P[i] = sum_{j<i} c_j B^(i-1-j) = pw[i-1]*cumsum(c_j B^-j)
+                s_pref = np.zeros(n + 1, dtype=np.uint64)
+                np.cumsum(codes * invpw, out=s_pref[1:])
+                p_pref = np.empty(n + 1, dtype=np.uint64)
+                p_pref[0] = 0
+                p_pref[1:] = s_pref[1:] * pw[:n]
+                idx = np.arange(m)
+                h = p_pref[idx + kk] - p_pref[idx] * pw[kk]
+                out_d.append(np.full(m, did, dtype=np.int64))
+                out_p.append(idx.astype(np.int32))
+                out_h.append(h.view(np.int64))
+            if out_d:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_d), type=pa.int64()),
+                        pa.array(np.concatenate(out_p), type=pa.int32()),
+                        pa.array(np.concatenate(out_h), type=pa.int64()),
+                    ],
+                    names=["doc_id", "p0", "h"],
+                )
+
+    return (
+        docs.where(F.length("text") >= k)
+        .select("doc_id", "text")  # prune BEFORE the opaque stage
+        .mapInArrow(extract, out_schema)
+    )
+
 _STRIP_CHARS_ORACLE = f"""
 WITH pos AS (
   SELECT doc_id, i - 1 AS p0, substr(text, i, {_CHAR_K}) AS span
@@ -929,9 +1018,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
-def strip_dup_chars_frame(
-    docs: DataFrame, k: int = _CHAR_K, scratch_key: str | None = None
-) -> DataFrame:
+def strip_dup_chars_frame(docs: DataFrame, k: int = _CHAR_K) -> DataFrame:
     """CHARACTER-level exact-substring dedup removal (Lee et al. 2022,
     arXiv:2107.06499 §4's suffix-array method, re-expressed as linear
     DataFrame passes): any substring of >= ``k`` characters shared by
@@ -957,21 +1044,19 @@ def strip_dup_chars_frame(
     string — a second fold, no per-char shuffle. The oracle rebuilds
     per-character (quadratic-ish but exact) from raw span strings;
     Spark ships 8-byte hashes, the usual 2^-64 collision trade."""
-    pos = (
-        docs.where(F.length("text") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"""transform(sequence(1, length(text) - {k - 1}),
-                          i -> struct(i - 1 AS p0,
-                                      xxhash64(substring(text, i, {k})) AS h))"""
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", F.col("s.p0").alias("p0"), F.col("s.h").alias("h"))
-    )
-    pos = materialize(pos, key=scratch_key)
+    # Fan the extraction out when the corpus arrives in too few
+    # splits (the fingerprint precedent), then PIN the position rows
+    # for the two consumers (r11: the previous scratch-parquet
+    # materialization re-read AND re-repartitioned the ~16-bytes-per-
+    # character pos table once per consumer — measured 1.25 s per
+    # re-read at sf0.1, more than the extraction itself; at scale the
+    # pos table is ~1.6x the corpus bytes, so pinning instead of
+    # parqueting it is the cheaper discipline there too — reliable
+    # mode still lands it on storage once).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    pos = pin(_char_kgram_rows_arrow(docs, k))
     own = (
         pos.groupBy("h")
         .agg(
@@ -1037,9 +1122,7 @@ def strip_dup_chars_frame(
 def strip_dup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered entry for :func:`strip_dup_chars_frame` over the
     corpus documents table (k=50, char-span index keyed per sf_dir)."""
-    return strip_dup_chars_frame(
-        _docs(spark, sf_dir), scratch_key=f"{sf_dir}:chars{_CHAR_K}pos"
-    )
+    return strip_dup_chars_frame(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- D20

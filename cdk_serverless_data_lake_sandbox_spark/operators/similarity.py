@@ -705,38 +705,62 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 4
 
 
-def kmeans_assign(e: DataFrame, k: int, iters: int) -> DataFrame:
-    """Deterministic Lloyd's k-means assignment: vec_id, embedding,
-    cluster, d2 (squared distance to the final centroid). Centroids
-    initialize to the k lowest vec_ids; each iteration is one assign
-    (broadcast centroids, argmin distance) + one recompute
-    (posexplode, decimal per-dimension means) — the same two shuffles
-    however large the corpus. No RNG, no mllib, ties broken by
-    centroid id."""
-    cents = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(F.monotonically_increasing_id().alias("_"), "embedding")
-        .select(F.row_number().over(Window.orderBy("_")).alias("cid"), "embedding")
-        .select("cid", F.col("embedding").alias("ce"))
+def _kmeans_argmin(cents: list[tuple[int, list[float]]]):
+    """Column: struct(cid, d2) of the nearest centroid, computed with
+    the centroids inlined as a LITERAL array — one projection per row,
+    NO crossJoin-by-k and NO argmin shuffle (r11 optimization: the
+    previous crossJoin(broadcast(cents)) + groupBy(vec_id) expanded
+    the corpus k-fold and shuffled it, embeddings included, once per
+    Lloyd round). Float semantics are bit-identical to the old plan:
+    the same per-dimension left fold
+    (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))^2 accumulated from 0.0d,
+    and the fold over centroids visits cids in ascending order keeping
+    strict `<` winners, which reproduces min_by's (d2, cid) tie-break
+    to the lowest cid."""
+    # The literal is generated as ONE SQL string parsed in a single
+    # py4j call: building k x d literals as pyspark Column objects
+    # costs a py4j round-trip per node (~2 s per invocation for
+    # 8 x 64 — measured r11, and the loop invokes this per round).
+    # repr(float) round-trips exactly through the SQL double parser,
+    # and CAST(.. AS FLOAT) restores the original float32 bits.
+    arr = (
+        "array("
+        + ",".join(
+            "named_struct('cid', {cid}, 'ce', array({vals}))".format(
+                cid=int(cid),
+                vals=",".join(f"CAST({float(v)!r} AS FLOAT)" for v in ce),
+            )
+            for cid, ce in cents
+        )
+        + ")"
     )
-    dist2 = F.expr(
-        "aggregate(zip_with(embedding, ce,"
-        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    d2 = (
+        "aggregate(zip_with(embedding, c.ce,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
         " 0.0d, (acc, v) -> acc + v)"
     )
+    # struct(d2, cid) + array_min IS min_by's ordering (d2 first, ties
+    # to the lowest cid), and each centroid's fold is evaluated once.
+    return F.expr(f"array_min(transform({arr}, c -> struct({d2} AS d2, c.cid AS cid)))")
+
+
+def _kmeans_centroids(e: DataFrame, k: int, iters: int) -> list[tuple[int, list[float]]]:
+    """The driver-side Lloyd loop shared by :func:`kmeans_assign`:
+    returns the final centroid list [(cid, [float dims])]. Centroids
+    are k x d — driver-sized BY DEFINITION — so collecting them each
+    round is not a scale smell; it is also what caps the analyzed
+    plan at one round deep (with lazy chaining, optimizer time and
+    plan size grow per round, which is what bites first on a real
+    cluster)."""
+    seed = e.orderBy("vec_id").limit(k).select("embedding").collect()
+    cents = [(i + 1, list(r["embedding"])) for i, r in enumerate(seed)]
     for _ in range(iters):
-        assign = (
-            e.crossJoin(F.broadcast(cents))
-            .select("vec_id", "embedding", "cid", dist2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
-                F.first("embedding").alias("embedding"),
-            )
-        )
-        cents = (
-            assign.select("cid", F.posexplode_outer("embedding").alias("pos", "val"))
+        assigned = e.select(
+            _kmeans_argmin(cents)["cid"].alias("cid"), "embedding"
+        )  # only .cid referenced -> the argmin fold runs once per row
+        rows = (
+            assigned.select("cid", F.posexplode_outer("embedding").alias("pos", "val"))
             .where(F.col("val").isNotNull())
             .groupBy("cid", "pos")
             .agg(
@@ -751,28 +775,48 @@ def kmeans_assign(e: DataFrame, k: int, iters: int) -> DataFrame:
                     "transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))"
                 ).alias("ce")
             )
+            .collect()
         )
-        # Truncate lineage each round: centroids are k x d — driver-
-        # sized BY DEFINITION — so collecting them is not a scale
-        # smell. Locally this is timing-neutral (the lazy composition
-        # also evaluated each round once), but it caps the analyzed
-        # plan at one iteration deep: with lazy chaining, optimizer
-        # time and broadcast-plan size grow with every added round,
-        # which is what bites first on a real cluster run.
-        rows = cents.collect()
-        cents = e.sparkSession.createDataFrame(
-            [(int(r["cid"]), list(r["ce"])) for r in rows],
-            "cid int, ce array<float>",
-        )
-    return (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", dist2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cluster"),
-            F.round(F.min("d2"), 4).alias("d2"),
-            F.first("embedding").alias("embedding"),
-        )
+        cents = sorted((int(r["cid"]), list(r["ce"])) for r in rows)
+    return cents
+
+
+def kmeans_assign(e: DataFrame, k: int, iters: int) -> DataFrame:
+    """Deterministic Lloyd's k-means assignment: vec_id, embedding,
+    cluster, d2 (squared distance to the final centroid). Centroids
+    initialize to the k lowest vec_ids; each iteration is one assign
+    (LITERAL centroid argmin — a pure projection, no shuffle) + one
+    recompute (posexplode, decimal per-dimension means: the only
+    shuffle per round, and it is map-side combinable down to k x d
+    rows per task). No RNG, no mllib, ties broken by centroid id.
+
+    r11 plan change: assignment used to be crossJoin(broadcast(cents))
+    + groupBy(vec_id) min_by — a k-fold row expansion and a full
+    corpus shuffle (embeddings included) per round plus one more for
+    the final assignment. Inlining the driver-collected centroids as
+    a literal array removes every assignment Exchange; results are
+    bit-identical (same fold order, same tie-break — see
+    :func:`_kmeans_argmin`)."""
+    # The argmin projection is CPU-bound per row (k x d interpreted
+    # fold), so it must run at cluster parallelism even when the
+    # corpus is a handful of small files Spark bin-packs into one
+    # split (the fingerprint-extraction precedent). Fan out ONLY in
+    # that case — a corpus with enough splits (the 100 TB case) must
+    # not pay the extra shuffle. Measured r11: without this, the
+    # no-shuffle assign serialized the whole Lloyd loop on one core
+    # and ran 1.6x SLOWER than the crossJoin+shuffle it replaced.
+    par = e.sparkSession.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par // 2:
+        e = e.repartition(par)
+    cents = _kmeans_centroids(e, k, iters)
+    # two-stage select: the outer project references the argmin struct
+    # twice, and CollapseProject keeps non-cheap aliases un-inlined,
+    # so the fold still runs once per row.
+    return e.select("vec_id", _kmeans_argmin(cents).alias("_b"), "embedding").select(
+        "vec_id",
+        F.col("_b.cid").alias("cluster"),
+        F.round(F.col("_b.d2"), 4).alias("d2"),
+        "embedding",
     )
 
 
@@ -2393,15 +2437,21 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the diversification step between retrieval and a RAG context
     window, so near-duplicate passages don't crowd out coverage.
 
-    The greedy loop is expressed as k DataFrame iterations in which
-    EVERY query advances one selection step per pass (anti-join the
-    selected set, max-sim join, per-query window argmax) — a constant
-    number of bounded shuffles regardless of query count, so a
-    million-query re-rank runs as 8 joins over the cluster rather
-    than a driver loop. The candidate frame is pinned once
-    and reused by all steps. DuckDB oracle: the same greedy unrolled
-    step-by-step (hash-exact; ties broken by neighbor_id on both
-    sides)."""
+    r11 plan shape: the per-query candidate set is bounded (25), so
+    the whole greedy recursion is PER-QUERY-LOCAL once the pairwise
+    candidate similarities exist. One join builds the 25 x 25
+    similarity matrix IN THE JVM (each pair computed once — the old
+    k-step loop re-joined the embeddings and recomputed sims every
+    pass), two map-side-combinable aggregations shape it into one row
+    per query, and the k greedy picks run as a single in-row fold —
+    replacing 7 x (anti-join + sim join + window + checkpoint) with
+    zero additional shuffles. Embeddings never leave the matrix join.
+    Float parity: sims/scores use the identical expressions
+    (dot/(nrm*nrm), lam*rel - mu*maxsim; dot and norm products are
+    commutatively exact), argmax ties resolve by neighbor_id via
+    struct ordering on (-score, neighbor_id) — negation is exact, so
+    the pick sequence is bit-identical. DuckDB oracle: the same
+    greedy unrolled step-by-step (hash-exact)."""
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -2419,55 +2469,86 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "emb", "nrm", rel.alias("rel"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _MMR_CAND)
-        .drop("rn")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= _MMR_CAND)
         .transform(pin)
     )
-    lam, mu = F.lit(_MMR_LAM), F.lit(_MMR_MU)
-    wpick = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
-    sel = (
-        cand.withColumn("score", lam * F.col("rel"))
-        .withColumn("rn", F.row_number().over(wpick))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn("mmr_rank", F.lit(1))
-    )
-    for step in range(2, _MMR_K + 1):
-        rem = cand.join(
-            sel.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
-        )
-        s = sel.select(
+    sim = _dot("emb", "semb") / (F.col("nrm") * F.col("snrm"))
+    pairs = cand.join(
+        cand.select(
             F.col("query_id").alias("sq"),
+            F.col("pos").alias("spos"),
             F.col("emb").alias("semb"),
             F.col("nrm").alias("snrm"),
+        ),
+        F.col("query_id") == F.col("sq"),
+    ).select("query_id", "pos", "neighbor_id", "rel", "spos", sim.alias("sim"))
+    by_cand = pairs.groupBy("query_id", "pos").agg(
+        F.first("neighbor_id").alias("nid"),
+        F.first("rel").alias("rel"),
+        F.expr("transform(array_sort(collect_list(struct(spos, sim))), x -> x.sim)").alias(
+            "simrow"
+        ),
+    )
+    by_query = by_cand.groupBy("query_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(pos, nid, rel, simrow)))"
+        ).alias("cands")
+    )
+    lam = f"CAST({_MMR_LAM} AS DOUBLE)"
+    mu = f"CAST({_MMR_MU} AS DOUBLE)"
+    # k greedy steps as one fold: sel accumulates struct(p, score);
+    # each step argmins struct(-score, neighbor_id) over the
+    # not-yet-selected candidates (array_min skips the NULLed-out
+    # selected slots). The transform-over-singleton names the picked
+    # struct once (SQL lambdas have no let-binding).
+    greedy = F.expr(
+        f"""aggregate(
+  sequence(1, LEAST({_MMR_K}, size(cands))),
+  CAST(array() AS ARRAY<STRUCT<p: INT, score: DOUBLE>>),
+  (sel, step) -> concat(sel,
+    transform(
+      array(array_min(transform(cands, cd ->
+        IF(exists(sel, x -> x.p = cd.pos),
+           CAST(NULL AS STRUCT<ns: DOUBLE, id: BIGINT, p: INT>),
+           struct(
+             -(CASE WHEN size(sel) = 0 THEN {lam} * cd.rel
+                    ELSE {lam} * cd.rel - {mu} * array_max(
+                      transform(sel, s -> element_at(cd.simrow, s.p)))
+               END) AS ns,
+             cd.nid AS id,
+             cd.pos AS p))))),
+      pk -> struct(pk.p AS p, -pk.ns AS score))))"""
+    )
+    return (
+        by_query.select(
+            "query_id",
+            "cands",
+            F.explode(
+                F.transform(
+                    greedy,
+                    lambda x, i: F.struct(
+                        x["p"].alias("p"),
+                        (i + 1).alias("mmr_rank"),
+                        x["score"].alias("score"),
+                    ),
+                )
+            ).alias("s"),
         )
-        sim = _dot("emb", "semb") / (F.col("nrm") * F.col("snrm"))
-        ms = (
-            rem.join(s, rem.query_id == s.sq)
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.max(sim).alias("maxsim"))
+        .select(
+            "query_id",
+            F.expr("filter(cands, cd -> cd.pos = s.p)[0]").alias("cd"),
+            "s",
         )
-        pick = (
-            rem.join(ms, ["query_id", "neighbor_id"])
-            .withColumn("score", lam * F.col("rel") - mu * F.col("maxsim"))
-            .drop("maxsim")
-            .withColumn("rn", F.row_number().over(wpick))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .withColumn("mmr_rank", F.lit(step))
+        .select(
+            "query_id",
+            F.col("cd.nid").alias("neighbor_id"),
+            F.col("s.mmr_rank").cast("int").alias("mmr_rank"),
+            F.round(F.col("cd.rel"), 6).alias("relevance"),
+            F.round(F.col("s.score"), 6).alias("mmr_score"),
         )
-        # sel feeds both the anti-join and the sim join next step, so
-        # without truncation the lineage doubles per iteration --
-        # checkpoint the (<= steps * n_queries)-row frame each pass.
-        sel = sel.unionAll(pick).transform(pin)
-    return sel.select(
-        "query_id",
-        "neighbor_id",
-        F.col("mmr_rank").cast("int").alias("mmr_rank"),
-        F.round("rel", 6).alias("relevance"),
-        F.round("score", 6).alias("mmr_score"),
-    ).orderBy("query_id", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
+    )
 
 
 # ---------------------------------------------------------------- C107

@@ -21,6 +21,7 @@ from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
     materialize,
     money,
     money_sum,
+    pin,
     round_rat,
     sql_round_rat,
 )
@@ -3103,11 +3104,17 @@ def mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("v"),
     )
-    gv = lat.groupBy("grp", "v").agg(F.count("*").cast("bigint").alias("a"))
+    gv = pin(
+        lat.groupBy("grp", "v").agg(F.count("*").cast("bigint").alias("a"))
+    )
     # vc derives from gv (a ~priorities x day-values table), so the
     # heavy lineitem-orders join aggregates ONCE — building vc from
     # lat would execute that join a second time under a different
-    # shuffle key with no exchange reuse (r10 review)
+    # shuffle key with no exchange reuse (r10 review). The PIN makes
+    # that literal (r11): gv feeds vc/rk/tot AND the gs join — four
+    # plan branches that each replayed the lineitem-orders join
+    # (12 parquet scans in the r11 plan audit); the pinned frame is
+    # priorities x day-values rows, bounded at any SF.
     vc = gv.groupBy("v").agg(F.sum("a").cast("bigint").alias("c"))
     w = Window.partitionBy(F.lit(0)).orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1

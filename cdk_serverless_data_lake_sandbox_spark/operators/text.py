@@ -2389,6 +2389,10 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    # bgc fans into four branches (stats, fwd, rev, btypes) but AQE's
+    # runtime exchange reuse already deduplicates the identical count
+    # shuffle — an r11 pin A/B here measured 1.31x SLOWER (the pin
+    # job plus lost runtime stats outweigh nothing).
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
     fwd = bgc.groupBy("w1").agg(F.count("*").cast("bigint").alias("n1f"))
     rev = bgc.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1r"))
@@ -2618,9 +2622,25 @@ def _ulm_segment(words: DataFrame, lp_df: DataFrame) -> DataFrame:
             coalesce(lp, {_ULM_NEG}) AS lp))), s -> s.lp)
         """).alias("lps"))
     )
+    # Spark-side argmax over piece lengths: array_min over
+    # struct(-s_j, j) computes each candidate score ONCE and picks the
+    # max with ties to the smallest j — value-identical to the oracle's
+    # first-max-wins CASE cascade (which stays unrolled on the DuckDB
+    # side to dodge its vectorized-list_reduce bug; the cascade
+    # re-evaluated every s_j up to MAXP times per cell, r11).
+    s_j = (
+        f"CASE WHEN j > i THEN CAST(-1000000000000000 AS DOUBLE) "
+        f"ELSE (CASE WHEN i - j = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE element_at(acc, 2 * (i - j) - 1) END) "
+        f"+ element_at(lps, (i - 1) * {_ULM_MAXP} + j) END"
+    )
     dp = dense.withColumn("dp", F.expr(f"""
       aggregate(sequence(1, length(w)), cast(array() as array<double>),
-        (acc, i) -> concat(acc, {_ulm_cascade(_ulm_sj_spark, "array")}))
+        (acc, i) -> concat(acc,
+          transform(
+            array(array_min(transform(sequence(1, {_ULM_MAXP}),
+              j -> struct(-({s_j}) AS ns, j AS j)))),
+            pk -> array(-pk.ns, CAST(pk.j AS DOUBLE)))[0]))
     """))
     # mirrored always-append backtrace (see the oracle's ubt note)
     return dp.withColumn("toks", F.expr(f"""
