@@ -3782,7 +3782,10 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("eb"),
         _norm("embedding").alias("nb"),
     )
-    scored = pin(
+    # no pin: `scored` has exactly one consumer (rk, pinned right
+    # below) — a checkpoint here was one pure-overhead materialization
+    # per call (r11).
+    scored = (
         cand.join(a, "src_id").join(b, "tgt_id").select(
             "src_id", "tgt_id",
             (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),

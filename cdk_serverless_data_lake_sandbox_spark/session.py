@@ -49,6 +49,25 @@ def get_spark(
         # Dims under this size are broadcast — no shuffle for the
         # region/nation/supplier/part side of star joins.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold, and let AQE rewrite SMJ->SHJ at runtime for
+        # post-shuffle partitions under the local-map threshold
+        # (optimization guide §3.1/§9). r11 interleaved same-session
+        # A/B at sf0.1: 9 of 10 join-heavy headline queries faster
+        # (copurchase_triangles 0.74x, containment_dedup 0.60x,
+        # top_paths 0.66x), none meaningfully slower. The threshold
+        # bounds each runtime hash build at 64 MB per partition, so
+        # the OOM risk SMJ-by-default guards against stays capped;
+        # both knobs are env-overridable for cluster profiles where
+        # spill-graceful SMJ is the safer default.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         # Arrow batches for the pandas-UDF edges (MinHash, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
