@@ -31,6 +31,32 @@ class AccessDenied(Exception):
     """A governed read without a covering grant (catalog ACL)."""
 
 
+# Inferred parquet schema per (path, dir mtime) — the Glue-catalog
+# analog of a table's registered schema. Without it every
+# ``spark.read.parquet`` fires a one-task footer-inference JOB, and a
+# query joining six tables pays six driver round-trips before any real
+# work (measured ~1.5 s of a 2.9 s q5 wall at sf0.1; at production
+# scale the same jobs list object-store prefixes, which is why Glue
+# keeps schemas in the catalog instead of re-crawling per query —
+# optimization guide §6 "file listing" / §7.3 driver-side work). The
+# mtime in the key invalidates the entry when a table is rewritten
+# (parquet dir mtime changes with its content).
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)  # missing path: surface Spark's error
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet has stored ``ts`` as either TIMESTAMP(NANOS)
     (which Spark's microsecond TimestampType rejects outright) or plain
@@ -46,7 +72,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = _read_parquet_cached(spark, path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -55,14 +81,59 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ("128m", "1g", "134217728")."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+    return int(s)
+
+
 def load_tables(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = ALL_TABLES,
+    fan_out: tuple[str, ...] = (),
 ) -> dict[str, DataFrame]:
-    """Load the driver's parquet tables as DataFrames keyed by name."""
+    """Load the driver's parquet tables as DataFrames keyed by name.
+
+    ``fan_out`` names tables whose scan should be repartitioned to
+    cluster parallelism when the file itself cannot split (guide §2.5:
+    "one huge unsplittable file … repartition immediately after the
+    read"). Parquet parallelism is capped by ROW-GROUP count, not by
+    split config — the bench tables are written as one row group per
+    file, so every scan is one task no matter what
+    ``maxPartitionBytes``/``openCostInBytes`` say (measured: q1's
+    scan+decimal-aggregate stage ran 3 tasks/1 effective at sf0.1;
+    fanning out cut the query 4x). Only callers whose downstream work
+    is CPU-heavy per row opt in — for a scan feeding a shuffle join or
+    a cheap map-side aggregate the extra exchange is pure loss. The
+    byte gate keeps the repartition OUT of any plan where the scan
+    splits properly (a production table above ~16 splits), so at real
+    scale the plan is unchanged."""
+    par = spark.sparkContext.defaultParallelism
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     out: dict[str, DataFrame] = {}
     for t in names:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        out[t] = _read_events(spark, path) if t == "events" else spark.read.parquet(path)
+        df = (
+            _read_events(spark, path)
+            if t == "events"
+            else _read_parquet_cached(spark, path)
+        )
+        if t in fan_out:
+            try:
+                est_splits = max(1, os.path.getsize(path) // max_split)
+            except OSError:
+                est_splits = par  # multi-file dir or remote: assume splittable
+            if est_splits < par // 2:
+                df = df.repartition(par)
+        out[t] = df
     return out
 
 

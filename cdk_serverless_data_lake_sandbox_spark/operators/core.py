@@ -143,8 +143,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary. Scan-filter-agg: the filter and the
     6-column projection push into the parquet scan; partial aggregation
     happens map-side so the shuffle carries only 6 grouped rows per
-    partition regardless of input size."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    partition regardless of input size. The scan fans out when the file
+    cannot split (single row group — guide §2.5): the chained decimal
+    arithmetic is the cost here, and serializing it on one task ran 4x
+    slower at sf0.1; with a splittable production file the gate leaves
+    the classic scan→partial-agg plan untouched."""
+    li = load_tables(spark, sf_dir, ("lineitem",), fan_out=("lineitem",))["lineitem"]
     one = F.lit(1).cast("decimal(18,4)")
     disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
     charge = disc_price.cast("decimal(18,6)") * (one + dec("l_tax"))

@@ -896,13 +896,37 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is order-independent. Tests additionally assert labels are
     stable across runs and within-cluster distance never increases
     per iteration."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    final = kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS)
+    final = _kmeans_assign_fixed(spark, sf_dir)
     return final.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.sum(F.col("d2").cast("decimal(18,4)")).cast("double"), 2).alias(
             "inertia"
         ),
+    )
+
+
+def _kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (k=_KMEANS_K, iters=_KMEANS_ITERS) Lloyd's assignment,
+    fitted ONCE per (application, sf_dir) and materialized to scratch
+    (r11 optimization; the `kmeans-assign:{sf_dir}` precedent one
+    operator down): `kmeans_clusters` and `cluster_balanced_sample`
+    run the IDENTICAL deterministic fit, so two operators in one
+    application paid the 4-round centroid loop twice. The production
+    analog is a persisted model/assignment table both consumers scan.
+    Embeddings are projected OUT before the write — neither consumer
+    reads them, and they are ~30x the row's bytes."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
+    return materialize_lazy(
+        spark,
+        f"kmeans-assign-fixed:{sf_dir}:{_KMEANS_K}x{_KMEANS_ITERS}",
+        lambda: kmeans_assign(
+            _emb(spark, sf_dir).select("vec_id", "embedding"),
+            _KMEANS_K,
+            _KMEANS_ITERS,
+        ).select("vec_id", "cluster", "d2"),
     )
 
 
@@ -943,14 +967,14 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, not per corpus.
 
     Scale: the assignment is the k-means cost (one corpus scan per
-    Lloyd round, centroids broadcast); the cut is a window partitioned
-    by cluster — at extreme per-cluster cardinality the d2 threshold
-    could first be estimated per cluster to pre-filter before the
-    window (the B76/top-k-per-group note)."""
+    Lloyd round, centroids broadcast), paid once per application via
+    the shared fixed-k fit (see :func:`_kmeans_assign_fixed`); the cut
+    is a window partitioned by cluster — at extreme per-cluster
+    cardinality the d2 threshold could first be estimated per cluster
+    to pre-filter before the window (the B76/top-k-per-group note)."""
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    assign = kmeans_assign(e, _KMEANS_K, _KMEANS_ITERS)
+    assign = _kmeans_assign_fixed(spark, sf_dir)
     w = Window.partitionBy("cluster").orderBy("d2", "vec_id")
     return (
         assign.select("vec_id", "cluster", "d2")

@@ -2663,6 +2663,25 @@ def _ulm_train_counts(words: DataFrame) -> DataFrame:
     return counts
 
 
+def _ulm_counts_keyed(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """Hard-EM piece counts trained ONCE per (application, sf_dir)
+    and materialized to scratch (r11 optimization, the ulm-final-seg /
+    kmeans-assign precedent): C132 (tokenizer), C133/C135 (corpus
+    apply via `_ulm_final_seg`) and D31 (artifact build) all train the
+    IDENTICAL model, so the 2-round EM loop ran up to three times per
+    application. The builder runs only on a miss; the words pin lives
+    inside it so a hit skips the word-table build too."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
+    return materialize_lazy(
+        spark,
+        f"ulm-train-counts:{sf_dir}",
+        lambda: _ulm_train_counts(pin(_ulm_words(docs))),
+    )
+
+
 @register("unigram_lm_tokenizer", oracle=_ulm_oracle())
 def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a SentencePiece-style UNIGRAM-LM tokenizer (Kudo 2018)
@@ -2683,8 +2702,7 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     every inter-round statistic is an exact int64 map-side-combined
     sum, so hard-EM rounds compose without float drift and the DuckDB
     oracle replays the identical expression tree."""
-    words = pin(_ulm_words(_docs(spark, sf_dir)))
-    counts = _ulm_train_counts(words)
+    counts = _ulm_counts_keyed(spark, sf_dir, _docs(spark, sf_dir))
     tot = counts.agg(F.sum("c").alias("tot"))
     return (
         counts.crossJoin(F.broadcast(tot))
@@ -2880,7 +2898,7 @@ def _ulm_assemble_shuffle(docs: DataFrame, wseg: DataFrame) -> DataFrame:
 
 
 
-def _ulm_final_seg(docs: DataFrame) -> DataFrame:
+def _ulm_final_seg(docs: DataFrame, sf_dir: str) -> DataFrame:
     """Train the unigram model and segment every distinct word once
     under the FINAL piece probabilities — the round the oracle chain
     calls ubt{ITERS+1}. ONE definition of the train-then-apply
@@ -2888,7 +2906,7 @@ def _ulm_final_seg(docs: DataFrame) -> DataFrame:
     hand-kept copies could silently train different models than the
     shared oracle CTE chain assumes)."""
     words = pin(_ulm_words(docs))
-    counts = _ulm_train_counts(words)
+    counts = _ulm_counts_keyed(docs.sparkSession, sf_dir, docs)
     return _ulm_segment(words, _ulm_lp(counts))
 
 
@@ -2920,7 +2938,7 @@ def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assemble gate's vocab count and any repeat execution read the
     # vocabulary-sized scratch instead of re-running EM + Viterbi
     seg = materialize_lazy(
-        spark, f"ulm-final-seg:{sf_dir}", lambda: _ulm_final_seg(docs)
+        spark, f"ulm-final-seg:{sf_dir}", lambda: _ulm_final_seg(docs, sf_dir)
     )
     return _ulm_assemble(docs, seg)
 
@@ -2951,8 +2969,7 @@ def tokenizer_index_build(
     import os
 
     docs = _docs(spark, sf_dir)
-    words = pin(_ulm_words(docs))
-    counts = _ulm_train_counts(words)
+    counts = _ulm_counts_keyed(spark, sf_dir, docs)
     tot = counts.agg(F.sum("c").alias("tot"))
     pieces = counts.crossJoin(F.broadcast(tot)).select(
         "piece",
@@ -3050,7 +3067,7 @@ def tokenizer_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same keyed frame as unigram_tokenize_corpus: one training per
     # application serves both ops (r9 review)
     seg = materialize_lazy(
-        spark, f"ulm-final-seg:{sf_dir}", lambda: _ulm_final_seg(docs)
+        spark, f"ulm-final-seg:{sf_dir}", lambda: _ulm_final_seg(docs, sf_dir)
     )
     wseg = seg.select("w", F.size("toks").cast("bigint").alias("np"))
     dtoks = (
