@@ -10,6 +10,8 @@ accuracy vs exact counts (approximation quality is its own claim).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -583,8 +585,24 @@ def cms_cells(wc: DataFrame) -> DataFrame:
 
 def cms_probe(wc: DataFrame, cells: DataFrame) -> DataFrame:
     """Estimate each word's count from a cell table: min over the d
-    rows of that word's bucket totals (broadcast lookups — the cell
-    table is d*w rows regardless of corpus size)."""
+    rows of that word's bucket totals.
+
+    The cell table is d*w rows BY CONSTRUCTION (1024 here) regardless
+    of corpus size — that bound is the sketch's entire point — so it
+    collects to the driver in one job and probes as d map LITERALS in
+    a single projection (r11: the previous shape built d broadcast
+    relations and ran d hash joins — four extra jobs and four
+    executor-side hash tables per call for a constant-sized lookup;
+    guide §1.2 "don't compute things you throw away"). The driver
+    collect is geometry-bounded exactly like the k-means centroid
+    collect (similarity.py precedent). Lookup-miss semantics mirror
+    the old INNER joins: a word missing from ANY row's bucket is
+    dropped (cannot happen when ``cells`` was built over a superset
+    of ``wc``'s tokens — every probed word contributed to every row)."""
+    d = len(_CMS_BASES)
+    by_row: dict[int, list[tuple[int, int]]] = {i: [] for i in range(d)}
+    for r in cells.collect():  # d*w <= 1024 rows, sketch-geometry bound
+        by_row[int(r["row_id"])].append((int(r["bucket"]), int(r["total"])))
     out = wc.select(
         "word",
         "n",
@@ -593,13 +611,25 @@ def cms_probe(wc: DataFrame, cells: DataFrame) -> DataFrame:
             for i, b in enumerate(_CMS_BASES)
         ],
     )
-    for i in range(len(_CMS_BASES)):
-        c = cells.where(F.col("row_id") == i).select(
-            F.col("bucket").alias(f"bk{i}"), F.col("total").alias(f"t{i}")
-        )
-        out = out.join(F.broadcast(c), F.col(f"b{i}") == F.col(f"bk{i}"))
-    est = F.least(*[F.col(f"t{i}") for i in range(len(_CMS_BASES))])
-    return out.select(
+    lk = []
+    for i in range(d):
+        ent = sorted(by_row[i])
+        if ent:
+            ks = ",".join(f"{k}L" for k, _ in ent)
+            vs = ",".join(f"{v}L" for _, v in ent)
+            m = f"map_from_arrays(array({ks}), array({vs}))"
+        else:
+            m = (
+                "map_from_arrays(CAST(array() AS ARRAY<BIGINT>),"
+                " CAST(array() AS ARRAY<BIGINT>))"
+            )
+        lk.append(F.element_at(F.expr(m), F.col(f"b{i}")).alias(f"t{i}"))
+    out = out.select("word", "n", *lk)
+    found = functools.reduce(
+        lambda a, b: a & b, [F.col(f"t{i}").isNotNull() for i in range(d)]
+    )
+    est = F.least(*[F.col(f"t{i}") for i in range(d)])
+    return out.where(found).select(
         "word",
         F.col("n").cast("bigint").alias("exact_n"),
         est.cast("bigint").alias("cms_estimate"),
