@@ -67,6 +67,27 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, deg) — one row per graph node, derived from the shared
+    edge list ONCE per (application, sf_dir) and materialized (r11:
+    pagerank, PPR, BFS, triangles and the D23 artifact build each ran
+    their own distinct over the 2m-row edge list per call; the node
+    table is exactly the second artifact the D23 build already
+    persists, so per-application it is keyed scratch like the edges)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
+    edges = copurchase_edges(spark, sf_dir)
+    return materialize_lazy(
+        spark,
+        f"copurchase-nodes:{sf_dir}",
+        lambda: edges.select(
+            F.col("src").alias("node"), F.col("src_deg").alias("deg")
+        ).distinct(),
+    )
+
+
 def _copurchase_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The edge-list dataflow (always reached via the keyed
     :func:`copurchase_edges` wrapper).
@@ -74,10 +95,13 @@ def _copurchase_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Build shape: per-order part sets (one map-side-combinable
     aggregation — per-order sets are tiny, so the in-row pair
     expansion is bounded), symmetric pairs expanded INSIDE the row
-    (no self-join), one distinct, then degree via a count window over
-    src — which doubles as the hash-partition-by-src step the
-    PageRank iterations reuse, so the materialized edge list needs no
-    extra repartition. Three shuffles total, each load-bearing."""
+    (no self-join), one distinct, then BOTH endpoint degrees via count
+    windows over dst and src (r11: carrying dst_deg costs one extra
+    exchange ONCE in this shared build and turns the triangle
+    orientation — previously a per-call join against the node table —
+    into a pure filter; in a symmetrized list dst_deg of (a,b) equals
+    src_deg of its twin (b,a), but reading the twin is exactly the
+    join being avoided). Four shuffles total, each load-bearing."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     sym = (
@@ -92,14 +116,17 @@ def _copurchase_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .distinct()
     )
-    w = Window.partitionBy("src")
     # No pin() here: the keyed materialize_lazy wrapper lands the
     # result in scratch parquet, which both truncates lineage and is
     # executor-loss-safe — a second checkpoint would be pure waste.
-    return sym.withColumn("src_deg", F.count("*").over(w))
+    return sym.withColumn(
+        "dst_deg", F.count("*").over(Window.partitionBy("dst"))
+    ).withColumn("src_deg", F.count("*").over(Window.partitionBy("src")))
 
 
-def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:
+def pagerank(
+    edges: DataFrame, damping: float, iters: int, nodes: DataFrame | None = None
+) -> DataFrame:
     """Deterministic PageRank over a symmetrized edge list that
     already carries ``src_deg``. Returns (node, rank, deg).
 
@@ -110,15 +137,18 @@ def pagerank(edges: DataFrame, damping: float, iters: int) -> DataFrame:
     then casts back to double, which is what lets the unrolled DuckDB
     oracle match with zero tolerance."""
     # nodes is read by every iteration (contribution join AND rank
-    # rebuild); materialize it once instead of replaying the distinct
-    # five times, and truncate the rank lineage per iteration — the
-    # standard persist-per-iteration shape for iterative algorithms
-    # (on a cluster: persist(MEMORY_AND_DISK) + unpersist of t-1).
-    nodes = (
-        edges.select(F.col("src").alias("node"), F.col("src_deg").alias("deg"))
-        .distinct()
-        .transform(pin)
-    )
+    # rebuild); callers with a keyed node table pass it in
+    # (copurchase_nodes — r11), otherwise materialize it once instead
+    # of replaying the distinct five times. Rank lineage still
+    # truncates per iteration — the standard persist-per-iteration
+    # shape for iterative algorithms (on a cluster:
+    # persist(MEMORY_AND_DISK) + unpersist of t-1).
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"), F.col("src_deg").alias("deg"))
+            .distinct()
+            .transform(pin)
+        )
     # one bounded driver scalar (the node count) picks the join tier:
     # the rank table is one row per node, so up to millions of nodes
     # it BROADCASTS into the partitioned edge list (one shuffle per
@@ -217,7 +247,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational zones (demo_stack.py:243-295); this is the same lake
     data asked a graph question — no separate graph store needed."""
     edges = copurchase_edges(spark, sf_dir)
-    pr = pagerank(edges, _DAMP, _ITERS)
+    pr = pagerank(edges, _DAMP, _ITERS, nodes=copurchase_nodes(spark, sf_dir))
     return (
         pr.select(
             F.col("node").cast("bigint").alias("part_key"),
@@ -235,7 +265,11 @@ _PPR_TOP = 25
 
 
 def personalized_pagerank(
-    edges: DataFrame, seeds: DataFrame, damping: float, iters: int
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float,
+    iters: int,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank: teleport mass returns
     to the SEED set instead of uniformly, so rank measures proximity
@@ -243,9 +277,10 @@ def personalized_pagerank(
     ``seeds`` is a (node) frame; rank starts and teleports at
     1/|seeds| per seed. Same decimal-sum determinism contract as
     :func:`pagerank`."""
-    nodes = edges.select(
-        F.col("src").alias("node"), F.col("src_deg").alias("deg")
-    ).distinct()
+    if nodes is None:
+        nodes = edges.select(
+            F.col("src").alias("node"), F.col("src_deg").alias("deg")
+        ).distinct()
     seeded = nodes.join(
         seeds.select(F.col("node").alias("snode"), F.lit(1).alias("is_seed")),
         nodes.node == F.col("snode"),
@@ -363,7 +398,9 @@ def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.where(F.col("p_brand") == _PPR_BRAND)
         .select(F.col("p_partkey").alias("node"))
     )
-    pr = personalized_pagerank(edges, seeds, _DAMP, _ITERS)
+    pr = personalized_pagerank(
+        edges, seeds, _DAMP, _ITERS, nodes=copurchase_nodes(spark, sf_dir)
+    )
     return (
         pr.where((F.col("is_seed") == 0) & (F.col("rank") > 0))
         .select(
@@ -431,13 +468,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer counts end-to-end; the DuckDB oracle enumerates the same
     triangle set from the canonical x<y<z orientation."""
     edges = copurchase_edges(spark, sf_dir)
-    nodes = edges.select(
-        F.col("src").alias("node"), F.col("src_deg").alias("deg")
-    ).distinct()
-    dd = nodes.select(F.col("node").alias("dn"), F.col("deg").alias("dst_deg"))
+    nodes = copurchase_nodes(spark, sf_dir)
+    # dst_deg rides on the shared edge list (r11), so the
+    # degree-ordered orientation is a pure FILTER over the scratch
+    # scan — the per-call node join and its exchange are gone.
     oriented = (
-        edges.join(dd, edges.dst == dd.dn)
-        .where(
+        edges.where(
             (F.col("src_deg") < F.col("dst_deg"))
             | ((F.col("src_deg") == F.col("dst_deg")) & (F.col("src") < F.col("dst")))
         )
@@ -569,11 +605,7 @@ def copurchase_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distance, part key)."""
     edges = copurchase_edges(spark, sf_dir)
     part = load_tables(spark, sf_dir, ("part",))["part"]
-    nodes = (
-        edges.select(F.col("src").alias("node"), F.col("src_deg").alias("deg"))
-        .distinct()
-        .transform(pin)
-    )
+    nodes = copurchase_nodes(spark, sf_dir)
     seeds = part.where(F.col("p_brand") == _BFS_SEED_BRAND).select(
         F.col("p_partkey").alias("snode"), F.lit(0).alias("seed_dist")
     )
@@ -635,9 +667,7 @@ def graph_edges_build(spark: SparkSession, sf_dir: str, graph_dir: str) -> dict:
     import os
 
     edges = copurchase_edges(spark, sf_dir)
-    nodes = edges.select(
-        F.col("src").alias("node"), F.col("src_deg").alias("deg")
-    ).distinct()
+    nodes = copurchase_nodes(spark, sf_dir)
     edges.repartition(F.col("src")).write.mode("overwrite").parquet(
         os.path.join(graph_dir, "edges")
     )
