@@ -766,14 +766,24 @@ def strip_dup_spans_frame(
 
     Scale: linear passes only. The (doc, position, span-hash) index is
     one tokenize+hash scan, shuffled on the 8-byte span hash to find
-    multi-doc spans (map-side-combinable agg); coverage positions are
-    exploded ONLY for removable span occurrences (k rows each), then a
-    distinct + anti-join — both shuffles keyed by (doc, position),
-    never pairwise in the corpus. Rebuilding text groups by doc_id
-    (bounded by document length). The Spark side hashes spans with
-    xxhash64 (8-byte shuffle keys); the oracle groups raw span strings
-    — identical results modulo a ~2^-64 collision probability, the
-    same trade ``dup_span_profile`` documents."""
+    multi-doc spans (map-side-combinable agg); removable START
+    positions come back per document as ONE sorted in-row array,
+    collapse into disjoint [s, s+k) intervals with an in-row fold, and
+    the clean text is rebuilt by slicing the complement gaps out of
+    the token array — the same interval discipline as the char-level
+    variant (r11: the previous shape exploded every covered position,
+    distinct'd them, posexploded the ENTIRE corpus token stream and
+    anti-joined + regrouped it by doc — three corpus-token-sized
+    shuffles doing what one doc-keyed join of a start-position table
+    does). The Spark side hashes spans with xxhash64 (8-byte shuffle
+    keys); the oracle groups raw span strings — identical results
+    modulo a ~2^-64 collision probability, the same trade
+    ``dup_span_profile`` documents."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        # hash by doc_id (see strip_dup_chars_frame): extraction fans
+        # out AND the rebuild join reuses the partitioning
+        docs = docs.repartition(par, "doc_id")
     base = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
     )
@@ -801,38 +811,58 @@ def strip_dup_spans_frame(
         .where(F.col("nd") >= 2)
         .select("span_h", "owner")
     )
-    covered = (
+    starts = (
         pos.join(own, "span_h")
         .where(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p0")).alias("ps"))
+    )
+    # merge sorted, fixed-length-k start positions into disjoint
+    # [s, e) intervals — identical fold to strip_dup_chars_frame; the
+    # removed-token count is then the interval lengths' sum (the
+    # merged intervals ARE the distinct covered-position set)
+    ivs = F.expr(
+        f"""aggregate(ps, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+              (acc, x) -> IF(size(acc) > 0 AND x <= element_at(acc, -1).e,
+                concat(slice(acc, 1, size(acc) - 1),
+                       array(struct(element_at(acc, -1).s AS s,
+                                    x + {k} AS e))),
+                concat(acc, array(struct(x AS s, x + {k} AS e)))))"""
+    )
+    # docs with NULL ivs are exactly the docs the old plan's anti-join
+    # left untouched: zero removals, text rebuilt from every token
+    # (array_join normalizes whitespace on BOTH branches, as the old
+    # regroup did for every doc)
+    return (
+        base.join(starts, "doc_id", "left")
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("p0"), F.col("p0") + F.lit(k - 1))
-            ).alias("p"),
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            "_w",
+            ivs.alias("ivs"),
         )
-        .distinct()
-    )
-    tokens = base.select(
-        "doc_id", F.posexplode("_w").alias("p", "word")
-    )
-    kept = tokens.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(p, word))),"
-            " s -> s.word), ' ')"
-        ).alias("text_clean"),
-    )
-    return (
-        base.select("doc_id", F.size("_w").cast("bigint").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            F.coalesce(
+                F.expr("aggregate(ivs, 0, (a, iv) -> a + (iv.e - iv.s))"),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("n_removed"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.when(F.col("ivs").isNull(), F.array_join("_w", " "))
+            .otherwise(
+                F.expr(
+                    """aggregate(ivs,
+                     struct(0 AS pos, CAST(array() AS ARRAY<STRING>) AS acc),
+                     (st, iv) -> struct(iv.e AS pos,
+                       concat(st.acc,
+                              slice(_w, st.pos + 1, iv.s - st.pos)) AS acc),
+                     st -> array_join(concat(st.acc,
+                       slice(_w, st.pos + 1, size(_w) - st.pos)), ' '))"""
+                )
+            )
+            .alias("text_clean"),
         )
     )
 
@@ -1055,7 +1085,13 @@ def strip_dup_chars_frame(docs: DataFrame, k: int = _CHAR_K) -> DataFrame:
     # mode still lands it on storage once).
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+        # HASH by doc_id, not round-robin (r11): same fan-out for the
+        # extraction, but the rebuild join on doc_id then REUSES this
+        # partitioning for the docs side (no second docs exchange), it
+        # needs no pre-repartition sort, and the user-pinned partition
+        # count stops AQE from coalescing the CPU-heavy rebuild-fold
+        # stage down to the 1-2 tasks its byte size suggests.
+        docs = docs.repartition(par, "doc_id")
     pos = pin(_char_kgram_rows_arrow(docs, k))
     own = (
         pos.groupBy("h")
@@ -1082,38 +1118,43 @@ def strip_dup_chars_frame(docs: DataFrame, k: int = _CHAR_K) -> DataFrame:
                                     x + {k} AS e))),
                 concat(acc, array(struct(x AS s, x + {k} AS e)))))"""
     )
-    rebuilt = (
-        docs.join(starts, "doc_id")
-        .select("doc_id", "text", ivs.alias("ivs"))
+    # ONE left join (r11: previously an inner rebuild join plus a
+    # second docs join to restore untouched documents — two full
+    # passes and shuffles of the corpus text for one attach): ivs is
+    # NULL exactly for the docs the old plan's inner join dropped, and
+    # the fold expressions pass the original text through in that
+    # case, which is what the old outer coalesce did.
+    return (
+        docs.join(starts, "doc_id", "left")
         .select(
             "doc_id",
-            F.expr("aggregate(ivs, 0, (a, iv) -> a + (iv.e - iv.s))")
+            F.length("text").cast("bigint").alias("n_chars"),
+            "text",
+            ivs.alias("ivs"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(
+                F.expr("aggregate(ivs, 0, (a, iv) -> a + (iv.e - iv.s))"),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("n_removed"),
             # slice the complement gaps out of the original text
-            F.expr(
-                """aggregate(ivs,
+            F.when(F.col("ivs").isNull(), F.col("text"))
+            .otherwise(
+                F.expr(
+                    """aggregate(ivs,
                      struct(0 AS pos, '' AS acc),
                      (st, iv) -> struct(iv.e AS pos,
                        concat(st.acc,
                               substring(text, st.pos + 1, iv.s - st.pos)) AS acc),
                      st -> concat(st.acc, substring(text, st.pos + 1,
                                   length(text) - st.pos)))"""
-            ).alias("text_clean"),
-        )
-    )
-    return (
-        docs.select(
-            "doc_id",
-            F.length("text").cast("bigint").alias("n_chars"),
-            F.col("text").alias("_text"),
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
-            F.coalesce("text_clean", "_text").alias("text_clean"),
+                )
+            )
+            .alias("text_clean"),
         )
     )
 
