@@ -2600,8 +2600,18 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     build pairs); the matrix aggregates on (w1, w2) with map-side
     combine, and unigram totals attach by vocabulary-keyed joins that
     AQE broadcasts. The log runs on exact int64 counts with pinned
-    parenthesization, so both engines agree to the rounded digit."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    parenthesization, so both engines agree to the rounded digit.
+
+    r11: the co-occurrence matrix and the unigram table PIN
+    (vocab^2-/vocab-bounded), and the pair/token totals are summed
+    FROM them — the previous plan re-ran the pair explode for
+    ``pp = pr.count()`` and the token explode for ``tt``, four corpus
+    passes where two suffice. The scan also fans out when the file
+    cannot split (single row group): the windowed pair transform is
+    the cost, and it serialized on one task."""
+    docs = load_tables(spark, sf_dir, ("documents",), fan_out=("documents",))[
+        "documents"
+    ]
     d = docs.select(F.split(F.col("text"), " ").alias("ws"))
     pairs_expr = f"""
     flatten(transform(sequence(1, size(ws)), i ->
@@ -2613,16 +2623,18 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
       ELSE array() END))
     """
     pr = d.select(F.explode(F.expr(pairs_expr)).alias("p")).select("p.w1", "p.w2")
-    toks = (
+    co = pin(pr.groupBy("w1", "w2").agg(F.count("*").alias("n_cooc")))
+    toks = pin(
         d.select(F.explode("ws").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
+    # pp = total pair count = sum over the UNFILTERED matrix cells —
+    # identical to counting pr's rows, without the second pair explode
     totals = toks.agg(F.sum("c").cast("double").alias("tt")).crossJoin(
-        pr.agg(F.count("*").cast("double").alias("pp"))
+        co.agg(F.sum("n_cooc").cast("double").alias("pp"))
     )
-    co = pr.groupBy("w1", "w2").agg(F.count("*").alias("n_cooc"))
     u1 = toks.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = toks.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
@@ -2713,8 +2725,15 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion is an in-row transform and the output aggregation
     is vocabulary-pair-keyed with map-side combine. The subsample is
     the step that makes 100 TB feasible: it deletes ~mass of the head
-    words before any pair explodes."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words before any pair explodes.
+
+    r11: the frequency table PINS (vocab-bounded, consumed by the keep
+    join AND the total — unpinned it re-ran the corpus token explode
+    per consumer), and the scan fans out when the file cannot split
+    (single row group serialized the posexplode)."""
+    docs = load_tables(spark, sf_dir, ("documents",), fan_out=("documents",))[
+        "documents"
+    ]
     toks = (
         docs.select(
             "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
@@ -2722,7 +2741,7 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") != "")
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
     )
-    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    freq = pin(toks.groupBy("w").agg(F.count("*").alias("c")))
     tot = freq.agg(F.sum("c").cast("double").alias("tt"))
     u = (
         F.conv(
