@@ -398,7 +398,10 @@ GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds a threshold.
     The HAVING subquery becomes a semi-join on the aggregated keys —
-    one shuffle on l_orderkey shared by both the filter and the agg."""
+    one shuffle on l_orderkey shared by both the filter and the agg.
+    (A q1-style lineitem fan-out was probed at 2.2x SLOWER here — the
+    scan feeds two shuffle consumers, so the added exchange is pure
+    loss, exactly the case the load_tables docstring warns about.)"""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     big = (
         t["lineitem"]

@@ -2879,7 +2879,31 @@ def _knn_graph_shared(
     return materialize_lazy(
         spark,
         f"knn-graph:{sf_dir}",
-        lambda: _knn_graph_frame(_emb(spark, sf_dir), ev=ev),
+        lambda: _knn_graph_frame(
+            _emb(spark, sf_dir),
+            ev=ev if ev is not None else _emb_norms_shared(spark, sf_dir),
+        ),
+    )
+
+
+def _emb_norms_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The norm-augmented vector frame (vec_id, embedding, nrm), keyed
+    per (application, sf_dir): the NN-Descent build, the beam search's
+    scoring joins, and the D30 index build all score against the SAME
+    frame, so computing the norms and materializing them is paid once
+    per application instead of one pin per call (r11: the per-call
+    pin was one localCheckpoint job plus a norm recompute on every
+    invocation of graph_ann_search)."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        materialize_lazy,
+    )
+
+    return materialize_lazy(
+        spark,
+        f"emb-norms:{sf_dir}",
+        lambda: _emb(spark, sf_dir).select(
+            "vec_id", "embedding", _norm("embedding").alias("nrm")
+        ),
     )
 
 
@@ -3059,7 +3083,11 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     search replays from storage, not lineage, after executor loss."""
     e = _emb(spark, sf_dir)
     # ONE pinned vector frame shared by the descent's scoring joins
-    # and the search's per-step scoring joins
+    # and the search's per-step scoring joins. Pin, NOT the keyed
+    # _emb_norms_shared scratch: the beam consumes ev in every step's
+    # scoring join, and a scratch read re-reads (and re-repartitions)
+    # per consumer — probed 1.4-1.7x SLOWER than executor-local blocks
+    # here (r11).
     ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
     graph = _knn_graph_shared(spark, sf_dir, ev=ev)
     q = ev.where(F.col("vec_id") < _N_QUERIES).select(
@@ -3144,8 +3172,7 @@ def knn_graph_index_build(
     import json
     import os
 
-    e = _emb(spark, sf_dir)
-    ev = pin(e.select("vec_id", "embedding", _norm("embedding").alias("nrm")))
+    ev = _emb_norms_shared(spark, sf_dir)
     edges = _knn_graph_shared(spark, sf_dir, ev=ev)
     (
         edges.repartition("src").sortWithinPartitions("src")
