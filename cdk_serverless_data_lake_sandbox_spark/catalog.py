@@ -92,6 +92,27 @@ def _size_bytes(v: str) -> int:
     return int(s)
 
 
+def scan_is_serial(spark: SparkSession, sf_dir: str, table: str) -> bool:
+    """True when ``table``'s file would scan in far fewer splits than
+    the cluster has cores — the same byte gate ``load_tables``'s
+    ``fan_out`` uses, exposed for operators that want to repartition a
+    NARROW projection of the table instead of the raw scan (fanning
+    out after a heavy column is dropped shuffles bytes the raw-scan
+    fan-out would have carried, e.g. document text). At real scale the
+    file splits properly and this returns False, leaving the classic
+    plan untouched."""
+    par = spark.sparkContext.defaultParallelism
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        est_splits = max(1, os.path.getsize(path) // max_split)
+    except OSError:
+        return False  # multi-file dir or remote: assume splittable
+    return est_splits < par // 2
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -2259,6 +2259,10 @@ WHERE bit_count(xor(a.h, b.h)) <= {hamming_max}
 
 
 def _planted_band_sigs(spark: SparkSession, sf_dir: str, salt: str, col: str) -> DataFrame:
+    # NO fan-out here (r11 probe): the band twins derive ~3 md5s per
+    # doc — the added exchange measured 1.4-1.6x SLOWER than the
+    # serial scan. The video twin (10 md5s/doc) is heavy enough to
+    # win and fans out at its own site.
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return docs.where(
         F.col("lang").isNotNull() & F.col("source").isNotNull()
@@ -2328,7 +2332,11 @@ def framehash_jaccard_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5) over engine-portable per-doc key sets, making the relational
     half of the perceptual video dedup hash-exact driver-gated (the
     frame decode stays pytest-pinned — C110)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # fan out: same rationale as _planted_band_sigs (10 md5s per doc
+    # map-side, serial on the bench file's single row group)
+    docs = load_tables(
+        spark, sf_dir, ("documents",), fan_out=("documents",)
+    )["documents"]
     frames = F.expr(
         f"""transform(sequence(1, {_VFG_N}), i ->
           CASE WHEN i <= doc_id % {_VFG_N + 1}

@@ -2890,6 +2890,20 @@ def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.length("text").cast("bigint").alias("v")
     )
+    # fan out the NARROW (doc_id, v) rows feeding the replicate
+    # expansion (guide §2.5): the per-(doc, replicate) md5 transform is
+    # the query's CPU, and on the single-row-group bench file it ran as
+    # ONE ~1 s task; repartitioning after the text column is projected
+    # away shuffles 16-byte rows, not documents. The byte gate keeps
+    # splittable production files on the classic scan plan, and the
+    # stats branch below keeps the un-fanned frame.
+    from cdk_serverless_data_lake_sandbox_spark.catalog import scan_is_serial
+
+    rep_src = (
+        x.repartition(spark.sparkContext.defaultParallelism)
+        if scan_is_serial(spark, sf_dir, "documents")
+        else x
+    )
     u = _boot_u_spark("doc_id", "r")
     # hash ONCE per (doc, replicate); the 6-way CDF CASE then reads
     # the u COLUMN instead of re-inlining the hash per branch
@@ -2897,7 +2911,7 @@ def bootstrap_ci_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, {_BOOT_R - 1}), r ->"
         f" named_struct('r', r, 'u', {u}))"
     )
-    rep = x.select("v", F.explode(pairs).alias("p")).select(
+    rep = rep_src.select("v", F.explode(pairs).alias("p")).select(
         "v",
         F.col("p.r").alias("r"),
         F.expr(_boot_k_case("p.u")).alias("k"),
