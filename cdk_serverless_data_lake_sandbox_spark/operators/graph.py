@@ -485,6 +485,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Exchange but ran 8.5x SLOWER at sf0.1 — the nested
     # transform/flatten expansion is interpreted, and 9M wedge structs
     # through the expression interpreter dwarf the shuffle it saved).
+    # (r11, second attempt: a post-pin repartition by src — pre-pin
+    # partitioning is invisible after localCheckpoint — probed 0.99x
+    # and the plan showed the wedge join is a BROADCAST join already,
+    # so there was no shuffle to remove and the repartition was two
+    # pure-overhead exchanges. The wedge expansion is not
+    # parallelism-bound at bench SF. Left as-is.)
     b = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("w"))
     wedges = (
         oriented.join(b, oriented.src == b.src2)
