@@ -157,7 +157,7 @@ def vacuum_scratch(root: str | None = None, stale_secs: int | None = None) -> li
     return removed
 
 
-def materialize(df, key: str | None = None):
+def materialize(df, key: str | None = None, fan_out: bool = True):
     """Write ``df`` to a scratch parquet path once and return a frame
     that scans it, truncating lineage so downstream multi-branch plans
     pay for the derivation exactly once.
@@ -166,11 +166,15 @@ def materialize(df, key: str | None = None):
     hashed-shingle frame for a given sf_dir, shared by the jaccard /
     removal / components queries); keyless calls always write fresh.
     The read applies the writer's schema explicitly so an empty frame
-    round-trips."""
-    return _materialize_with_path(df, key)[0]
+    round-trips. ``fan_out=False`` skips the small-file re-parallelize
+    on the read side (r12): for a tiny dimension-sized intermediate
+    whose consumers are broadcast builds or one-row aggregates, the
+    restored-parallelism exchange is pure overhead — the repartition
+    exists for CPU-heavy per-row consumers, not for these."""
+    return _materialize_with_path(df, key, fan_out)[0]
 
 
-def _materialize_with_path(df, key: str | None = None):
+def _materialize_with_path(df, key: str | None = None, fan_out: bool = True):
     """Body of :func:`materialize`, additionally returning the
     written scratch path (pin() uses it to reclaim superseded
     iteration state)."""
@@ -178,7 +182,7 @@ def _materialize_with_path(df, key: str | None = None):
     app = spark.sparkContext.applicationId
     if key is not None and (app, key) in _MATERIALIZED:
         path = _MATERIALIZED[(app, key)]
-        return _scratch_read(spark, df.schema, path), path
+        return _scratch_read(spark, df.schema, path, fan_out), path
     app_dir = _os.path.join(_SCRATCH_ROOT, app)
     if app not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(app)
@@ -192,13 +196,13 @@ def _materialize_with_path(df, key: str | None = None):
     if key is not None:
         _MATERIALIZED[(app, key)] = path
         _SCRATCH_SCHEMA[(app, key)] = df.schema
-    return _scratch_read(spark, df.schema, path), path
+    return _scratch_read(spark, df.schema, path, fan_out), path
 
 
 _SCRATCH_SCHEMA: dict[tuple[str, str], object] = {}
 
 
-def materialize_lazy(spark, key: str, builder):
+def materialize_lazy(spark, key: str, builder, fan_out: bool = True):
     """Keyed materialization whose DERIVATION is also skipped on a
     cache hit. ``materialize(df, key)`` can only short-circuit the
     write — the caller has already paid for constructing ``df``, which
@@ -207,14 +211,16 @@ def materialize_lazy(spark, key: str, builder):
     a miss; hits re-scan the scratch parquet directly."""
     app = spark.sparkContext.applicationId
     if (app, key) in _MATERIALIZED:
-        return _scratch_read(spark, _SCRATCH_SCHEMA[(app, key)], _MATERIALIZED[(app, key)])
-    return materialize(builder(), key=key)
+        return _scratch_read(
+            spark, _SCRATCH_SCHEMA[(app, key)], _MATERIALIZED[(app, key)], fan_out
+        )
+    return materialize(builder(), key=key, fan_out=fan_out)
 
 
 _SCRATCH_NPART: dict[str, int] = {}
 
 
-def _scratch_read(spark, schema, path):
+def _scratch_read(spark, schema, path, fan_out: bool = True):
     """Scan a scratch intermediate, restoring parallelism when the
     files are tiny: Spark bin-packs small files into one split, which
     would serialize every downstream stage that consumes the
@@ -227,6 +233,8 @@ def _scratch_read(spark, schema, path):
     shared intermediate was measurable driver overhead (round-2
     verdict nit)."""
     out = spark.read.schema(schema).parquet(path)
+    if not fan_out:
+        return out
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if path not in _SCRATCH_NPART:
         _SCRATCH_NPART[path] = out.rdd.getNumPartitions()

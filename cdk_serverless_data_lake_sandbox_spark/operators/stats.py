@@ -2997,7 +2997,16 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians are nearest-rank element picks of in-row sorted arrays,
     so no cross-row float summation exists anywhere; slope/intercept
     are single IEEE-identical values, hash-exact vs the oracle."""
-    t = load_tables(spark, sf_dir, ("lineitem", "orders", "part"))
+    # fan_out: the single-row-group lineitem scan otherwise runs the
+    # two broadcast-join probes + month/decimal projection + partial
+    # aggregation on ONE task (r12 profile: the scan stage was the
+    # query); the scan feeds exactly one shuffle consumer (the
+    # brand-month groupBy), which is the profile the q1 precedent
+    # showed 4x under load. The byte gate self-disables on splittable
+    # production files.
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "part"), fan_out=("lineitem",)
+    )
     r = (
         t["lineitem"]
         .join(
@@ -3129,7 +3138,9 @@ def mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-group divisions/sqrt on identical integer inputs. The
     global rank table is one window over DISTINCT latency VALUES —
     value-domain-bounded (~130 day values), never corpus-sized."""
-    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    # fan_out: same serial-scan profile as theil_sen_trend — the scan
+    # feeds one shuffle consumer (the (grp, v) groupBy under the pin).
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"), fan_out=("lineitem",))
     lat = t["lineitem"].join(
         t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
         F.col("o_orderkey") == F.col("l_orderkey"),

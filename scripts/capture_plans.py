@@ -1,7 +1,7 @@
-"""Capture explain('formatted') for named queries into plans/r11/.
+"""Capture explain('formatted') for named queries into plans/r12/.
 
 Usage: python scripts/capture_plans.py <suffix> <query> [query ...]
-Writes plans/r11/<query>_<suffix>.txt at sf0.1 with the repo session
+Writes plans/r12/<query>_<suffix>.txt at sf0.1 with the repo session
 (same conditions as the committed *_before.txt captures).
 """
 
@@ -22,13 +22,13 @@ def main() -> None:
     spark = get_spark(app_name="capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    os.makedirs("plans/r11", exist_ok=True)
+    os.makedirs("plans/r12", exist_ok=True)
     for name in names:
         df = qs[name](spark, SF)
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out = f"plans/r11/{name}_{suffix}.txt"
+        out = f"plans/r12/{name}_{suffix}.txt"
         with open(out, "w") as fh:
             fh.write(txt)
         print("wrote", out)
