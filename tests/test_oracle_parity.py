@@ -1,6 +1,11 @@
 """Local mirror of the driver's correctness gate: every registered
-query with an oracle runs on Spark AND DuckDB at sf0.01; row counts,
-column names, and order-insensitive values must match exactly.
+query with an oracle runs on Spark AND DuckDB; row counts, column
+names, and order-insensitive values must match exactly.
+
+Default tier runs at SF_PARITY = sf0.001 (every oracle is verified at
+that SF by the standing XSF rotation artifacts, so small-SF parity
+loses rows, not oracle coverage); SPARK_GRAFT_FULL_TESTS=1 restores
+the sf0.01 mirror for the builder's close-out run.
 """
 
 from __future__ import annotations
@@ -8,7 +13,7 @@ from __future__ import annotations
 import pytest
 
 from tests.compare import assert_frames_match
-from tests.conftest import SF_MEDIUM, make_duck
+from tests.conftest import SF_PARITY, make_duck
 
 from cdk_serverless_data_lake_sandbox_spark.registry import all_oracles, all_queries
 
@@ -17,8 +22,8 @@ _QUERIES = all_queries()
 
 
 @pytest.fixture(scope="module")
-def duck_medium():
-    con = make_duck(SF_MEDIUM)
+def duck_parity():
+    con = make_duck(SF_PARITY)
     yield con
     con.close()
 
@@ -29,9 +34,9 @@ def test_every_oracle_has_query():
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_parity(spark, duck_medium, name):
-    spark_pdf = _QUERIES[name](spark, SF_MEDIUM).toPandas()
-    oracle_pdf = duck_medium.execute(_ORACLES[name]).fetchdf()
+def test_parity(registry_frames, duck_parity, name):
+    spark_pdf = registry_frames[name].toPandas()
+    oracle_pdf = duck_parity.execute(_ORACLES[name]).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 

@@ -55,13 +55,14 @@ def test_q1_prunes_columns(spark):
     assert schema.count(":") == 7, schema
 
 
-def test_no_cartesian_products(spark):
+def test_no_cartesian_products(registry_frames):
     """Nothing in the registry may plan an unconstrained cartesian
-    product (scalar-subquery broadcasts are single-row and fine)."""
+    product (scalar-subquery broadcasts are single-row and fine).
+    Runs over the session-shared registry build (r12: constructing
+    all 279 frames a second time was 267 s of the suite wall)."""
     offenders = []
-    for name, fn in _Q.items():
-        plan = formatted_plan(fn(spark, SF_MEDIUM))
-        if "CartesianProduct" in plan:
+    for name, df in registry_frames.items():
+        if "CartesianProduct" in formatted_plan(df):
             offenders.append(name)
     assert not offenders, offenders
 

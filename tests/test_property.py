@@ -5,6 +5,7 @@ generation and the Glue choice-cast semantics."""
 
 from __future__ import annotations
 
+from tests.conftest import prop_examples
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -25,7 +26,7 @@ def _shingles(t: str) -> set[str]:
     return {" ".join(w[i : i + 3]) for i in range(n)}
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(texts=_texts)
 def test_ngram_pairs_match_bruteforce(spark, texts):
     """The indexed posting-list plan must agree exactly with the
@@ -50,7 +51,7 @@ _INTS = st.integers(-(10**12), 10**12).map(str)
 _JUNK = st.text(alphabet="xy z", min_size=1, max_size=4)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(vals=st.lists(st.one_of(_INTS, _JUNK), min_size=1, max_size=8))
 def test_apply_mapping_choice_resolution(spark, vals):
     """A 'choice' column cast to bigint keeps exactly the values that
@@ -139,7 +140,7 @@ def test_pii_patterns_fire_on_crafted_text(spark):
     assert got["clean"] == (0, 0, 0), got
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(texts=_texts)
 def test_dup_span_profile_matches_bruteforce(spark, texts):
     """The hashed span-index plan must agree with the quadratic
@@ -174,7 +175,7 @@ def test_dup_span_profile_matches_bruteforce(spark, texts):
     assert got == expected
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(texts=_texts)
 def test_containment_pairs_match_bruteforce(spark, texts):
     """The contained-side-only prefix filter must be lossless: the
@@ -211,7 +212,7 @@ def test_containment_pairs_match_bruteforce(spark, texts):
     assert got == expected
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(texts=_texts)
 def test_segment_dedup_matches_reference(spark, texts):
     """First-occurrence segment dedup must agree with the sequential
@@ -291,7 +292,7 @@ _span_texts = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(texts=_span_texts)
 def test_strip_dup_spans_matches_reference(spark, texts):
     """Random small-alphabet corpora maximize span collisions — the
@@ -371,7 +372,7 @@ _cdc_rows = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(rows=_cdc_rows)
 def test_cdc_chunker_matches_reference(spark, rows):
     from cdk_serverless_data_lake_sandbox_spark.operators.dedup import (
@@ -425,7 +426,7 @@ _char_texts = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(texts=_char_texts)
 def test_strip_dup_chars_matches_reference(spark, texts):
     """Random tiny-alphabet corpora maximize char-gram collisions and
@@ -456,7 +457,7 @@ _bpe_words = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=prop_examples(10), deadline=None)
 @given(docs=st.lists(_bpe_words, min_size=1, max_size=6))
 def test_bpe_oracle_replay_matches_reference_on_random_corpora(docs):
     """The generated DuckDB BPE-trainer replay (_bpe_stats_oracle)
@@ -524,7 +525,7 @@ def test_bpe_oracle_replay_matches_reference_on_random_corpora(docs):
     assert got == expect
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=prop_examples(10), deadline=None)
 @given(
     vecs=st.lists(
         st.lists(

@@ -31,7 +31,7 @@ from cdk_serverless_data_lake_sandbox_spark.operators.analytics import (
     word_frequencies,
 )
 
-from tests.conftest import SF_SMALL, await_stream_done
+from tests.conftest import prop_examples, SF_SMALL, await_stream_done
 
 
 # ------------------------------------------------------------ pagerank
@@ -765,7 +765,7 @@ def _mk_edges(spark, pairs):
     )
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(pairs=_edge_lists)
 def test_pagerank_matches_pure_python(spark, pairs):
     """Spark PageRank == a pure-Python power iteration on random
@@ -794,7 +794,7 @@ def test_pagerank_matches_pure_python(spark, pairs):
         assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(pairs=_edge_lists, seed_ix=st.integers(0, 100))
 def test_bfs_matches_pure_python(spark, pairs, seed_ix):
     """The BFS frontier loop == a pure-Python BFS from the same seed,
