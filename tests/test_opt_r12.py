@@ -84,6 +84,29 @@ def test_serial_scan_gates_self_disable_on_splittable_file(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_jaccard_containment_share_keyed_postings(spark):
+    """The r12 keyed posting table: repeat invocations (scratch-hit
+    path) must be value-identical for both consumers, and the two
+    generators must resolve to the SAME keyed artifact (one inverted
+    index per (application, sf_dir, hot bound))."""
+    from cdk_serverless_data_lake_sandbox_spark.operators._helpers import (
+        _MATERIALIZED,
+    )
+
+    qs = all_queries()
+    j1 = _rows(qs["dedup_ngram_jaccard"](spark, SF_SMALL))
+    c1 = _rows(qs["containment_dedup"](spark, SF_SMALL))
+    app = spark.sparkContext.applicationId
+    posting_keys = [
+        k for (a, k) in _MATERIALIZED if a == app and ":postings:" in k
+        and SF_SMALL in k
+    ]
+    assert len(posting_keys) == 1, posting_keys  # shared, not per-consumer
+    assert _rows(qs["dedup_ngram_jaccard"](spark, SF_SMALL)) == j1
+    assert _rows(qs["containment_dedup"](spark, SF_SMALL)) == c1
+    assert len(j1) > 0 and len(c1) > 0
+
+
 def test_bm25_scratch_hit_path_identical(spark):
     q = all_queries()["bm25_retrieval"]
     first = _rows(q(spark, SF_SMALL))
