@@ -97,9 +97,13 @@ def test_jaccard_containment_share_keyed_postings(spark):
     j1 = _rows(qs["dedup_ngram_jaccard"](spark, SF_SMALL))
     c1 = _rows(qs["containment_dedup"](spark, SF_SMALL))
     app = spark.sparkContext.applicationId
+    # exact-prefix match: other tests build gated variants
+    # (ngram-hashed-gated:...) whose posting scratch is legitimately
+    # separate
     posting_keys = [
-        k for (a, k) in _MATERIALIZED if a == app and ":postings:" in k
-        and SF_SMALL in k
+        k
+        for (a, k) in _MATERIALIZED
+        if a == app and k.startswith(f"ngram-hashed:{SF_SMALL}:postings:")
     ]
     assert len(posting_keys) == 1, posting_keys  # shared, not per-consumer
     assert _rows(qs["dedup_ngram_jaccard"](spark, SF_SMALL)) == j1
